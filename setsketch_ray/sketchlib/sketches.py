@@ -1,0 +1,434 @@
+"""The five sketch families: batch-vectorized construction + merge algebra.
+
+Semantics follow the reference (file:line cites below are relative to
+``/root/reference/c++/``), re-expressed as NumPy batch kernels:
+
+* a *row* is one set; a batch of rows is sketched into a ``(rows, m)``
+  register matrix in one vectorized pass;
+* all randomness is counter-mode hashing of the element value
+  (:mod:`.hashing`), so a sketch is a pure function of its element multiset —
+  stream/bulk/merge equivalence holds by construction
+  (cf. ``bulk_update_test.cpp:86``);
+* merge is register-wise max (min for MinHash): commutative, associative,
+  idempotent (``sketch.hpp:817-825, 876-881, 1599-1603, 1962-1967``).
+
+Rows are given Arrow-style: a flat uint64 ``values`` array plus int64
+``offsets`` of length rows+1 (zero-copy from ``pa.list_(pa.uint64())``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import (
+    FeistelPermutation,
+    bounded_uint,
+    exponential,
+    mix2,
+    trailing_ones,
+    truncated_exponential,
+    uniform_double,
+)
+from .registers import scatter_max, value_dtype
+
+U64 = np.uint64
+
+# counter-space layout for per-element draws (keep disjoint per purpose)
+_CTR_POINT = 1          # GHLL uniform draw / HMH geometric draw
+_CTR_INDEX = 2          # register-index draw
+_CTR_AUG = 3            # HyperMinHash sub-bucket bits
+_CTR_PERM = 7           # Feistel permutation key derivation
+_CTR_SS1 = 1 << 20      # SetSketch1 exponential draws (slot i -> _CTR_SS1 + i)
+_CTR_SS2 = 1 << 21      # SetSketch2 truncated-exp draws (slot i -> _CTR_SS2 + i)
+
+_BULK_SUCCESS_P = 0.95  # bulkAddFirstAttemptSuccessProbability, sketch.hpp:1085
+
+
+def _sizes(offsets: np.ndarray) -> np.ndarray:
+    return np.diff(offsets)
+
+
+def _row_ids(offsets: np.ndarray) -> np.ndarray:
+    sizes = _sizes(offsets)
+    return np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+
+
+class _MaxMergeSketch:
+    """Shared behavior for register-max sketches (GHLL/HLL/SetSketch/HMH)."""
+
+    m: int
+    dtype: type
+
+    def empty(self, rows: int) -> np.ndarray:
+        return np.zeros((rows, self.m), dtype=self.dtype)
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Register-wise max (``sketch.hpp:817-825, 876-881``)."""
+        return np.maximum(a, b)
+
+    def merge_rows(self, regs: np.ndarray) -> np.ndarray:
+        """Union of all row sketches into one (dataset-level aggregate)."""
+        if regs.shape[0] == 0:
+            return np.zeros(self.m, dtype=self.dtype)
+        return regs.max(axis=0)
+
+    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        regs = self.empty(len(offsets) - 1)
+        self.add_flat(regs, _row_ids(offsets), values)
+        return regs
+
+
+class _LogMapping:
+    """Discretization x -> level k with b^-k < x <= b^-(k-1), capped at q+1.
+
+    Closed-form equivalent of the reference's table-walk ``Mapping::map``
+    (``sketch.hpp:722-759``): k = floor(-log_b(x)) + 1 clipped to [0, q+1],
+    with x <= b^-q (incl. x == 0) mapping to q+1 and x > 1 mapping to 0
+    (level 0 == "no update").
+    """
+
+    def __init__(self, base: float, q: int):
+        self.base = float(base)
+        self.q = int(q)
+        self.inv_log_base = 1.0 / np.log(base)
+
+    def map_levels(self, x: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore"):
+            k = np.floor(-np.log(x) * self.inv_log_base) + 1.0
+        k = np.where(np.isnan(k), 0.0, k)
+        return np.clip(k, 0.0, self.q + 1).astype(np.int64)
+
+
+class GHLL(_MaxMergeSketch):
+    """GeneralizedHyperLogLog (``sketch.hpp:1034-1061``): per element one
+    uniform draw discretized geometrically, one uniform register index."""
+
+    name = "GeneralizedHyperLogLog"
+
+    def __init__(self, m: int, base: float = 2.0, q: int = 62):
+        self.m = int(m)
+        self.base = float(base)
+        self.q = int(q)
+        self.a = 1.0 / m
+        self.dtype = value_dtype(q)
+        self.mapping = _LogMapping(base, q)
+
+    def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        u = uniform_double(mix2(values, _CTR_POINT))
+        k = self.mapping.map_levels(u)
+        idx = bounded_uint(mix2(values, _CTR_INDEX), self.m)
+        rel = k > 0
+        flat = row_ids[rel] * self.m + idx[rel].astype(np.int64)
+        scatter_max(regs.reshape(-1), flat, k[rel])
+
+
+class HLL(_MaxMergeSketch):
+    """Classic HyperLogLog (``sketch.hpp:1063-1083``): register index = top p
+    bits of the element hash, value = 1 + trailing ones of the low bits."""
+
+    name = "HyperLogLog"
+
+    def __init__(self, p: int, q: int):
+        assert p + q <= 64
+        self.p = int(p)
+        self.q = int(q)
+        self.m = 1 << p
+        self.base = 2.0
+        self.a = 1.0 / self.m
+        self.dtype = value_dtype(q)
+
+    def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        d = np.asarray(values, dtype=np.uint64)
+        idx = (d >> U64(64 - self.p)).astype(np.int64)
+        k = trailing_ones(d, self.q) + 1
+        flat = row_ids * self.m + idx
+        scatter_max(regs.reshape(-1), flat, k)
+
+
+class SetSketch1(_MaxMergeSketch):
+    """SetSketch variant 1 (``sketch.hpp:1087-1222``): per element a sequence
+    of order-statistic points x_i = sum_{j<=i} Exp_j / (a (m-j)), each mapped
+    to a geometric level and scattered to a without-replacement register slot
+    (Feistel permutation standing in for ``PermutationStream``,
+    ``bitstream_random.hpp:279-330``).
+
+    ``sketch_rows`` uses the reference's bulk point-limit heuristic
+    (``addAll``, ``sketch.hpp:1200-1221``): only points below a per-row limit
+    are processed, with a per-row verification + retry loop; the result is
+    provably identical to the unbounded stream (``bulk_update_test.cpp:86``).
+    """
+
+    name = "SetSketch1"
+    _chunk = 32
+
+    def __init__(self, m: int, base: float = 2.0, a: float = 20.0, q: int = 62):
+        self.m = int(m)
+        self.base = float(base)
+        self.a = float(a)
+        self.q = int(q)
+        self.dtype = value_dtype(q)
+        self.mapping = _LogMapping(base, q)
+        # 1/(a(m-i)), sketch.hpp:1122
+        self.factors = 1.0 / (a * (m - np.arange(m, dtype=np.float64)))
+        # limit formula, sketch.hpp:1114
+        self.limit_factor = -np.log1p(-_BULK_SUCCESS_P ** (1.0 / m)) / a
+        self.perm = FeistelPermutation(self.m)
+
+    def _process(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray,
+                 limits: np.ndarray) -> None:
+        """Scatter all points of ``values`` with x <= limits into ``regs``."""
+        n = len(values)
+        if n == 0:
+            return
+        perm_keys = mix2(values, _CTR_PERM)
+        active = np.arange(n)
+        x = np.zeros(n, dtype=np.float64)
+        regs_flat = regs.reshape(-1)
+        i = 0
+        chunk = 4
+        while i < self.m and active.size:
+            c = min(chunk, self.m - i)
+            chunk = min(chunk * 2, 128)
+            va = values[active]
+            ctr = np.arange(_CTR_SS1 + i, _CTR_SS1 + i + c, dtype=np.uint64)
+            draws = exponential(mix2(va[:, None], ctr[None, :]))
+            xs = x[active, None] + np.cumsum(draws * self.factors[i:i + c], axis=1)
+            inlimit = xs <= limits[active, None]
+            if inlimit.any():
+                e_sel, c_sel = np.nonzero(inlimit)
+                k = self.mapping.map_levels(xs[e_sel, c_sel])
+                rel = k > 0
+                e_sel, c_sel, k = e_sel[rel], c_sel[rel], k[rel]
+                ridx = self.perm.apply(perm_keys[active[e_sel]],
+                                       (i + c_sel).astype(np.uint64)).astype(np.int64)
+                flat = row_ids[active[e_sel]] * self.m + ridx
+                scatter_max(regs_flat, flat, k)
+            x[active] = xs[:, -1]
+            active = active[inlimit[:, -1]]
+            i += c
+
+    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        rows = len(offsets) - 1
+        regs = self.empty(rows)
+        sizes = _sizes(offsets)
+        row_ids = _row_ids(offsets)
+        values = np.asarray(values, dtype=np.uint64)
+        limit_inc_row = np.where(sizes > 0, self.limit_factor / np.maximum(sizes, 1),
+                                 np.inf)
+        attempt = np.ones(rows, dtype=np.int64)
+        todo = np.flatnonzero(sizes > 0)
+        while todo.size:
+            limits_row = limit_inc_row * attempt
+            sel = np.isin(row_ids, todo)
+            self._process(regs, row_ids[sel], values[sel], limits_row[row_ids[sel]])
+            # bulk verification (sketch.hpp:1210-1214): success iff the limit
+            # maps to a level <= the row's min register level, i.e. no point
+            # above the limit could still update any register.
+            klow = regs[todo].min(axis=1).astype(np.int64)
+            lim = limits_row[todo]
+            failed = (klow <= self.q) & (lim <= self.base ** (-klow.astype(np.float64)))
+            todo = todo[failed]
+            attempt[todo] += 1
+        return regs
+
+    def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
+        """Streaming add (no point limit) — matches ``SetSketch1::add``
+        (``sketch.hpp:1196-1198``); used in tests to prove bulk equivalence."""
+        limits = np.full(len(values), np.inf)
+        self._process(regs, np.asarray(row_ids, dtype=np.int64),
+                      np.asarray(values, dtype=np.uint64), limits)
+
+
+class SetSketch2(_MaxMergeSketch):
+    """SetSketch variant 2 (``sketch.hpp:1224-1372``): points sit on the fixed
+    grid gamma_i/a = log1p(i/(m-i))/a with truncated-exponential interpolation
+    between grid points and a plain exponential tail after the last one."""
+
+    name = "SetSketch2"
+    _chunk = 32
+
+    def __init__(self, m: int, base: float = 2.0, a: float = 20.0, q: int = 62):
+        self.m = int(m)
+        self.base = float(base)
+        self.a = float(a)
+        self.q = int(q)
+        self.dtype = value_dtype(q)
+        self.mapping = _LogMapping(base, q)
+        i = np.arange(m, dtype=np.float64)
+        # gammaTimesAInv grid, sketch.hpp:1264-1265
+        self.grid = np.log1p(i / (m - i)) / a
+        # truncated-exp rates per gap, sketch.hpp:1263
+        self.rates = np.log1p(1.0 / (m - 1 - np.arange(m - 1, dtype=np.float64)))
+        self.widths = np.diff(self.grid)
+        self.a_inv = 1.0 / a
+        self.limit_factor = -np.log1p(-_BULK_SUCCESS_P ** (1.0 / m)) / a
+        self.perm = FeistelPermutation(self.m)
+
+    def _points_chunk(self, va: np.ndarray, i: int, c: int) -> np.ndarray:
+        """Points for slots [i, i+c) for each element in va -> (len(va), c)."""
+        ctr = np.arange(_CTR_SS2 + i, _CTR_SS2 + i + c, dtype=np.uint64)
+        h = mix2(va[:, None], ctr[None, :])
+        if i + c <= self.m - 1:
+            return self.grid[i:i + c] + self.widths[i:i + c] * \
+                truncated_exponential(h, self.rates[i:i + c])
+        # last slot uses an untruncated exponential tail (sketch.hpp:1330)
+        xs = np.empty((len(va), c), dtype=np.float64)
+        if c > 1:
+            xs[:, :-1] = self.grid[i:i + c - 1] + self.widths[i:i + c - 1] * \
+                truncated_exponential(h[:, :-1], self.rates[i:i + c - 1])
+        xs[:, -1] = self.grid[-1] + self.a_inv * exponential(h[:, -1])
+        return xs
+
+    def _process(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray,
+                 limits: np.ndarray) -> None:
+        n = len(values)
+        if n == 0:
+            return
+        perm_keys = mix2(values, _CTR_PERM)
+        active = np.arange(n)
+        regs_flat = regs.reshape(-1)
+        i = 0
+        chunk = 4
+        while i < self.m and active.size:
+            c = min(chunk, self.m - i)
+            chunk = min(chunk * 2, 128)
+            xs = self._points_chunk(values[active], i, c)
+            inlimit = xs <= limits[active, None]
+            if inlimit.any():
+                e_sel, c_sel = np.nonzero(inlimit)
+                k = self.mapping.map_levels(xs[e_sel, c_sel])
+                rel = k > 0
+                e_sel, c_sel, k = e_sel[rel], c_sel[rel], k[rel]
+                ridx = self.perm.apply(perm_keys[active[e_sel]],
+                                       (i + c_sel).astype(np.uint64)).astype(np.int64)
+                flat = row_ids[active[e_sel]] * self.m + ridx
+                scatter_max(regs_flat, flat, k)
+            active = active[inlimit[:, -1]]
+            i += c
+
+    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        rows = len(offsets) - 1
+        regs = self.empty(rows)
+        sizes = _sizes(offsets)
+        row_ids = _row_ids(offsets)
+        values = np.asarray(values, dtype=np.uint64)
+        limit_inc_row = np.where(sizes > 0, self.limit_factor / np.maximum(sizes, 1),
+                                 np.inf)
+        attempt = np.ones(rows, dtype=np.int64)
+        todo = np.flatnonzero(sizes > 0)
+        while todo.size:
+            limits_row = limit_inc_row * attempt
+            sel = np.isin(row_ids, todo)
+            self._process(regs, row_ids[sel], values[sel], limits_row[row_ids[sel]])
+            klow = regs[todo].min(axis=1).astype(np.int64)
+            lim = limits_row[todo]
+            failed = (klow <= self.q) & (lim <= self.base ** (-klow.astype(np.float64)))
+            todo = todo[failed]
+            attempt[todo] += 1
+        return regs
+
+    def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
+        limits = np.full(len(values), np.inf)
+        self._process(regs, np.asarray(row_ids, dtype=np.int64),
+                      np.asarray(values, dtype=np.uint64), limits)
+
+
+class MinHash:
+    """Classic m-permutation MinHash (``sketch.hpp:1579-1612``): register j of
+    element d is draw ``mix2(d, j)``; state = element-wise minimum."""
+
+    name = "MinHash"
+    dtype = np.uint64
+    _row_chunk = 8192
+
+    def __init__(self, m: int):
+        self.m = int(m)
+
+    def empty(self, rows: int) -> np.ndarray:
+        return np.full((rows, self.m), np.iinfo(np.uint64).max, dtype=np.uint64)
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Register-wise min (``sketch.hpp:1599-1603``)."""
+        return np.minimum(a, b)
+
+    def merge_rows(self, regs: np.ndarray) -> np.ndarray:
+        if regs.shape[0] == 0:
+            return np.full(self.m, np.iinfo(np.uint64).max, dtype=np.uint64)
+        return regs.min(axis=0)
+
+    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        rows = len(offsets) - 1
+        out = self.empty(rows)
+        values = np.asarray(values, dtype=np.uint64)
+        ctr = np.arange(self.m, dtype=np.uint64)
+        # chunk over rows to bound the (elements, m) draw matrix
+        r0 = 0
+        while r0 < rows:
+            r1 = r0
+            while r1 < rows and offsets[r1 + 1] - offsets[r0] <= self._row_chunk:
+                r1 += 1
+            r1 = max(r1, r0 + 1)
+            lo, hi = offsets[r0], offsets[r1]
+            if hi > lo:
+                draws = mix2(values[lo:hi, None], ctr[None, :])
+                off = (offsets[r0:r1] - lo).astype(np.int64)
+                nonempty = np.diff(np.append(off, hi - lo)) > 0
+                red = np.minimum.reduceat(draws, off, axis=0)
+                out[r0:r1][nonempty] = red[nonempty]
+            r0 = r1
+        return out
+
+    def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        ctr = np.arange(self.m, dtype=np.uint64)
+        draws = mix2(np.asarray(values, dtype=np.uint64)[:, None], ctr[None, :])
+        order = np.argsort(row_ids, kind="stable")
+        rid = np.asarray(row_ids)[order]
+        draws = draws[order]
+        uniq, starts = np.unique(rid, return_index=True)
+        red = np.minimum.reduceat(draws, starts, axis=0)
+        regs[uniq] = np.minimum(regs[uniq], red)
+
+
+class HyperMinHash(_MaxMergeSketch):
+    """HyperMinHash (``sketch.hpp:1873-1960``): HLL geometric value (capped at
+    2^bucketsize) packed with ``subbucketsize`` extra uniform bits."""
+
+    name = "HyperMinHash"
+
+    def __init__(self, bucketbits: int = 12, bucketsize: int = 6, subbucketsize: int = 10):
+        assert 1 <= bucketsize <= 6 and bucketbits + subbucketsize <= 64
+        self.bucketbits = bucketbits
+        self.bucketsize = bucketsize
+        self.subbucketsize = subbucketsize
+        self.m = 1 << bucketbits
+        self.dtype = np.uint32
+        self.max_val = 1 << bucketsize
+        self.sub_mask = (1 << subbucketsize) - 1
+
+    def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        d = np.asarray(values, dtype=np.uint64)
+        y = mix2(d, _CTR_POINT)
+        # val = 1 + trailing ones, capped at 2^bucketsize (sketch.hpp:1945-1952)
+        val = trailing_ones(y, self.max_val - 1) + 1
+        idx = (mix2(d, _CTR_INDEX) >> U64(64 - self.bucketbits)).astype(np.int64)
+        aug = (mix2(d, _CTR_AUG) & U64(self.sub_mask)).astype(np.int64)
+        update = (val << self.subbucketsize) | aug
+        flat = row_ids * self.m + idx
+        scatter_max(regs.reshape(-1), flat, update)
+
+
+def make_sketch(name: str, **kwargs):
+    """Factory by family name (mirrors the reference's config templates)."""
+    families = {
+        "ghll": GHLL, "hll": HLL, "setsketch1": SetSketch1,
+        "setsketch2": SetSketch2, "minhash": MinHash, "hyperminhash": HyperMinHash,
+    }
+    return families[name.lower()](**kwargs)

@@ -1,0 +1,123 @@
+"""Sketch-algebra property tests, mirroring the reference's exact-equivalence
+strategy (``/root/reference/c++/bulk_update_test.cpp:45-108``): stream == bulk,
+merge laws (commutative / associative / idempotent), permutation invariance,
+register bounds, and merge-composition (``composeSketch`` trick,
+``joint_estimation_test.cpp:104-114``).
+"""
+
+import numpy as np
+import pytest
+
+from setsketch_ray.sketchlib import (
+    GHLL,
+    HLL,
+    HyperMinHash,
+    MinHash,
+    SetSketch1,
+    SetSketch2,
+    mix64,
+)
+
+FAMILIES = [
+    GHLL(m=256, base=2.0, q=62),
+    GHLL(m=64, base=1.001, q=1000),
+    HLL(p=8, q=56),
+    SetSketch1(m=256, base=2.0, a=20.0, q=62),
+    SetSketch1(m=64, base=1.2, a=30.0, q=300),
+    SetSketch2(m=256, base=2.0, a=20.0, q=62),
+    SetSketch2(m=64, base=1.2, a=30.0, q=300),
+    MinHash(m=64),
+    HyperMinHash(bucketbits=8, bucketsize=6, subbucketsize=4),
+]
+
+IDS = [f"{type(s).__name__}-m{s.m}" for s in FAMILIES]
+
+
+def _elements(seed, n):
+    return mix64(np.arange(seed * 10_000_000, seed * 10_000_000 + n,
+                           dtype=np.uint64))
+
+
+@pytest.mark.parametrize("sk", FAMILIES, ids=IDS)
+@pytest.mark.parametrize("n", [0, 1, 10, 500, 5000])
+def test_stream_equals_bulk(sk, n):
+    vals = _elements(1, n)
+    bulk = sk.sketch_rows(vals, np.array([0, n]))
+    stream = sk.empty(1)
+    sk.add_flat(stream, np.zeros(n, dtype=np.int64), vals)
+    assert np.array_equal(bulk, stream)
+
+
+@pytest.mark.parametrize("sk", FAMILIES, ids=IDS)
+def test_permutation_invariance(sk):
+    vals = _elements(2, 2000)
+    shuffled = vals[np.random.default_rng(0).permutation(len(vals))]
+    a = sk.sketch_rows(vals, np.array([0, 2000]))
+    b = sk.sketch_rows(shuffled, np.array([0, 2000]))
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("sk", FAMILIES, ids=IDS)
+def test_merge_laws(sk):
+    a = sk.sketch_rows(_elements(3, 1000), np.array([0, 1000]))
+    b = sk.sketch_rows(_elements(4, 800), np.array([0, 800]))
+    c = sk.sketch_rows(_elements(5, 600), np.array([0, 600]))
+    # commutative
+    assert np.array_equal(sk.merge(a, b), sk.merge(b, a))
+    # associative
+    assert np.array_equal(sk.merge(sk.merge(a, b), c), sk.merge(a, sk.merge(b, c)))
+    # idempotent
+    assert np.array_equal(sk.merge(a, a), a)
+
+
+@pytest.mark.parametrize("sk", FAMILIES, ids=IDS)
+def test_merge_equals_union_sketch(sk):
+    """sketch(S1 ∪ S2) == merge(sketch(S1), sketch(S2)) exactly — the property
+    the reference's composeSketch trick relies on."""
+    u = _elements(6, 3000)
+    s1, s2 = u[:2000], u[1500:]  # overlapping
+    a = sk.sketch_rows(s1, np.array([0, len(s1)]))
+    b = sk.sketch_rows(s2, np.array([0, len(s2)]))
+    full = sk.sketch_rows(u, np.array([0, len(u)]))
+    assert np.array_equal(sk.merge(a, b), full)
+
+
+@pytest.mark.parametrize("sk", FAMILIES, ids=IDS)
+def test_multi_row_batch_equals_per_row(sk):
+    """Batched sketch_rows over several rows == each row sketched alone."""
+    vals = _elements(7, 900)
+    offsets = np.array([0, 100, 100, 600, 900])  # includes an empty row
+    batch = sk.sketch_rows(vals, offsets)
+    for i in range(4):
+        lo, hi = offsets[i], offsets[i + 1]
+        single = sk.sketch_rows(vals[lo:hi], np.array([0, hi - lo]))
+        assert np.array_equal(batch[i], single[0]), f"row {i}"
+
+
+@pytest.mark.parametrize("sk", [f for f in FAMILIES
+                                if not isinstance(f, MinHash)], ids=[
+    i for i, f in zip(IDS, FAMILIES) if not isinstance(f, MinHash)])
+def test_register_bounds(sk):
+    vals = _elements(8, 20000)
+    regs = sk.sketch_rows(vals, np.array([0, 20000]))
+    assert regs.min() >= 0
+    if isinstance(sk, HyperMinHash):
+        max_packed = (1 << sk.bucketsize) << sk.subbucketsize | sk.sub_mask
+        assert regs.max() <= max_packed
+    else:
+        assert regs.max() <= sk.q + 1
+
+
+def test_setsketch_bulk_retry_path():
+    """Force the bulk limit-retry loop (tiny success probability) and check the
+    result still equals streaming — the reference's addAll guarantee
+    (``sketch.hpp:1200-1221``)."""
+    import setsketch_ray.sketchlib.sketches as sk_mod
+
+    s = SetSketch1(m=64, base=2.0, a=20.0, q=62)
+    s.limit_factor = s.limit_factor / 50.0  # force many retries
+    vals = _elements(9, 300)
+    bulk = s.sketch_rows(vals, np.array([0, 300]))
+    stream = s.empty(1)
+    s.add_flat(stream, np.zeros(300, dtype=np.int64), vals)
+    assert np.array_equal(bulk, stream)
