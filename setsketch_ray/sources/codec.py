@@ -1,0 +1,243 @@
+"""Minimal pure-NumPy image codecs + DCT perceptual hash.
+
+The engine treats images as opaque ``binary`` columns with typed metadata
+(``image_id, bytes, w, h, fmt, caption, phash`` — BASELINE.json input_hint).
+No image libraries exist in this environment, so we implement:
+
+* ``png``  — a real, lossless PNG subset (8-bit RGB, filter 0) over zlib;
+* ``ljpg`` — a JPEG-like lossy codec ("LJP1"): 8×8 block DCT-II, quality-
+  scaled quantization, zlib-compressed coefficients.  Genuine lossy behavior
+  (PSNR tracks quality) without libjpeg;
+* ``phash`` — 64-bit DCT perceptual hash (32×32 grayscale → 8×8 low-band →
+  median threshold).
+
+Real-world JPEG bytes would require PIL; :func:`decode_image` raises
+``NotImplementedError`` for formats we cannot parse, keeping the Ray-side
+plumbing (schema, batch shapes, actor stages) fully real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LJP_MAGIC = b"LJP1"
+
+# classic JPEG luminance quantization table (public domain, ITU T.81 Annex K)
+_QTABLE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+_DCT8 = _dct_matrix(8)
+
+
+# ------------------------------------------------------------------ PNG (real)
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a valid minimal PNG (filter 0)."""
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode the PNG subset written by :func:`encode_png` (plus any 8-bit RGB
+    PNG using only filter types 0-2)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, *_ = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color != 2:
+                raise NotImplementedError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+                             dtype=np.uint8).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for i in range(3, stride):
+                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {f} not supported")
+        out[y] = cur.reshape(w, 3).astype(np.uint8)
+        prev = cur
+    return out
+
+
+# ------------------------------------------------------- LJP1 (lossy, real DCT)
+def _quality_scale(quality: int) -> np.ndarray:
+    quality = max(1, min(100, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((_QTABLE * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _to_blocks(ch: np.ndarray) -> np.ndarray:
+    h, w = ch.shape
+    return ch.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _from_blocks(blocks: np.ndarray) -> np.ndarray:
+    bh, bw, _, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def encode_ljpg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode (h, w, 3) uint8 as LJP1: blockwise DCT + quantization + zlib."""
+    h, w, _ = pixels.shape
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.pad(pixels.astype(np.float64) - 128.0,
+                    ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    qt = _quality_scale(quality)
+    coeffs = []
+    for c in range(3):
+        blocks = _to_blocks(padded[:, :, c])
+        dct = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+        coeffs.append(np.round(dct / qt).astype(np.int16))
+    payload = zlib.compress(np.concatenate([c.ravel() for c in coeffs]).tobytes(), 6)
+    return _LJP_MAGIC + struct.pack(">HHB", w, h, quality) + payload
+
+
+def decode_ljpg(data: bytes) -> np.ndarray:
+    if data[:4] != _LJP_MAGIC:
+        raise ValueError("not an LJP1 payload")
+    w, h, quality = struct.unpack(">HHB", data[4:9])
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    n = ph * pw
+    arr = np.frombuffer(zlib.decompress(data[9:]), dtype=np.int16).astype(np.float64)
+    qt = _quality_scale(quality)
+    out = np.empty((ph, pw, 3), dtype=np.float64)
+    for c in range(3):
+        blocks = arr[c * n:(c + 1) * n].reshape(ph // 8, pw // 8, 8, 8) * qt
+        idct = np.einsum("ji,abjk,kl->abil", _DCT8, blocks, _DCT8)
+        out[:, :, c] = _from_blocks(idct)
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ------------------------------------------------------------------- dispatch
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode image bytes to (h, w, 3) uint8 pixels.
+
+    Formats produced by this engine decode for real; foreign formats (actual
+    libjpeg JPEG, WebP, ...) are STUBBED — no codec libraries exist in this
+    environment.
+    """
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "ljpg":
+        return decode_ljpg(data)
+    try:  # pragma: no cover - PIL not installed in this environment
+        from PIL import Image
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            f"format {fmt!r}: no codec available (PIL not installed); "
+            "png/ljpg are supported natively")
+
+
+def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "ljpg":
+        return encode_ljpg(pixels, quality)
+    raise NotImplementedError(f"format {fmt!r} not supported for encoding")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+# ---------------------------------------------------------------------- phash
+_DCT32 = _dct_matrix(32)
+
+
+def _resize_gray(pixels: np.ndarray, size: int = 32) -> np.ndarray:
+    """Area-mean resize of the grayscale image to (size, size)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h // size)
+    xs = (np.arange(size + 1) * w // size)
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    out = (csum[ys[1:], :][:, xs[1:]] - csum[ys[:-1], :][:, xs[1:]]
+           - csum[ys[1:], :][:, xs[:-1]] + csum[ys[:-1], :][:, xs[:-1]])
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    return out / np.maximum(areas, 1)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash: low-frequency 8×8 block of the 32×32 DCT,
+    thresholded at its median (DC excluded from the median)."""
+    small = _resize_gray(pixels, 32)
+    dct = _DCT32 @ small @ _DCT32.T
+    block = dct[:8, :8].copy()
+    med = np.median(block.ravel()[1:])
+    bits = (block.ravel() > med).astype(np.uint64)
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        h |= b << np.uint64(i)
+    return int(h)
+
+
+def phash_to_int64(h: int) -> int:
+    """Bit-cast uint64 phash to int64 for Arrow storage."""
+    return int(np.uint64(h).astype(np.int64))
+
+
+def int64_to_phash(v) -> np.ndarray:
+    """Vectorized inverse bit-cast (column helper)."""
+    return np.asarray(v, dtype=np.int64).astype(np.uint64)

@@ -1,0 +1,251 @@
+"""LSH band hashing, candidate-pair emission (skew-aware) and verification.
+
+The reference has no joins — all pairings are explicit
+(``joint_estimation_test.cpp:189-209``).  The engine introduces the LSH
+self-join: each modality's MinHash signature is split into bands; rows
+sharing a band hash become candidate pairs, verified with EXACT per-modality
+shingle Jaccard (the sets are carried through the shuffle — they are smaller
+than the signatures and make verification deterministic).  Band keys are
+namespaced per (modality, band index), so ONE wide shuffle serves all
+modalities (SURVEY.md §7.3); image ``bytes`` must be dropped before it.
+
+Partitioning: band rows are grouped by ``part = band_key % num_partitions``
+(not by raw band_key) so the shuffle produces a bounded number of groups,
+each processed VECTORIZED over all its band buckets — per-group Python
+overhead at 10^12 scale would otherwise dominate.  ``num_partitions`` scales
+with the cluster (rule of thumb: 4 x total cores).
+
+Skew handling (north_rule: "explicit skew-aware partitioning of hot LSH
+buckets"): a bucket larger than ``group_cap`` emits a *star + chain* pair
+topology instead of all O(n²) pairs — every member stays connected to the
+bucket's hub, so transitive clustering (union-find) still assigns the whole
+bucket to one cluster; recall over the cluster graph's transitive closure is
+preserved while emitted pairs stay O(n).  Capped buckets are flagged in the
+``oversize`` column for metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketchlib.hashing import hash_str_u64, mix2
+from .sketch_stage import fixed_binary_to_matrix, list_column_to_flat
+
+
+class BandExpand:
+    """row -> one row per (modality, band): (band_key, part, image_id,
+    shingle lists[, regs, cardinality]).  Shingle sets ride through the
+    shuffle for exact pair verification inside the group — no join back."""
+
+    def __init__(self, modalities, id_col: str = "image_id",
+                 num_partitions: int = 128, carry_regs: bool = False):
+        self.modalities = modalities
+        self.id_col = id_col
+        self.num_partitions = num_partitions
+        self.carry_regs = carry_regs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys_parts = []
+        for mi, mod in enumerate(self.modalities):
+            if mod.sig_col not in batch.column_names:
+                continue
+            sig = fixed_binary_to_matrix(batch[mod.sig_col], np.uint64,
+                                         mod.minhash_m)
+            keys = np.empty((mod.num_bands, n), dtype=np.uint64)
+            for b in range(mod.num_bands):
+                sl = sig[:, b * mod.rows_per_band:(b + 1) * mod.rows_per_band]
+                # namespace the key by (modality, band index)
+                h = np.full(n, (mi << 32) | (b + 1), dtype=np.uint64)
+                for j in range(mod.rows_per_band):
+                    h = mix2(h, sl[:, j])
+                keys[b] = h
+            keys_parts.append(keys)
+        if not keys_parts:
+            return pa.table({"band_key": pa.array([], pa.uint64()),
+                             "part": pa.array([], pa.uint32()),
+                             self.id_col: pa.array([], pa.string())})
+        all_keys = np.concatenate(keys_parts, axis=0)      # (total_bands, n)
+        total_bands = all_keys.shape[0]
+        flat_keys = all_keys.reshape(-1)
+        idx = pa.array(np.tile(np.arange(n), total_bands))
+        cols = {
+            "band_key": pa.array(flat_keys, pa.uint64()),
+            "part": pa.array((flat_keys % self.num_partitions).astype(np.uint32),
+                             pa.uint32()),
+            self.id_col: batch[self.id_col].take(idx),
+        }
+        carry = [m.shingle_col for m in self.modalities
+                 if m.shingle_col in batch.column_names]
+        if self.carry_regs:
+            carry += [c for c in ("regs", "cardinality")
+                      if c in batch.column_names]
+        for c in carry:
+            cols[c] = batch[c].take(idx)
+        return pa.table(cols)
+
+
+def _exact_jaccard(vals: np.ndarray, offs: np.ndarray, i: np.ndarray,
+                   j: np.ndarray) -> np.ndarray:
+    """Exact Jaccard between row-set pairs of a (sorted-unique) list column."""
+    out = np.empty(len(i), dtype=np.float64)
+    for p in range(len(i)):
+        a = vals[offs[i[p]]:offs[i[p] + 1]]
+        b = vals[offs[j[p]]:offs[j[p] + 1]]
+        if len(a) == 0 and len(b) == 0:
+            out[p] = 0.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        out[p] = inter / (len(a) + len(b) - inter)
+    return out
+
+
+class EmitPairsPartition:
+    """Vectorized candidate-pair emission for one shuffle partition
+    (``map_groups`` over ``part``): sort by band_key, walk bucket
+    boundaries, emit + exactly verify pairs for every bucket of size >= 2.
+
+    Output: (id_a, id_b, jaccard_<mod> exact per modality, score,
+    oversize[, regs_a/b, card_a/b], pair_part).
+    """
+
+    def __init__(self, modalities, id_col: str = "image_id",
+                 group_cap: int = 64, num_partitions: int = 128,
+                 carry_regs: bool = False):
+        self.modalities = modalities
+        self.id_col = id_col
+        self.group_cap = group_cap
+        self.num_partitions = num_partitions
+        self.carry_regs = carry_regs
+
+    def _bucket_pairs(self, starts: np.ndarray, sizes: np.ndarray):
+        """Pair (local) index arrays for all buckets, with the cap topology."""
+        ii, jj, oversize = [], [], []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            if n <= self.group_cap:
+                a, b = np.triu_indices(n, k=1)
+                ii.append(s + a)
+                jj.append(s + b)
+                oversize.append(np.zeros(len(a), dtype=bool))
+            else:
+                hub_i = np.zeros(n - 1, dtype=np.int64)
+                hub_j = np.arange(1, n, dtype=np.int64)
+                chain_i = np.arange(1, n - 1, dtype=np.int64)
+                chain_j = np.arange(2, n, dtype=np.int64)
+                ii.append(s + np.concatenate([hub_i, chain_i]))
+                jj.append(s + np.concatenate([hub_j, chain_j]))
+                oversize.append(np.ones(2 * n - 3, dtype=bool))
+        if not ii:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0, dtype=bool)
+        return np.concatenate(ii), np.concatenate(jj), np.concatenate(oversize)
+
+    def _empty(self) -> pa.Table:
+        cols = {"id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string())}
+        for mod in self.modalities:
+            cols[mod.jaccard_col] = pa.array([], pa.float64())
+        cols["score"] = pa.array([], pa.float64())
+        if self.carry_regs:
+            cols["regs_a"] = pa.array([], pa.binary())
+            cols["regs_b"] = pa.array([], pa.binary())
+            cols["card_a"] = pa.array([], pa.float64())
+            cols["card_b"] = pa.array([], pa.float64())
+        cols["oversize"] = pa.array([], pa.bool_())
+        cols["pair_part"] = pa.array([], pa.uint32())
+        return pa.table(cols)
+
+    def __call__(self, partition: pa.Table) -> pa.Table:
+        if partition.num_rows < 2:
+            return self._empty()
+        order = pc.sort_indices(
+            partition, sort_keys=[("band_key", "ascending"),
+                                  (self.id_col, "ascending")])
+        t = partition.take(order)
+        keys = t["band_key"].to_numpy()
+        boundaries = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate([[0], boundaries])
+        sizes = np.diff(np.concatenate([starts, [len(keys)]]))
+        i, j, oversize = self._bucket_pairs(starts, sizes)
+        if len(i) == 0:
+            return self._empty()
+        # drop self-pairs (same id met in the same bucket via dup band rows)
+        ids = t[self.id_col]
+        id_a = ids.take(pa.array(i))
+        id_b = ids.take(pa.array(j))
+        not_self = pc.invert(pc.equal(id_a, id_b)).to_numpy(zero_copy_only=False)
+        i, j, oversize = i[not_self], j[not_self], oversize[not_self]
+        if len(i) == 0:
+            return self._empty()
+        id_a, id_b = ids.take(pa.array(i)), ids.take(pa.array(j))
+        cols = {"id_a": id_a, "id_b": id_b}
+        score = np.zeros(len(i))
+        for mod in self.modalities:
+            if mod.shingle_col not in t.column_names:
+                cols[mod.jaccard_col] = pa.array(np.zeros(len(i)), pa.float64())
+                continue
+            vals, offs = list_column_to_flat(t[mod.shingle_col])
+            jac = _exact_jaccard(vals, offs, i, j)
+            cols[mod.jaccard_col] = pa.array(jac, pa.float64())
+            score = np.maximum(score, jac / mod.threshold)
+        cols["score"] = pa.array(score, pa.float64())
+        if self.carry_regs:
+            cols["regs_a"] = t["regs"].take(pa.array(i)).cast(pa.binary())
+            cols["regs_b"] = t["regs"].take(pa.array(j)).cast(pa.binary())
+            cols["card_a"] = t["cardinality"].take(pa.array(i))
+            cols["card_b"] = t["cardinality"].take(pa.array(j))
+        cols["oversize"] = pa.array(oversize, pa.bool_())
+        pair_key = mix2(hash_str_u64(id_a.to_pylist()),
+                        hash_str_u64(id_b.to_pylist()))
+        cols["pair_part"] = pa.array(
+            (pair_key % self.num_partitions).astype(np.uint32), pa.uint32())
+        return pa.table(cols)
+
+
+def dedup_pairs_partition(partition: pa.Table) -> pa.Table:
+    """Keep one row per (id_a, id_b) within a pair partition — the same pair
+    surfaces from up to sum(num_bands) buckets with identical exact scores
+    (hash-partition + per-group first, SURVEY.md §2.5).  Vectorized: sort +
+    boundary mask, no per-pair Python."""
+    if partition.num_rows == 0:
+        return partition.drop_columns(["pair_part"])
+    order = pc.sort_indices(partition,
+                            sort_keys=[("id_a", "ascending"),
+                                       ("id_b", "ascending")])
+    t = partition.take(order)
+    a = t["id_a"].to_pylist()
+    b = t["id_b"].to_pylist()
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = [(a[k] != a[k - 1]) or (b[k] != b[k - 1]) for k in range(1, len(a))]
+    return t.filter(pa.array(keep)).drop_columns(["pair_part"])
+
+
+class VerifyPairsML:
+    """Optional precision stage on deduped candidate pairs: the paper's joint
+    ML estimator (``estimateJointNew``, ``sketch.hpp:484-522``) over the
+    carried SetSketch registers; appends ``jaccard_ml`` and drops registers."""
+
+    def __init__(self, sketch_config):
+        self.cfg = sketch_config
+        self.estimator = sketch_config.make_estimator()
+        self.dtype = sketch_config.make_registers_sketch().dtype
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sketchlib.registers import binary_to_rows
+
+        if batch.num_rows == 0:
+            return batch.drop_columns(
+                [c for c in ("regs_a", "regs_b") if c in batch.column_names]
+            ).append_column("jaccard_ml", pa.array([], pa.float64()))
+        ra = binary_to_rows(batch["regs_a"].to_pylist(), self.dtype, self.cfg.m)
+        rb = binary_to_rows(batch["regs_b"].to_pylist(), self.dtype, self.cfg.m)
+        card_a = batch["card_a"].to_numpy()
+        card_b = batch["card_b"].to_numpy()
+        res = self.estimator.estimate_joint_new(ra, rb, card_a, card_b)
+        out = batch.drop_columns(["regs_a", "regs_b"])
+        return out.append_column("jaccard_ml", pa.array(res.jaccard, pa.float64()))

@@ -1,0 +1,170 @@
+"""Shingling stages: caption word n-grams + phash-derived visual shingles.
+
+The reference sketches sets of ``uint64`` elements (``sketch.hpp:1040`` etc.);
+the engine's sets are per-row shingle sets: word 3-grams of the normalized
+caption plus byte-window shingles of the 64-bit perceptual hash
+(BASELINE.json north_star: "MinHash signatures from caption shingles and
+phash-derived visual shingles").
+
+Stateless ``map_batches`` transforms; Arrow in / Arrow out.  Token hashing is
+the only per-token Python work (FNV over UTF-8); n-gram combination and
+phash shingles are vectorized with counter-mode mixing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketchlib.hashing import hash_str_u64, mix2
+
+# namespace tags so caption / visual shingles never collide
+_TAG_WORD1 = 11
+_TAG_WORD3 = 13
+_TAG_PHASH = 17
+
+
+def _token_lists(captions: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """lowercase -> strip non-alnum -> whitespace split."""
+    arr = captions.combine_chunks() if isinstance(captions, pa.ChunkedArray) else captions
+    lowered = pc.utf8_lower(arr)
+    cleaned = pc.replace_substring_regex(lowered, r"[^a-z0-9]+", " ")
+    trimmed = pc.utf8_trim_whitespace(cleaned)
+    tokens = pc.split_pattern(trimmed, " ")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    return tokens
+
+
+def caption_shingles(captions, ngrams: tuple = (1, 2)):
+    """-> (flat uint64 shingle values, int64 offsets per row).
+
+    Word n-gram shingles of the normalized caption for every n in ``ngrams``.
+    Captions are short documents, so unigrams+bigrams (default) keep >= 80 %
+    overlap under a one-word paraphrase — coarser shingles would not.
+    """
+    tokens = _token_lists(captions)
+    flat_tokens = tokens.flatten()
+    tok_offsets = np.asarray(tokens.offsets, dtype=np.int64)
+    tok_hashes = hash_str_u64(flat_tokens.to_pylist())
+
+    n_rows = len(tok_offsets) - 1
+    sizes = np.diff(tok_offsets)
+
+    sel_rows_parts, sel_vals_parts = [], []
+    if len(tok_hashes):
+        row_of = np.repeat(np.arange(n_rows), sizes)
+        pos = np.arange(len(tok_hashes)) - tok_offsets[:-1][row_of]
+        for ngram in ngrams:
+            grams = tok_hashes.copy()
+            for j in range(1, ngram):
+                shifted = np.empty_like(tok_hashes)
+                shifted[:-j] = tok_hashes[j:]
+                if j:
+                    shifted[-j:] = 0
+                grams = mix2(grams, shifted)
+            grams = mix2(grams, _TAG_WORD3 + ngram)
+            keep = pos + ngram <= sizes[row_of]
+            sel_rows_parts.append(row_of[keep])
+            sel_vals_parts.append(grams[keep])
+
+    if sel_rows_parts:
+        sel_rows = np.concatenate(sel_rows_parts)
+        sel_vals = np.concatenate(sel_vals_parts)
+        # per-row sorted unique: shingle columns are SETS (repeated words must
+        # not double-count in exact-Jaccard verification)
+        order = np.lexsort((sel_vals, sel_rows))
+        sel_rows = sel_rows[order]
+        sel_vals = sel_vals[order]
+        keep = np.empty(len(sel_rows), dtype=bool)
+        keep[0] = True
+        keep[1:] = (sel_rows[1:] != sel_rows[:-1]) | (sel_vals[1:] != sel_vals[:-1])
+        sel_rows = sel_rows[keep]
+        out_vals = sel_vals[keep]
+        out_sizes = np.bincount(sel_rows, minlength=n_rows).astype(np.int64)
+    else:
+        out_vals = np.empty(0, dtype=np.uint64)
+        out_sizes = np.zeros(n_rows, dtype=np.int64)
+
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_sizes, out=offsets[1:])
+    return out_vals, offsets
+
+
+def phash_shingles(phash_int64) -> np.ndarray:
+    """-> (rows, 15) uint64 visual shingles from the 64-bit phash: the 8
+    single bytes + 7 overlapping 2-byte windows, each position-tagged.
+    Near-dup images differ in a few phash bits, so most byte windows agree."""
+    ph = np.asarray(phash_int64, dtype=np.int64).astype(np.uint64)
+    n = len(ph)
+    shingles = np.empty((n, 15), dtype=np.uint64)
+    bytes_ = np.empty((n, 8), dtype=np.uint64)
+    for i in range(8):
+        bytes_[:, i] = (ph >> np.uint64(8 * i)) & np.uint64(0xFF)
+    for i in range(8):
+        shingles[:, i] = mix2(bytes_[:, i] | np.uint64(i << 16), _TAG_PHASH)
+    for i in range(7):
+        w = bytes_[:, i] | (bytes_[:, i + 1] << np.uint64(8)) | np.uint64((8 + i) << 20)
+        shingles[:, 8 + i] = mix2(w, _TAG_PHASH)
+    return shingles
+
+
+def combined_shingles(captions, phash_int64, ngrams: tuple = (1, 2),
+                      use_phash: bool = True):
+    """Caption n-gram shingles ∪ visual shingles -> (values, offsets).
+
+    Used for the SetSketch register sketch (one set per image spanning both
+    modalities) and for ``approx_distinct`` style aggregates.
+    """
+    cap_vals, cap_off = caption_shingles(captions, ngrams)
+    if not use_phash:
+        return cap_vals, cap_off
+    vis = phash_shingles(phash_int64)
+    n_rows = vis.shape[0]
+    sizes = np.diff(cap_off) + vis.shape[1]
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint64)
+    for i in range(n_rows):
+        lo = offsets[i]
+        cl = cap_off[i + 1] - cap_off[i]
+        out[lo:lo + cl] = cap_vals[cap_off[i]:cap_off[i + 1]]
+        out[lo + cl:offsets[i + 1]] = vis[i]
+    return out, offsets
+
+
+def _list_array(vals: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()) if offsets[-1] < 2**31
+        else pa.array(offsets, pa.int64()),
+        pa.array(vals, pa.uint64()))
+
+
+class ShingleStage:
+    """``map_batches`` callable adding per-modality shingle list columns:
+    ``shingles_cap`` (caption n-grams) and ``shingles_vis`` (phash windows).
+
+    Near-duplicates can differ in exactly one modality (re-encoded image with
+    identical caption; paraphrased caption on identical pixels), so LSH runs
+    per modality and candidates are unioned — one combined set would dilute
+    the Jaccard of single-modality dups below LSH reach.
+    """
+
+    def __init__(self, caption_col: str = "caption", phash_col: str = "phash",
+                 ngrams: tuple = (1, 2), use_phash: bool = True):
+        self.caption_col = caption_col
+        self.phash_col = phash_col
+        self.ngrams = ngrams
+        self.use_phash = use_phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cap_vals, cap_off = caption_shingles(batch[self.caption_col], self.ngrams)
+        out = batch.append_column("shingles_cap", _list_array(cap_vals, cap_off))
+        if self.use_phash and self.phash_col in batch.column_names:
+            vis = phash_shingles(batch[self.phash_col])
+            n, k = vis.shape
+            vis_off = np.arange(0, (n + 1) * k, k, dtype=np.int64)
+            out = out.append_column("shingles_vis",
+                                    _list_array(vis.reshape(-1), vis_off))
+        return out
