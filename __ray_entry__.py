@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``      — flagship near-dup pipeline on /root/testdata/sf0.001.
+``queries()``    — one callable per implemented operator/pipeline
+                   (SURVEY.md §2); each takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible queries;
+                   approximate/sketch/LSH ops are rows-only checked.
 """
 
 from __future__ import annotations
@@ -18,27 +15,206 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
 
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: near-duplicate detection + clustering over the sf0.001
+    documents table (text modality; the image+caption variant runs in
+    ``queries()['near_dup_images']`` on the synthetic Lance-schema table)."""
+    from setsketch_ray.pipelines.dedup import DedupConfig, near_dup_pipeline
+    from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
+
+    ds = _read("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_docs_as_captions, batch_format="pyarrow")
+    cfg = DedupConfig(
+        sketch=SketchConfig(modalities=(
+            Modality("cap", "shingles_cap", minhash_m=128, num_bands=16,
+                     rows_per_band=8, threshold=0.7),)),
+        use_phash=False)
+    clustered, edges, mapping = near_dup_pipeline(ds, cfg, id_col="image_id")
+    return clustered
+
+
+def _docs_as_captions(t: pa.Table) -> pa.Table:
+    ids = pa.array([f"doc{int(i):012d}" for i in t["doc_id"].to_pylist()],
+                   pa.string())
+    return pa.table({"image_id": ids, "caption": t["text"]})
+
+
+# ------------------------------------------------------------------- queries
+def _q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: keep the smallest doc_id per identical text
+    (hash-partitioned groupby + min; SURVEY.md §2.5 'set ops / dedup')."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def _q_distinct_parts(sf_dir: str):
+    """Exact COUNT(DISTINCT): the baseline `approx_distinct` is checked
+    against (rows-only query below)."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    n = len(ds.unique("l_partkey"))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def _q_doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="avg_chars"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+
+def _q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-flavored wide aggregate: vectorized derived column inside
+    map_batches, then grouped partial+final aggregation."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def add_disc_price(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(add_disc_price, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+
+def _q_top_users(sf_dir: str):
+    """Grouped aggregate -> global sort -> limit (top-k)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    top = agg.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+    return top
+
+
+def _q_token_counts(sf_dir: str):
+    """Per-document whitespace token count (vectorized separator count)."""
+    from setsketch_ray.functions.text import AddTokenStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(AddTokenStats(), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-10 neighbors of vec_id 0 (numpy matmul per
+    batch against a broadcast query vector; global top-k via sort+limit)."""
+    from setsketch_ray.functions.knn import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_bruteforce(ds, query_vec_id=0, k=10)
+
+
+def _q_near_dup_docs(sf_dir: str):
+    """Near-dup candidate pairs over documents (MinHash-LSH + exact verify) —
+    deterministic but not SQL-expressible (rows-only check)."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import DedupConfig, candidate_pairs
+    from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_docs_as_captions, batch_format="pyarrow")
+    cfg = DedupConfig(
+        sketch=SketchConfig(modalities=(
+            Modality("cap", "shingles_cap", minhash_m=128, num_bands=16,
+                     rows_per_band=8, threshold=0.7),)),
+        use_phash=False)
+    return candidate_pairs(ds, cfg, id_col="image_id")
+
+
+def _q_near_dup_images(sf_dir: str):
+    """The flagship image+caption pipeline over the deterministic synthetic
+    Lance-schema table (BASELINE.json input_hint) with planted near-dups."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import DedupConfig, near_dup_pipeline
+    from setsketch_ray.sources import cached_images_parquet
+
+    ds = rd.read_parquet(cached_images_parquet(1000))
+    clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig())
+    return clustered
+
+
+def _q_approx_distinct_parts(sf_dir: str):
+    """GHLL approx distinct (m=4096, b=2): deterministic estimate, expected
+    rel. error ~1.6% (rows-only; exactness checked in tests vs unique())."""
+    from setsketch_ray.aggregates import approx_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    est = approx_distinct(ds, "l_partkey")
+    return pa.table({"approx_n_distinct": pa.array([est], pa.float64())})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "distinct_parts": _q_distinct_parts,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "lineitem_agg": _q_lineitem_agg,
+        "top_users": _q_top_users,
+        "token_counts": _q_token_counts,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "near_dup_docs": _q_near_dup_docs,
+        "near_dup_images": _q_near_dup_images,
+        "approx_distinct_parts": _q_approx_distinct_parts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs":
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "distinct_parts":
+            "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
+        "doc_stats_by_lang":
+            "SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars, "
+            "sum(n_chars) AS total_chars FROM documents GROUP BY lang",
+        "lineitem_agg":
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "sum(l_extendedprice) AS sum_base_price, "
+            "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+            "avg(l_discount) AS avg_disc, count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "top_users":
+            "SELECT user_id, count(*) AS n_events, sum(value) AS total_value "
+            "FROM events GROUP BY user_id "
+            "ORDER BY n_events DESC, user_id LIMIT 10",
+        "token_counts":
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents",
+        "knn_bruteforce":
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, rank() OVER (ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rank "
+            "FROM embeddings e, q WHERE e.vec_id <> 0 "
+            "ORDER BY rank LIMIT 10",
+    }
