@@ -20,9 +20,18 @@ import pyarrow as pa
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read.  Block count defaults to the session's CPU
+    count: Ray's auto-split makes ~tiny blocks at test scale and per-task
+    overhead dominates (at 100 TB the file/row-group layout governs instead)."""
+    import os
+
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    nb = int(os.environ.get("RAY_GRAFT_BLOCKS", "0")) or \
+        max(4, int(ray.cluster_resources().get("CPU", 8)))
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           override_num_blocks=nb)
 
 
 # --------------------------------------------------------------------- entry
@@ -54,10 +63,10 @@ def _docs_as_captions(t: pa.Table) -> pa.Table:
 def _q_exact_dedup_docs(sf_dir: str):
     """Exact dedup: keep the smallest doc_id per identical text
     (hash-partitioned groupby + min; SURVEY.md §2.5 'set ops / dedup')."""
-    from ray.data.aggregate import Min
+    from setsketch_ray.functions.relational import grouped_aggregate
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return grouped_aggregate(ds, ["text"], {"doc_id": ("min", "doc_id")})
 
 
 def _q_distinct_parts(sf_dir: str):
@@ -69,21 +78,22 @@ def _q_distinct_parts(sf_dir: str):
 
 
 def _q_doc_stats_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    from setsketch_ray.functions.relational import grouped_aggregate
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Mean("n_chars", alias_name="avg_chars"),
-        Sum("n_chars", alias_name="total_chars"),
-    )
+    return grouped_aggregate(ds, ["lang"], {
+        "n_docs": ("count", None),
+        "avg_chars": ("mean", "n_chars"),
+        "total_chars": ("sum", "n_chars"),
+    })
 
 
 def _q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-flavored wide aggregate: vectorized derived column inside
     map_batches, then grouped partial+final aggregation."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+
+    from setsketch_ray.functions.relational import grouped_aggregate
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -95,23 +105,26 @@ def _q_lineitem_agg(sf_dir: str):
         return t.append_column("disc_price", disc)
 
     ds = ds.map_batches(add_disc_price, batch_format="pyarrow")
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
-    )
+    return grouped_aggregate(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("sum", "l_quantity"),
+        "sum_base_price": ("sum", "l_extendedprice"),
+        "sum_disc_price": ("sum", "disc_price"),
+        "avg_disc": ("mean", "l_discount"),
+        "count_order": ("count", None),
+    })
 
 
 def _q_top_users(sf_dir: str):
     """Grouped aggregate -> global sort -> limit (top-k)."""
-    from ray.data.aggregate import Count, Sum
+    import ray.data as rd
+
+    from setsketch_ray.functions.relational import grouped_aggregate
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
-    top = agg.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+    agg = grouped_aggregate(ds, ["user_id"], {
+        "n_events": ("count", None), "total_value": ("sum", "value")})
+    top = rd.from_arrow(agg).sort(["n_events", "user_id"],
+                                  descending=[True, False]).limit(10)
     return top
 
 

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS cpus (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+--scaling: runs the same benchmark twice in FRESH processes at 8 and 32
+cpus on identical input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "20000"))
+
+
+def _ensure_bench_images(path: str) -> None:
+    """Generate the deterministic synthetic image table once (untimed)."""
+    if os.path.exists(path):
+        return
+    import ray.data  # noqa: F401
+    from setsketch_ray.sources.images import images_dataset
+
+    tmp = path + ".tmpdir"
+    images_dataset(BENCH_IMAGES, seed=42, size=32,
+                   parallelism=NUM_CPUS * 2).write_parquet(tmp)
+    os.replace(tmp, path)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from setsketch_ray.aggregates import approx_distinct
+    from setsketch_ray.pipelines.dedup import (DedupConfig, near_dup_pipeline)
+    from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
+
+    img_path = f"/tmp/setsketch_bench/images_v2_n{BENCH_IMAGES}.parquet"
+    os.makedirs(os.path.dirname(img_path), exist_ok=True)
+    _ensure_bench_images(img_path)
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(img_path).count()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    # --- headline: flagship image+caption near-dup pipeline
+    t0 = time.time()
+    ds = rd.read_parquet(img_path)
+    clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig(
+        sketch_concurrency=max(2, NUM_CPUS // 2)))
+    n_rows = clustered.count()
+    timings["near_dup_images"] = time.time() - t0
+    images_per_sec = n_rows / timings["near_dup_images"]
+
+    # --- near-dup over sf documents (text modality)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    t0 = time.time()
+    entrymod._q_near_dup_docs(SF_DIR).count()
+    timings["near_dup_docs"] = time.time() - t0
+
+    # --- wide aggregate
+    t0 = time.time()
+    entrymod._q_lineitem_agg(SF_DIR).to_pandas()
+    timings["lineitem_agg"] = time.time() - t0
+
+    # --- distributed sketch union
+    t0 = time.time()
+    approx_distinct(rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                                    columns=["l_partkey"]), "l_partkey")
+    timings["approx_distinct"] = time.time() - t0
+
+    # --- knn
+    t0 = time.time()
+    entrymod._q_knn_bruteforce(SF_DIR)
+    timings["knn_bruteforce"] = time.time() - t0
+
+    result = {
+        "metric": "near-dup image pipeline wall-clock "
+                  f"({BENCH_IMAGES} images, end-to-end incl. clustering)",
+        "value": round(timings["near_dup_images"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": round(images_per_sec, 1),
+        "n_images": BENCH_IMAGES,
+        "n_edges": int(edges.num_rows),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["images_per_sec"]
+    tput_hi = r_hi["images_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (images/s at 8 vs 32 cpus, fresh "
+                  "ray.init each, same input)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "images_per_sec_lo": tput_lo, "images_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_benchmarks()))

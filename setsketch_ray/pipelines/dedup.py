@@ -34,6 +34,7 @@ from ..stages.cluster import AssignClusters, cluster_edges
 from ..stages.lsh import (
     BandExpand,
     EmitPairsPartition,
+    VerifyPairsExact,
     VerifyPairsML,
     dedup_pairs_partition,
 )
@@ -50,11 +51,37 @@ class DedupConfig:
     ml_threshold: float = 0.5     # min jaccard_ml when verify_ml is on
     ngrams: tuple = (1, 2)
     use_phash: bool = True
+    # optional: caption-driven acceptance additionally needs this much visual
+    # overlap.  Off by default — geometric edits (1 px shift) can destroy the
+    # phash entirely, so requiring visual support costs recall on such pairs.
+    multimodal_support: float | None = None
     sketch_concurrency: int | None = None  # actor-pool size (None = tasks)
 
 
+def _rename_payload(suffix: str, id_col: str, list_cols: tuple = ()):
+    """Rename payload columns with a side suffix and convert shingle list
+    columns to binary blobs (acero joins cannot carry list payloads)."""
+    from ..stages.sketch_stage import list_u64_to_binary
+
+    def rename(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in t.column_names:
+            name = c if c == id_col else f"{c}{suffix}"
+            cols[name] = list_u64_to_binary(t[c]) if c in list_cols else t[c]
+        return pa.table(cols)
+
+    return rename
+
+
 def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_id"):
-    """read-through to the deduped, exactly-verified candidate pair dataset."""
+    """read-through to the deduped, exactly-verified candidate pair dataset.
+
+    Only ~40-byte (band_key, part, id) rows enter the wide shuffle; the
+    verification payload (shingle sets [+ registers]) is hash-joined onto the
+    already-deduplicated pairs — at corpus scale this is the difference
+    between shuffling bytes O(corpus x num_bands x payload) and
+    O(corpus x 40 B) + O(dups x payload).
+    """
     heavy = [c for c in ("bytes", "w", "h", "fmt") if c in ds.schema().names]
     ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams, use_phash=cfg.use_phash),
                         batch_format="pyarrow")
@@ -65,22 +92,47 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     ds = ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
                         **sketch_kwargs)
     if heavy:
-        ds = ds.drop_columns(heavy)  # blobs must not enter the shuffle
+        ds = ds.drop_columns(heavy)  # blobs must not enter any shuffle
     mods = cfg.sketch.modalities
-    ds = ds.map_batches(
-        BandExpand(mods, id_col=id_col, num_partitions=cfg.num_partitions,
-                   carry_regs=carry_regs),
+
+    # verification payload: shingle sets (+ registers for the ML stage)
+    payload_cols = [id_col] + [m.shingle_col for m in mods
+                               if m.shingle_col in ds.schema().names]
+    if carry_regs:
+        payload_cols += ["regs", "cardinality"]
+    payload = ds.select_columns(payload_cols)
+
+    bands = ds.map_batches(
+        BandExpand(mods, id_col=id_col, num_partitions=cfg.num_partitions),
         batch_format="pyarrow")
     emitter = EmitPairsPartition(mods, id_col=id_col, group_cap=cfg.group_cap,
-                                 num_partitions=cfg.num_partitions,
-                                 carry_regs=carry_regs)
+                                 num_partitions=cfg.num_partitions)
 
     def emit_pairs(partition: pa.Table) -> pa.Table:
         return emitter(partition)
 
-    pairs = ds.groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
+    # groupby output parallelism follows the input block count; band expansion
+    # multiplies rows ~50x inside few blocks, so split first or the emit stage
+    # serializes on a handful of tasks
+    bands = bands.repartition(cfg.num_partitions)
+    pairs = bands.groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = pairs.repartition(max(cfg.num_partitions // 4, 8))
     pairs = pairs.groupby("pair_part").map_groups(
         dedup_pairs_partition, batch_format="pyarrow")
+
+    # join the payload onto both pair sides (hash-partitioned join)
+    list_cols = tuple(m.shingle_col for m in mods)
+    pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
+                                batch_format="pyarrow")
+    pay_b = payload.map_batches(_rename_payload("_b", id_col, list_cols),
+                                batch_format="pyarrow")
+    npart = max(cfg.num_partitions // 8, 8)
+    pairs = pairs.join(pay_a, join_type="inner", num_partitions=npart,
+                       on=("id_a",), right_on=(id_col,))
+    pairs = pairs.join(pay_b, join_type="inner", num_partitions=npart,
+                       on=("id_b",), right_on=(id_col,))
+    pairs = pairs.map_batches(VerifyPairsExact(mods), batch_format="pyarrow",
+                              batch_size=8192)
     if carry_regs:
         pairs = pairs.map_batches(VerifyPairsML(cfg.sketch),
                                   batch_format="pyarrow", batch_size=2048)
@@ -88,13 +140,28 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
 
 
 def verified_edges(pairs, cfg: DedupConfig):
-    """Filter candidate pairs to accepted duplicate edges: signature Jaccard
-    over threshold in ANY modality (score >= 1), and — when the joint-ML
-    precision stage ran — jaccard_ml over its threshold too."""
+    """Filter candidate pairs to accepted duplicate edges.
+
+    Rule: exact Jaccard over threshold in any modality (score >= 1); when
+    both modalities exist and ``multimodal_support`` is set, caption-driven
+    acceptance additionally requires minimal visual overlap.  The optional
+    joint-ML precision stage gates on ``jaccard_ml`` too."""
     import pyarrow.compute as pc
+
+    mods = {m.name: m for m in cfg.sketch.modalities}
 
     def filt(t: pa.Table) -> pa.Table:
         mask = pc.greater_equal(t["score"], pa.scalar(1.0))
+        if (cfg.multimodal_support is not None and "jaccard_cap" in
+                t.column_names and "jaccard_vis" in t.column_names):
+            vis_ok = pc.greater_equal(t["jaccard_vis"],
+                                      pa.scalar(mods["vis"].threshold))
+            cap_ok = pc.and_(
+                pc.greater_equal(t["jaccard_cap"],
+                                 pa.scalar(mods["cap"].threshold)),
+                pc.greater_equal(t["jaccard_vis"],
+                                 pa.scalar(cfg.multimodal_support)))
+            mask = pc.and_(mask, pc.or_(vis_ok, cap_ok))
         if "jaccard_ml" in t.column_names:
             mask = pc.and_(mask, pc.greater_equal(
                 t["jaccard_ml"], pa.scalar(cfg.ml_threshold)))

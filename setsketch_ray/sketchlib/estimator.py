@@ -241,21 +241,35 @@ class SetSketchEstimator:
         return self._tau_values
 
     # ------------------------------------------------------------------ cards
+    def _contrib_tables(self):
+        """Lookup tables indexed directly by the register dtype (one fancy-
+        index pass per batch instead of astype + clip + masks)."""
+        if not hasattr(self, "_tab_plain"):
+            hi = self.q + 2
+            plain = np.zeros(max(hi, 256), dtype=np.float64)
+            plain[:hi] = self.base_inv_powers
+            plain[hi:] = self.base_inv_powers[self.q + 1]
+            corrected = plain.copy()
+            corrected[0] = 0.0
+            corrected[self.q + 1:] = 0.0
+            self._tab_plain = plain
+            self._tab_corrected = corrected
+        return self._tab_plain, self._tab_corrected
+
     def estimate_cardinality_simple(self, regs: np.ndarray) -> np.ndarray:
         """GHLL-style estimator (``sketch.hpp:320-338``), vectorized over rows:
         card = factor / sum_i b^-K_i, with optional sigma/tau corrections."""
         regs = np.atleast_2d(regs)
-        r = np.minimum(regs.astype(np.int64), self.q + 1)
-        contrib = self.base_inv_powers[r]
+        plain, corrected = self._contrib_tables()
         if self.card_range_correction:
-            is_min = r == 0
-            is_max = r > self.q
-            contrib = np.where(is_min | is_max, 0.0, contrib)
-            n_min = is_min.sum(axis=1)
-            n_max = is_max.sum(axis=1)
-            s = contrib.sum(axis=1) + self.sigma_values[n_min] + self.tau_values[n_max]
+            s = corrected[regs].sum(axis=1)
+            n_min = (regs == 0).sum(axis=1)
+            n_max = (regs > self.q).sum(axis=1)
+            s = s + self.sigma_values[n_min] + self.tau_values[n_max]
         else:
-            s = contrib.sum(axis=1)
+            s = plain[np.minimum(regs, self.q + 1)].sum(axis=1) \
+                if regs.dtype.itemsize > 1 and regs.max(initial=0) > self.q + 1 \
+                else plain[regs].sum(axis=1)
         with np.errstate(divide="ignore"):
             return self.factor / s
 

@@ -28,13 +28,26 @@ from .codec import encode_image, phash64, phash_to_int64, decode_image
 _BLOCK = 8
 
 _ADJECTIVES = ("red blue green golden small large ancient modern quiet bright "
-               "rustic shiny wooden metal striped plain cozy giant tiny vivid").split()
+               "rustic shiny wooden metal striped plain cozy giant tiny vivid "
+               "amber crimson teal ivory dusty gleaming crooked narrow wide "
+               "lonely busy silent misty frozen sunny weathered ornate humble "
+               "grand pale dark mossy painted carved broken curved slanted "
+               "smooth rough marble brick granite velvet faded").split()
 _NOUNS = ("dog cat bridge mountain river city tree boat house bird car train "
-          "garden tower window market castle forest beach island lantern").split()
+          "garden tower window market castle forest beach island lantern "
+          "harbor temple library museum fountain statue plaza alley rooftop "
+          "balcony staircase archway chapel mill barn lighthouse pier canal "
+          "orchard vineyard meadow cliff valley dune glacier waterfall cave "
+          "monastery pavilion gazebo courtyard").split()
 _VERBS = ("stands rests appears shines waits sits glows drifts looms rises "
-          "sleeps hides").split()
+          "sleeps hides leans towers sprawls nestles perches floats stretches "
+          "crumbles gleams shimmers endures beckons").split()
 _PLACES = ("paris kyoto oslo cairo lima quito dublin vienna prague lisbon "
-           "madrid athens").split()
+           "madrid athens bergen porto seville naples krakow zagreb riga "
+           "tallinn vilnius bruges ghent basel lucerne salzburg graz turin "
+           "bologna valencia marseille lyon nantes bordeaux").split()
+_TIMES = ("dawn dusk noon midnight springtime autumn winter summer twilight "
+          "sunrise sunset evening morning daybreak nightfall harvest").split()
 
 # paraphrase synonym map (keeps most shingles intact: one-word substitutions)
 _SYNONYM = {"small": "little", "large": "big", "quiet": "calm",
@@ -87,7 +100,8 @@ def _caption(base_key: int) -> str:
         return words[int(mix2(h, tag)[()]) % len(words)]
 
     return (f"a {pick(_ADJECTIVES, 1)} {pick(_NOUNS, 2)} {pick(_VERBS, 3)} near "
-            f"the {pick(_ADJECTIVES, 4)} {pick(_NOUNS, 5)} in {pick(_PLACES, 6)}")
+            f"the {pick(_ADJECTIVES, 4)} {pick(_NOUNS, 5)} in {pick(_PLACES, 6)} "
+            f"during {pick(_TIMES, 7)}")
 
 
 def _paraphrase(caption: str, variant: int) -> str:
@@ -198,7 +212,7 @@ def cached_images_parquet(n_rows: int, seed: int = 42, size: int = 32,
     """Generate-once parquet fixture path (tests/bench reuse)."""
     import os
 
-    path = os.path.join(root, f"images_n{n_rows}_s{seed}_sz{size}.parquet")
+    path = os.path.join(root, f"images_v2_n{n_rows}_s{seed}_sz{size}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         import pyarrow.parquet as pq

@@ -35,16 +35,19 @@ from .sketch_stage import fixed_binary_to_matrix, list_column_to_flat
 
 
 class BandExpand:
-    """row -> one row per (modality, band): (band_key, part, image_id,
-    shingle lists[, regs, cardinality]).  Shingle sets ride through the
-    shuffle for exact pair verification inside the group — no join back."""
+    """row -> one row per (modality, band): (band_key, part, image_id).
+
+    Band rows are the ONLY thing entering the wide shuffle — ~40 bytes/row.
+    Signatures, shingle sets and registers stay in the (unexpanded) sketch
+    table and are hash-joined onto the *deduplicated* candidate pairs
+    afterwards, which at 10^12 rows is orders of magnitude less traffic than
+    carrying payloads through a x(num_bands) row expansion."""
 
     def __init__(self, modalities, id_col: str = "image_id",
-                 num_partitions: int = 128, carry_regs: bool = False):
+                 num_partitions: int = 128):
         self.modalities = modalities
         self.id_col = id_col
         self.num_partitions = num_partitions
-        self.carry_regs = carry_regs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -71,20 +74,12 @@ class BandExpand:
         total_bands = all_keys.shape[0]
         flat_keys = all_keys.reshape(-1)
         idx = pa.array(np.tile(np.arange(n), total_bands))
-        cols = {
+        return pa.table({
             "band_key": pa.array(flat_keys, pa.uint64()),
             "part": pa.array((flat_keys % self.num_partitions).astype(np.uint32),
                              pa.uint32()),
             self.id_col: batch[self.id_col].take(idx),
-        }
-        carry = [m.shingle_col for m in self.modalities
-                 if m.shingle_col in batch.column_names]
-        if self.carry_regs:
-            carry += [c for c in ("regs", "cardinality")
-                      if c in batch.column_names]
-        for c in carry:
-            cols[c] = batch[c].take(idx)
-        return pa.table(cols)
+        })
 
 
 def _exact_jaccard(vals: np.ndarray, offs: np.ndarray, i: np.ndarray,
@@ -105,20 +100,18 @@ def _exact_jaccard(vals: np.ndarray, offs: np.ndarray, i: np.ndarray,
 class EmitPairsPartition:
     """Vectorized candidate-pair emission for one shuffle partition
     (``map_groups`` over ``part``): sort by band_key, walk bucket
-    boundaries, emit + exactly verify pairs for every bucket of size >= 2.
+    boundaries, emit the bare id pairs for every bucket of size >= 2.
 
-    Output: (id_a, id_b, jaccard_<mod> exact per modality, score,
-    oversize[, regs_a/b, card_a/b], pair_part).
+    Output: (id_a, id_b, oversize, pair_part).  Verification payloads are
+    joined on AFTER pair dedup (see ``pipelines/dedup.py``).
     """
 
     def __init__(self, modalities, id_col: str = "image_id",
-                 group_cap: int = 64, num_partitions: int = 128,
-                 carry_regs: bool = False):
+                 group_cap: int = 64, num_partitions: int = 128):
         self.modalities = modalities
         self.id_col = id_col
         self.group_cap = group_cap
         self.num_partitions = num_partitions
-        self.carry_regs = carry_regs
 
     def _bucket_pairs(self, starts: np.ndarray, sizes: np.ndarray):
         """Pair (local) index arrays for all buckets, with the cap topology."""
@@ -145,19 +138,10 @@ class EmitPairsPartition:
         return np.concatenate(ii), np.concatenate(jj), np.concatenate(oversize)
 
     def _empty(self) -> pa.Table:
-        cols = {"id_a": pa.array([], pa.string()),
-                "id_b": pa.array([], pa.string())}
-        for mod in self.modalities:
-            cols[mod.jaccard_col] = pa.array([], pa.float64())
-        cols["score"] = pa.array([], pa.float64())
-        if self.carry_regs:
-            cols["regs_a"] = pa.array([], pa.binary())
-            cols["regs_b"] = pa.array([], pa.binary())
-            cols["card_a"] = pa.array([], pa.float64())
-            cols["card_b"] = pa.array([], pa.float64())
-        cols["oversize"] = pa.array([], pa.bool_())
-        cols["pair_part"] = pa.array([], pa.uint32())
-        return pa.table(cols)
+        return pa.table({"id_a": pa.array([], pa.string()),
+                         "id_b": pa.array([], pa.string()),
+                         "oversize": pa.array([], pa.bool_()),
+                         "pair_part": pa.array([], pa.uint32())})
 
     def __call__(self, partition: pa.Table) -> pa.Table:
         if partition.num_rows < 2:
@@ -165,7 +149,7 @@ class EmitPairsPartition:
         order = pc.sort_indices(
             partition, sort_keys=[("band_key", "ascending"),
                                   (self.id_col, "ascending")])
-        t = partition.take(order)
+        t = partition.select(["band_key", self.id_col]).take(order)
         keys = t["band_key"].to_numpy()
         boundaries = np.flatnonzero(np.diff(keys)) + 1
         starts = np.concatenate([[0], boundaries])
@@ -182,28 +166,56 @@ class EmitPairsPartition:
         if len(i) == 0:
             return self._empty()
         id_a, id_b = ids.take(pa.array(i)), ids.take(pa.array(j))
-        cols = {"id_a": id_a, "id_b": id_b}
-        score = np.zeros(len(i))
-        for mod in self.modalities:
-            if mod.shingle_col not in t.column_names:
-                cols[mod.jaccard_col] = pa.array(np.zeros(len(i)), pa.float64())
-                continue
-            vals, offs = list_column_to_flat(t[mod.shingle_col])
-            jac = _exact_jaccard(vals, offs, i, j)
-            cols[mod.jaccard_col] = pa.array(jac, pa.float64())
-            score = np.maximum(score, jac / mod.threshold)
-        cols["score"] = pa.array(score, pa.float64())
-        if self.carry_regs:
-            cols["regs_a"] = t["regs"].take(pa.array(i)).cast(pa.binary())
-            cols["regs_b"] = t["regs"].take(pa.array(j)).cast(pa.binary())
-            cols["card_a"] = t["cardinality"].take(pa.array(i))
-            cols["card_b"] = t["cardinality"].take(pa.array(j))
-        cols["oversize"] = pa.array(oversize, pa.bool_())
         pair_key = mix2(hash_str_u64(id_a.to_pylist()),
                         hash_str_u64(id_b.to_pylist()))
-        cols["pair_part"] = pa.array(
-            (pair_key % self.num_partitions).astype(np.uint32), pa.uint32())
-        return pa.table(cols)
+        return pa.table({
+            "id_a": id_a,
+            "id_b": id_b,
+            "oversize": pa.array(oversize, pa.bool_()),
+            "pair_part": pa.array(
+                (pair_key % self.num_partitions).astype(np.uint32), pa.uint32()),
+        })
+
+
+class VerifyPairsExact:
+    """Exact per-modality shingle-Jaccard verification over joined pairs:
+    expects ``<shingle_col>_a`` / ``<shingle_col>_b`` list columns (from the
+    payload joins); appends ``jaccard_<mod>`` per modality + ``score`` (max of
+    jaccard/threshold — >= 1 accepts) and drops the shingle columns."""
+
+    def __init__(self, modalities):
+        self.modalities = modalities
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        score = np.zeros(n)
+        out = batch
+        drop = []
+        for mod in self.modalities:
+            ca, cb = f"{mod.shingle_col}_a", f"{mod.shingle_col}_b"
+            if ca not in batch.column_names or cb not in batch.column_names:
+                out = out.append_column(mod.jaccard_col,
+                                        pa.array(np.zeros(n), pa.float64()))
+                continue
+            from .sketch_stage import binary_to_flat_u64
+
+            va, oa = binary_to_flat_u64(batch[ca])
+            vb, ob = binary_to_flat_u64(batch[cb])
+            jac = np.empty(n)
+            idx = np.arange(n)
+            for p in range(n):
+                a = va[oa[p]:oa[p + 1]]
+                b = vb[ob[p]:ob[p + 1]]
+                if len(a) == 0 and len(b) == 0:
+                    jac[p] = 0.0
+                    continue
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                jac[p] = inter / (len(a) + len(b) - inter)
+            out = out.append_column(mod.jaccard_col, pa.array(jac, pa.float64()))
+            score = np.maximum(score, jac / mod.threshold)
+            drop += [ca, cb]
+        out = out.append_column("score", pa.array(score, pa.float64()))
+        return out.drop_columns(drop)
 
 
 def dedup_pairs_partition(partition: pa.Table) -> pa.Table:
@@ -236,16 +248,15 @@ class VerifyPairsML:
         self.dtype = sketch_config.make_registers_sketch().dtype
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sketchlib.registers import binary_to_rows
-
+        drop = [c for c in ("regs_a", "regs_b", "cardinality_a", "cardinality_b")
+                if c in batch.column_names]
         if batch.num_rows == 0:
-            return batch.drop_columns(
-                [c for c in ("regs_a", "regs_b") if c in batch.column_names]
-            ).append_column("jaccard_ml", pa.array([], pa.float64()))
-        ra = binary_to_rows(batch["regs_a"].to_pylist(), self.dtype, self.cfg.m)
-        rb = binary_to_rows(batch["regs_b"].to_pylist(), self.dtype, self.cfg.m)
-        card_a = batch["card_a"].to_numpy()
-        card_b = batch["card_b"].to_numpy()
+            return batch.drop_columns(drop).append_column(
+                "jaccard_ml", pa.array([], pa.float64()))
+        ra = fixed_binary_to_matrix(batch["regs_a"], self.dtype, self.cfg.m)
+        rb = fixed_binary_to_matrix(batch["regs_b"], self.dtype, self.cfg.m)
+        card_a = batch["cardinality_a"].to_numpy()
+        card_b = batch["cardinality_b"].to_numpy()
         res = self.estimator.estimate_joint_new(ra, rb, card_a, card_b)
-        out = batch.drop_columns(["regs_a", "regs_b"])
+        out = batch.drop_columns(drop)
         return out.append_column("jaccard_ml", pa.array(res.jaccard, pa.float64()))

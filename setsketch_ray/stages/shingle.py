@@ -24,6 +24,16 @@ _TAG_WORD1 = 11
 _TAG_WORD3 = 13
 _TAG_PHASH = 17
 
+# function words carry no dedup signal but dominate LSH bucket collisions on
+# short template-y captions (hot-shingle skew); dropped before shingling by
+# default.  At 100 TB the list is augmented by a corpus document-frequency
+# pass (top-K hot shingles -> broadcast blocklist).
+STOPWORDS = frozenset(
+    "a an and are as at be by for from has he her his i in is it its my of on "
+    "or our she that the their they this to was we were will with you your "
+    "near under over above below between into onto upon about after before "
+    "during while than then there here not no so if but".split())
+
 
 def _token_lists(captions: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     """lowercase -> strip non-alnum -> whitespace split."""
@@ -37,20 +47,35 @@ def _token_lists(captions: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     return tokens
 
 
-def caption_shingles(captions, ngrams: tuple = (1, 2)):
+def caption_shingles(captions, ngrams: tuple = (1, 2),
+                     drop_stopwords: bool = True):
     """-> (flat uint64 shingle values, int64 offsets per row).
 
-    Word n-gram shingles of the normalized caption for every n in ``ngrams``.
-    Captions are short documents, so unigrams+bigrams (default) keep >= 80 %
-    overlap under a one-word paraphrase — coarser shingles would not.
+    Word n-gram shingles of the normalized caption for every n in ``ngrams``,
+    over the stopword-filtered token sequence.  Captions are short documents,
+    so unigrams+bigrams (default) keep high overlap under a one-word
+    paraphrase — coarser shingles would not.
     """
     tokens = _token_lists(captions)
     flat_tokens = tokens.flatten()
     tok_offsets = np.asarray(tokens.offsets, dtype=np.int64)
-    tok_hashes = hash_str_u64(flat_tokens.to_pylist())
-
+    tok_list = flat_tokens.to_pylist()
     n_rows = len(tok_offsets) - 1
-    sizes = np.diff(tok_offsets)
+
+    if drop_stopwords and tok_list:
+        keep_tok = np.fromiter((t not in STOPWORDS for t in tok_list),
+                               dtype=bool, count=len(tok_list))
+        sizes0 = np.diff(tok_offsets)
+        row_of0 = np.repeat(np.arange(n_rows), sizes0)
+        tok_list = [t for t, k in zip(tok_list, keep_tok) if k]
+        row_of_kept = row_of0[keep_tok]
+        sizes = np.bincount(row_of_kept, minlength=n_rows).astype(np.int64)
+        tok_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(sizes, out=tok_offsets[1:])
+    else:
+        sizes = np.diff(tok_offsets)
+
+    tok_hashes = hash_str_u64(tok_list)
 
     sel_rows_parts, sel_vals_parts = [], []
     if len(tok_hashes):
@@ -152,14 +177,17 @@ class ShingleStage:
     """
 
     def __init__(self, caption_col: str = "caption", phash_col: str = "phash",
-                 ngrams: tuple = (1, 2), use_phash: bool = True):
+                 ngrams: tuple = (1, 2), use_phash: bool = True,
+                 drop_stopwords: bool = True):
         self.caption_col = caption_col
         self.phash_col = phash_col
         self.ngrams = ngrams
         self.use_phash = use_phash
+        self.drop_stopwords = drop_stopwords
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cap_vals, cap_off = caption_shingles(batch[self.caption_col], self.ngrams)
+        cap_vals, cap_off = caption_shingles(batch[self.caption_col], self.ngrams,
+                                             self.drop_stopwords)
         out = batch.append_column("shingles_cap", _list_array(cap_vals, cap_off))
         if self.use_phash and self.phash_col in batch.column_names:
             vis = phash_shingles(batch[self.phash_col])

@@ -45,9 +45,12 @@ class Modality:
 
 DEFAULT_MODALITIES = (
     # thresholds apply to EXACT shingle Jaccard (pair verification); LSH
-    # banding over the MinHash signature only has to over-generate candidates
-    Modality("cap", "shingles_cap", minhash_m=128, num_bands=32,
-             rows_per_band=4, threshold=0.65),
+    # banding over the MinHash signature only has to over-generate candidates.
+    # cap: stopword-filtered captions leave ~10 shingles; a one-word
+    # paraphrase sits near J=0.55, so 48 narrow bands keep band-catch >= 99.5%
+    # at that J while exact verification holds the precision line.
+    Modality("cap", "shingles_cap", minhash_m=192, num_bands=48,
+             rows_per_band=4, threshold=0.50),
     Modality("vis", "shingles_vis", minhash_m=64, num_bands=16,
              rows_per_band=4, threshold=0.60),
 )
@@ -91,6 +94,29 @@ def list_column_to_flat(col) -> tuple[np.ndarray, np.ndarray]:
         values = values[offsets[0]:offsets[-1]]
         offsets = offsets - offsets[0]
     return values, offsets
+
+
+def list_u64_to_binary(col) -> pa.Array:
+    """list<uint64> -> binary (one little-endian u64 blob per row).  Arrow's
+    acero hash join cannot carry list columns as payload; binary works."""
+    values, offsets = list_column_to_flat(col)
+    byte_offsets = (offsets * 8).astype(np.int32)
+    buf = np.ascontiguousarray(values).tobytes()
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(offsets) - 1,
+        [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(buf)])
+
+
+def binary_to_flat_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column of u64 blobs -> (flat values, element offsets)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    byte_offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint64)
+    offsets = (byte_offsets.astype(np.int64) // 8)
+    values = data[offsets[0]:offsets[-1]]
+    return values, offsets - offsets[0]
 
 
 def matrix_to_fixed_binary(mat: np.ndarray) -> pa.FixedSizeBinaryArray:
