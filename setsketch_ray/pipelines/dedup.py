@@ -56,6 +56,17 @@ class DedupConfig:
     # phash entirely, so requiring visual support costs recall on such pairs.
     multimodal_support: float | None = None
     sketch_concurrency: int | None = None  # actor-pool size (None = tasks)
+    # payload attachment for pair verification:
+    #   "broadcast" — ray.put the id->payload map once, look up per batch.
+    #     Right whenever the corpus payload fits comfortably in the object
+    #     store (<= ~10M rows); zero shuffle.
+    #   "hash"      — two Dataset.join hash joins.  The 10^12-row path: the
+    #     payload can never be broadcast, but pairs after dedup are sparse so
+    #     the join shuffles O(corpus) once at ~300B/row.
+    join_strategy: str = "broadcast"
+    # pin the sketched table so bands and payload don't recompute it; at
+    # corpus scale disable and checkpoint to parquet instead (state/checkpoint)
+    materialize_sketches: bool = True
 
 
 def _rename_payload(suffix: str, id_col: str, list_cols: tuple = ()):
@@ -94,6 +105,8 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     if heavy:
         ds = ds.drop_columns(heavy)  # blobs must not enter any shuffle
     mods = cfg.sketch.modalities
+    if cfg.materialize_sketches:
+        ds = ds.materialize()
 
     # verification payload: shingle sets (+ registers for the ML stage)
     payload_cols = [id_col] + [m.shingle_col for m in mods
@@ -120,23 +133,68 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     pairs = pairs.groupby("pair_part").map_groups(
         dedup_pairs_partition, batch_format="pyarrow")
 
-    # join the payload onto both pair sides (hash-partitioned join)
+    # attach the verification payload onto both pair sides
     list_cols = tuple(m.shingle_col for m in mods)
-    pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
-                                batch_format="pyarrow")
-    pay_b = payload.map_batches(_rename_payload("_b", id_col, list_cols),
-                                batch_format="pyarrow")
-    npart = max(cfg.num_partitions // 8, 8)
-    pairs = pairs.join(pay_a, join_type="inner", num_partitions=npart,
-                       on=("id_a",), right_on=(id_col,))
-    pairs = pairs.join(pay_b, join_type="inner", num_partitions=npart,
-                       on=("id_b",), right_on=(id_col,))
+    if cfg.join_strategy == "broadcast":
+        import ray
+
+        from ..stages.sketch_stage import list_u64_to_binary
+
+        lookup: dict = {}
+        for b in payload.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+            ids = b[id_col].to_pylist()
+            per_col = []
+            for c in payload_cols[1:]:
+                col = list_u64_to_binary(b[c]) if c in list_cols else b[c]
+                per_col.append(col.to_pylist())
+            for row_i, rid in enumerate(ids):
+                lookup[rid] = tuple(col[row_i] for col in per_col)
+        lookup_ref = ray.put((payload_cols[1:], lookup))
+        pairs = pairs.map_batches(
+            _AttachPayloadBroadcast, fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow", batch_size=16384, concurrency=2)
+    else:
+        pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
+                                    batch_format="pyarrow")
+        pay_b = payload.map_batches(_rename_payload("_b", id_col, list_cols),
+                                    batch_format="pyarrow")
+        npart = max(cfg.num_partitions // 8, 8)
+        pairs = pairs.join(pay_a, join_type="inner", num_partitions=npart,
+                           on=("id_a",), right_on=(id_col,))
+        pairs = pairs.join(pay_b, join_type="inner", num_partitions=npart,
+                           on=("id_b",), right_on=(id_col,))
     pairs = pairs.map_batches(VerifyPairsExact(mods), batch_format="pyarrow",
                               batch_size=8192)
     if carry_regs:
         pairs = pairs.map_batches(VerifyPairsML(cfg.sketch),
                                   batch_format="pyarrow", batch_size=2048)
     return pairs
+
+
+class _AttachPayloadBroadcast:
+    """Actor stage: append ``<payload>_a`` / ``<payload>_b`` columns from a
+    broadcast id->payload map (fetched once per actor in ``__init__``)."""
+
+    def __init__(self, lookup_ref):
+        import ray
+
+        self.col_names, self.lookup = ray.get(lookup_ref)
+
+    @staticmethod
+    def _col_type(cname: str):
+        return pa.float64() if cname == "cardinality" else pa.binary()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        for side in ("a", "b"):
+            ids = batch[f"id_{side}"].to_pylist()
+            rows = [self.lookup[i] for i in ids]
+            for ci, cname in enumerate(self.col_names):
+                vals = [r[ci] for r in rows]
+                out = out.append_column(f"{cname}_{side}",
+                                        pa.array(vals, self._col_type(cname)))
+        return out
 
 
 def verified_edges(pairs, cfg: DedupConfig):
