@@ -57,18 +57,24 @@ def run_benchmarks() -> dict:
     os.makedirs(os.path.dirname(img_path), exist_ok=True)
     _ensure_bench_images(img_path)
 
-    # warm the OS page cache (untimed) so we measure compute + shuffle
+    # warm the OS page cache AND the Ray worker pool (untimed): worker-process
+    # spawn + library import otherwise lands inside the first timed pipeline
     rd.read_parquet(img_path).count()
     rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
     rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    warm = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS).limit(2000)
+    near_dup_pipeline(warm.materialize(), DedupConfig(
+        decode=True, sketch_concurrency=max(2, NUM_CPUS // 2)))
 
     timings: dict[str, float] = {}
 
     # --- headline: flagship image+caption near-dup pipeline
     t0 = time.time()
-    ds = rd.read_parquet(img_path)
+    ds = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
     clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig(
-        sketch_concurrency=max(2, NUM_CPUS // 2)))
+        decode=True,  # the realistic 100 TB profile: decode dominates
+        sketch_concurrency=max(2, NUM_CPUS // 2),
+        num_partitions=NUM_CPUS * 8))
     n_rows = clustered.count()
     timings["near_dup_images"] = time.time() - t0
     images_per_sec = n_rows / timings["near_dup_images"]

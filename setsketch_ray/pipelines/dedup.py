@@ -51,6 +51,7 @@ class DedupConfig:
     ml_threshold: float = 0.5     # min jaccard_ml when verify_ml is on
     ngrams: tuple = (1, 2)
     use_phash: bool = True
+    decode: bool = False          # decode bytes + recompute phash (actor pool)
     # optional: caption-driven acceptance additionally needs this much visual
     # overlap.  Off by default — geometric edits (1 px shift) can destroy the
     # phash entirely, so requiring visual support costs recall on such pairs.
@@ -93,7 +94,16 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     between shuffling bytes O(corpus x num_bands x payload) and
     O(corpus x 40 B) + O(dups x payload).
     """
-    heavy = [c for c in ("bytes", "w", "h", "fmt") if c in ds.schema().names]
+    heavy = [c for c in ("bytes", "w", "h", "fmt", "decode_ok")
+             if c in ds.schema().names]
+    if cfg.decode:
+        from ..stages.image import DecodeStage
+
+        decode_kwargs = dict(batch_format="pyarrow", batch_size=1024)
+        if cfg.sketch_concurrency:
+            decode_kwargs["concurrency"] = cfg.sketch_concurrency
+        ds = ds.map_batches(DecodeStage(), **decode_kwargs)
+        heavy = list(dict.fromkeys(heavy + ["decode_ok"]))
     ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams, use_phash=cfg.use_phash),
                         batch_format="pyarrow")
     sketch_kwargs = dict(batch_format="pyarrow", batch_size=4096)
@@ -124,12 +134,10 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     def emit_pairs(partition: pa.Table) -> pa.Table:
         return emitter(partition)
 
-    # groupby output parallelism follows the input block count; band expansion
-    # multiplies rows ~50x inside few blocks, so split first or the emit stage
-    # serializes on a handful of tasks
-    bands = bands.repartition(cfg.num_partitions)
+    # groupby output parallelism follows the input block count — callers must
+    # read with enough blocks (>= cluster cores; bench uses 2x cores).  Band
+    # expansion multiplies rows ~50x but keeps the block structure.
     pairs = bands.groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
-    pairs = pairs.repartition(max(cfg.num_partitions // 4, 8))
     pairs = pairs.groupby("pair_part").map_groups(
         dedup_pairs_partition, batch_format="pyarrow")
 
@@ -140,20 +148,22 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
 
         from ..stages.sketch_stage import list_u64_to_binary
 
-        lookup: dict = {}
-        for b in payload.iter_batches(batch_format="pyarrow",
-                                      batch_size=65536):
-            ids = b[id_col].to_pylist()
-            per_col = []
-            for c in payload_cols[1:]:
-                col = list_u64_to_binary(b[c]) if c in list_cols else b[c]
-                per_col.append(col.to_pylist())
-            for row_i, rid in enumerate(ids):
-                lookup[rid] = tuple(col[row_i] for col in per_col)
-        lookup_ref = ray.put((payload_cols[1:], lookup))
+        # pull the payload as ARROW (no per-row Python on the driver: this
+        # pull is the pipeline's only serial section) and broadcast the table
+        def to_binary_cols(t: pa.Table) -> pa.Table:
+            return pa.table({
+                c: (list_u64_to_binary(t[c]) if c in list_cols else t[c])
+                for c in t.column_names})
+
+        payload_tbl = pa.concat_tables(
+            [to_binary_cols(b) for b in payload.iter_batches(
+                batch_format="pyarrow", batch_size=262144)])
+        lookup_ref = ray.put(payload_tbl)
+        attach_conc = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
         pairs = pairs.map_batches(
-            _AttachPayloadBroadcast, fn_constructor_args=(lookup_ref,),
-            batch_format="pyarrow", batch_size=16384, concurrency=2)
+            _AttachPayloadBroadcast,
+            fn_constructor_args=(lookup_ref, id_col),
+            batch_format="pyarrow", batch_size=16384, concurrency=attach_conc)
     else:
         pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
                                     batch_format="pyarrow")
@@ -173,27 +183,29 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
 
 
 class _AttachPayloadBroadcast:
-    """Actor stage: append ``<payload>_a`` / ``<payload>_b`` columns from a
-    broadcast id->payload map (fetched once per actor in ``__init__``)."""
+    """Actor stage: append ``<payload>_a`` / ``<payload>_b`` columns by
+    Arrow ``take`` from a broadcast payload table (fetched + indexed once per
+    actor in ``__init__``)."""
 
-    def __init__(self, lookup_ref):
+    def __init__(self, lookup_ref, id_col: str):
         import ray
 
-        self.col_names, self.lookup = ray.get(lookup_ref)
-
-    @staticmethod
-    def _col_type(cname: str):
-        return pa.float64() if cname == "cardinality" else pa.binary()
+        self.table: pa.Table = ray.get(lookup_ref)
+        self.id_col = id_col
+        self.index = {v: i for i, v in
+                      enumerate(self.table[id_col].to_pylist())}
+        self.value_cols = [c for c in self.table.column_names if c != id_col]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = batch
+        idx_map = self.index
         for side in ("a", "b"):
-            ids = batch[f"id_{side}"].to_pylist()
-            rows = [self.lookup[i] for i in ids]
-            for ci, cname in enumerate(self.col_names):
-                vals = [r[ci] for r in rows]
-                out = out.append_column(f"{cname}_{side}",
-                                        pa.array(vals, self._col_type(cname)))
+            rows = pa.array([idx_map[i]
+                             for i in batch[f"id_{side}"].to_pylist()],
+                            pa.int64())
+            taken = self.table.take(rows)
+            for cname in self.value_cols:
+                out = out.append_column(f"{cname}_{side}", taken[cname])
         return out
 
 

@@ -141,6 +141,7 @@ class EmitPairsPartition:
         return pa.table({"id_a": pa.array([], pa.string()),
                          "id_b": pa.array([], pa.string()),
                          "oversize": pa.array([], pa.bool_()),
+                         "pair_key": pa.array([], pa.uint64()),
                          "pair_part": pa.array([], pa.uint32())})
 
     def __call__(self, partition: pa.Table) -> pa.Table:
@@ -172,6 +173,7 @@ class EmitPairsPartition:
             "id_a": id_a,
             "id_b": id_b,
             "oversize": pa.array(oversize, pa.bool_()),
+            "pair_key": pa.array(pair_key, pa.uint64()),
             "pair_part": pa.array(
                 (pair_key % self.num_partitions).astype(np.uint32), pa.uint32()),
         })
@@ -201,16 +203,22 @@ class VerifyPairsExact:
 
             va, oa = binary_to_flat_u64(batch[ca])
             vb, ob = binary_to_flat_u64(batch[cb])
-            jac = np.empty(n)
-            idx = np.arange(n)
-            for p in range(n):
-                a = va[oa[p]:oa[p + 1]]
-                b = vb[ob[p]:ob[p + 1]]
-                if len(a) == 0 and len(b) == 0:
-                    jac[p] = 0.0
-                    continue
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                jac[p] = inter / (len(a) + len(b) - inter)
+            # vectorized set intersection over the whole batch: tag every
+            # element with its pair id via a 64-bit mix (collisions ~2^-64),
+            # one sorted-intersection for all pairs at once
+            sa = np.diff(oa)
+            sb = np.diff(ob)
+            pair_of_a = np.repeat(np.arange(n), sa).astype(np.uint64)
+            pair_of_b = np.repeat(np.arange(n), sb).astype(np.uint64)
+            ka = mix2(va, pair_of_a * np.uint64(2) + np.uint64(101))
+            kb = mix2(vb, pair_of_b * np.uint64(2) + np.uint64(101))
+            _, ia, _ = np.intersect1d(ka, kb, assume_unique=True,
+                                      return_indices=True)
+            inter = np.bincount(pair_of_a[ia].astype(np.int64), minlength=n)
+            union = sa + sb - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = inter / union
+            jac = np.nan_to_num(jac, nan=0.0)
             out = out.append_column(mod.jaccard_col, pa.array(jac, pa.float64()))
             score = np.maximum(score, jac / mod.threshold)
             drop += [ca, cb]
@@ -219,22 +227,14 @@ class VerifyPairsExact:
 
 
 def dedup_pairs_partition(partition: pa.Table) -> pa.Table:
-    """Keep one row per (id_a, id_b) within a pair partition — the same pair
-    surfaces from up to sum(num_bands) buckets with identical exact scores
-    (hash-partition + per-group first, SURVEY.md §2.5).  Vectorized: sort +
-    boundary mask, no per-pair Python."""
+    """Keep one row per pair within a pair partition — the same pair surfaces
+    from up to sum(num_bands) buckets (hash-partition + per-group first,
+    SURVEY.md §2.5).  Vectorized via the precomputed 64-bit pair_key."""
     if partition.num_rows == 0:
         return partition.drop_columns(["pair_part"])
-    order = pc.sort_indices(partition,
-                            sort_keys=[("id_a", "ascending"),
-                                       ("id_b", "ascending")])
-    t = partition.take(order)
-    a = t["id_a"].to_pylist()
-    b = t["id_b"].to_pylist()
-    keep = np.empty(len(a), dtype=bool)
-    keep[0] = True
-    keep[1:] = [(a[k] != a[k - 1]) or (b[k] != b[k - 1]) for k in range(1, len(a))]
-    return t.filter(pa.array(keep)).drop_columns(["pair_part"])
+    keys = partition["pair_key"].to_numpy()
+    _, first_idx = np.unique(keys, return_index=True)
+    return partition.take(pa.array(np.sort(first_idx))).drop_columns(["pair_part"])
 
 
 class VerifyPairsML:
