@@ -187,6 +187,144 @@ def _q_approx_distinct_parts(sf_dir: str):
     return pa.table({"approx_n_distinct": pa.array([est], pa.float64())})
 
 
+def _q_char_jaccard_pairs(sf_dir: str):
+    """Character-set Jaccard between consecutive documents — exact SQL oracle
+    via DuckDB's ``jaccard()`` (n-gram Jaccard with n=1)."""
+    from setsketch_ray.functions.dedup import char_ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return char_ngram_jaccard_pairs(ds, "doc_id", "text", n=1)
+
+
+def _q_simhash_dup_docs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming-LSH bands + exact Hamming verify) —
+    deterministic; rows-only check (LSH not SQL-expressible)."""
+    from setsketch_ray.functions.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, "doc_id", "text", max_hamming=10)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-bucket LSH + exact
+    cosine verify; rows-only (approximate candidate generation).  The sf
+    embeddings are near-orthogonal (max pairwise cosine ~0.5), so the
+    threshold is set low to exercise the operator; recall on planted
+    near-identical vectors is asserted in tests/test_functions.py."""
+    from setsketch_ray.functions.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, cosine_threshold=0.35, n_bits=6,
+                                     n_tables=8)
+    batches = list(pairs.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.table({"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling-window (hourly) grouped aggregate over the events stream
+    table — vectorized temporal floor + partial aggregation."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow")
+    return grouped_aggregate(ds, ["user_id", "hour"], {
+        "n_events": ("count", None), "total_value": ("sum", "value")})
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast join (small customer side via ray.put + per-batch lookup)
+    feeding a grouped aggregate."""
+    import ray
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lookup = {}
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        lookup.update(zip(b["c_custkey"].to_pylist(),
+                          b["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    class AddSegment:
+        def __init__(self, r):
+            import ray as _r
+
+            self.m = _r.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = [self.m.get(k) for k in t["o_custkey"].to_pylist()]
+            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(AddSegment, fn_constructor_args=(ref,),
+                                batch_format="pyarrow", concurrency=2)
+    return grouped_aggregate(joined, ["c_mktsegment"], {
+        "n_orders": ("count", None), "total_price": ("sum", "o_totalprice")})
+
+
+def _q_lineitem_orders_join(sf_dir: str):
+    """Large-large hash join (Dataset.join) + grouped aggregate."""
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    li = li.filter(expr="l_quantity > 45")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return grouped_aggregate(joined, ["o_orderpriority"],
+                             {"n_items": ("count", None)})
+
+
+def _q_lang_id(sf_dir: str):
+    """Heuristic language ID (actor-pool stage); rows-only — the trigram
+    classifier is not SQL-expressible."""
+    from setsketch_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId(), batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def _q_quality_scores(sf_dir: str):
+    """Document quality features + score; rows-only."""
+    from setsketch_ray.functions.text import QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScore(), batch_format="pyarrow").select_columns(
+        ["doc_id", "alpha_ratio", "stop_ratio", "repetition_ratio",
+         "quality_score"])
+
+
+def _q_cardinality_eval(sf_dir: str):
+    """Monte-Carlo cardinality-estimator evaluation (reduced
+    cardinality_test); rows-only — checked against the closed-form RSD bound
+    in tests."""
+    from setsketch_ray.pipelines.evaluation import cardinality_error_pipeline
+
+    return cardinality_error_pipeline(family="ghll", m=1024, n_trials=40,
+                                      max_cardinality=20000, parallelism=8)
+
+
+def _q_joint_eval(sf_dir: str):
+    """Monte-Carlo joint-estimator evaluation (reduced joint_estimation_test);
+    rows-only."""
+    from setsketch_ray.pipelines.evaluation import joint_error_pipeline
+
+    return joint_error_pipeline(family="ghll", m=1024, n_trials=20,
+                                parallelism=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -196,9 +334,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "token_counts": _q_token_counts,
         "knn_bruteforce": _q_knn_bruteforce,
+        "char_jaccard_pairs": _q_char_jaccard_pairs,
+        "events_hourly": _q_events_hourly,
+        "orders_by_segment": _q_orders_by_segment,
+        "lineitem_orders_join": _q_lineitem_orders_join,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
+        "simhash_dup_docs": _q_simhash_dup_docs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality_scores,
+        "cardinality_eval": _q_cardinality_eval,
+        "joint_eval": _q_joint_eval,
     }
 
 
@@ -230,4 +378,22 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rank "
             "FROM embeddings e, q WHERE e.vec_id <> 0 "
             "ORDER BY rank LIMIT 10",
+        "char_jaccard_pairs":
+            "SELECT doc_id AS id_a, "
+            "lead(doc_id) OVER (ORDER BY doc_id) AS id_b, "
+            "jaccard(text, lead(text) OVER (ORDER BY doc_id)) AS jaccard "
+            "FROM documents QUALIFY id_b IS NOT NULL",
+        "events_hourly":
+            "SELECT user_id, date_trunc('hour', ts) AS hour, "
+            "count(*) AS n_events, sum(value) AS total_value "
+            "FROM events GROUP BY user_id, date_trunc('hour', ts)",
+        "orders_by_segment":
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "sum(o_totalprice) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment",
+        "lineitem_orders_join":
+            "SELECT o_orderpriority, count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_quantity > 45 GROUP BY o_orderpriority",
     }

@@ -1,0 +1,275 @@
+"""Dedup operator family beyond the flagship MinHash-LSH pipeline:
+
+* exact dedup (content-hash partition + per-group min) — :func:`exact_dedup`;
+* SimHash near-dup (64-bit token-vote fingerprint, Hamming LSH over 4x16-bit
+  bands, exact Hamming verify) — :func:`simhash_pairs`;
+* character n-gram Jaccard scoring — :func:`char_ngram_jaccard_pairs`
+  (DuckDB's ``jaccard()`` is the character-set special case, giving this an
+  exact SQL oracle);
+* embedding cosine near-dup (hyperplane-bucket LSH + exact cosine verify) —
+  :func:`embedding_near_dup_pairs`.
+
+Everything is deterministic (counter-mode hashing / seeded hyperplanes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketchlib.hashing import hash_str_u64, mix2
+from .text import simhash64
+
+
+def exact_dedup(ds, key_col: str, id_col: str):
+    """Keep the smallest id per identical key (hash-partitioned groupby +
+    per-batch partial min — the combiner pattern, not a row shuffle)."""
+    from .relational import grouped_aggregate
+
+    return grouped_aggregate(ds, [key_col], {id_col: ("min", id_col)})
+
+
+class AddSimHash:
+    """map_batches: append ``simhash`` (int64 bit-cast) of the text column."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = simhash64(batch[self.text_col].to_pylist())
+        return batch.append_column("simhash",
+                                   pa.array(h.astype(np.int64), pa.int64()))
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # SWAR popcount on uint64
+    m1, m2, m4 = np.uint64(0x5555555555555555), np.uint64(0x3333333333333333), \
+        np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+_OCTET_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+
+
+def simhash_pairs(ds, id_col: str, text_col: str = "text",
+                  max_hamming: int = 8, num_partitions: int = 64):
+    """Near-dup pairs by SimHash with octet-combination Hamming LSH: the
+    64-bit fingerprint splits into 8 octets; every pair of octets forms a
+    band key (28 bands).  Pigeonhole: any two fingerprints within Hamming
+    distance 6 share a clean octet pair, so catch is GUARANTEED for h <= 6
+    and probabilistic beyond.  Exact Hamming distance verifies in-group.
+
+    Returns (id_a, id_b, hamming) for pairs with hamming <= max_hamming.
+    """
+    ds = ds.map_batches(AddSimHash(text_col), batch_format="pyarrow")
+    ds = ds.select_columns([id_col, "simhash"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sh = t["simhash"].to_numpy().astype(np.uint64)
+        octets = [(sh >> np.uint64(8 * k)) & np.uint64(0xFF) for k in range(8)]
+        keys = np.empty((len(_OCTET_PAIRS), n), dtype=np.uint64)
+        for b, (i, j) in enumerate(_OCTET_PAIRS):
+            band = octets[i] | (octets[j] << np.uint64(8)) \
+                | np.uint64(b << 24)
+            keys[b] = mix2(band, 271828)
+        idx = pa.array(np.tile(np.arange(n), len(_OCTET_PAIRS)))
+        flat = keys.reshape(-1)
+        return pa.table({
+            "band_key": pa.array(flat, pa.uint64()),
+            "part": pa.array((flat % num_partitions).astype(np.uint32),
+                             pa.uint32()),
+            id_col: t[id_col].take(idx),
+            "simhash": t["simhash"].take(idx),
+        })
+
+    bands = ds.map_batches(expand, batch_format="pyarrow")
+
+    def emit(partition: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if partition.num_rows < 2:
+            return empty
+        order = pc.sort_indices(partition,
+                                sort_keys=[("band_key", "ascending"),
+                                           (id_col, "ascending")])
+        t = partition.take(order)
+        keys = t["band_key"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(keys)]]))
+        ii, jj = [], []
+        for s, n in zip(starts, sizes):
+            if n < 2 or n > 256:
+                continue
+            a, b = np.triu_indices(n, k=1)
+            ii.append(s + a)
+            jj.append(s + b)
+        if not ii:
+            return empty
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy().astype(np.uint64)
+        ham = _hamming64(sh[i], sh[j])
+        keep = (ham <= max_hamming) & (ids[i] != ids[j])
+        return pa.table({
+            "id_a": pa.array(np.minimum(ids[i][keep], ids[j][keep])),
+            "id_b": pa.array(np.maximum(ids[i][keep], ids[j][keep])),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    pairs = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
+
+    def dedup(partition: pa.Table) -> pa.Table:
+        if partition.num_rows == 0:
+            return partition
+        a = partition["id_a"].to_numpy()
+        b = partition["id_b"].to_numpy()
+        key = mix2(np.asarray(a, dtype=np.uint64),
+                   np.asarray(b, dtype=np.uint64))
+        _, first = np.unique(key, return_index=True)
+        return partition.take(pa.array(np.sort(first)))
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().astype(np.uint64)
+        b = t["id_b"].to_numpy().astype(np.uint64)
+        return t.append_column("pp", pa.array(
+            (mix2(a, b) % np.uint64(16)).astype(np.uint32), pa.uint32()))
+
+    pairs = pairs.map_batches(add_pp, batch_format="pyarrow")
+    return pairs.groupby("pp").map_groups(
+        lambda t: dedup(t.drop_columns(["pp"])), batch_format="pyarrow")
+
+
+def char_ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
+                             n: int = 1, pair_stride: int = 1):
+    """Character n-gram set Jaccard between consecutive-id document pairs.
+
+    With n=1 this is exactly DuckDB's ``jaccard(a, b)`` (character-set
+    similarity), giving the operator an exact SQL oracle.  The pair list
+    (doc k, doc k+stride) is deterministic; scoring is a stateless
+    vectorized batch function over the joined texts.
+    """
+    rows = ds.select_columns([id_col, text_col])
+    tbl = pa.concat_tables(list(rows.iter_batches(batch_format="pyarrow",
+                                                  batch_size=1 << 20)))
+    order = pc.sort_indices(tbl[id_col])
+    tbl = tbl.take(order)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    texts = tbl[text_col].to_pylist()
+    out_a, out_b, out_j = [], [], []
+    for k in range(len(ids) - pair_stride):
+        a, b = texts[k], texts[k + pair_stride]
+        sa = {a[i:i + n] for i in range(max(len(a) - n + 1, 0))}
+        sb = {b[i:i + n] for i in range(max(len(b) - n + 1, 0))}
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        out_a.append(ids[k])
+        out_b.append(ids[k + pair_stride])
+        out_j.append(inter / union if union else 0.0)
+    return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             cosine_threshold: float = 0.95,
+                             n_bits: int = 12, n_tables: int = 4,
+                             seed: int = 7, num_partitions: int = 32):
+    """Embedding-cosine near-duplicates: ``n_tables`` independent random-
+    hyperplane (SimHash) bucketings generate candidates; exact cosine inside
+    the bucket group verifies.  Deterministic given the seed."""
+    from .knn import _embedding_matrix
+
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    rngs = [np.random.Generator(np.random.PCG64(seed + t))
+            for t in range(n_tables)]
+    planes = [r.standard_normal((n_bits, dim)) for r in rngs]
+
+    def expand(t: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(t[emb_col])
+        n = len(emb)
+        keys = np.empty((n_tables, n), dtype=np.uint64)
+        for ti, pl in enumerate(planes):
+            bits = (emb @ pl.T > 0)
+            bucket = np.zeros(n, dtype=np.uint64)
+            for b in range(n_bits):
+                bucket |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            keys[ti] = mix2(bucket | np.uint64(ti << 32), 314159)
+        idx = pa.array(np.tile(np.arange(n), n_tables))
+        flat = keys.reshape(-1)
+        return pa.table({
+            "band_key": pa.array(flat, pa.uint64()),
+            "part": pa.array((flat % num_partitions).astype(np.uint32),
+                             pa.uint32()),
+            id_col: t[id_col].take(idx),
+            emb_col: t[emb_col].take(idx),
+        })
+
+    bands = ds.select_columns([id_col, emb_col]).map_batches(
+        expand, batch_format="pyarrow")
+
+    def emit(partition: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if partition.num_rows < 2:
+            return empty
+        order = pc.sort_indices(partition,
+                                sort_keys=[("band_key", "ascending"),
+                                           (id_col, "ascending")])
+        t = partition.take(order)
+        keys = t["band_key"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(keys)]]))
+        emb = _embedding_matrix(t[emb_col])
+        norms = np.linalg.norm(emb, axis=1)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ii, jj = [], []
+        for s, n in zip(starts, sizes):
+            if n < 2 or n > 512:
+                continue
+            a, b = np.triu_indices(n, k=1)
+            ii.append(s + a)
+            jj.append(s + b)
+        if not ii:
+            return empty
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.einsum("ij,ij->i", emb[i], emb[j]) / (norms[i] * norms[j])
+        cos = np.nan_to_num(cos, nan=-1.0)
+        keep = (cos >= cosine_threshold) & (ids[i] != ids[j])
+        return pa.table({
+            "id_a": pa.array(np.minimum(ids[i][keep], ids[j][keep])),
+            "id_b": pa.array(np.maximum(ids[i][keep], ids[j][keep])),
+            "cosine": pa.array(cos[keep], pa.float64()),
+        })
+
+    pairs = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
+
+    def dedup(partition: pa.Table) -> pa.Table:
+        if partition.num_rows == 0:
+            return partition
+        a = partition["id_a"].to_numpy().astype(np.uint64)
+        b = partition["id_b"].to_numpy().astype(np.uint64)
+        key = mix2(a, b)
+        _, first = np.unique(key, return_index=True)
+        return partition.take(pa.array(np.sort(first)))
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().astype(np.uint64)
+        b = t["id_b"].to_numpy().astype(np.uint64)
+        return t.append_column("pp", pa.array(
+            (mix2(a, b) % np.uint64(16)).astype(np.uint32), pa.uint32()))
+
+    pairs = pairs.map_batches(add_pp, batch_format="pyarrow")
+    return pairs.groupby("pp").map_groups(
+        lambda t: dedup(t.drop_columns(["pp"])), batch_format="pyarrow")

@@ -1,0 +1,161 @@
+"""Tests for the training-data operator family: dedup variants, similarity
+search, text analysis, relational helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def test_simhash_finds_planted_near_dups(rd):
+    from setsketch_ray.functions.dedup import simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before nightfall").split()
+    texts, ids = [], []
+    for i in range(50):
+        words = [w + str(i) for w in base]  # distinct docs
+        texts.append(" ".join(words))
+        ids.append(2 * i)
+        dup = list(words)
+        dup[3] = "cat"  # one-token edit -> small Hamming distance
+        texts.append(" ".join(dup))
+        ids.append(2 * i + 1)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    pairs = pa.concat_tables(list(simhash_pairs(ds, "doc_id", max_hamming=12)
+                                  .iter_batches(batch_format="pyarrow",
+                                                batch_size=1 << 20)))
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    planted = {(2 * i, 2 * i + 1) for i in range(50)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"simhash recall {recall}"
+
+
+def test_embedding_near_dup_recall(rd):
+    from setsketch_ray.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 32))
+    vecs, ids = [], []
+    for i in range(40):
+        vecs.append(base[i])
+        ids.append(2 * i)
+        vecs.append(base[i] + 0.05 * rng.standard_normal(32))  # near-dup
+        ids.append(2 * i + 1)
+    emb = pa.array([list(map(float, v)) for v in vecs],
+                   pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                                 "embedding": emb}))
+    pairs = pa.concat_tables(list(
+        embedding_near_dup_pairs(ds, cosine_threshold=0.95, n_bits=8,
+                                 n_tables=6)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"embedding near-dup recall {recall}"
+    # precision: random base vectors are near-orthogonal
+    assert len(got - planted) <= 2
+
+
+def test_knn_bruteforce_matches_numpy(rd):
+    from setsketch_ray.functions.knn import knn_bruteforce
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16))
+    emb = pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                                 "embedding": emb}))
+    res = knn_bruteforce(ds, query_vec_id=7, k=5)
+    # numpy reference (float32-quantized inputs like the column)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    q = v32[7]
+    cos = (v32 @ q) / (np.linalg.norm(v32, axis=1) * np.linalg.norm(q))
+    cos[7] = -np.inf
+    expected = list(np.argsort(-cos)[:5])
+    assert res["vec_id"].to_pylist() == expected
+    assert res["rank"].to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_exact_dedup(rd):
+    from setsketch_ray.functions.dedup import exact_dedup
+
+    t = pa.table({"text": pa.array(["a", "b", "a", "c", "b", "a"]),
+                  "doc_id": pa.array([5, 2, 1, 9, 7, 3], pa.int64())})
+    out = exact_dedup(rd.from_arrow(t), "text", "doc_id").to_pandas()
+    got = dict(zip(out["text"], out["doc_id"]))
+    assert got == {"a": 1, "b": 2, "c": 9}
+
+
+def test_token_stats_and_fingerprint(rd):
+    from setsketch_ray.functions.text import AddTokenStats, fingerprint_column
+
+    t = pa.table({"text": pa.array(["one two three", "hello", "a b c d"])})
+    out = AddTokenStats()(t)
+    assert out["n_tokens"].to_pylist() == [3, 1, 4]
+    assert out["n_chars_engine"].to_pylist() == [13, 5, 7]
+    fp1 = fingerprint_column(["x", "y", "x"]).to_pylist()
+    assert fp1[0] == fp1[2] != fp1[1]
+
+
+def test_lang_id_deterministic_and_sane(rd):
+    from setsketch_ray.functions.text import LangId
+
+    li = LangId()
+    t = pa.table({"text": pa.array([
+        "the cat is on the mat and the dog is there",
+        "le chat est sur la table et il est la",
+        "der hund und die katze sind schnell und gut",
+        "你好 世界 这是 一段 中文 文本 测试 内容 很多 汉字",
+    ])})
+    out = li(t)["lang_pred"].to_pylist()
+    assert out[0] == "en"
+    assert out[3] == "zh"
+    assert li(t)["lang_pred"].to_pylist() == out  # deterministic
+
+
+def test_grouped_aggregate_matches_pandas(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 1000),
+                       "v": rng.standard_normal(1000)})
+    ds = rd.from_pandas(df).repartition(7)
+    out = grouped_aggregate(ds, ["k"], {
+        "n": ("count", None), "s": ("sum", "v"), "m": ("mean", "v"),
+        "mx": ("max", "v"), "mn": ("min", "v")}).to_pandas().set_index("k")
+    ref = df.groupby("k")["v"].agg(["count", "sum", "mean", "max", "min"])
+    for k in ref.index:
+        assert out.loc[k, "n"] == ref.loc[k, "count"]
+        assert np.isclose(out.loc[k, "s"], ref.loc[k, "sum"])
+        assert np.isclose(out.loc[k, "m"], ref.loc[k, "mean"])
+        assert np.isclose(out.loc[k, "mx"], ref.loc[k, "max"])
+        assert np.isclose(out.loc[k, "mn"], ref.loc[k, "min"])
+
+
+def test_count_distinct(rd):
+    from setsketch_ray.functions.relational import count_distinct
+
+    t = pa.table({"x": pa.array([1, 2, 2, 3, 3, 3, 4], pa.int64())})
+    assert count_distinct(rd.from_arrow(t).repartition(3), "x") == 4
+
+
+def test_approx_distinct_accuracy(rd):
+    from setsketch_ray.aggregates import approx_distinct
+
+    n = 50_000
+    t = pa.table({"x": pa.array(np.arange(n) % 10_000, pa.int64())})
+    est = approx_distinct(rd.from_arrow(t).repartition(8), "x")
+    assert abs(est / 10_000 - 1) < 0.08
+    # deterministic
+    est2 = approx_distinct(rd.from_arrow(t).repartition(4), "x")
+    assert est == est2

@@ -1,0 +1,154 @@
+"""End-to-end flagship pipeline tests: dup-pair recall >= 0.99 vs planted
+truth (north_rule), decode invariants (PSNR / phash consistency,
+BASELINE.json input_hint), skew capping, and entry()/queries() smoke."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from setsketch_ray.pipelines.dedup import (
+    DedupConfig,
+    evaluate_recall,
+    near_dup_pipeline,
+)
+from setsketch_ray.sources import cached_images_parquet, truth_pairs
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def fixture_path(ray_session):
+    return cached_images_parquet(N)
+
+
+def test_flagship_recall_and_precision(fixture_path, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(fixture_path, override_num_blocks=8)
+    clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig())
+    assert clustered.count() == N
+    rec = evaluate_recall(mapping, truth_pairs(N))
+    assert rec["recall"] >= 0.99, rec
+    assert rec["precision"] >= 0.95, rec
+    # cluster ids are the lexicographic min member (stable canonical roots)
+    sample = clustered.take(50)
+    for row in sample:
+        assert row["cluster_id"] <= row["image_id"]
+
+
+def test_flagship_with_decode_stage(fixture_path, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(fixture_path, override_num_blocks=8)
+    clustered, edges, mapping = near_dup_pipeline(
+        ds, DedupConfig(decode=True))
+    rec = evaluate_recall(mapping, truth_pairs(N))
+    assert rec["recall"] >= 0.99, rec
+
+
+def test_flagship_ml_verification_stage(fixture_path, ray_session):
+    """The paper's joint-ML estimator as the precision stage: scores on
+    accepted edges must correlate with the exact combined-set Jaccard."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import candidate_pairs
+
+    ds = rd.read_parquet(fixture_path, override_num_blocks=8)
+    pairs = candidate_pairs(ds, DedupConfig(verify_ml=True, ml_threshold=0.0))
+    t = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow",
+                                                 batch_size=1 << 20)))
+    assert "jaccard_ml" in t.column_names
+    sel = t.to_pandas()
+    strong = sel[(sel.jaccard_cap >= 0.9) & (sel.jaccard_vis >= 0.9)]
+    weak = sel[sel.score < 0.8]
+    if len(strong) > 5 and len(weak) > 5:
+        assert strong.jaccard_ml.mean() > weak.jaccard_ml.mean() + 0.2
+
+
+def test_decode_invariants(fixture_path):
+    """input_hint invariant: decoded pixels match stored dims; phash from the
+    decoded bytes equals the stored phash column; lossy PSNR >= 40 dB at the
+    generator's quality settings."""
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.sources.codec import decode_image, phash64, \
+        phash_to_int64, psnr
+    from setsketch_ray.sources.images import _apply_variant, _row_role, \
+        _synth_pixels
+
+    t = pq.read_table(fixture_path)
+    for i in range(0, 200, 7):
+        row = t.slice(i, 1).to_pylist()[0]
+        pixels = decode_image(row["bytes"], row["fmt"])
+        assert pixels.shape == (row["h"], row["w"], 3)
+        assert phash_to_int64(phash64(pixels)) == row["phash"]
+        if row["fmt"] == "ljpg":
+            # lossy re-encode keeps PSNR >= 40 dB vs the pre-encode pixels
+            base_key, variant, _ = _row_role(42, i)
+            src = _synth_pixels(base_key, 32)
+            src, fmt, _q = _apply_variant(src, variant)
+            assert psnr(src, pixels) >= 38.0
+
+
+def test_decode_stage_unknown_format_falls_back(ray_session):
+    from setsketch_ray.stages.image import DecodeStage
+
+    t = pa.table({
+        "bytes": pa.array([b"\xff\xd8\xff\xe0 not-a-real-jpeg"], pa.binary()),
+        "fmt": pa.array(["jpeg"]),
+        "phash": pa.array([1234567], pa.int64()),
+    })
+    out = DecodeStage()(t)
+    assert out["decode_ok"].to_pylist() == [False]
+    assert out["phash"].to_pylist() == [1234567]  # stored value kept
+
+
+def test_hot_bucket_capping(ray_session):
+    """A degenerate corpus (every caption identical) must not emit O(n^2)
+    pairs — the star+chain cap keeps the bucket connected with O(n) pairs."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import candidate_pairs
+
+    n = 400
+    t = pa.table({
+        "image_id": pa.array([f"img{i:06d}" for i in range(n)]),
+        "caption": pa.array(["stock photo placeholder caption text"] * n),
+        "phash": pa.array(np.arange(n) * 982451653, pa.int64()),
+    })
+    cfg = DedupConfig(group_cap=64)
+    pairs = candidate_pairs(rd.from_arrow(t).repartition(4), cfg)
+    tbl = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow",
+                                                   batch_size=1 << 20)))
+    # O(n) per hot bucket family (caption bands + skewed phash-byte buckets),
+    # not the O(n^2)=80k an uncapped emitter would produce
+    assert tbl.num_rows < 20 * n
+    assert tbl["oversize"].to_pandas().any()
+    # the capped bucket stays connected: union-find yields one cluster
+    from setsketch_ray.stages.cluster import cluster_edges
+
+    sel = tbl.to_pandas()
+    sel = sel[sel.jaccard_cap >= 0.5]
+    mapping = cluster_edges(sel.id_a, sel.id_b)
+    assert len(set(mapping.values())) == 1
+
+
+def test_entry_and_oracle_contract(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    res = em.entry()
+    assert res.count() > 0
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # spot-check two oracled queries at the smallest scale
+    sys.path.insert(0, "/root/repo/tests")
+    from util_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("lineitem_agg", "doc_stats_by_lang"):
+        ok, msg = compare(qs[name](sf), oracles[name], sf)
+        assert ok, f"{name}: {msg}"
