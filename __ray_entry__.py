@@ -325,6 +325,63 @@ def _q_joint_eval(sf_dir: str):
                                 parallelism=8)
 
 
+def _q_approx_distinct_methods(sf_dir: str):
+    """Distinct l_partkey estimated by every sketch family (GHLL / HLL /
+    SetSketch1 / SetSketch2 / MinHash / HyperMinHash), each a distributed
+    partial+final register merge; deterministic, rows-only (approximate)."""
+    import numpy as np
+
+    from setsketch_ray.aggregates import _column_u64
+    from setsketch_ray.sketchlib import (GHLL, HLL, HyperMinHash, MinHash,
+                                         SetSketch1, SetSketch2,
+                                         MinHashEstimator, SetSketchEstimator)
+    from setsketch_ray.sketchlib.hmh_estimator import HyperMinHashEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    families = {
+        "ghll": (GHLL(m=4096), SetSketchEstimator(62, 1 / 4096, 2.0, 4096,
+                                                  card_range_correction=True)),
+        "hll": (HLL(p=12, q=52), SetSketchEstimator(52, 1 / 4096, 2.0, 4096,
+                                                    card_range_correction=True)),
+        "setsketch1": (SetSketch1(m=4096), SetSketchEstimator(62, 20.0, 2.0, 4096)),
+        "setsketch2": (SetSketch2(m=4096), SetSketchEstimator(62, 20.0, 2.0, 4096)),
+        "minhash": (MinHash(m=1024), MinHashEstimator(1024)),
+        "hyperminhash": (HyperMinHash(), HyperMinHashEstimator(12, 6, 10)),
+    }
+
+    # per-block partial sketches -> driver-side register merge (m bytes each)
+    def partial(t: pa.Table) -> pa.Table:
+        vals = _column_u64(t, "l_partkey")
+        row = {}
+        for name, (sk, _est) in families.items():
+            regs = sk.empty(1)
+            sk.add_flat(regs, np.zeros(len(vals), dtype=np.int64), vals)
+            row[name] = [regs[0].tobytes()]
+        return pa.table({k: pa.array(v, pa.binary()) for k, v in row.items()})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = {name: None for name in families}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for name, (sk, _e) in families.items():
+            for blob in b[name].to_pylist():
+                regs = np.frombuffer(blob, dtype=sk.dtype).reshape(1, -1)
+                merged[name] = regs if merged[name] is None \
+                    else sk.merge(merged[name], regs)
+    methods, estimates = [], []
+    for name, (sk, est) in families.items():
+        regs = merged[name]
+        if name == "minhash":
+            e = float(est.estimate_cardinality(regs)[0])
+        elif name == "hyperminhash":
+            e = float(est.estimate_cardinality_new(regs)[0])
+        else:
+            e = float(est.estimate_cardinality_simple(regs)[0])
+        methods.append(name)
+        estimates.append(e)
+    return pa.table({"method": pa.array(methods),
+                     "estimate": pa.array(estimates, pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -347,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "cardinality_eval": _q_cardinality_eval,
         "joint_eval": _q_joint_eval,
+        "approx_distinct_methods": _q_approx_distinct_methods,
     }
 
 

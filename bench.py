@@ -103,6 +103,18 @@ def run_benchmarks() -> dict:
     entrymod._q_knn_bruteforce(SF_DIR)
     timings["knn_bruteforce"] = time.time() - t0
 
+    # --- sketch-construction micro-benchmark (vs BASELINE.md reference
+    # numbers: single-thread elements/s of the batch kernels; the reference's
+    # C++ single-thread numbers are the comparison row)
+    sketch_micro = _sketch_microbench()
+
+    # --- distributed sketch fold: elements/s across the whole node (the
+    # "matches-or-beats reference single-node throughput" comparison)
+    t0 = time.time()
+    n_elem = 64_000_000
+    _distributed_sketch_fold(n_elem, NUM_CPUS)
+    sketch_micro["ghll_m4096_distributed"] = round(n_elem / (time.time() - t0))
+
     result = {
         "metric": "near-dup image pipeline wall-clock "
                   f"({BENCH_IMAGES} images, end-to-end incl. clustering)",
@@ -114,9 +126,69 @@ def run_benchmarks() -> dict:
         "images_per_sec": round(images_per_sec, 1),
         "n_images": BENCH_IMAGES,
         "n_edges": int(edges.num_rows),
+        "sketch_elements_per_sec_single_core": sketch_micro,
     }
     ray.shutdown()
     return result
+
+
+def _distributed_sketch_fold(n: int, num_cpus: int) -> float:
+    """Fold n hashed elements into ONE GHLL sketch across the cluster:
+    per-block partial sketches (map_batches) merged by register max —
+    the distributed analogue of the reference's recording-speed test."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.sketchlib import GHLL, SetSketchEstimator, mix64
+
+    sk = GHLL(m=4096)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        vals = mix64(ids.astype(np.uint64))
+        regs = sk.empty(1)
+        sk.add_flat(regs, np.zeros(len(vals), dtype=np.int64), vals)
+        return pa.table({"regs": pa.array([regs[0].tobytes()], pa.binary())})
+
+    parts = rd.range(n, override_num_blocks=num_cpus * 2).map_batches(
+        partial, batch_format="pyarrow", batch_size=4_000_000)
+    merged = None
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for blob in b["regs"].to_pylist():
+            regs = np.frombuffer(blob, dtype=sk.dtype).reshape(1, -1)
+            merged = regs if merged is None else sk.merge(merged, regs)
+    est = SetSketchEstimator(62, 1 / 4096, 2.0, 4096,
+                             card_range_correction=True)
+    return float(est.estimate_cardinality_simple(merged)[0])
+
+
+def _sketch_microbench(n: int = 2_000_000) -> dict:
+    """Single-core batch-kernel throughput per sketch family (elements/s),
+    n distinct elements folded into one sketch — the recording-speed metric
+    of the reference's performance_test (BASELINE.md top table)."""
+    import numpy as np
+
+    from setsketch_ray.sketchlib import GHLL, HLL, MinHash, SetSketch1, \
+        SetSketch2, mix64
+
+    vals = mix64(np.arange(n, dtype=np.uint64))
+    offs = np.array([0, n])
+    out = {}
+    for name, sk, cnt in [
+        ("hll_m4096", HLL(p=12, q=52), n),
+        ("ghll_m4096", GHLL(m=4096), n),
+        ("setsketch1_m4096", SetSketch1(m=4096), n),
+        ("setsketch2_m4096", SetSketch2(m=4096), n),
+        ("minhash_m256", MinHash(m=256), 100_000),
+    ]:
+        v = vals[:cnt]
+        o = np.array([0, cnt])
+        sk.sketch_rows(v, o)  # warm
+        t0 = time.time()
+        sk.sketch_rows(v, o)
+        out[name] = round(cnt / (time.time() - t0))
+    return out
 
 
 def run_scaling() -> None:

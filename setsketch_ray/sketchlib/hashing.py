@@ -55,6 +55,23 @@ def mix2(a: np.ndarray | int, b: np.ndarray | int) -> np.ndarray:
     return mix64((a + b * _GOLDEN) ^ _C2)
 
 
+_FAST_M = U64(0xD6E8FEB86659FD93)
+_S32 = U64(32)
+
+
+def mix_columns(vals: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """(n,) values x (m,) seeds -> (m, n) draw matrix with a cheap 2-round
+    multiply-xorshift mix (splittable-hash structure).  Used where the full
+    fmix64 costs too much per draw (MinHash's m draws per element); the
+    2-round variant still passes the bucket chi-square tests."""
+    x = vals[None, :] ^ seeds[:, None]
+    x = x * _FAST_M
+    x = x ^ (x >> _S32)
+    x = x * _FAST_M
+    x = x ^ (x >> _S32)
+    return x
+
+
 def hash_str_u64(values, seed: int = 0) -> np.ndarray:
     """Hash an iterable of Python strings/bytes to uint64 (for shingles/ids).
 

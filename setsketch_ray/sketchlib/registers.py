@@ -23,6 +23,33 @@ def scatter_max(regs_flat: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> Non
     """
     if len(idx) == 0:
         return
+    small_vals = np.max(vals, initial=0) < 64
+    if small_vals and len(regs_flat) * 64 <= (1 << 24):
+        # tiny-target fast path (dataset-level sketches): histogram presence
+        # of (register, level) pairs, then per-register max level — one
+        # bincount pass instead of a sort
+        key = idx.astype(np.int64) * 64 + vals.astype(np.int64)
+        counts = np.bincount(key, minlength=len(regs_flat) * 64)
+        present = counts.reshape(len(regs_flat), 64) > 0
+        has_any = present.any(axis=1)
+        kmax = 63 - np.argmax(present[:, ::-1], axis=1)
+        upd = has_any & (kmax > regs_flat)
+        regs_flat[upd] = kmax[upd].astype(regs_flat.dtype)
+        return
+    if small_vals and len(regs_flat) < (1 << 26):
+        # compact fast path: (idx, val) fits a uint32 key -> ~2x faster sort
+        key32 = ((idx.astype(np.uint32) << np.uint32(6))
+                 | vals.astype(np.uint32))
+        key32.sort(kind="stable")
+        i = (key32 >> np.uint32(6)).astype(np.int64)
+        v = key32 & np.uint32(0x3F)
+        last = np.empty(len(i), dtype=bool)
+        last[:-1] = i[1:] != i[:-1]
+        last[-1] = True
+        iu = i[last]
+        vu = v[last].astype(regs_flat.dtype)
+        regs_flat[iu] = np.maximum(regs_flat[iu], vu)
+        return
     key = (idx.astype(np.uint64) << np.uint64(24)) | vals.astype(np.uint64)
     key.sort(kind="stable")
     i = (key >> np.uint64(24)).astype(np.int64)

@@ -25,6 +25,7 @@ from .hashing import (
     bounded_uint,
     exponential,
     mix2,
+    mix_columns,
     trailing_ones,
     truncated_exponential,
     uniform_double,
@@ -42,6 +43,7 @@ _CTR_SS1 = 1 << 20      # SetSketch1 exponential draws (slot i -> _CTR_SS1 + i)
 _CTR_SS2 = 1 << 21      # SetSketch2 truncated-exp draws (slot i -> _CTR_SS2 + i)
 
 _BULK_SUCCESS_P = 0.95  # bulkAddFirstAttemptSuccessProbability, sketch.hpp:1085
+_GOLDEN_SEED = U64(0x9E3779B97F4A7C15)
 
 
 def _sizes(offsets: np.ndarray) -> np.ndarray:
@@ -339,14 +341,21 @@ class SetSketch2(_MaxMergeSketch):
 
 class MinHash:
     """Classic m-permutation MinHash (``sketch.hpp:1579-1612``): register j of
-    element d is draw ``mix2(d, j)``; state = element-wise minimum."""
+    element d is an independent 64-bit draw keyed by (d, j); state =
+    element-wise minimum.  Draws use the cheap column mix (the O(n*m) draw
+    matrix is the family's entire cost, ``performance_test`` MinHash rows in
+    BASELINE.md)."""
 
     name = "MinHash"
     dtype = np.uint64
     _row_chunk = 8192
 
     def __init__(self, m: int):
+        from .hashing import mix64 as _mix64
+
         self.m = int(m)
+        self.seeds = _mix64(np.arange(m, dtype=np.uint64) * _GOLDEN_SEED
+                            + U64(0xA076_1D64_78BD_642F))
 
     def empty(self, rows: int) -> np.ndarray:
         return np.full((rows, self.m), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -364,8 +373,9 @@ class MinHash:
         rows = len(offsets) - 1
         out = self.empty(rows)
         values = np.asarray(values, dtype=np.uint64)
-        ctr = np.arange(self.m, dtype=np.uint64)
-        # chunk over rows to bound the (elements, m) draw matrix
+        # chunk over rows to bound the (m, elements) draw matrix; draws are
+        # column-major (one contiguous row per register) so the min-reduce
+        # runs over contiguous memory
         r0 = 0
         while r0 < rows:
             r1 = r0
@@ -374,25 +384,24 @@ class MinHash:
             r1 = max(r1, r0 + 1)
             lo, hi = offsets[r0], offsets[r1]
             if hi > lo:
-                draws = mix2(values[lo:hi, None], ctr[None, :])
+                draws = mix_columns(values[lo:hi], self.seeds)   # (m, n)
                 off = (offsets[r0:r1] - lo).astype(np.int64)
                 nonempty = np.diff(np.append(off, hi - lo)) > 0
-                red = np.minimum.reduceat(draws, off, axis=0)
-                out[r0:r1][nonempty] = red[nonempty]
+                red = np.minimum.reduceat(draws, off, axis=1)    # (m, rows)
+                out[r0:r1][nonempty] = red.T[nonempty]
             r0 = r1
         return out
 
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
         if len(values) == 0:
             return
-        ctr = np.arange(self.m, dtype=np.uint64)
-        draws = mix2(np.asarray(values, dtype=np.uint64)[:, None], ctr[None, :])
         order = np.argsort(row_ids, kind="stable")
+        vals = np.asarray(values, dtype=np.uint64)[order]
         rid = np.asarray(row_ids)[order]
-        draws = draws[order]
+        draws = mix_columns(vals, self.seeds)                    # (m, n)
         uniq, starts = np.unique(rid, return_index=True)
-        red = np.minimum.reduceat(draws, starts, axis=0)
-        regs[uniq] = np.minimum(regs[uniq], red)
+        red = np.minimum.reduceat(draws, starts, axis=1)
+        regs[uniq] = np.minimum(regs[uniq], red.T)
 
 
 class HyperMinHash(_MaxMergeSketch):

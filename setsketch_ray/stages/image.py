@@ -56,3 +56,148 @@ class DecodeStage:
         cols[self.phash_col] = pa.array(out_hash, pa.int64())
         cols["decode_ok"] = pa.array(ok, pa.bool_())
         return pa.table(cols)
+
+
+def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean resize of an (h, w, 3) uint8 image (integral-image based;
+    exact block means, no interpolation artifacts)."""
+    h, w, _ = pixels.shape
+    ys = np.arange(out_h + 1) * h // out_h
+    xs = np.arange(out_w + 1) * w // out_w
+    csum = np.zeros((h + 1, w + 1, 3))
+    csum[1:, 1:] = pixels.astype(np.float64).cumsum(0).cumsum(1)
+    block = (csum[ys[1:], :][:, xs[1:]] - csum[ys[:-1], :][:, xs[1:]]
+             - csum[ys[1:], :][:, xs[:-1]] + csum[ys[:-1], :][:, xs[:-1]])
+    areas = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
+    return np.clip(np.round(block / np.maximum(areas, 1)), 0, 255).astype(np.uint8)
+
+
+class ResizeStage:
+    """Actor stage: decode -> area resize -> re-encode (PNG).  Output columns
+    ``bytes``/``w``/``h``/``fmt`` are replaced; undecodable rows pass through
+    untouched with ``resize_ok = False``."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.codec import encode_png
+
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out_b, out_f, ok = [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            try:
+                px = decode_image(blob, fmt)
+                out_b.append(encode_png(resize_area(px, self.out_h, self.out_w)))
+                out_f.append("png")
+                ok.append(True)
+            except (NotImplementedError, ValueError):
+                out_b.append(blob)
+                out_f.append(fmt)
+                ok.append(False)
+        n = batch.num_rows
+        cols = {c: batch[c] for c in batch.column_names}
+        cols[self.bytes_col] = pa.array(out_b, pa.binary())
+        cols[self.fmt_col] = pa.array(out_f, pa.string())
+        cols["w"] = pa.array([self.out_w] * n, pa.int32())
+        cols["h"] = pa.array([self.out_h] * n, pa.int32())
+        cols["resize_ok"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+
+class ImageFeatureStage:
+    """Actor stage: decode -> fixed-length feature vector per image
+    (mean RGB, std RGB, 8-bin luminance histogram -> 14 floats) as an
+    ``image_features: list<float>`` column — the hand-rolled stand-in for a
+    model-embedding stage (a real deployment loads its vision model once per
+    actor in ``__init__``; the Ray plumbing here is identical)."""
+
+    DIM = 14
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob, fmt in zip(batch[self.bytes_col].to_pylist(),
+                             batch[self.fmt_col].to_pylist()):
+            try:
+                px = decode_image(blob, fmt).astype(np.float64)
+                lum = px @ np.array([0.299, 0.587, 0.114])
+                hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+                hist = hist / max(lum.size, 1)
+                f = np.concatenate([px.mean(axis=(0, 1)) / 255.0,
+                                    px.std(axis=(0, 1)) / 255.0, hist])
+            except (NotImplementedError, ValueError):
+                f = np.zeros(self.DIM)
+            feats.append([float(x) for x in f])
+        return batch.append_column(
+            "image_features", pa.array(feats, pa.list_(pa.float32())))
+
+
+class VideoFrameSampleStage:
+    """STUB (clearly marked): video frame sampling.
+
+    No video codec exists in this environment; this stage defines the REAL
+    Ray-side contract — schema in (``bytes: binary, fmt: string``), schema
+    out (``frames: list<binary>, frame_ts: list<float>``), actor-pool
+    signature, batch size — and raises ``NotImplementedError`` at decode
+    time.  ``tests/test_image_ops.py`` verifies the plumbing end-to-end with
+    the deterministic fake decoder below.
+    """
+
+    def __init__(self, every_n_seconds: float = 1.0, fake: bool = False):
+        self.every = every_n_seconds
+        self.fake = fake
+
+    def _decode_frames(self, blob: bytes, fmt: str):
+        if self.fake:
+            # deterministic fake: derive 3 "frames" (byte slices) per blob
+            k = max(len(blob) // 3, 1)
+            return [blob[i * k:(i + 1) * k] or b"\0" for i in range(3)], \
+                [i * self.every for i in range(3)]
+        raise NotImplementedError(
+            f"video format {fmt!r}: no video codec in this environment "
+            "(stubbed; pass fake=True for plumbing tests)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames, tss = [], []
+        for blob, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            f, ts = self._decode_frames(blob, fmt)
+            frames.append(f)
+            tss.append(ts)
+        out = batch.append_column("frames",
+                                  pa.array(frames, pa.list_(pa.binary())))
+        return out.append_column("frame_ts",
+                                 pa.array(tss, pa.list_(pa.float64())))
+
+
+class AudioFeatureStage:
+    """STUB (clearly marked): audio feature extraction (no audio codec in
+    this environment).  Contract: ``bytes: binary`` in, ``audio_features:
+    list<float>`` (fixed DIM) out; deterministic fake path for plumbing
+    tests."""
+
+    DIM = 16
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob in batch["bytes"].to_pylist():
+            if not self.fake:
+                raise NotImplementedError(
+                    "audio decoding stubbed: no codec in this environment")
+            arr = np.frombuffer(blob[:1024].ljust(1024, b"\0"), dtype=np.uint8)
+            spec = np.abs(np.fft.rfft(arr.astype(np.float64)))[:self.DIM]
+            feats.append([float(x) for x in spec / (spec.max() or 1.0)])
+        return batch.append_column(
+            "audio_features", pa.array(feats, pa.list_(pa.float32())))
