@@ -382,6 +382,22 @@ def _q_approx_distinct_methods(sf_dir: str):
                      "estimate": pa.array(estimates, pa.float64())})
 
 
+def _q_substring_dup_docs(sf_dir: str):
+    """Documents sharing a >=16-token substring (rolling-window buckets, the
+    distributed suffix-array-dedup stand-in); deterministic, rows-only."""
+    from setsketch_ray.functions.dedup import substring_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = substring_dup_pairs(ds, "doc_id", window=16)
+    batches = list(pairs.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.table({"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "shared_windows": pa.array([], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -405,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_eval": _q_cardinality_eval,
         "joint_eval": _q_joint_eval,
         "approx_distinct_methods": _q_approx_distinct_methods,
+        "substring_dup_docs": _q_substring_dup_docs,
     }
 
 

@@ -177,6 +177,117 @@ def char_ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
+def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
+                        window: int = 16, num_partitions: int = 64,
+                        bucket_cap: int = 256):
+    """Long-shared-substring duplicate pairs (the distributed stand-in for
+    suffix-array substring dedup): every ``window``-token rolling-hash window
+    becomes a bucket key; two documents sharing ANY such window (i.e. a
+    common >= window-token substring) land in a bucket together.  Output:
+    (id_a, id_b, shared_windows).
+
+    Exactness: a suffix array finds shared substrings of length >= L in
+    characters; windowing over tokens finds shared runs of >= ``window``
+    tokens — the same operation modulo tokenization, and embarrassingly
+    shuffle-friendly at 10^12 rows.
+    """
+    def expand(t: pa.Table) -> pa.Table:
+        ids_out, keys_out = [], []
+        for rid, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = text.split() if text else []
+            if len(toks) < window:
+                continue
+            th = hash_str_u64(toks)
+            # rolling window hash: combine w consecutive token hashes
+            wh = th[:len(th) - window + 1].copy()
+            for j in range(1, window):
+                wh = mix2(wh, th[j:j + len(wh)])
+            uniq = np.unique(wh)
+            keys_out.append(uniq)
+            ids_out += [rid] * len(uniq)
+        if not keys_out:
+            return pa.table({"band_key": pa.array([], pa.uint64()),
+                             "part": pa.array([], pa.uint32()),
+                             id_col: pa.array([], pa.int64())})
+        keys = np.concatenate(keys_out)
+        return pa.table({
+            "band_key": pa.array(keys, pa.uint64()),
+            "part": pa.array((keys % num_partitions).astype(np.uint32),
+                             pa.uint32()),
+            id_col: pa.array(ids_out),
+        })
+
+    bands = ds.select_columns([id_col, text_col]).map_batches(
+        expand, batch_format="pyarrow")
+
+    def emit(partition: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "shared_windows": pa.array([], pa.int64())})
+        if partition.num_rows < 2:
+            return empty
+        order = pc.sort_indices(partition,
+                                sort_keys=[("band_key", "ascending"),
+                                           (id_col, "ascending")])
+        t = partition.take(order)
+        keys = t["band_key"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(keys)]]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ii, jj = [], []
+        for s, n in zip(starts, sizes):
+            if n < 2 or n > bucket_cap:
+                continue
+            a, b = np.triu_indices(n, k=1)
+            ii.append(s + a)
+            jj.append(s + b)
+        if not ii:
+            return empty
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        a = np.minimum(ids[i], ids[j])
+        b = np.maximum(ids[i], ids[j])
+        keep = a != b
+        a, b = a[keep], b[keep]
+        # count shared windows per pair (within this partition)
+        pk = mix2(a.astype(np.uint64), b.astype(np.uint64))
+        uniq, inv, counts = np.unique(pk, return_inverse=True,
+                                      return_counts=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(a))[::-1]
+        return pa.table({
+            "id_a": pa.array(a[first]),
+            "id_b": pa.array(b[first]),
+            "shared_windows": pa.array(counts, pa.int64()),
+        })
+
+    pairs = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
+
+    def combine(partition: pa.Table) -> pa.Table:
+        if partition.num_rows == 0:
+            return partition.drop_columns(["pp"])
+        a = partition["id_a"].to_numpy().astype(np.uint64)
+        b = partition["id_b"].to_numpy().astype(np.uint64)
+        pk = mix2(a, b)
+        order = np.argsort(pk, kind="stable")
+        t = partition.take(pa.array(order)).drop_columns(["pp"])
+        pk = pk[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(pk)) + 1])
+        sw = np.add.reduceat(t["shared_windows"].to_numpy(), starts)
+        out = t.take(pa.array(starts))
+        return out.set_column(out.column_names.index("shared_windows"),
+                              "shared_windows", pa.array(sw, pa.int64()))
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().astype(np.uint64)
+        b = t["id_b"].to_numpy().astype(np.uint64)
+        return t.append_column("pp", pa.array(
+            (mix2(a, b) % np.uint64(16)).astype(np.uint32), pa.uint32()))
+
+    pairs = pairs.map_batches(add_pp, batch_format="pyarrow")
+    return pairs.groupby("pp").map_groups(combine, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              emb_col: str = "embedding",
                              cosine_threshold: float = 0.95,

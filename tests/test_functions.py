@@ -159,3 +159,30 @@ def test_approx_distinct_accuracy(rd):
     # deterministic
     est2 = approx_distinct(rd.from_arrow(t).repartition(4), "x")
     assert est == est2
+
+
+def test_substring_dup_pairs(rd):
+    from setsketch_ray.functions.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k}" for k in range(500)]
+    docs, ids = [], []
+    shared_run = " ".join(vocab[k] for k in rng.integers(0, 500, 20))
+    for i in range(30):
+        filler = " ".join(vocab[k] for k in rng.integers(0, 500, 40))
+        if i < 10:  # ten docs embed the same 20-token run
+            docs.append(filler + " " + shared_run)
+        else:
+            docs.append(filler + " " + " ".join(
+                vocab[k] for k in rng.integers(0, 500, 20)))
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(docs)}))
+    pairs = pa.concat_tables(list(
+        substring_dup_pairs(ds, "doc_id", window=16)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    expected = {(i, j) for i in range(10) for j in range(i + 1, 10)}
+    assert expected <= got                       # all sharers found
+    assert all(a < 10 and b < 10 for a, b in got)  # and nothing else
+    assert min(pairs["shared_windows"].to_pylist()) >= 1
