@@ -68,6 +68,11 @@ class DedupConfig:
     # pin the sketched table so bands and payload don't recompute it; at
     # corpus scale disable and checkpoint to parquet instead (state/checkpoint)
     materialize_sketches: bool = True
+    # "unionfind" collects the sparse edge list to the driver;
+    # "labelprop" runs distributed hash-to-min label propagation over the
+    # edge dataset (the 10^12-row path: only edges shuffle, O(diameter)
+    # join rounds) — results are identical (tested)
+    cluster_strategy: str = "unionfind"
 
 
 def _rename_payload(suffix: str, id_col: str, list_cols: tuple = ()):
@@ -257,8 +262,16 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
                                              batch_size=65536)]
     if batches:
         edges_table = pa.concat_tables(batches)
-        mapping = cluster_edges(edges_table["id_a"].to_pylist(),
-                                edges_table["id_b"].to_pylist())
+        if cfg.cluster_strategy == "labelprop":
+            import ray.data as rd
+
+            from ..stages.cluster import cluster_edges_labelprop
+
+            mapping = cluster_edges_labelprop(rd.from_arrow(
+                edges_table.select(["id_a", "id_b"])))
+        else:
+            mapping = cluster_edges(edges_table["id_a"].to_pylist(),
+                                    edges_table["id_b"].to_pylist())
     else:
         edges_table = pa.table({"id_a": pa.array([], pa.string()),
                                 "id_b": pa.array([], pa.string())})

@@ -152,3 +152,23 @@ def test_entry_and_oracle_contract(ray_session):
     for name in ("lineitem_agg", "doc_stats_by_lang"):
         ok, msg = compare(qs[name](sf), oracles[name], sf)
         assert ok, f"{name}: {msg}"
+
+
+def test_labelprop_equals_unionfind_on_fixture(fixture_path, ray_session):
+    """Distributed hash-to-min label propagation (the 10^12-scale clustering
+    path) produces the exact same component map as driver union-find."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import candidate_pairs, verified_edges
+    from setsketch_ray.stages.cluster import (cluster_edges,
+                                              cluster_edges_labelprop)
+
+    cfg = DedupConfig()
+    ds = rd.read_parquet(fixture_path, override_num_blocks=8)
+    edges = verified_edges(candidate_pairs(ds, cfg), cfg)
+    et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow",
+                                                  batch_size=1 << 20)))
+    uf = cluster_edges(et["id_a"].to_pylist(), et["id_b"].to_pylist())
+    lp = cluster_edges_labelprop(
+        __import__("ray").data.from_arrow(et.select(["id_a", "id_b"])))
+    assert uf == lp
