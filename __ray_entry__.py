@@ -325,6 +325,16 @@ def _q_joint_eval(sf_dir: str):
                                 parallelism=8)
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based session windows over the events stream (30-min gap):
+    hash-partition by user, one vectorized sessionization pass per partition.
+    Oracle: lag/cumsum window SQL."""
+    from setsketch_ray.functions.streaming import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return sessionize(ds, gap_seconds=1800.0)
+
+
 def _q_approx_distinct_methods(sf_dir: str):
     """Distinct l_partkey estimated by every sketch family (GHLL / HLL /
     SetSketch1 / SetSketch2 / MinHash / HyperMinHash), each a distributed
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_eval": _q_joint_eval,
         "approx_distinct_methods": _q_approx_distinct_methods,
         "substring_dup_docs": _q_substring_dup_docs,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -471,4 +482,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_quantity > 45 GROUP BY o_orderpriority",
+        "sessionize":
+            "WITH marked AS ("
+            "  SELECT user_id, ts, value,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+            "    THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), sess AS ("
+            "  SELECT user_id, ts, value,"
+            "    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "      ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM marked)"
+            "SELECT user_id, session_id, count(*) AS n_events,"
+            "  min(ts) AS session_start, max(ts) AS session_end,"
+            "  sum(value) AS total_value "
+            "FROM sess GROUP BY user_id, session_id",
     }

@@ -1,0 +1,89 @@
+"""Stream-shaped operators over ordered event logs.
+
+Ray Data has no event-time windows/watermarks (ray_guide "Streaming-shaped
+workloads"); windows are expressed as grouped computations over per-key
+sorted groups.  Ordering assumption: events of one key fit one partition
+group and are sorted there (hash-partition by key, sort within partition) —
+stated per operator.
+
+* tumbling windows     -> vectorized temporal floor + grouped aggregate
+  (``events_hourly`` query);
+* session windows      -> :func:`sessionize` below (gap-based);
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", gap_seconds: float = 1800.0,
+               num_partitions: int = 32):
+    """Gap-based session windows: a new session starts when the inter-event
+    gap within a key exceeds ``gap_seconds``.
+
+    Returns (user_id, session_id [1-based per user], n_events,
+    session_start, session_end, total_value).  Implementation: hash-partition
+    by user, then ONE vectorized pass per partition (sort by (user, ts),
+    boundary mask, cumulative session numbering) — no per-user Python.
+    """
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..sketchlib.hashing import mix64
+
+        return t.append_column(
+            "__part", pa.array((mix64(u) % num_partitions).astype(np.uint32),
+                               pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        order = pc.sort_indices(t, sort_keys=[(user_col, "ascending"),
+                                              (ts_col, "ascending")])
+        t = t.take(order)
+        users = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "session_start": pa.array([], pa.timestamp("us")),
+                             "session_end": pa.array([], pa.timestamp("us")),
+                             "total_value": pa.array([], pa.float64())})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.empty(n, dtype=np.float64)
+        gap[0] = np.inf
+        gap[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+        new_sess = new_user | (gap > gap_seconds)
+        # per-user 1-based session numbering: cumulative new-session count
+        # minus the count at the user's first row
+        sess_cum = np.cumsum(new_sess)
+        user_start = np.maximum.accumulate(np.where(new_user,
+                                                    np.arange(n), 0))
+        session_id = sess_cum - sess_cum[user_start] + 1
+        # aggregate per (run of equal session): boundaries are new_sess
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n)
+        out_user = users[starts]
+        out_sid = session_id[starts]
+        out_n = (ends - starts).astype(np.int64)
+        out_start = ts[starts]
+        out_end = ts[ends - 1]
+        out_val = np.add.reduceat(vals, starts)
+        return pa.table({
+            user_col: pa.array(out_user),
+            "session_id": pa.array(out_sid, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "session_start": pa.array(out_start, pa.timestamp("us")),
+            "session_end": pa.array(out_end, pa.timestamp("us")),
+            "total_value": pa.array(out_val, pa.float64()),
+        })
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

@@ -151,7 +151,46 @@ class HLL(_MaxMergeSketch):
         scatter_max(regs.reshape(-1), flat, k)
 
 
-class SetSketch1(_MaxMergeSketch):
+class _BulkLimitSketch(_MaxMergeSketch):
+    """Shared bulk path for the SetSketch variants: process only points below
+    a per-row limit, verify, retry with a raised limit (``addAll``,
+    ``sketch.hpp:1200-1221``); provably identical to the unbounded stream."""
+
+    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray,
+                    attempts_out: np.ndarray | None = None) -> np.ndarray:
+        """``attempts_out`` (int64, len rows) receives the per-row attempt
+        count like the reference's ``addAll`` numAttempts out-param
+        (``sketch.hpp:1201``, measured in ``data/bulk_update_test*.csv``)."""
+        rows = len(offsets) - 1
+        regs = self.empty(rows)
+        sizes = _sizes(offsets)
+        row_ids = _row_ids(offsets)
+        values = np.asarray(values, dtype=np.uint64)
+        limit_inc_row = np.where(sizes > 0,
+                                 self.limit_factor / np.maximum(sizes, 1),
+                                 np.inf)
+        attempt = np.ones(rows, dtype=np.int64)
+        todo = np.flatnonzero(sizes > 0)
+        while todo.size:
+            limits_row = limit_inc_row * attempt
+            sel = np.isin(row_ids, todo)
+            self._process(regs, row_ids[sel], values[sel],
+                          limits_row[row_ids[sel]])
+            # bulk verification (sketch.hpp:1210-1214): success iff the limit
+            # maps to a level <= the row's min register level, i.e. no point
+            # above the limit could still update any register.
+            klow = regs[todo].min(axis=1).astype(np.int64)
+            lim = limits_row[todo]
+            failed = (klow <= self.q) & \
+                (lim <= self.base ** (-klow.astype(np.float64)))
+            todo = todo[failed]
+            attempt[todo] += 1
+        if attempts_out is not None:
+            attempts_out[:] = attempt
+        return regs
+
+
+class SetSketch1(_BulkLimitSketch):
     """SetSketch variant 1 (``sketch.hpp:1087-1222``): per element a sequence
     of order-statistic points x_i = sum_{j<=i} Exp_j / (a (m-j)), each mapped
     to a geometric level and scattered to a without-replacement register slot
@@ -213,30 +252,6 @@ class SetSketch1(_MaxMergeSketch):
             active = active[inlimit[:, -1]]
             i += c
 
-    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-        rows = len(offsets) - 1
-        regs = self.empty(rows)
-        sizes = _sizes(offsets)
-        row_ids = _row_ids(offsets)
-        values = np.asarray(values, dtype=np.uint64)
-        limit_inc_row = np.where(sizes > 0, self.limit_factor / np.maximum(sizes, 1),
-                                 np.inf)
-        attempt = np.ones(rows, dtype=np.int64)
-        todo = np.flatnonzero(sizes > 0)
-        while todo.size:
-            limits_row = limit_inc_row * attempt
-            sel = np.isin(row_ids, todo)
-            self._process(regs, row_ids[sel], values[sel], limits_row[row_ids[sel]])
-            # bulk verification (sketch.hpp:1210-1214): success iff the limit
-            # maps to a level <= the row's min register level, i.e. no point
-            # above the limit could still update any register.
-            klow = regs[todo].min(axis=1).astype(np.int64)
-            lim = limits_row[todo]
-            failed = (klow <= self.q) & (lim <= self.base ** (-klow.astype(np.float64)))
-            todo = todo[failed]
-            attempt[todo] += 1
-        return regs
-
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
         """Streaming add (no point limit) — matches ``SetSketch1::add``
         (``sketch.hpp:1196-1198``); used in tests to prove bulk equivalence."""
@@ -245,7 +260,7 @@ class SetSketch1(_MaxMergeSketch):
                       np.asarray(values, dtype=np.uint64), limits)
 
 
-class SetSketch2(_MaxMergeSketch):
+class SetSketch2(_BulkLimitSketch):
     """SetSketch variant 2 (``sketch.hpp:1224-1372``): points sit on the fixed
     grid gamma_i/a = log1p(i/(m-i))/a with truncated-exponential interpolation
     between grid points and a plain exponential tail after the last one."""
@@ -311,27 +326,6 @@ class SetSketch2(_MaxMergeSketch):
                 scatter_max(regs_flat, flat, k)
             active = active[inlimit[:, -1]]
             i += c
-
-    def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-        rows = len(offsets) - 1
-        regs = self.empty(rows)
-        sizes = _sizes(offsets)
-        row_ids = _row_ids(offsets)
-        values = np.asarray(values, dtype=np.uint64)
-        limit_inc_row = np.where(sizes > 0, self.limit_factor / np.maximum(sizes, 1),
-                                 np.inf)
-        attempt = np.ones(rows, dtype=np.int64)
-        todo = np.flatnonzero(sizes > 0)
-        while todo.size:
-            limits_row = limit_inc_row * attempt
-            sel = np.isin(row_ids, todo)
-            self._process(regs, row_ids[sel], values[sel], limits_row[row_ids[sel]])
-            klow = regs[todo].min(axis=1).astype(np.int64)
-            lim = limits_row[todo]
-            failed = (klow <= self.q) & (lim <= self.base ** (-klow.astype(np.float64)))
-            todo = todo[failed]
-            attempt[todo] += 1
-        return regs
 
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
         limits = np.full(len(values), np.inf)

@@ -121,3 +121,19 @@ def test_setsketch_bulk_retry_path():
     stream = s.empty(1)
     s.add_flat(stream, np.zeros(300, dtype=np.int64), vals)
     assert np.array_equal(bulk, stream)
+
+
+@pytest.mark.parametrize("cls", [SetSketch1, SetSketch2])
+def test_bulk_first_attempt_success_probability(cls):
+    """The point-limit formula targets >= 95 % first-attempt success
+    (``sketch.hpp:1085, 1114``); measure it like data/bulk_update_test*.csv
+    (the SetSketch2 limit is an approximation — allow a small margin)."""
+    sk = cls(m=256, base=2.0, a=20.0, q=62)
+    n_rows, per_row = 300, 500
+    vals = _elements(12, n_rows * per_row)
+    offsets = np.arange(0, n_rows * per_row + 1, per_row)
+    attempts = np.zeros(n_rows, dtype=np.int64)
+    sk.sketch_rows(vals, offsets, attempts_out=attempts)
+    success = (attempts == 1).mean()
+    assert success >= 0.85, f"first-attempt success {success}"
+    assert attempts.max() <= 5
