@@ -124,8 +124,11 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
         ds = ds.materialize()
 
     # verification payload: shingle sets (+ registers for the ML stage)
+    schema = ds.schema()
+    schema_names = schema.names if schema is not None else \
+        [m.shingle_col for m in mods]  # empty dataset: assume full schema
     payload_cols = [id_col] + [m.shingle_col for m in mods
-                               if m.shingle_col in ds.schema().names]
+                               if m.shingle_col in schema_names]
     if carry_regs:
         payload_cols += ["regs", "cardinality"]
     payload = ds.select_columns(payload_cols)
@@ -160,9 +163,13 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
                 c: (list_u64_to_binary(t[c]) if c in list_cols else t[c])
                 for c in t.column_names})
 
-        payload_tbl = pa.concat_tables(
-            [to_binary_cols(b) for b in payload.iter_batches(
-                batch_format="pyarrow", batch_size=262144)])
+        payload_batches = [to_binary_cols(b) for b in payload.iter_batches(
+            batch_format="pyarrow", batch_size=262144)]
+        if not payload_batches:  # empty input corpus
+            payload_batches = [pa.table(
+                {c: pa.array([], pa.string() if c == id_col else pa.binary())
+                 for c in payload_cols})]
+        payload_tbl = pa.concat_tables(payload_batches)
         lookup_ref = ray.put(payload_tbl)
         attach_conc = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
         pairs = pairs.map_batches(

@@ -172,3 +172,19 @@ def test_labelprop_equals_unionfind_on_fixture(fixture_path, ray_session):
     lp = cluster_edges_labelprop(
         __import__("ray").data.from_arrow(et.select(["id_a", "id_b"])))
     assert uf == lp
+
+
+def test_empty_and_single_row_inputs(ray_session):
+    import ray.data as rd
+
+    schema_cols = {"image_id": pa.array([], pa.string()),
+                   "caption": pa.array([], pa.string()),
+                   "phash": pa.array([], pa.int64())}
+    empty = rd.from_arrow(pa.table(schema_cols))
+    clustered, edges, mapping = near_dup_pipeline(empty, DedupConfig())
+    assert clustered.count() == 0 and edges.num_rows == 0 and mapping == {}
+    one = rd.from_arrow(pa.table({"image_id": pa.array(["a"]),
+                                  "caption": pa.array(["hello world example"]),
+                                  "phash": pa.array([12345], pa.int64())}))
+    clustered, edges, mapping = near_dup_pipeline(one, DedupConfig())
+    assert clustered.count() == 1 and edges.num_rows == 0
