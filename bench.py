@@ -68,6 +68,15 @@ def run_benchmarks() -> dict:
 
     timings: dict[str, float] = {}
 
+    # --- distributed sketch fold: elements/s across the whole node (the
+    # "matches-or-beats reference single-node throughput" comparison); run
+    # before the flagship so the object store is quiet
+    _distributed_sketch_fold(4_000_000, NUM_CPUS)  # warm this pipeline shape
+    t0 = time.time()
+    n_elem = 128_000_000
+    _distributed_sketch_fold(n_elem, NUM_CPUS)
+    distributed_fold_eps = round(n_elem / (time.time() - t0))
+
     # --- headline: flagship image+caption near-dup pipeline
     t0 = time.time()
     ds = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
@@ -108,13 +117,7 @@ def run_benchmarks() -> dict:
     # C++ single-thread numbers are the comparison row)
     sketch_micro = _sketch_microbench()
 
-    # --- distributed sketch fold: elements/s across the whole node (the
-    # "matches-or-beats reference single-node throughput" comparison)
-    _distributed_sketch_fold(4_000_000, NUM_CPUS)  # warm this pipeline shape
-    t0 = time.time()
-    n_elem = 128_000_000
-    _distributed_sketch_fold(n_elem, NUM_CPUS)
-    sketch_micro["ghll_m4096_distributed"] = round(n_elem / (time.time() - t0))
+    sketch_micro["ghll_m4096_distributed"] = distributed_fold_eps
 
     result = {
         "metric": "near-dup image pipeline wall-clock "

@@ -115,15 +115,26 @@ class GHLL(_MaxMergeSketch):
         self.dtype = value_dtype(q)
         self.mapping = _LogMapping(base, q)
 
+    # L2-cache-sized element chunks: the per-element math is ~15 vector
+    # passes; chunking keeps intermediates cache-resident so concurrent
+    # workers don't fight for DRAM bandwidth (measured 5-10x slowdown at 32
+    # concurrent tasks without it on bandwidth-limited hosts)
+    _cache_chunk = 1 << 17
+
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
-        if len(values) == 0:
+        n = len(values)
+        if n == 0:
             return
-        u = uniform_double(mix2(values, _CTR_POINT))
-        k = self.mapping.map_levels(u)
-        idx = bounded_uint(mix2(values, _CTR_INDEX), self.m)
-        rel = k > 0
-        flat = row_ids[rel] * self.m + idx[rel].astype(np.int64)
-        scatter_max(regs.reshape(-1), flat, k[rel])
+        regs_flat = regs.reshape(-1)
+        for lo in range(0, n, self._cache_chunk):
+            hi = min(lo + self._cache_chunk, n)
+            v = values[lo:hi]
+            u = uniform_double(mix2(v, _CTR_POINT))
+            k = self.mapping.map_levels(u)
+            idx = bounded_uint(mix2(v, _CTR_INDEX), self.m)
+            rel = k > 0
+            flat = row_ids[lo:hi][rel] * self.m + idx[rel].astype(np.int64)
+            scatter_max(regs_flat, flat, k[rel])
 
 
 class HLL(_MaxMergeSketch):
