@@ -171,11 +171,14 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
                  for c in payload_cols})]
         payload_tbl = pa.concat_tables(payload_batches)
         lookup_ref = ray.put(payload_tbl)
-        attach_conc = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
-        pairs = pairs.map_batches(
-            _AttachPayloadBroadcast,
-            fn_constructor_args=(lookup_ref, id_col),
-            batch_format="pyarrow", batch_size=16384, concurrency=attach_conc)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            # stateless TASKS (no actor-pool startup latency); the id index
+            # is built once per worker process and cached by object ref
+            return _attach_payload(batch, lookup_ref, id_col)
+
+        pairs = pairs.map_batches(attach, batch_format="pyarrow",
+                                  batch_size=16384)
     else:
         pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
                                     batch_format="pyarrow")
@@ -194,10 +197,41 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     return pairs
 
 
+_WORKER_CACHE: dict = {}
+
+
+def _attach_payload(batch: pa.Table, lookup_ref, id_col: str) -> pa.Table:
+    """Append ``<payload>_a`` / ``<payload>_b`` columns by Arrow ``take``
+    from the broadcast payload table.  The (table, id->row index) pair is
+    cached per worker process keyed by the object ref — reused across tasks
+    with no actor pool."""
+    import ray
+
+    key = ("payload", lookup_ref.hex() if hasattr(lookup_ref, "hex")
+           else id(lookup_ref))
+    cached = _WORKER_CACHE.get(key)
+    if cached is None:
+        table: pa.Table = ray.get(lookup_ref) \
+            if not isinstance(lookup_ref, pa.Table) else lookup_ref
+        index = {v: i for i, v in enumerate(table[id_col].to_pylist())}
+        cached = (table, index)
+        _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = cached
+    table, index = cached
+    value_cols = [c for c in table.column_names if c != id_col]
+    out = batch
+    for side in ("a", "b"):
+        rows = pa.array([index[i] for i in batch[f"id_{side}"].to_pylist()],
+                        pa.int64())
+        taken = table.take(rows)
+        for cname in value_cols:
+            out = out.append_column(f"{cname}_{side}", taken[cname])
+    return out
+
+
 class _AttachPayloadBroadcast:
-    """Actor stage: append ``<payload>_a`` / ``<payload>_b`` columns by
-    Arrow ``take`` from a broadcast payload table (fetched + indexed once per
-    actor in ``__init__``)."""
+    """Actor-pool variant kept for the checkpointed pipeline (explicit
+    construction)."""
 
     def __init__(self, lookup_ref, id_col: str):
         import ray
@@ -284,9 +318,23 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
                                 "id_b": pa.array([], pa.string())})
         mapping = {}
     mapping_ref = ray.put(mapping)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # stateless tasks; the broadcast map is fetched once per worker
+        key = ("clmap", mapping_ref.hex())
+        m = _WORKER_CACHE.get(key)
+        if m is None:
+            m = ray.get(mapping_ref)
+            _WORKER_CACHE[key] = m
+        ids = batch[id_col].to_pylist()
+        cluster = [m.get(i, i) for i in ids]
+        out = batch.append_column("cluster_id", pa.array(cluster, pa.string()))
+        return out.append_column(
+            "is_canonical",
+            pa.array([c == i for c, i in zip(cluster, ids)], pa.bool_()))
+
     clustered = ds.select_columns([id_col]).map_batches(
-        AssignClusters, fn_constructor_args=(mapping_ref, id_col),
-        batch_format="pyarrow", concurrency=2)
+        assign, batch_format="pyarrow")
     return clustered, edges_table, mapping
 
 
