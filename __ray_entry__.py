@@ -160,7 +160,7 @@ def _q_near_dup_docs(sf_dir: str):
         sketch=SketchConfig(modalities=(
             Modality("cap", "shingles_cap", minhash_m=128, num_bands=16,
                      rows_per_band=8, threshold=0.7),)),
-        use_phash=False)
+        use_phash=False, pair_dedup="shuffle")  # exact pair-unique output
     return candidate_pairs(ds, cfg, id_col="image_id")
 
 

@@ -68,6 +68,11 @@ class DedupConfig:
     # pin the sketched table so bands and payload don't recompute it; at
     # corpus scale disable and checkpoint to parquet instead (state/checkpoint)
     materialize_sketches: bool = True
+    # "shuffle": global pair-dedup all-to-all before verification (cheap now
+    # that emit dedups within partitions first — and it bounds the x num_bands
+    # duplicate blowup of EXACT duplicates, which dominate web corpora);
+    # "edges": skip it and dedup at the accepted-edge level only
+    pair_dedup: str = "shuffle"
     # "unionfind" collects the sparse edge list to the driver;
     # "labelprop" runs distributed hash-to-min label propagation over the
     # edge dataset (the 10^12-row path: only edges shuffle, O(diameter)
@@ -146,8 +151,13 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     # read with enough blocks (>= cluster cores; bench uses 2x cores).  Band
     # expansion multiplies rows ~50x but keeps the block structure.
     pairs = bands.groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
-    pairs = pairs.groupby("pair_part").map_groups(
-        dedup_pairs_partition, batch_format="pyarrow")
+    if cfg.pair_dedup == "shuffle":
+        # exact global pair uniqueness before verification (checkpointed /
+        # pair-consuming queries); the flagship skips this all-to-all and
+        # dedups at the (tiny) edge level instead — duplicate candidates
+        # from different bands just re-verify vectorized
+        pairs = pairs.groupby("pair_part").map_groups(
+            dedup_pairs_partition, batch_format="pyarrow")
 
     # attach the verification payload onto both pair sides
     list_cols = tuple(m.shingle_col for m in mods)
@@ -303,6 +313,10 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
                                              batch_size=65536)]
     if batches:
         edges_table = pa.concat_tables(batches)
+        if cfg.pair_dedup == "edges" and "pair_key" in edges_table.column_names:
+            keys = edges_table["pair_key"].to_numpy()
+            _, first = np.unique(keys, return_index=True)
+            edges_table = edges_table.take(pa.array(np.sort(first)))
         if cfg.cluster_strategy == "labelprop":
             import ray.data as rd
 

@@ -169,13 +169,22 @@ class EmitPairsPartition:
         id_a, id_b = ids.take(pa.array(i)), ids.take(pa.array(j))
         pair_key = mix2(hash_str_u64(id_a.to_pylist()),
                         hash_str_u64(id_b.to_pylist()))
+        # partition-local dedup: the same pair surfaces from several buckets
+        # of the SAME partition; cross-partition duplicates (different bands)
+        # are deduplicated at the edge level (tiny) instead of a dedicated
+        # all-to-all pair shuffle
+        _, first = np.unique(pair_key, return_index=True)
+        first = np.sort(first)
+        id_a = id_a.take(pa.array(first))
+        id_b = id_b.take(pa.array(first))
         return pa.table({
             "id_a": id_a,
             "id_b": id_b,
-            "oversize": pa.array(oversize, pa.bool_()),
-            "pair_key": pa.array(pair_key, pa.uint64()),
+            "oversize": pa.array(oversize[first], pa.bool_()),
+            "pair_key": pa.array(pair_key[first], pa.uint64()),
             "pair_part": pa.array(
-                (pair_key % self.num_partitions).astype(np.uint32), pa.uint32()),
+                (pair_key[first] % self.num_partitions).astype(np.uint32),
+                pa.uint32()),
         })
 
 
