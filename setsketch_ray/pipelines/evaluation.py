@@ -24,6 +24,39 @@ from ..sketchlib.hashing import mix2
 from ..sketchlib.sketches import GHLL, MinHash, SetSketch1, SetSketch2
 
 
+def config_string(family: str, m: int, base: float, q: int, a: float) -> str:
+    """Reference-style config key for result sinks (mirrors ``appendInfo``,
+    ``sketch.hpp:1969-1981``)."""
+    names = {"ghll": "GeneralizedHyperLogLog", "setsketch1": "SetSketch1",
+             "setsketch2": "SetSketch2", "minhash": "MinHash", "hll": "HyperLogLog"}
+    a_eff = (1.0 / m) if family in ("ghll", "hll") else a
+    return (f"name={names[family]};numRegisters={m};q={q};"
+            f"base={base:.17e};a={a_eff:.17e};")
+
+
+def write_results(table: pa.Table, kind: str, family: str, m: int,
+                  base: float, q: int, a: float, out_dir: str) -> str:
+    """Config-keyed result sink (the engine's analogue of the reference's
+    ``data/<test>(<config>).csv`` files, ``cardinality_test.cpp:36-43``):
+    one CSV per (experiment kind, config), written atomically."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir,
+                        f"{kind}({config_string(family, m, base, q, a)}).csv")
+    import csv as _csv
+
+    tmp = path + ".tmp"
+    cols = table.column_names
+    with open(tmp, "w", newline="") as f:
+        w = _csv.writer(f, delimiter=";")
+        w.writerow(cols)
+        for row in table.to_pylist():
+            w.writerow([row[c] for c in cols])
+    os.replace(tmp, path)
+    return path
+
+
 def geometric_cardinalities(max_cardinality: int, relative_increment: float = 0.3):
     """Geometric grid {1, ...} like ``util.hpp:78-85`` (coarser increment for
     test speed)."""

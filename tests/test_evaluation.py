@@ -36,3 +36,21 @@ def test_joint_error_pipeline_recovers_jaccard(ray_session):
     assert (df["rmse_new"] < 0.05).all()
     # the reference's headline result: joint ML beats inclusion-exclusion
     assert (df["rmse_new"] <= df["rmse_incl_excl"] * 1.1).all()
+
+
+def test_config_keyed_result_sink(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from setsketch_ray.pipelines.evaluation import write_results
+
+    t = pa.table({"cardinality": pa.array([1, 2], type=pa.int64()),
+                  "rmse": pa.array([0.1, 0.2])})
+    p = write_results(t, "cardinality_test", "ghll", 4096, 2.0, 62, 20.0,
+                      str(tmp_path))
+    assert os.path.exists(p)
+    assert "name=GeneralizedHyperLogLog;numRegisters=4096;q=62" in p
+    lines = open(p).read().strip().splitlines()
+    assert lines[0] == "cardinality;rmse"
+    assert len(lines) == 3

@@ -74,6 +74,18 @@ def test_bounded_uint_chi_square(n):
     assert chi2 < df + 3.3 * np.sqrt(2 * df) + 10
 
 
+@pytest.mark.parametrize("p", [0.1, 0.5, 0.9])
+def test_bernoulli_binomial(p):
+    """Binomial test analogue (``random_test.py:64-70``): observed success
+    count within 4 sigma of N*p."""
+    from setsketch_ray.sketchlib.hashing import bernoulli
+
+    draws = bernoulli(mix2(np.arange(N, dtype=np.uint64), 23), p)
+    k = draws.sum()
+    sigma = np.sqrt(N * p * (1 - p))
+    assert abs(k - N * p) < 4 * sigma
+
+
 def test_mix64_bijective_sample():
     x = np.arange(N, dtype=np.uint64)
     assert len(np.unique(mix64(x))) == N
