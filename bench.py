@@ -104,6 +104,33 @@ def run_benchmarks() -> dict:
     timings["near_dup_images"] = best
     images_per_sec = n_rows / timings["near_dup_images"]
 
+    # --- map-stage-only probe (decode -> shingle -> sketch, NO shuffle):
+    # isolates CPU scaling from shared-DRAM/object-store contention, which a
+    # real N-node vs 4N-node cluster does not share (each node brings its own
+    # memory system).  Used by --scaling for the map-stage efficiency figure.
+    from setsketch_ray.stages.image import DecodeStage
+    from setsketch_ray.stages.shingle import ShingleStage
+    from setsketch_ray.stages.sketch_stage import SketchStage
+
+    def _map_stage_run():
+        d = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
+        d = d.map_batches(DecodeStage(), batch_format="pyarrow",
+                          batch_size=1024, concurrency=max(2, NUM_CPUS // 2))
+        d = d.map_batches(ShingleStage(), batch_format="pyarrow")
+        d = d.map_batches(SketchStage(SketchConfig(), drop_shingles=True),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=max(2, NUM_CPUS // 2))
+        return d.count()
+
+    _map_stage_run()  # warm
+    best_map = None
+    for _rep in range(repeats):
+        t0 = time.time()
+        _map_stage_run()
+        dt = time.time() - t0
+        best_map = dt if best_map is None else min(best_map, dt)
+    timings["map_stage_only"] = best_map
+
     # --- near-dup over sf documents (text modality)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -224,6 +251,9 @@ def run_scaling() -> None:
     tput_lo = r_lo["images_per_sec"]
     tput_hi = r_hi["images_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
+    map_lo = r_lo["queries"]["map_stage_only"]
+    map_hi = r_hi["queries"]["map_stage_only"]
+    map_eff = (map_lo / map_hi) / (hi / lo)
     print(json.dumps({
         "metric": "scaling efficiency (images/s at 8 vs 32 cpus, fresh "
                   "ray.init each, same input)",
@@ -231,6 +261,12 @@ def run_scaling() -> None:
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "images_per_sec_lo": tput_lo, "images_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
+        "map_stage_sec_lo": map_lo, "map_stage_sec_hi": map_hi,
+        "map_stage_scaling_efficiency": round(map_eff, 3),
+        "note": "end-to-end efficiency on ONE box confounds cpu scaling "
+                "with shared DRAM/object-store bandwidth; map-stage "
+                "efficiency isolates cpu scaling (multi-node clusters add "
+                "bandwidth per node)",
         "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
     }))
 

@@ -73,6 +73,11 @@ class DedupConfig:
     # duplicate blowup of EXACT duplicates, which dominate web corpora);
     # "edges": skip it and dedup at the accepted-edge level only
     pair_dedup: str = "shuffle"
+    # collapse rows with IDENTICAL shingle content to one representative
+    # before banding (web corpora are dominated by exact duplicates; LSH then
+    # runs over unique content only) and expand the cluster map through the
+    # exact groups afterwards
+    collapse_exact: bool = False
     # "unionfind" collects the sparse edge list to the driver;
     # "labelprop" runs distributed hash-to-min label propagation over the
     # edge dataset (the 10^12-row path: only edges shuffle, O(diameter)
@@ -296,6 +301,41 @@ def verified_edges(pairs, cfg: DedupConfig):
     return pairs.map_batches(filt, batch_format="pyarrow")
 
 
+def _exact_groups(ds, cfg: DedupConfig, id_col: str):
+    """(member -> representative) map for rows with identical shingle
+    content.  Driver-side at test scale (ids + 8-byte keys only); the
+    10^12-row path replaces the pull with a groupby(content_key) shuffle."""
+    from ..stages.shingle import ShingleStage, content_keys
+    from ..stages.sketch_stage import list_column_to_flat
+
+    sh = ds.map_batches(ShingleStage(ngrams=cfg.ngrams,
+                                     use_phash=cfg.use_phash),
+                        batch_format="pyarrow")
+
+    def keys(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        agg = np.zeros(t.num_rows, dtype=np.uint64)
+        for mod in cfg.sketch.modalities:
+            if mod.shingle_col in t.column_names:
+                vals, offs = list_column_to_flat(t[mod.shingle_col])
+                agg ^= content_keys(vals, offs)
+        return pa.table({id_col: t[id_col],
+                         "content_key": pa.array(agg, pa.uint64())})
+
+    kt = pa.concat_tables(list(sh.map_batches(keys, batch_format="pyarrow")
+                               .iter_batches(batch_format="pyarrow",
+                                             batch_size=1 << 20)))
+    rep_of_key: dict = {}
+    ids = kt[id_col].to_pylist()
+    cks = kt["content_key"].to_pylist()
+    for i, k in zip(ids, cks):
+        if k not in rep_of_key or i < rep_of_key[k]:
+            rep_of_key[k] = i
+    member_rep = {i: rep_of_key[k] for i, k in zip(ids, cks)}
+    return member_rep
+
+
 def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
                       id_col: str = "image_id"):
     """Full pipeline.  Returns (clustered_dataset, edges_table, mapping).
@@ -306,7 +346,21 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
     """
     import ray
 
-    pairs = candidate_pairs(ds, cfg, id_col=id_col)
+    member_rep = None
+    lsh_input = ds
+    if cfg.collapse_exact:
+        member_rep = _exact_groups(ds, cfg, id_col)
+        reps = frozenset(member_rep.values())
+        reps_ref = ray.put(reps)
+
+        def only_reps(t: pa.Table) -> pa.Table:
+            r = ray.get(reps_ref)
+            mask = pa.array([i in r for i in t[id_col].to_pylist()])
+            return t.filter(mask)
+
+        lsh_input = ds.map_batches(only_reps, batch_format="pyarrow")
+
+    pairs = candidate_pairs(lsh_input, cfg, id_col=id_col)
     edges = verified_edges(pairs, cfg)
     # the verified edge list is sparse — safe to materialize driver-side
     batches = [b for b in edges.iter_batches(batch_format="pyarrow",
@@ -331,6 +385,19 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
         edges_table = pa.table({"id_a": pa.array([], pa.string()),
                                 "id_b": pa.array([], pa.string())})
         mapping = {}
+    if member_rep is not None:
+        # expand the representative-space clusters through the exact groups,
+        # then re-canonicalize roots to the min member of each full cluster
+        from collections import Counter
+
+        full = {m: mapping.get(rep, rep) for m, rep in member_rep.items()}
+        root_min: dict = {}
+        for member, root in full.items():
+            if root not in root_min or member < root_min[root]:
+                root_min[root] = member
+        expanded = {m: root_min[r] for m, r in full.items()}
+        sizes = Counter(expanded.values())
+        mapping = {m: r for m, r in expanded.items() if sizes[r] > 1}
     mapping_ref = ray.put(mapping)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -159,6 +159,21 @@ def combined_shingles(captions, phash_int64, ngrams: tuple = (1, 2),
     return out, offsets
 
 
+def content_keys(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Order-independent 64-bit content key per row-set (XOR-aggregate of the
+    mixed shingle values + cardinality mix): identical sets -> identical key;
+    used by the exact-duplicate pre-collapse."""
+    mixed = mix2(vals, 40499)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = np.diff(offsets) > 0
+    if len(mixed):
+        agg = np.bitwise_xor.reduceat(mixed,
+                                      np.minimum(offsets[:-1], len(mixed) - 1))
+        out[nonempty] = agg[nonempty]
+    return mix2(out, np.diff(offsets).astype(np.uint64))
+
+
 def _list_array(vals: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
     return pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()) if offsets[-1] < 2**31

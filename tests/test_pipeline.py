@@ -188,3 +188,25 @@ def test_empty_and_single_row_inputs(ray_session):
                                   "phash": pa.array([12345], pa.int64())}))
     clustered, edges, mapping = near_dup_pipeline(one, DedupConfig())
     assert clustered.count() == 1 and edges.num_rows == 0
+
+
+def test_collapse_exact_preserves_recall(fixture_path, ray_session):
+    """Exact-dup pre-collapse (LSH over unique content only) must keep both
+    planted near-dup recall and exact-copy co-clustering intact."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(fixture_path)
+    dup_rows = t.filter(pa.array([i % 5 == 0 for i in range(t.num_rows)]))
+    new_ids = pa.array([f"zzz{i:09d}" for i in range(dup_rows.num_rows)])
+    dup_rows = dup_rows.set_column(
+        dup_rows.column_names.index("image_id"), "image_id", new_ids)
+    corpus = pa.concat_tables([t, dup_rows])
+    ds = rd.from_arrow(corpus).repartition(8)
+    _, _, mapping = near_dup_pipeline(ds, DedupConfig(collapse_exact=True))
+    rec = evaluate_recall(mapping, truth_pairs(N))
+    assert rec["recall"] >= 0.99
+    orig = [f"img{i:012d}" for i in range(0, N, 5)]
+    copies = [f"zzz{i:09d}" for i in range(len(orig))]
+    assert all(mapping.get(a, a) == mapping.get(b, b)
+               for a, b in zip(orig, copies))
