@@ -325,6 +325,16 @@ def _q_joint_eval(sf_dir: str):
                                 parallelism=8)
 
 
+def _q_top_events_per_user(sf_dir: str):
+    """Top-3 events per user by value (hash-partitioned vectorized rank —
+    no global sort); oracle via QUALIFY row_number()."""
+    from setsketch_ray.functions.relational import top_k_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return top_k_per_group(ds, "user_id", "value", 3,
+                           tiebreak_col="event_id")
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based session windows over the events stream (30-min gap):
     hash-partition by user, one vectorized sessionization pass per partition.
@@ -433,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_methods": _q_approx_distinct_methods,
         "substring_dup_docs": _q_substring_dup_docs,
         "sessionize": _q_sessionize,
+        "top_events_per_user": _q_top_events_per_user,
     }
 
 
@@ -498,4 +509,8 @@ def oracle_sql() -> dict[str, str]:
             "  min(ts) AS session_start, max(ts) AS session_end,"
             "  sum(value) AS total_value "
             "FROM sess GROUP BY user_id, session_id",
+        "top_events_per_user":
+            "SELECT user_id, event_id, value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id) <= 3",
     }

@@ -96,6 +96,53 @@ def grouped_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str | None
     return partials.repartition(1).map_batches(combine, batch_format="pyarrow")
 
 
+def top_k_per_group(ds, group_col: str, order_col: str, k: int,
+                    tiebreak_col: str | None = None,
+                    num_partitions: int = 32):
+    """Top-k rows per group by ``order_col`` descending (ties broken by
+    ``tiebreak_col`` ascending): hash-partition by group, then ONE vectorized
+    lexsort + rank pass per partition — no per-group Python, no global sort.
+    """
+    import numpy as np
+
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        if g.dtype.kind in "iu":
+            h = mix64(g.astype(np.uint64))
+        else:
+            from ..sketchlib.hashing import hash_str_u64
+
+            h = hash_str_u64([str(v) for v in g])
+        return t.append_column("__part", pa.array(
+            (h % num_partitions).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return t
+        import pyarrow.compute as pc
+
+        keys = [(group_col, "ascending"), (order_col, "descending")]
+        if tiebreak_col:
+            keys.append((tiebreak_col, "ascending"))
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        new_g = np.empty(len(g), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g[1:] != g[:-1]
+        # rank within group = index - index of group start
+        idx = np.arange(len(g))
+        start = np.maximum.accumulate(np.where(new_g, idx, 0))
+        rank = idx - start
+        return t.filter(pa.array(rank < k))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")
+
+
 def count_distinct(ds, column: str) -> int:
     """Exact distinct count: per-batch unique -> global unique (the partials
     are value sets, usually far smaller than the data)."""
