@@ -1,0 +1,52 @@
+"""Corpus readers: Lance first (the production input format per
+BASELINE.json input_hint), parquet fallback (this sandbox has no lance
+package — the reader is import-gated, not stubbed away).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_corpus(path: str, columns=None, override_num_blocks: int | None = None):
+    """Read an image+caption corpus as a Ray Dataset.
+
+    * ``*.lance`` / Lance dataset directories -> ``ray.data.read_lance``
+      (requires the ``lance`` package; production path);
+    * parquet file or directory -> ``ray.data.read_parquet``.
+    """
+    import ray.data as rd
+
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+
+    is_lance = path.endswith(".lance") or (
+        os.path.isdir(path) and any(n.endswith(".lance") or n == "_versions"
+                                    for n in os.listdir(path)))
+    if is_lance:
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "lance is not installed in this environment; the corpus "
+                "reader supports Lance in production and parquet here"
+            ) from e
+        return rd.read_lance(path, **kwargs)
+    return rd.read_parquet(path, **kwargs)
+
+
+def write_corpus(ds, path: str, partition_cols=None):
+    """Write a dataset as Lance (if available and path endswith .lance) or
+    partitioned parquet."""
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+
+            return ds.write_lance(path)
+        except ImportError as e:
+            raise ImportError("lance is not installed; write parquet") from e
+    kwargs = {"partition_cols": partition_cols} if partition_cols else {}
+    return ds.write_parquet(path, **kwargs)

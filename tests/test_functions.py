@@ -186,3 +186,31 @@ def test_substring_dup_pairs(rd):
     assert expected <= got                       # all sharers found
     assert all(a < 10 and b < 10 for a, b in got)  # and nothing else
     assert min(pairs["shared_windows"].to_pylist()) >= 1
+
+
+def test_read_corpus_parquet_and_lance_gate(rd, tmp_path):
+    import pytest as _pytest
+
+    from setsketch_ray.sources import cached_images_parquet
+    from setsketch_ray.sources.readers import read_corpus
+
+    ds = read_corpus(cached_images_parquet(200), columns=["image_id"])
+    assert ds.count() == 200
+    with _pytest.raises(ImportError):
+        read_corpus(str(tmp_path / "corpus.lance"))
+
+
+def test_top_k_per_group(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import top_k_per_group
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"g": rng.integers(0, 20, 500),
+                       "eid": np.arange(500),
+                       "v": rng.standard_normal(500)})
+    out = top_k_per_group(rd.from_pandas(df).repartition(5), "g", "v", 3,
+                          tiebreak_col="eid").to_pandas()
+    ref = df.sort_values(["g", "v", "eid"], ascending=[True, False, True]) \
+        .groupby("g").head(3)
+    assert sorted(out["eid"]) == sorted(ref["eid"])
