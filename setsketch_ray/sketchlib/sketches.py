@@ -231,7 +231,7 @@ class SetSketch1(_BulkLimitSketch):
         self.perm = FeistelPermutation(self.m)
 
     def _process(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray,
-                 limits: np.ndarray) -> None:
+                 limits: np.ndarray, dynamic_stop: bool = False) -> None:
         """Scatter all points of ``values`` with x <= limits into ``regs``."""
         n = len(values)
         if n == 0:
@@ -260,15 +260,25 @@ class SetSketch1(_BulkLimitSketch):
                 flat = row_ids[active[e_sel]] * self.m + ridx
                 scatter_max(regs_flat, flat, k)
             x[active] = xs[:, -1]
-            active = active[inlimit[:, -1]]
+            keep = inlimit[:, -1]
+            # the reference's lower-bound early exit (sketch.hpp:1182-1184):
+            # once an element's running point maps to a level <= the row's
+            # min register, no future (larger) point can update anything.
+            # Streaming mode only — the bulk point limit already truncates.
+            if dynamic_stop and active.size:
+                k_last = self.mapping.map_levels(xs[:, -1])
+                row_min = regs.min(axis=1).astype(np.int64)
+                keep = keep & (k_last > row_min[row_ids[active]])
+            active = active[keep]
             i += c
 
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
         """Streaming add (no point limit) — matches ``SetSketch1::add``
-        (``sketch.hpp:1196-1198``); used in tests to prove bulk equivalence."""
+        (``sketch.hpp:1196-1198``) including the lower-bound early exit."""
         limits = np.full(len(values), np.inf)
         self._process(regs, np.asarray(row_ids, dtype=np.int64),
-                      np.asarray(values, dtype=np.uint64), limits)
+                      np.asarray(values, dtype=np.uint64), limits,
+                      dynamic_stop=True)
 
 
 class SetSketch2(_BulkLimitSketch):
@@ -312,7 +322,7 @@ class SetSketch2(_BulkLimitSketch):
         return xs
 
     def _process(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray,
-                 limits: np.ndarray) -> None:
+                 limits: np.ndarray, dynamic_stop: bool = False) -> None:
         n = len(values)
         if n == 0:
             return
@@ -335,13 +345,20 @@ class SetSketch2(_BulkLimitSketch):
                                        (i + c_sel).astype(np.uint64)).astype(np.int64)
                 flat = row_ids[active[e_sel]] * self.m + ridx
                 scatter_max(regs_flat, flat, k)
-            active = active[inlimit[:, -1]]
+            keep = inlimit[:, -1]
+            # lower-bound early exit, streaming mode (see SetSketch1._process)
+            if dynamic_stop and active.size:
+                k_last = self.mapping.map_levels(xs[:, -1])
+                row_min = regs.min(axis=1).astype(np.int64)
+                keep = keep & (k_last > row_min[row_ids[active]])
+            active = active[keep]
             i += c
 
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
         limits = np.full(len(values), np.inf)
         self._process(regs, np.asarray(row_ids, dtype=np.int64),
-                      np.asarray(values, dtype=np.uint64), limits)
+                      np.asarray(values, dtype=np.uint64), limits,
+                      dynamic_stop=True)
 
 
 class MinHash:
