@@ -159,6 +159,57 @@ def combined_shingles(captions, phash_int64, ngrams: tuple = (1, 2),
     return out, offsets
 
 
+def hot_shingle_blocklist(ds, cfg_modalities, caption_col: str = "caption",
+                          phash_col: str = "phash", ngrams: tuple = (1, 2),
+                          min_doc_fraction: float = 0.02,
+                          top_k: int = 4096) -> frozenset:
+    """Document-frequency pass: shingles appearing in more than
+    ``min_doc_fraction`` of documents (capped at ``top_k``) — the corpus-
+    specific complement to the static stopword list.  Hot shingles carry no
+    dedup signal but cause LSH bucket skew.
+
+    Implementation: per-batch (shingle, 1) partials deduped per row ->
+    pyarrow partial counts -> driver combine (the candidate set is bounded
+    by per-batch uniques).  Broadcast the result and pass as ``blocklist``
+    to :class:`ShingleStage`.
+    """
+    import pyarrow.compute as pc
+
+    stage = ShingleStage(caption_col=caption_col, phash_col=phash_col,
+                         ngrams=ngrams)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh = stage(t)
+        counts: dict = {}
+        for mod_col in ("shingles_cap", "shingles_vis"):
+            if mod_col not in sh.column_names:
+                continue
+            arr = sh[mod_col].combine_chunks()
+            flat = np.asarray(arr.values, dtype=np.uint64)
+            u, c = np.unique(flat, return_counts=True)
+            for k, v in zip(u.tolist(), c.tolist()):
+                counts[k] = counts.get(k, 0) + v
+        items = sorted(counts.items(), key=lambda kv: -kv[1])[:top_k * 4]
+        return pa.table({
+            "shingle": pa.array([k for k, _ in items], pa.uint64()),
+            "df": pa.array([v for _, v in items], pa.int64()),
+            "docs": pa.array([t.num_rows] * len(items), pa.int64()),
+        })
+
+    totals: dict = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for k, v in zip(b["shingle"].to_pylist(), b["df"].to_pylist()):
+            totals[k] = totals.get(k, 0) + v
+    n_docs = ds.count()
+    if n_docs == 0:
+        return frozenset()
+    thr = max(2, int(min_doc_fraction * n_docs))
+    hot = [k for k, v in totals.items() if v >= thr]
+    hot.sort(key=lambda k: -totals[k])
+    return frozenset(hot[:top_k])
+
+
 def content_keys(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Order-independent 64-bit content key per row-set (XOR-aggregate of the
     mixed shingle values + cardinality mix): identical sets -> identical key;
@@ -193,21 +244,42 @@ class ShingleStage:
 
     def __init__(self, caption_col: str = "caption", phash_col: str = "phash",
                  ngrams: tuple = (1, 2), use_phash: bool = True,
-                 drop_stopwords: bool = True):
+                 drop_stopwords: bool = True, blocklist: frozenset | None = None):
         self.caption_col = caption_col
         self.phash_col = phash_col
         self.ngrams = ngrams
         self.use_phash = use_phash
         self.drop_stopwords = drop_stopwords
+        # corpus-specific hot shingles (document-frequency pass,
+        # :func:`hot_shingle_blocklist`) dropped from BOTH modalities
+        self.blocklist = np.fromiter(blocklist, dtype=np.uint64) \
+            if blocklist else None
+        if self.blocklist is not None:
+            self.blocklist.sort()
+
+    def _filter_hot(self, vals: np.ndarray, offsets: np.ndarray):
+        if self.blocklist is None or len(vals) == 0:
+            return vals, offsets
+        pos = np.searchsorted(self.blocklist, vals)
+        pos = np.minimum(pos, len(self.blocklist) - 1)
+        keep = self.blocklist[pos] != vals
+        n = len(offsets) - 1
+        row_of = np.repeat(np.arange(n), np.diff(offsets))
+        sizes = np.bincount(row_of[keep], minlength=n)
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=new_off[1:])
+        return vals[keep], new_off
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cap_vals, cap_off = caption_shingles(batch[self.caption_col], self.ngrams,
                                              self.drop_stopwords)
+        cap_vals, cap_off = self._filter_hot(cap_vals, cap_off)
         out = batch.append_column("shingles_cap", _list_array(cap_vals, cap_off))
         if self.use_phash and self.phash_col in batch.column_names:
             vis = phash_shingles(batch[self.phash_col])
             n, k = vis.shape
             vis_off = np.arange(0, (n + 1) * k, k, dtype=np.int64)
+            vis_vals, vis_off = self._filter_hot(vis.reshape(-1), vis_off)
             out = out.append_column("shingles_vis",
-                                    _list_array(vis.reshape(-1), vis_off))
+                                    _list_array(vis_vals, vis_off))
         return out

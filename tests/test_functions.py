@@ -214,3 +214,33 @@ def test_top_k_per_group(rd):
     ref = df.sort_values(["g", "v", "eid"], ascending=[True, False, True]) \
         .groupby("g").head(3)
     assert sorted(out["eid"]) == sorted(ref["eid"])
+
+
+def test_hot_shingle_blocklist(rd):
+    """DF pass finds corpus-hot shingles; ShingleStage(blocklist=...) drops
+    them from both modalities while keeping rare shingles intact."""
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.sources import cached_images_parquet
+    from setsketch_ray.stages.shingle import (ShingleStage,
+                                              hot_shingle_blocklist)
+    from setsketch_ray.stages.sketch_stage import (DEFAULT_MODALITIES,
+                                                   list_column_to_flat)
+
+    # every caption gets a shared hot token injected
+    t = pq.read_table(cached_images_parquet(400))
+    caps = pa.array([c + " megahotword" for c in t["caption"].to_pylist()])
+    t = t.set_column(t.column_names.index("caption"), "caption", caps)
+    ds = rd.from_arrow(t).repartition(4)
+    block = hot_shingle_blocklist(ds, DEFAULT_MODALITIES,
+                                  min_doc_fraction=0.5)
+    assert len(block) >= 1  # at least the injected unigram
+
+    plain = ShingleStage()(t)
+    filtered = ShingleStage(blocklist=block)(t)
+    v0, o0 = list_column_to_flat(plain["shingles_cap"])
+    v1, o1 = list_column_to_flat(filtered["shingles_cap"])
+    assert len(v1) < len(v0)
+    assert not (set(v1.tolist()) & set(block))
+    # rare shingles survive
+    assert len(v1) > 0.5 * len(v0)
