@@ -455,7 +455,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
         "doc_stats_by_lang":
             "SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars, "
-            "sum(n_chars) AS total_chars FROM documents GROUP BY lang",
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang",
         "lineitem_agg":
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "sum(l_extendedprice) AS sum_base_price, "
@@ -505,7 +506,8 @@ def oracle_sql() -> dict[str, str]:
             "    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
             "      ROWS UNBOUNDED PRECEDING) AS session_id"
             "  FROM marked)"
-            "SELECT user_id, session_id, count(*) AS n_events,"
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "count(*) AS n_events,"
             "  min(ts) AS session_start, max(ts) AS session_end,"
             "  sum(value) AS total_value "
             "FROM sess GROUP BY user_id, session_id",
