@@ -57,12 +57,19 @@ _OCTET_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
 
 
 def simhash_pairs(ds, id_col: str, text_col: str = "text",
-                  max_hamming: int = 8, num_partitions: int = 64):
+                  max_hamming: int = 8, num_partitions: int = 64,
+                  bucket_cap: int = 256):
     """Near-dup pairs by SimHash with octet-combination Hamming LSH: the
     64-bit fingerprint splits into 8 octets; every pair of octets forms a
     band key (28 bands).  Pigeonhole: any two fingerprints within Hamming
     distance 6 share a clean octet pair, so catch is GUARANTEED for h <= 6
     and probabilistic beyond.  Exact Hamming distance verifies in-group.
+
+    Buckets above ``bucket_cap`` switch from all-pairs to the star+chain
+    topology (as the flagship LSH, ``stages/lsh.py``) over members SORTED BY
+    FINGERPRINT, so identical/near-identical fingerprints stay adjacent and
+    the chain keeps them connected — emitted pairs stay O(n) per hot bucket
+    without dropping it (ADVICE r1).
 
     Returns (id_a, id_b, hamming) for pairs with hamming <= max_hamming.
     """
@@ -98,6 +105,7 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text",
             return empty
         order = pc.sort_indices(partition,
                                 sort_keys=[("band_key", "ascending"),
+                                           ("simhash", "ascending"),
                                            (id_col, "ascending")])
         t = partition.take(order)
         keys = t["band_key"].to_numpy()
@@ -105,9 +113,16 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text",
         sizes = np.diff(np.concatenate([starts, [len(keys)]]))
         ii, jj = [], []
         for s, n in zip(starts, sizes):
-            if n < 2 or n > 256:
+            if n < 2:
                 continue
-            a, b = np.triu_indices(n, k=1)
+            if n <= bucket_cap:
+                a, b = np.triu_indices(n, k=1)
+            else:
+                # star + chain over fingerprint-sorted members
+                a = np.concatenate([np.zeros(n - 1, dtype=np.int64),
+                                    np.arange(1, n - 1, dtype=np.int64)])
+                b = np.concatenate([np.arange(1, n, dtype=np.int64),
+                                    np.arange(2, n, dtype=np.int64)])
             ii.append(s + a)
             jj.append(s + b)
         if not ii:

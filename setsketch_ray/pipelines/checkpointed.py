@@ -46,14 +46,17 @@ def run_checkpointed(input_path: str, out_root: str,
 
     from ..stages.cluster import AssignClusters, cluster_edges
     from ..stages.lsh import BandExpand, EmitPairsPartition, VerifyPairsExact, \
-        dedup_pairs_partition
+        VerifyPairsML, dedup_pairs_partition
     from ..stages.shingle import ShingleStage
     from ..stages.sketch_stage import SketchStage
-    from .dedup import _AttachPayloadBroadcast, _rename_payload
+    from .dedup import _AttachPayloadBroadcast, _rename_payload, verified_edges
 
     cfg_hash = fingerprint_config(cfg)
     in_fp = fingerprint_input(input_path)
     mods = cfg.sketch.modalities
+    carry_regs = cfg.verify_ml and cfg.sketch.compute_registers
+    if cfg.verify_ml and not cfg.sketch.compute_registers:
+        raise ValueError("verify_ml requires sketch.compute_registers")
 
     # ---------------------------------------------------------- stage 1: sketch
     sk_ckpt = StageCheckpoint(out_root, "sketched", cfg_hash, in_fp,
@@ -121,10 +124,12 @@ def run_checkpointed(input_path: str, out_root: str,
         # keep pair_part through dedup for the partitioned write
         deduped = pairs.groupby("pair_part").map_groups(
             _dedup_keep_part, batch_format="pyarrow")
-        # broadcast payload attach + exact verify
+        # broadcast payload attach + exact verify (+ joint-ML gate when on)
         from ..stages.sketch_stage import list_u64_to_binary
 
         payload_cols = [id_col] + [m.shingle_col for m in mods]
+        if carry_regs:
+            payload_cols += ["regs", "cardinality"]
         payload = ds.select_columns(payload_cols)
 
         def to_bin(t: pa.Table) -> pa.Table:
@@ -138,8 +143,13 @@ def run_checkpointed(input_path: str, out_root: str,
         deduped = deduped.map_batches(
             _AttachPayloadBroadcast, fn_constructor_args=(ref, id_col),
             batch_format="pyarrow", batch_size=16384, concurrency=2)
-        return deduped.map_batches(VerifyPairsExact(mods),
-                                   batch_format="pyarrow", batch_size=8192)
+        verified = deduped.map_batches(VerifyPairsExact(mods),
+                                       batch_format="pyarrow", batch_size=8192)
+        if carry_regs:
+            verified = verified.map_batches(VerifyPairsML(cfg.sketch),
+                                            batch_format="pyarrow",
+                                            batch_size=2048)
+        return verified
 
     pairs = pair_ckpt.run(compute_pairs)
     pair_fp = fingerprint_input(pair_ckpt.dir)
@@ -149,15 +159,17 @@ def run_checkpointed(input_path: str, out_root: str,
                                 "e_part", 1)
 
     def compute_edges(_missing):
-        import pyarrow.compute as pc
+        # SAME acceptance rule as the non-checkpointed pipeline: exact-
+        # Jaccard score plus the optional multimodal_support / joint-ML
+        # gates (ADVICE r1: score>=1 alone silently skipped verify_ml)
+        edges = verified_edges(pairs, cfg)
 
-        def filt(t: pa.Table) -> pa.Table:
-            out = t.filter(pc.greater_equal(t["score"], pa.scalar(1.0)))
-            return out.append_column("e_part",
-                                     pa.array(np.zeros(out.num_rows,
-                                                       dtype=np.int64)))
+        def add_part(t: pa.Table) -> pa.Table:
+            return t.append_column("e_part",
+                                   pa.array(np.zeros(t.num_rows,
+                                                     dtype=np.int64)))
 
-        return pairs.map_batches(filt, batch_format="pyarrow")
+        return edges.map_batches(add_part, batch_format="pyarrow")
 
     edges_ds = edge_ckpt.run(compute_edges)
     edges_table = pa.concat_tables(

@@ -409,8 +409,11 @@ class MinHash:
                 draws = mix_columns(values[lo:hi], self.seeds)   # (m, n)
                 off = (offsets[r0:r1] - lo).astype(np.int64)
                 nonempty = np.diff(np.append(off, hi - lo)) > 0
-                red = np.minimum.reduceat(draws, off, axis=1)    # (m, rows)
-                out[r0:r1][nonempty] = red.T[nonempty]
+                # reduceat only over nonempty rows: a trailing empty row's
+                # offset == element count, which reduceat rejects (and any
+                # empty row would otherwise swallow its successor's segment)
+                red = np.minimum.reduceat(draws, off[nonempty], axis=1)
+                out[r0:r1][nonempty] = red.T
             r0 = r1
         return out
 

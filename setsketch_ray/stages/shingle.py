@@ -217,12 +217,14 @@ def content_keys(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     mixed = mix2(vals, 40499)
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.uint64)
-    nonempty = np.diff(offsets) > 0
-    if len(mixed):
-        agg = np.bitwise_xor.reduceat(mixed,
-                                      np.minimum(offsets[:-1], len(mixed) - 1))
-        out[nonempty] = agg[nonempty]
-    return mix2(out, np.diff(offsets).astype(np.uint64))
+    sizes = np.diff(offsets)
+    nonempty = sizes > 0
+    if len(mixed) and nonempty.any():
+        # reduceat only over nonempty rows' offsets: clipping a trailing
+        # empty row's offset (== len) down would truncate the preceding
+        # row's xor segment, making keys batch-layout-dependent
+        out[nonempty] = np.bitwise_xor.reduceat(mixed, offsets[:-1][nonempty])
+    return mix2(out, sizes.astype(np.uint64))
 
 
 def _list_array(vals: np.ndarray, offsets: np.ndarray) -> pa.ListArray:

@@ -3,17 +3,22 @@
 north_rule: "Every stage checkpoints per-partition lineage and metrics so the
 job resumes mid-shuffle".  Layout per stage:
 
-    <root>/<stage>/                      (atomic rename from <stage>.tmp)
-        part=<k>/*.parquet               one directory per shuffle partition
+    <root>/<stage>/
+        part=<k>/*.parquet + _DONE       one directory per shuffle partition
         _MANIFEST.json                   lineage + per-partition metrics
 
 The manifest records the stage's config hash, the input fingerprint, and one
-entry per partition (row count).  Resume semantics:
+entry per partition (row count).  ``write_parquet`` emits several files per
+partition from concurrent tasks, so completeness is tracked with a per-
+partition ``_DONE`` marker written only after the stage's write returns;
+unmarked directories are crash debris and are deleted before recompute
+(rewriting into them would duplicate rows).  Resume semantics:
 
 * manifest present + fingerprints match  -> read, skip recompute entirely;
-* partial output (crash mid-write)       -> only the MISSING partitions are
-  recomputed (the stage filters its input to those partition keys — for
-  hash-partitioned shuffle stages this prunes the shuffle itself);
+* partial output (crash mid-write)       -> unmarked partition dirs are
+  discarded; only partitions without a ``_DONE`` marker are recomputed (the
+  stage filters its input to those partition keys — for hash-partitioned
+  shuffle stages this prunes the shuffle itself);
 * config/input changed                   -> stage directory is replaced.
 
 Everything is deterministic (counter-mode hashing end to end), so a resumed
@@ -98,18 +103,46 @@ class StageCheckpoint:
             and m["input_fingerprint"] == self.input_fingerprint \
             and len(m["partitions"]) == self.num_partitions
 
-    def present_partitions(self) -> set[int]:
-        """Partition directories already on disk (crash-surviving work)."""
+    DONE = "_DONE"
+
+    def _partition_dirs(self) -> dict[int, str]:
         if not os.path.isdir(self.dir):
-            return set()
-        out = set()
+            return {}
+        out = {}
         for name in os.listdir(self.dir):
             if name.startswith(f"{self.partition_col}="):
                 try:
-                    out.add(int(name.split("=", 1)[1]))
+                    out[int(name.split("=", 1)[1])] = \
+                        os.path.join(self.dir, name)
                 except ValueError:
                     pass
         return out
+
+    def present_partitions(self) -> set[int]:
+        """COMPLETE partition directories on disk (crash-surviving work).
+
+        write_parquet writes several files per partition from concurrent
+        tasks, so a bare directory does not prove completeness: only
+        directories carrying the ``_DONE`` marker (written after the whole
+        stage write succeeds) count.  Partially-written directories are
+        removed before recompute (see :meth:`_clean_incomplete`) so a resume
+        can neither lose rows nor duplicate them."""
+        return {k for k, d in self._partition_dirs().items()
+                if os.path.exists(os.path.join(d, self.DONE))}
+
+    def _clean_incomplete(self) -> None:
+        """Remove partition dirs without a completion marker (crash debris);
+        rewriting into them would otherwise duplicate their rows."""
+        for k, d in self._partition_dirs().items():
+            if not os.path.exists(os.path.join(d, self.DONE)):
+                shutil.rmtree(d)
+
+    def _mark_partitions_done(self) -> None:
+        for _k, d in self._partition_dirs().items():
+            marker = os.path.join(d, self.DONE)
+            if not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
 
     def missing_partitions(self) -> list[int]:
         if self.is_complete():
@@ -123,6 +156,7 @@ class StageCheckpoint:
         partitions) under part=<k>/ directories + refresh the manifest."""
         os.makedirs(self.dir, exist_ok=True)
         ds.write_parquet(self.dir, partition_cols=[self.partition_col])
+        self._mark_partitions_done()
         self._write_manifest()
 
     def _write_manifest(self) -> None:
@@ -173,16 +207,18 @@ class StageCheckpoint:
             self.invalidate()  # lineage changed -> full recompute
         if self.is_complete():
             return self.read()
+        self._clean_incomplete()
         missing = self.missing_partitions()
         full = len(missing) == self.num_partitions
         ds = compute_fn(None if full else missing)
         self.write_partitions(ds)
         if not self.is_complete():
             # partitions with zero rows produce no directory; write empty
-            # markers so completeness is well-defined, then re-manifest
+            # marked directories so completeness is well-defined
             for k in self.missing_partitions():
                 os.makedirs(os.path.join(self.dir,
                                          f"{self.partition_col}={k}"),
                             exist_ok=True)
+            self._mark_partitions_done()
             self._write_manifest()
         return self.read()

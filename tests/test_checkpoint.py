@@ -86,6 +86,52 @@ def test_config_change_invalidates_stage(ckpt_env):
         DedupConfig(sketch_concurrency=None, num_partitions=16, group_cap=63))
 
 
+def test_partial_write_crash_resume_neither_loses_nor_duplicates(ckpt_env):
+    """A crash MID-write leaves a partition dir without its _DONE marker and
+    with an incomplete/duplicated file set; resume must discard and recompute
+    it (ADVICE r1: bare-directory presence used to count as complete)."""
+    import ray.data as rd
+
+    src, root = ckpt_env
+    clean_edges = _collect_edges(src, root)  # rebuilds with default config
+    sk_dir = os.path.join(root, "sketched")
+    victim = os.path.join(sk_dir, "sk_part=5")
+    # simulate the crash: marker missing + a stray duplicated data file
+    os.remove(os.path.join(victim, "_DONE"))
+    pq = [f for f in os.listdir(victim) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(victim, pq[0]),
+                os.path.join(victim, "crashdup_" + pq[0]))
+    os.remove(os.path.join(sk_dir, "_MANIFEST.json"))
+    for stage in ("pairs", "edges", "clusters"):
+        shutil.rmtree(os.path.join(root, stage))
+    clusters, edges, _ = _run(src, root)
+    # no duplicated rows survived (the unmarked dir was rebuilt from scratch)
+    assert rd.read_parquet(sk_dir).count() == N
+    assert not any(f.startswith("crashdup_") for f in os.listdir(victim))
+    assert os.path.exists(os.path.join(victim, "_DONE"))
+    assert _edges_set(edges) == clean_edges
+
+
+def test_checkpointed_verify_ml_matches_live_pipeline(ckpt_env,
+                                                      tmp_path_factory):
+    """The checkpointed edge stage must apply the SAME acceptance rule as
+    verified_edges() — with verify_ml on, the joint-ML gate must run
+    (ADVICE r1: it was silently skipped)."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import near_dup_pipeline
+
+    src, _ = ckpt_env
+    root = str(tmp_path_factory.mktemp("ckpt_ml"))
+    cfg = DedupConfig(sketch_concurrency=None, num_partitions=16,
+                      verify_ml=True, ml_threshold=0.3)
+    _, edges_ck, map_ck = run_checkpointed(src, root, cfg, num_partitions=8)
+    _, edges_live, map_live = near_dup_pipeline(rd.read_parquet(src), cfg)
+    assert _edges_set(edges_ck) == _edges_set(edges_live)
+    assert map_ck == map_live
+    assert "jaccard_ml" in edges_ck.column_names
+
+
 def _collect_edges(src, root):
     _, edges, _ = _run(src, root)
     return _edges_set(edges)

@@ -38,6 +38,33 @@ def test_simhash_finds_planted_near_dups(rd):
     assert recall >= 0.9, f"simhash recall {recall}"
 
 
+def test_simhash_hot_bucket_stays_connected(rd):
+    """>bucket_cap identical fingerprints must stay transitively connected
+    (star+chain) instead of being dropped (ADVICE r1)."""
+    from setsketch_ray.functions.dedup import simhash_pairs
+    from setsketch_ray.stages.cluster import cluster_edges
+
+    n_hot = 40
+    texts = ["exact duplicate stock caption text here"] * n_hot
+    ids = list(range(n_hot))
+    # plus unrelated singletons so buckets aren't all-hot
+    for i in range(20):
+        texts.append(f"completely different document number {i} "
+                     f"about topic{i} and subject{i * 7}")
+        ids.append(n_hot + i)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    pairs = pa.concat_tables(list(
+        simhash_pairs(ds, "doc_id", max_hamming=4, bucket_cap=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    mapping = cluster_edges(pairs["id_a"].to_pylist(),
+                            pairs["id_b"].to_pylist())
+    roots = {mapping.get(i, i) for i in range(n_hot)}
+    assert len(roots) == 1, f"hot bucket fragmented into {len(roots)} clusters"
+    # emitted pairs stayed O(n), not O(n^2)
+    assert pairs.num_rows < 28 * 3 * n_hot
+
+
 def test_embedding_near_dup_recall(rd):
     from setsketch_ray.functions.dedup import embedding_near_dup_pairs
 

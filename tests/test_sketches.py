@@ -94,6 +94,42 @@ def test_multi_row_batch_equals_per_row(sk):
         assert np.array_equal(batch[i], single[0]), f"row {i}"
 
 
+@pytest.mark.parametrize("sk", FAMILIES, ids=IDS)
+def test_trailing_empty_rows(sk):
+    """Empty rows at the END of a batch (all-stopword caption / blocklisted
+    shingles) must not crash or perturb neighbors — regression for the
+    reduceat offset==len edge (ADVICE r1)."""
+    vals = _elements(11, 700)
+    for offsets in ([0, 0], [0, 700, 700], [0, 0, 700, 700, 700],
+                    [0, 300, 300, 700, 700]):
+        offs = np.array(offsets)
+        batch = sk.sketch_rows(vals[:offs[-1]], offs)
+        for i in range(len(offs) - 1):
+            lo, hi = offs[i], offs[i + 1]
+            single = sk.sketch_rows(vals[lo:hi], np.array([0, hi - lo]))
+            assert np.array_equal(batch[i], single[0]), (offsets, i)
+
+
+def test_content_keys_layout_independent():
+    """content_keys must not depend on batch layout (trailing/leading empty
+    rows) — regression for the clipped-offset xor truncation (ADVICE r1)."""
+    from setsketch_ray.stages.shingle import content_keys
+
+    vals = _elements(12, 50)
+    solo = content_keys(vals, np.array([0, 50]))[0]
+    with_trailing = content_keys(vals, np.array([0, 50, 50]))
+    with_leading = content_keys(vals, np.array([0, 0, 50]))
+    assert with_trailing[0] == solo
+    assert with_leading[1] == solo
+    # empty rows all get the same (distinct) key
+    assert with_trailing[1] == with_leading[0]
+    assert with_trailing[1] != solo
+    # keys of distinct sets differ; sandwiched empties don't shift neighbors
+    k = content_keys(vals, np.array([0, 20, 20, 50]))
+    assert k[0] == content_keys(vals[:20], np.array([0, 20]))[0]
+    assert k[2] == content_keys(vals[20:], np.array([0, 30]))[0]
+
+
 @pytest.mark.parametrize("sk", [f for f in FAMILIES
                                 if not isinstance(f, MinHash)], ids=[
     i for i, f in zip(IDS, FAMILIES) if not isinstance(f, MinHash)])
