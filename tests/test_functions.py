@@ -65,6 +65,42 @@ def test_simhash_hot_bucket_stays_connected(rd):
     assert pairs.num_rows < 28 * 3 * n_hot
 
 
+@pytest.mark.parametrize("n", [1, 2])
+def test_char_ngram_jaccard_distributed_matches_bruteforce(rd, n):
+    """Distributed consecutive-pair scorer (range partition + boundary carry)
+    vs the obvious single-process reference — ids are GAPPY so successors
+    cross empty id ranges and partition boundaries."""
+    from setsketch_ray.functions.dedup import char_ngram_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    # sparse ids over a huge range -> most value-range partitions are empty
+    ids = np.sort(rng.choice(10_000_000, size=120, replace=False))
+    vocab = "abcdefg hij"
+    texts = ["".join(rng.choice(list(vocab), size=rng.integers(0, 40)))
+             for _ in ids]
+    texts[5] = ""  # empty doc edge case
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    ds = ds.repartition(6)  # several blocks: exercises the histogram combine
+    got = pa.concat_tables(list(
+        char_ngram_jaccard_pairs(ds, "doc_id", n=n, num_partitions=16)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = got.take(pa.compute.sort_indices(got["id_a"]))
+
+    exp_a, exp_b, exp_j = [], [], []
+    for i in range(len(ids) - 1):
+        sa = {texts[i][j:j + n] for j in range(max(len(texts[i]) - n + 1, 0))}
+        sb = {texts[i + 1][j:j + n]
+              for j in range(max(len(texts[i + 1]) - n + 1, 0))}
+        u = len(sa | sb)
+        exp_a.append(int(ids[i]))
+        exp_b.append(int(ids[i + 1]))
+        exp_j.append(len(sa & sb) / u if u else 0.0)
+    assert got["id_a"].to_pylist() == exp_a
+    assert got["id_b"].to_pylist() == exp_b
+    assert np.allclose(got["jaccard"].to_numpy(), exp_j, atol=1e-12)
+
+
 def test_embedding_near_dup_recall(rd):
     from setsketch_ray.functions.dedup import embedding_near_dup_pairs
 
