@@ -64,12 +64,23 @@ def mix_columns(vals: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     multiply-xorshift mix (splittable-hash structure).  Used where the full
     fmix64 costs too much per draw (MinHash's m draws per element); the
     2-round variant still passes the bucket chi-square tests."""
-    x = vals[None, :] ^ seeds[:, None]
-    x = x * _FAST_M
-    x = x ^ (x >> _S32)
-    x = x * _FAST_M
-    x = x ^ (x >> _S32)
-    return x
+    out = np.empty((len(seeds), len(vals)), dtype=np.uint64)
+    mix_columns_into(vals, seeds, out, np.empty_like(out))
+    return out
+
+
+def mix_columns_into(vals: np.ndarray, seeds: np.ndarray,
+                     out: np.ndarray, tmp: np.ndarray) -> None:
+    """In-place ``mix_columns`` into preallocated (m, n) buffers — same draw
+    values, zero temporary allocations (the allocating expression form made
+    ~5 full-matrix temporaries, turning the kernel DRAM-bound)."""
+    np.bitwise_xor(seeds[:, None], vals[None, :], out=out)
+    np.multiply(out, _FAST_M, out=out)
+    np.right_shift(out, _S32, out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    np.multiply(out, _FAST_M, out=out)
+    np.right_shift(out, _S32, out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
 
 
 def hash_str_u64(values, seed: int = 0) -> np.ndarray:

@@ -55,6 +55,15 @@ def _row_ids(offsets: np.ndarray) -> np.ndarray:
     return np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
 
 
+def _seg_indices(starts: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Flat element indices of variable-size segments, no Python loop."""
+    out_off = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=out_off[1:])
+    return (np.arange(out_off[-1], dtype=np.int64)
+            - np.repeat(out_off[:-1], sizes)
+            + np.repeat(starts, sizes))
+
+
 class _MaxMergeSketch:
     """Shared behavior for register-max sketches (GHLL/HLL/SetSketch/HMH)."""
 
@@ -370,7 +379,7 @@ class MinHash:
 
     name = "MinHash"
     dtype = np.uint64
-    _row_chunk = 8192
+    _tile_bytes = 1 << 20  # both draw buffers together (~L2; tuned r2)
 
     def __init__(self, m: int):
         from .hashing import mix64 as _mix64
@@ -378,6 +387,9 @@ class MinHash:
         self.m = int(m)
         self.seeds = _mix64(np.arange(m, dtype=np.uint64) * _GOLDEN_SEED
                             + U64(0xA076_1D64_78BD_642F))
+        # elements per draw tile so BOTH (m, tile) u64 buffers stay
+        # L2-resident (empirically the fastest point at m=128..1024)
+        self._tile = max(64, self._tile_bytes // (16 * self.m))
 
     def empty(self, rows: int) -> np.ndarray:
         return np.full((rows, self.m), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -391,30 +403,68 @@ class MinHash:
             return np.full(self.m, np.iinfo(np.uint64).max, dtype=np.uint64)
         return regs.min(axis=0)
 
+    def _min_into(self, vals: np.ndarray, out_row: np.ndarray,
+                  buf: np.ndarray, tmp: np.ndarray) -> None:
+        """Fold all draws of ``vals`` into ``out_row`` (m,) register-wise min,
+        tile by tile so the draw matrix never leaves cache.  ``buf``/``tmp``
+        are FLAT pools reshaped per tile — slicing a 2-D buffer would give
+        non-contiguous views that drop numpy to its strided slow path."""
+        from .hashing import mix_columns_into
+
+        for lo in range(0, len(vals), self._tile):
+            w = min(self._tile, len(vals) - lo)
+            b = buf[:self.m * w].reshape(self.m, w)
+            t = tmp[:self.m * w].reshape(self.m, w)
+            mix_columns_into(vals[lo:lo + w], self.seeds, b, t)
+            np.minimum(out_row, b.min(axis=1), out=out_row)
+
     def sketch_rows(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Per-row signature minima, cache-tiled (VERDICT r1 perf item):
+        rows are processed in SIZE-SORTED groups padded to the group's max
+        row width — padding repeats each row's own first element, so the
+        min is unchanged and no mask pass is needed — and reduced with one
+        strided ``min(axis=2)`` instead of ``np.minimum.reduceat`` (whose
+        per-element inner loop dominated the old kernel).  The (m, tile)
+        draw buffers are reused across groups and stay cache-resident.
+        Empty rows keep the empty signature (all-max) by construction."""
         rows = len(offsets) - 1
         out = self.empty(rows)
         values = np.asarray(values, dtype=np.uint64)
-        # chunk over rows to bound the (m, elements) draw matrix; draws are
-        # column-major (one contiguous row per register) so the min-reduce
-        # runs over contiguous memory
-        r0 = 0
-        while r0 < rows:
-            r1 = r0
-            while r1 < rows and offsets[r1 + 1] - offsets[r0] <= self._row_chunk:
-                r1 += 1
-            r1 = max(r1, r0 + 1)
-            lo, hi = offsets[r0], offsets[r1]
-            if hi > lo:
-                draws = mix_columns(values[lo:hi], self.seeds)   # (m, n)
-                off = (offsets[r0:r1] - lo).astype(np.int64)
-                nonempty = np.diff(np.append(off, hi - lo)) > 0
-                # reduceat only over nonempty rows: a trailing empty row's
-                # offset == element count, which reduceat rejects (and any
-                # empty row would otherwise swallow its successor's segment)
-                red = np.minimum.reduceat(draws, off[nonempty], axis=1)
-                out[r0:r1][nonempty] = red.T
-            r0 = r1
+        offsets = np.asarray(offsets, dtype=np.int64)
+        sizes = np.diff(offsets)
+        order = np.argsort(sizes, kind="stable")
+        order = order[sizes[order] > 0]
+        if len(order) == 0:
+            return out
+        from .hashing import mix_columns_into
+
+        buf = np.empty(self.m * self._tile, dtype=np.uint64)
+        tmp = np.empty_like(buf)
+        i = 0
+        while i < len(order):
+            if sizes[order[i]] > self._tile:
+                r = order[i]
+                self._min_into(values[offsets[r]:offsets[r + 1]], out[r],
+                               buf, tmp)
+                i += 1
+                continue
+            j = i + 1
+            while j < len(order) and \
+                    (j - i + 1) * sizes[order[j]] <= self._tile:
+                j += 1
+            rs = order[i:j]
+            szs = sizes[rs]
+            P = int(szs[-1])  # sorted: last is the group max
+            R = len(rs)
+            src = _seg_indices(offsets[rs], szs)
+            vals_pad = np.repeat(values[offsets[rs]], P)  # own-first padding
+            dst = _seg_indices(np.arange(R, dtype=np.int64) * P, szs)
+            vals_pad[dst] = values[src]
+            b = buf[:self.m * R * P].reshape(self.m, R * P)
+            t = tmp[:self.m * R * P].reshape(self.m, R * P)
+            mix_columns_into(vals_pad, self.seeds, b, t)
+            out[rs] = b.reshape(self.m, R, P).min(axis=2).T
+            i = j
         return out
 
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
@@ -423,10 +473,9 @@ class MinHash:
         order = np.argsort(row_ids, kind="stable")
         vals = np.asarray(values, dtype=np.uint64)[order]
         rid = np.asarray(row_ids)[order]
-        draws = mix_columns(vals, self.seeds)                    # (m, n)
         uniq, starts = np.unique(rid, return_index=True)
-        red = np.minimum.reduceat(draws, starts, axis=1)
-        regs[uniq] = np.minimum(regs[uniq], red.T)
+        mins = self.sketch_rows(vals, np.append(starts, len(vals)))
+        regs[uniq] = np.minimum(regs[uniq], mins)
 
 
 class HyperMinHash(_MaxMergeSketch):
