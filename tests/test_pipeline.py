@@ -174,6 +174,26 @@ def test_labelprop_equals_unionfind_on_fixture(fixture_path, ray_session):
     assert uf == lp
 
 
+def test_labelprop_long_chain_and_empty(ray_session):
+    """Pointer-jump doubling must still produce exact roots on a long path
+    graph (worst-case diameter), and the empty edge set returns {}."""
+    import ray.data as rd
+
+    from setsketch_ray.stages.cluster import (cluster_edges,
+                                              cluster_edges_labelprop)
+
+    n = 33
+    ids = [f"n{i:03d}" for i in range(n)]
+    et = pa.table({"id_a": pa.array(ids[:-1]), "id_b": pa.array(ids[1:])})
+    uf = cluster_edges(et["id_a"].to_pylist(), et["id_b"].to_pylist())
+    lp = cluster_edges_labelprop(rd.from_arrow(et), max_rounds=10)
+    assert uf == lp
+    assert set(lp.values()) == {"n000"}
+    assert cluster_edges_labelprop(rd.from_arrow(pa.table(
+        {"id_a": pa.array([], pa.string()),
+         "id_b": pa.array([], pa.string())}))) == {}
+
+
 def test_empty_and_single_row_inputs(ray_session):
     import ray.data as rd
 
