@@ -2,78 +2,152 @@
 Monte-Carlo numbers, ``/root/reference/data/``): at the same sketch config
 our empirical estimator error must match the published error — the engine
 re-derives the semantics, so bias/RMSE curves should coincide within
-sampling noise (we run hundreds of trials vs the paper's 1k-10k)."""
+sampling noise (we run hundreds of trials vs the paper's 1k-10k).
+
+Round 2 extends coverage to the paper's OTHER headline register regime —
+b=1.001, q=65534, uint16 registers (``cardinality_test.cpp:107-123``), where
+the sigma/tau series and the near-1 base numerics are hardest — and to joint
+golden CSVs for SetSketch1 and MinHash in addition to GHLL.
+"""
 
 import csv
+import glob
 import math
 
 import numpy as np
 import pytest
 
-from setsketch_ray.sketchlib import GHLL, SetSketchEstimator, mix2
+from setsketch_ray.sketchlib import (
+    GHLL,
+    MinHash,
+    MinHashEstimator,
+    SetSketch1,
+    SetSketch2,
+    SetSketchEstimator,
+    mix2,
+)
 
-GOLDEN_CARD = ("/root/reference/data/cardinality_test(name=GeneralizedHyper"
-               "LogLog;numRegisters=4096;q=62;base=2.00000000000000000e+00;"
-               "a=2.44140625000000000e-04;registerStateType=registers with "
-               "lower bound;).csv")
-GOLDEN_JOINT = ("/root/reference/data/joint_test(name=GeneralizedHyperLogLog;"
-                "numRegisters=4096;q=62;base=2.00000000000000000e+00;"
-                "a=2.44140625000000000e-04;registerStateType=registers with "
-                "lower bound;).csv")
+DATA = "/root/reference/data"
 
 
-def _load_golden_cardinality():
-    with open(GOLDEN_CARD) as f:
+def _find_csv(kind: str, *fragments: str) -> str:
+    hits = [f for f in glob.glob(f"{DATA}/{kind}(*.csv")
+            if all(s in f for s in fragments)]
+    assert len(hits) == 1, (kind, fragments, hits)
+    return hits[0]
+
+
+def _load_rows(path: str) -> list[dict]:
+    with open(path) as f:
         rows = list(csv.reader(f, delimiter=";"))
     header = [h.strip() for h in rows[1]]
-    out = {}
+    out = []
     for r in rows[2:]:
-        if len(r) < len(header):
-            continue
-        d = dict(zip(header, (v.strip() for v in r)))
-        out[int(d["true cardinality"])] = d
+        if len(r) >= len(header):
+            out.append(dict(zip(header, (v.strip() for v in r))))
     return out
 
 
-@pytest.mark.parametrize("cardinality", [999, 9976, 99870])
-def test_cardinality_rmse_matches_golden(cardinality):
-    """Our empirical relative RMSE at (m=4096, b=2, q=62) must match the
-    paper's golden value for the same grid cardinality within Monte-Carlo
-    noise (300 trials here vs the paper's 10000 -> ~8 % sampling error on
-    the RMSE itself; allow 25 %)."""
-    golden = _load_golden_cardinality()
-    g = golden[cardinality]
-    golden_rel_rmse = math.sqrt(float(g["simple mse"])) / cardinality
-    golden_rel_bias = float(g["simple mean"]) / cardinality - 1.0
+# (label, golden-csv fragments, sketch factory, estimator factory,
+#  [(cardinality, n_trials), ...])
+CARD_CONFIGS = [
+    ("ghll_b2_u8",
+     ("GeneralizedHyperLogLog", "numRegisters=4096", "q=62", "base=2.000"),
+     lambda: GHLL(m=4096, base=2.0, q=62),
+     lambda: SetSketchEstimator(62, 1 / 4096, 2.0, 4096,
+                                card_range_correction=True),
+     [(999, 300), (9976, 300), (99870, 200)]),
+    ("ghll_b1001_u16",
+     ("GeneralizedHyperLogLog", "numRegisters=4096", "q=65534",
+      "base=1.00099"),
+     lambda: GHLL(m=4096, base=1.001, q=65534),
+     lambda: SetSketchEstimator(65534, 1 / 4096, 1.001, 4096,
+                                card_range_correction=True),
+     [(999, 300), (9976, 200)]),
+    ("setsketch1_b1001_u16",
+     ("SetSketch1", "numRegisters=4096", "q=65534", "base=1.00099"),
+     lambda: SetSketch1(m=4096, base=1.001, a=20.0, q=65534),
+     lambda: SetSketchEstimator(65534, 20.0, 1.001, 4096),
+     [(999, 120), (9976, 60)]),
+    ("setsketch2_b1001_u16",
+     ("SetSketch2", "numRegisters=4096", "q=65534", "base=1.00099"),
+     lambda: SetSketch2(m=4096, base=1.001, a=20.0, q=65534),
+     lambda: SetSketchEstimator(65534, 20.0, 1.001, 4096),
+     [(999, 200), (9976, 100)]),
+]
 
-    m, q = 4096, 62
-    sk = GHLL(m=m, base=2.0, q=q)
-    est = SetSketchEstimator(q, 1.0 / m, 2.0, m, card_range_correction=True)
-    n_trials = 300
-    vals = mix2(np.arange(n_trials * cardinality, dtype=np.uint64), 1234)
-    offsets = np.arange(0, n_trials * cardinality + 1, cardinality)
-    regs = sk.sketch_rows(vals, offsets)
-    cards = est.estimate_cardinality_simple(regs)
-    rel = cards / cardinality - 1.0
-    our_rmse = math.sqrt((rel ** 2).mean())
-    assert abs(our_rmse - golden_rel_rmse) <= 0.25 * golden_rel_rmse + 1e-4, \
-        f"ours {our_rmse:.4f} vs golden {golden_rel_rmse:.4f}"
-    assert abs(rel.mean() - golden_rel_bias) <= 3.5 * golden_rel_rmse \
-        / math.sqrt(n_trials) + 1e-3
+
+@pytest.mark.parametrize(
+    "label,frags,mk_sketch,mk_est,cards",
+    CARD_CONFIGS, ids=[c[0] for c in CARD_CONFIGS])
+def test_cardinality_rmse_matches_golden(label, frags, mk_sketch, mk_est,
+                                         cards):
+    """Empirical relative RMSE and bias of the simple estimator must match
+    the paper's golden value at the same config and grid cardinality, within
+    Monte-Carlo noise of our smaller trial count (allow 25 % on the RMSE)."""
+    golden = {int(d["true cardinality"]): d
+              for d in _load_rows(_find_csv("cardinality_test", *frags))}
+    sk, est = mk_sketch(), mk_est()
+    # u16 regime really uses u16 registers
+    if "u16" in label:
+        assert np.dtype(sk.dtype).itemsize == 2, sk.dtype
+    for cardinality, n_trials in cards:
+        g = golden[cardinality]
+        golden_rel_rmse = math.sqrt(float(g["simple mse"])) / cardinality
+        golden_rel_bias = float(g["simple mean"]) / cardinality - 1.0
+        vals = mix2(np.arange(n_trials * cardinality, dtype=np.uint64), 1234)
+        offsets = np.arange(0, n_trials * cardinality + 1, cardinality)
+        regs = sk.sketch_rows(vals, offsets)
+        ests = est.estimate_cardinality_simple(regs)
+        rel = ests / cardinality - 1.0
+        our_rmse = math.sqrt((rel ** 2).mean())
+        assert abs(our_rmse - golden_rel_rmse) \
+            <= 0.25 * golden_rel_rmse + 1e-4, \
+            f"{label}@{cardinality}: ours {our_rmse:.4f} " \
+            f"vs golden {golden_rel_rmse:.4f}"
+        assert abs(rel.mean() - golden_rel_bias) \
+            <= 3.5 * golden_rel_rmse / math.sqrt(n_trials) + 1e-3, \
+            f"{label}@{cardinality}: bias {rel.mean():+.4f} " \
+            f"vs golden {golden_rel_bias:+.5f}"
 
 
-def test_joint_jaccard_rmse_matches_golden():
+# (label, fragments, sketch factory, estimator factory, jaccard fn, n_trials)
+JOINT_CONFIGS = [
+    ("ghll_b2",
+     ("GeneralizedHyperLogLog", "numRegisters=4096", "q=62", "base=2.000"),
+     lambda: GHLL(m=4096, base=2.0, q=62),
+     lambda: SetSketchEstimator(62, 1 / 4096, 2.0, 4096,
+                                card_range_correction=True),
+     lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 150),
+    ("ghll_b1001",
+     ("GeneralizedHyperLogLog", "numRegisters=4096", "q=65534",
+      "base=1.00099"),
+     lambda: GHLL(m=4096, base=1.001, q=65534),
+     lambda: SetSketchEstimator(65534, 1 / 4096, 1.001, 4096,
+                                card_range_correction=True),
+     lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 100),
+    ("setsketch1_b2",
+     ("SetSketch1", "numRegisters=4096", "q=62", "base=2.000"),
+     lambda: SetSketch1(m=4096, base=2.0, a=20.0, q=62),
+     lambda: SetSketchEstimator(62, 20.0, 2.0, 4096),
+     lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 100),
+    ("minhash",
+     ("name=MinHash", "numRegisters=4096"),
+     lambda: MinHash(m=4096),
+     lambda: MinHashEstimator(4096),
+     lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 100),
+]
+
+
+@pytest.mark.parametrize("label,frags,mk_sketch,mk_est,jac_fn,n_trials",
+                         JOINT_CONFIGS, ids=[c[0] for c in JOINT_CONFIGS])
+def test_joint_jaccard_rmse_matches_golden(label, frags, mk_sketch, mk_est,
+                                           jac_fn, n_trials):
     """Joint 'new' estimator RMSE on a golden grid tuple (union=1000,
     intersection=10 %, equal differences): ours vs the paper's
     newMSEJaccard, within combined sampling noise."""
-    with open(GOLDEN_JOINT) as f:
-        rows = list(csv.reader(f, delimiter=";"))
-    header = [h.strip() for h in rows[1]]
     target = None
-    for r in rows[2:]:
-        if len(r) < len(header):
-            continue
-        d = dict(zip(header, (v.strip() for v in r)))
+    for d in _load_rows(_find_csv("joint_test", *frags)):
         if (float(d["trueUnion"]) == 1000.0
                 and float(d["trueIntersection"]) == 100.0
                 and float(d["trueDifference1"]) == float(d["trueDifference2"])):
@@ -86,10 +160,7 @@ def test_joint_jaccard_rmse_matches_golden():
     d2 = int(float(target["trueDifference2"]))
     inter = int(float(target["trueIntersection"]))
 
-    m, q = 4096, 62
-    sk = GHLL(m=m, base=2.0, q=q)
-    est = SetSketchEstimator(q, 1.0 / m, 2.0, m, card_range_correction=True)
-    n_trials = 150
+    sk, est = mk_sketch(), mk_est()
     jac = np.empty(n_trials)
     for t in range(n_trials):
         tag = 5000 + t
@@ -100,8 +171,9 @@ def test_joint_jaccard_rmse_matches_golden():
         bv = np.concatenate([u2, ux])
         ra = sk.sketch_rows(av, np.array([0, len(av)]))
         rb = sk.sketch_rows(bv, np.array([0, len(bv)]))
-        jac[t] = est.estimate_joint_new(ra, rb).jaccard[0]
+        jac[t] = jac_fn(est, ra, rb)
     our_rmse = math.sqrt(((jac - true_j) ** 2).mean())
-    # n=150 vs paper's 1000 -> ~12 % noise on our RMSE estimate; allow 35 %
+    # our n vs paper's 1000 -> ~12-16 % noise on the RMSE; allow 35 %
     assert abs(our_rmse - golden_rmse) <= 0.35 * golden_rmse + 1e-4, \
-        f"ours {our_rmse:.5f} vs golden {golden_rmse:.5f} (true J {true_j})"
+        f"{label}: ours {our_rmse:.5f} vs golden {golden_rmse:.5f} " \
+        f"(true J {true_j})"
