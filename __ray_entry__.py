@@ -362,11 +362,15 @@ def _q_cardinality_eval(sf_dir: str):
 
 
 def _q_joint_eval(sf_dir: str):
-    """Monte-Carlo joint-estimator evaluation (reduced joint_estimation_test);
-    rows-only."""
+    """Monte-Carlo joint-estimator evaluation: the reference's FULL grid
+    shape (ratio sweep x intersection fractions x two union sizes, scaled
+    down via the union knob), composeSketch-composed operands, and the wide
+    per-tuple Mean/MSE output over every estimator (new / corrected /
+    incl-excl / deprecated / equal-register bounds); rows-only."""
     from setsketch_ray.pipelines.evaluation import joint_error_pipeline
 
-    return joint_error_pipeline(family="ghll", m=1024, n_trials=20,
+    return joint_error_pipeline(family="ghll", m=1024, n_trials=12,
+                                union_cardinalities=(10_000, 1_000),
                                 parallelism=8)
 
 

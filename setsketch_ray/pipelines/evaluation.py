@@ -201,96 +201,253 @@ def cardinality_error_pipeline(family: str = "ghll", m: int = 1024,
     return error_stats(est, "cardinality", "estimate", true_col="cardinality")
 
 
+def joint_cardinality_tuples(union_cardinalities=(1_000_000, 1_000),
+                             intersection_fractions=(0.5, 0.1, 0.01, 0.001),
+                             ratio_factor: float = 1.2,
+                             max_ratio: float = 1000.0):
+    """The reference's (diff1, diff2, intersection) evaluation grid
+    (``joint_estimation_test.cpp:48-102``): per union size and intersection
+    fraction, sweep the difference ratio geometrically up to ``max_ratio``.
+    ``union_cardinalities`` is the size knob — the reference's full grid is
+    the default; tests/queries pass smaller unions for speed."""
+    import math
+
+    tuples = set()
+    for u in union_cardinalities:
+        for frac in intersection_fractions:
+            inter = int(u * frac)
+            if inter < 1:
+                continue
+            ratio = 1.0
+            while True:
+                diff1 = int(math.floor((u - inter) / (1.0 + 1.0 / ratio)))
+                diff2 = u - inter - diff1
+                tuples.add((diff1, diff2, inter))
+                if diff2 == 0 or diff1 / diff2 >= max_ratio:
+                    break
+                ratio *= ratio_factor
+    return sorted(tuples)
+
+
+# the 12 derived quantities of a JointEstimationResult, in the reference's
+# CSV order (``joint_estimation_test.cpp:230-241``)
+_QUANTITIES = (
+    ("Difference1", "difference1"), ("Difference2", "difference2"),
+    ("Intersection", "intersection"), ("1", "cardinality1"),
+    ("2", "cardinality2"), ("Union", "union"), ("Jaccard", "jaccard"),
+    ("Cosine", "cosine"), ("InclusionCoefficient1", "inclusion1"),
+    ("InclusionCoefficient2", "inclusion2"), ("Alpha", "alpha"),
+    ("Beta", "beta"))
+
+
+def _joint_estimator_calls(family):
+    """(label, estimator_kind, fn(est, r1, r2, c1, c2)) per family.
+
+    ``new``/``inclExcl`` labels mirror the reference's
+    ``getJointEstimateLabels`` exactly (``sketch.hpp:689-696, 1516-1528``)
+    and run on the PLAIN estimator (no small-set dispatch) so the wide CSV is
+    comparable to the golden files; the μ-series corrected variant
+    (``estimateJointNewCorrected``, ``sketch.hpp:578-633``) is emitted under
+    its own ``newCorrected*`` labels, and the deprecated estimators under
+    ``simpleDeprecated``/``mlDeprecated``."""
+    base = [
+        ("new", "plain",
+         lambda e, r1, r2, c1, c2: e.estimate_joint_new(r1, r2)),
+        ("newKnownCard", "plain",
+         lambda e, r1, r2, c1, c2: e.estimate_joint_new(r1, r2, c1, c2)),
+        ("inclExcl", "plain",
+         lambda e, r1, r2, c1, c2: e.estimate_joint_incl_excl(r1, r2)),
+        ("inclExclKnownCard", "plain",
+         lambda e, r1, r2, c1, c2: e.estimate_joint_incl_excl(r1, r2, c1, c2)),
+    ]
+    if family == "minhash":
+        base += [
+            ("simpleDeprecated", "plain",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_simple_deprecated(
+                 r1, r2)),
+            ("original", "plain",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_original(r1, r2)),
+            ("originalKnownCard", "plain",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_original(
+                 r1, r2, c1, c2)),
+        ]
+    else:
+        base += [
+            ("newCorrected", "corr",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_new(r1, r2)),
+            ("newCorrectedKnownCard", "corr",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_new(r1, r2, c1, c2)),
+            ("simpleDeprecated", "plain",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_simple_deprecated(
+                 r1, r2)),
+            ("mlDeprecated", "plain",
+             lambda e, r1, r2, c1, c2: e.estimate_joint_ml_deprecated(
+                 r1, r2)),
+        ]
+    return base
+
+
 class _JointTrials:
-    """Actor stage: per (tuple, trial) build A = D1 ∪ X, B = D2 ∪ X from
-    disjoint hashed universes and run the joint estimators."""
+    """Actor stage — the reference's trial loop (A3+A4): per trial, build
+    power-of-2 sketches for three disjoint element universes A/B/X with ONE
+    ``sketch_rows`` call each, compose every tuple's operand sketch by
+    merging the binary expansion of its cardinality (``composeSketch``,
+    ``joint_estimation_test.cpp:104-114`` — exercising merge correctness in
+    the evaluation loop itself), and run every joint estimator VECTORIZED
+    over all tuples at once."""
 
     def __init__(self, family, m, base, q, a, tuples, seed):
         self.sketch = _make_sketch(family, m, base, q, a)
         self.family = family
         if family == "minhash":
-            self.estimator = MinHashEstimator(m)
+            self.estimators = {"plain": MinHashEstimator(m)}
         else:
-            self.estimator = SetSketchEstimator(
-                q, (1.0 / m) if family == "ghll" else a, base, m,
-                card_range_correction=(family == "ghll"),
-                joint_range_correction=(family == "ghll"))
+            a_eff = (1.0 / m) if family == "ghll" else a
+            rc = family == "ghll"
+            self.estimators = {
+                "plain": SetSketchEstimator(q, a_eff, base, m,
+                                            card_range_correction=rc),
+                "corr": SetSketchEstimator(q, a_eff, base, m,
+                                           card_range_correction=rc,
+                                           joint_range_correction=True),
+            }
         self.tuples = tuples
+        self.d1 = np.array([t[0] for t in tuples], dtype=np.int64)
+        self.d2 = np.array([t[1] for t in tuples], dtype=np.int64)
+        self.ix = np.array([t[2] for t in tuples], dtype=np.int64)
         self.seed = seed
+        self.calls = _joint_estimator_calls(family)
+
+    def _pow2_sketches(self, trial: int, universe: int, max_card: int):
+        """Register rows for fresh disjoint sets of sizes 1, 2, 4, ...,
+        2^floor(log2(max_card)) — one vectorized sketch_rows call."""
+        if max_card < 1:
+            return self.sketch.empty(0)
+        kmax = int(max_card).bit_length() - 1
+        counts = [1 << k for k in range(kmax + 1)]
+        total = sum(counts)
+        tag = (int(trial) * 8 + universe) * 0x9E3779B9 + self.seed
+        vals = mix2(np.arange(total, dtype=np.uint64), tag)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return self.sketch.sketch_rows(vals, offs)
+
+    def _compose(self, pows: np.ndarray, ns: np.ndarray) -> np.ndarray:
+        """composeSketch for a whole vector of target cardinalities: row t
+        is the merge of the power-of-2 sketches in ns[t]'s binary expansion."""
+        out = self.sketch.empty(len(ns))
+        for k in range(pows.shape[0]):
+            mask = (ns >> k) & 1 == 1
+            if mask.any():
+                out[mask] = self.sketch.merge(out[mask], pows[k][None, :])
+        return out
 
     def __call__(self, batch) -> pa.Table:
         trials = batch["id"].to_numpy()
-        out = {k: [] for k in ("trial", "d1", "d2", "inter", "true_jaccard",
-                               "jaccard_new", "jaccard_incl_excl",
-                               "cosine_new", "intersection_new")}
+        tables = []
+        c1 = (self.d1 + self.ix).astype(np.float64)
+        c2 = (self.d2 + self.ix).astype(np.float64)
         for t in trials:
-            for ti, (d1, d2, inter) in enumerate(self.tuples):
-                tag = (int(t) * 1000 + ti) * 16 + self.seed
-                u1 = mix2(np.arange(d1, dtype=np.uint64), tag * 4 + 1)
-                u2 = mix2(np.arange(d2, dtype=np.uint64), tag * 4 + 2)
-                ux = mix2(np.arange(inter, dtype=np.uint64), tag * 4 + 3)
-                av = np.concatenate([u1, ux])
-                bv = np.concatenate([u2, ux])
-                ra = self.sketch.sketch_rows(av, np.array([0, len(av)]))
-                rb = self.sketch.sketch_rows(bv, np.array([0, len(bv)]))
-                if self.family == "minhash":
-                    new = self.estimator.estimate_joint_new(ra, rb)
-                    ie = self.estimator.estimate_joint_incl_excl(ra, rb)
-                else:
-                    new = self.estimator.estimate_joint_new(ra, rb)
-                    ie = self.estimator.estimate_joint_incl_excl(ra, rb)
-                out["trial"].append(int(t))
-                out["d1"].append(d1)
-                out["d2"].append(d2)
-                out["inter"].append(inter)
-                out["true_jaccard"].append(inter / (d1 + d2 + inter))
-                out["jaccard_new"].append(float(new.jaccard[0]))
-                out["jaccard_incl_excl"].append(float(ie.jaccard[0]))
-                out["cosine_new"].append(float(new.cosine[0]))
-                out["intersection_new"].append(float(new.intersection[0]))
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+            powsA = self._pow2_sketches(int(t), 1, int(self.d1.max()))
+            powsB = self._pow2_sketches(int(t), 2, int(self.d2.max()))
+            powsX = self._pow2_sketches(int(t), 3, int(self.ix.max()))
+            s1 = self._compose(powsA, self.d1)
+            s2 = self._compose(powsB, self.d2)
+            sx = self._compose(powsX, self.ix)
+            r1 = self.sketch.merge(s1, sx)
+            r2 = self.sketch.merge(s2, sx)
+            cols = {
+                "trial": pa.array(np.full(len(self.d1), int(t)), pa.int64()),
+                "d1": pa.array(self.d1, pa.int64()),
+                "d2": pa.array(self.d2, pa.int64()),
+                "inter": pa.array(self.ix, pa.int64()),
+            }
+            for label, kind, fn in self.calls:
+                res = fn(self.estimators[kind], r1, r2, c1, c2)
+                for qname, attr in _QUANTITIES:
+                    cols[f"{label}{qname}"] = pa.array(
+                        np.asarray(getattr(res, attr), dtype=np.float64),
+                        pa.float64())
+            lo, hi = self.estimators["plain"] \
+                .estimate_jaccard_equal_registers(r1, r2)
+            cols["collLowerBoundJaccard"] = pa.array(lo, pa.float64())
+            cols["collUpperBoundJaccard"] = pa.array(hi, pa.float64())
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
 
 
 def joint_error_pipeline(family: str = "ghll", m: int = 1024, base: float = 2.0,
                          q: int = 62, a: float = 20.0,
-                         tuples=((500, 500, 1000), (900, 900, 200),
-                                 (2000, 2000, 1000)),
+                         tuples=None,
+                         union_cardinalities=(10_000, 1_000),
                          n_trials: int = 50, seed: int = 42,
                          parallelism: int = 16) -> pa.Table:
-    """Distributed analogue of ``gradle runJointTest`` at reduced scale:
-    per-tuple bias/RMSE of the paper's joint estimators."""
+    """Distributed analogue of ``gradle runJointTest``: the full reference
+    grid shape (scaled by ``union_cardinalities``), composeSketch-built
+    operands, and the reference's WIDE output — per tuple the 12 true
+    quantities plus Mean and MSE of each estimator x quantity
+    (``joint_estimation_test.cpp:225-339``) and the equal-register bound
+    columns."""
     import ray.data as rd
 
+    from ..functions.relational import grouped_aggregate
+    from ..sketchlib.estimator import JointEstimationResult
+
+    if tuples is None:
+        tuples = joint_cardinality_tuples(union_cardinalities)
+    tuples = [tuple(t) for t in tuples]
     trials = rd.range(n_trials, override_num_blocks=parallelism)
     est = trials.map_batches(
         _JointTrials, fn_constructor_args=(family, m, base, q, a,
                                            tuple(tuples), seed),
         batch_format="pyarrow", batch_size=4, concurrency=2)
 
-    def add_err(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    labels = [lb for lb, _k, _fn in _joint_estimator_calls(family)]
+    col_quantity = {f"{lb}{q}": q for lb in labels for q, _a in _QUANTITIES}
+    col_quantity["collLowerBoundJaccard"] = "Jaccard"
+    col_quantity["collUpperBoundJaccard"] = "Jaccard"
+    value_cols = list(col_quantity)
 
+    def add_sq_err(t: pa.Table) -> pa.Table:
+        """Append per-row squared errors vs the tuple's true quantities."""
+        d1 = t["d1"].to_numpy().astype(np.float64)
+        d2 = t["d2"].to_numpy().astype(np.float64)
+        ix = t["inter"].to_numpy().astype(np.float64)
+        true = JointEstimationResult(d1, d2, ix)
+        true_q = {q: np.asarray(getattr(true, attr), dtype=np.float64)
+                  for q, attr in _QUANTITIES}
         cols = {c: t[c] for c in t.column_names}
-        cols["err_new"] = pc.subtract(t["jaccard_new"], t["true_jaccard"])
-        cols["err_ie"] = pc.subtract(t["jaccard_incl_excl"], t["true_jaccard"])
-        cols["err_new2"] = pc.power(cols["err_new"], pa.scalar(2.0))
-        cols["err_ie2"] = pc.power(cols["err_ie"], pa.scalar(2.0))
+        for c in value_cols:
+            err = t[c].to_numpy() - true_q[col_quantity[c]]
+            cols[f"__sq_{c}"] = pa.array(err * err, pa.float64())
         return pa.table(cols)
 
-    from ..functions.relational import grouped_aggregate
+    est = est.map_batches(add_sq_err, batch_format="pyarrow")
+    spec = {"n": ("count", None)}
+    for c in value_cols:
+        spec[f"{c}__mean"] = ("mean", c)
+        spec[f"{c}__mse"] = ("mean", f"__sq_{c}")
+    agg = grouped_aggregate(est, ["d1", "d2", "inter"], spec)
 
-    est = est.map_batches(add_err, batch_format="pyarrow")
-    agg = grouped_aggregate(est, ["inter"], {
-        "n": ("count", None),
-        "true_jaccard": ("mean", "true_jaccard"),
-        "bias_new": ("mean", "err_new"),
-        "mse_new": ("mean", "err_new2"),
-        "bias_incl_excl": ("mean", "err_ie"),
-        "mse_incl_excl": ("mean", "err_ie2"),
-    })
-    import pyarrow.compute as pc
-
-    cols = {c: agg[c] for c in agg.column_names}
-    cols["rmse_new"] = pc.sqrt(agg["mse_new"])
-    cols["rmse_incl_excl"] = pc.sqrt(agg["mse_incl_excl"])
-    return pa.table(cols)
+    # final layout: reference column names (trueX, <label>MeanX, <label>MSEX)
+    d1 = agg["d1"].to_numpy().astype(np.float64)
+    d2 = agg["d2"].to_numpy().astype(np.float64)
+    ix = agg["inter"].to_numpy().astype(np.float64)
+    true = JointEstimationResult(d1, d2, ix)
+    out = {"n": agg["n"]}
+    for qname, attr in _QUANTITIES:
+        out[f"true{qname}"] = pa.array(
+            np.asarray(getattr(true, attr), dtype=np.float64), pa.float64())
+    for lb in labels:
+        for qname, _a in _QUANTITIES:
+            out[f"{lb}Mean{qname}"] = agg[f"{lb}{qname}__mean"]
+        for qname, _a in _QUANTITIES:
+            out[f"{lb}MSE{qname}"] = agg[f"{lb}{qname}__mse"]
+    for c in ("collLowerBoundJaccard", "collUpperBoundJaccard"):
+        side = c.replace("Jaccard", "")
+        out[f"{side}MeanJaccard"] = agg[f"{c}__mean"]
+        out[f"{side}MSEJaccard"] = agg[f"{c}__mse"]
+    tbl = pa.table(out)
+    return tbl.take(pa.compute.sort_indices(
+        tbl, sort_keys=[("trueIntersection", "ascending"),
+                        ("trueDifference1", "ascending")]))

@@ -32,10 +32,40 @@ def test_joint_error_pipeline_recovers_jaccard(ray_session):
                                tuples=((500, 500, 1000), (900, 900, 200)),
                                parallelism=8)
     df = tbl.to_pandas()
-    assert (df["bias_new"].abs() < 0.02).all()
-    assert (df["rmse_new"] < 0.05).all()
+    # small-set regime (union ~ m): the plain "new" estimator is biased by
+    # design (the golden CSVs show the same); the mu-series CORRECTED
+    # variant is the accurate one here
+    bias = df["newCorrectedMeanJaccard"] - df["trueJaccard"]
+    rmse = np.sqrt(df["newCorrectedMSEJaccard"])
+    assert bias.abs().max() < 0.02
+    assert (rmse < 0.05).all()
     # the reference's headline result: joint ML beats inclusion-exclusion
-    assert (df["rmse_new"] <= df["rmse_incl_excl"] * 1.1).all()
+    assert (rmse <= np.sqrt(df["inclExclMSEJaccard"]) * 1.1).all()
+    # known-card variants present + equal-register bounds bracket truth
+    assert {"newKnownCardMSEJaccard", "inclExclKnownCardMeanUnion",
+            "mlDeprecatedMeanJaccard", "simpleDeprecatedMSEJaccard",
+            "collLowerBoundMeanJaccard", "collUpperBoundMeanJaccard"} \
+        <= set(df.columns)
+    assert (df["collLowerBoundMeanJaccard"]
+            <= df["collUpperBoundMeanJaccard"] + 1e-12).all()
+
+
+def test_joint_tuple_grid_matches_reference_shape(ray_session):
+    """The generator reproduces the reference's grid structure
+    (``joint_estimation_test.cpp:48-102``): at the reference's own union
+    sizes the tuple count and a few spot tuples must match."""
+    from setsketch_ray.pipelines.evaluation import joint_cardinality_tuples
+
+    full = joint_cardinality_tuples()
+    # grid properties: every tuple's union is one of the two union sizes
+    unions = {d1 + d2 + ix for d1, d2, ix in full}
+    assert unions == {1_000_000, 1_000}
+    # reference's ratio=1 starting tuples are present
+    assert (250000, 250000, 500000) in full
+    assert (250, 250, 500) in full
+    # intersection fractions 50/10/1/0.1 %
+    assert {ix for _d1, _d2, ix in full if _d1 + _d2 + ix == 1000} \
+        == {500, 100, 10, 1}
 
 
 def test_config_keyed_result_sink(ray_session, tmp_path):

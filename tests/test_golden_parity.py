@@ -139,6 +139,38 @@ JOINT_CONFIGS = [
 ]
 
 
+def test_joint_pipeline_wide_output_matches_golden(ray_session):
+    """End-to-end: the Ray joint_error_pipeline at the reference config
+    (GHLL m=4096 b=2), on three golden grid tuples, reproduces the golden
+    CSV's newMSEJaccard / inclExclMSEJaccard / newMeanJaccard columns within
+    Monte-Carlo tolerance — composeSketch composition included."""
+    from setsketch_ray.pipelines.evaluation import joint_error_pipeline
+
+    rows = _load_rows(_find_csv("joint_test", "GeneralizedHyperLogLog",
+                                "numRegisters=4096", "q=62", "base=2.000"))
+    golden = {}
+    for d in rows:
+        key = (int(float(d["trueDifference1"])),
+               int(float(d["trueDifference2"])),
+               int(float(d["trueIntersection"])))
+        golden[key] = d
+    picks = [(250, 250, 500), (450, 450, 100), (495, 495, 10)]
+    assert all(p in golden for p in picks)
+    tbl = joint_error_pipeline(family="ghll", m=4096, base=2.0, q=62,
+                               tuples=picks, n_trials=120, parallelism=8)
+    got = {(int(r["trueDifference1"]), int(r["trueDifference2"]),
+            int(r["trueIntersection"])): r for r in tbl.to_pylist()}
+    for p in picks:
+        g, r = golden[p], got[p]
+        for col in ("newMSEJaccard", "inclExclMSEJaccard"):
+            ours = math.sqrt(r[col])
+            theirs = math.sqrt(float(g[col]))
+            assert abs(ours - theirs) <= 0.35 * theirs + 1e-4, \
+                (p, col, ours, theirs)
+        assert abs(r["newMeanJaccard"] - float(g["newMeanJaccard"])) \
+            <= 4.0 * math.sqrt(float(g["newMSEJaccard"]) / 120) + 1e-3, p
+
+
 @pytest.mark.parametrize("label,frags,mk_sketch,mk_est,jac_fn,n_trials",
                          JOINT_CONFIGS, ids=[c[0] for c in JOINT_CONFIGS])
 def test_joint_jaccard_rmse_matches_golden(label, frags, mk_sketch, mk_est,
