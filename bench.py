@@ -271,8 +271,58 @@ def run_scaling() -> None:
     }))
 
 
+def run_stress(n_images: int | None = None) -> None:
+    """Large-corpus recall/precision/throughput check (the BASELINE.md 10x
+    stress row): flagship pipeline end-to-end on n_images, compared against
+    the analytic truth_pairs table."""
+    import ray
+
+    n = n_images or int(os.environ.get("GRAFT_STRESS_IMAGES", "500000"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import (DedupConfig, evaluate_recall,
+                                               near_dup_pipeline)
+    from setsketch_ray.sources.images import truth_pairs
+
+    global BENCH_IMAGES
+    old = BENCH_IMAGES
+    BENCH_IMAGES = n
+    img_path = f"/tmp/setsketch_bench/images_v2_n{n}_sz{IMG_SIZE}.parquet"
+    os.makedirs(os.path.dirname(img_path), exist_ok=True)
+    _ensure_bench_images(img_path)
+    BENCH_IMAGES = old
+
+    t0 = time.time()
+    ds = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
+    clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig(
+        decode=True, sketch_concurrency=max(2, NUM_CPUS // 2),
+        num_partitions=NUM_CPUS * 8))
+    n_rows = clustered.count()
+    dt = time.time() - t0
+    rec = evaluate_recall(mapping, truth_pairs(n))
+    print(json.dumps({
+        "metric": f"stress: {n} images end-to-end (decode+cluster)",
+        "value": round(dt, 1), "unit": "sec",
+        "images_per_sec": round(n_rows / dt, 1),
+        "recall": round(rec["recall"], 4),
+        "precision": round(rec["precision"], 4),
+        "true_pairs": rec["true_pairs"],
+        "predicted_pairs": rec["predicted_pairs"],
+        "n_edges": int(edges.num_rows),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--stress" in sys.argv:
+        run_stress()
     else:
         print(json.dumps(run_benchmarks()))

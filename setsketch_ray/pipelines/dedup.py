@@ -52,10 +52,17 @@ class DedupConfig:
     ngrams: tuple = (1, 2)
     use_phash: bool = True
     decode: bool = False          # decode bytes + recompute phash (actor pool)
-    # optional: caption-driven acceptance additionally needs this much visual
-    # overlap.  Off by default — geometric edits (1 px shift) can destroy the
-    # phash entirely, so requiring visual support costs recall on such pairs.
-    multimodal_support: float | None = None
+    # caption-driven acceptance additionally needs this much visual overlap.
+    # Default ON since round 2: at web scale caption-coincidence pairs grow
+    # ~n^2 (measured: ALL false edges at 200k/500k rows have jaccard_vis
+    # <= 0.035 while paraphrase true pairs keep >= ~0.1), so a tiny support
+    # requirement separates them exactly.  IDENTICAL caption sets
+    # (jaccard_cap >= exact_caption_exempt) stay accepted without visual
+    # support — geometric edits (1 px shift) can destroy the phash entirely
+    # and exact-dup captions are the strongest caption evidence.  Set to
+    # None to accept on caption similarity alone.
+    multimodal_support: float | None = 0.05
+    exact_caption_exempt: float = 0.999
     sketch_concurrency: int | None = None  # actor-pool size (None = tasks)
     # payload attachment for pair verification:
     #   "broadcast" — ray.put the id->payload map once, look up per batch.
@@ -275,8 +282,10 @@ def verified_edges(pairs, cfg: DedupConfig):
 
     Rule: exact Jaccard over threshold in any modality (score >= 1); when
     both modalities exist and ``multimodal_support`` is set, caption-driven
-    acceptance additionally requires minimal visual overlap.  The optional
-    joint-ML precision stage gates on ``jaccard_ml`` too."""
+    acceptance additionally requires minimal visual overlap — except for
+    near-IDENTICAL caption sets (>= ``exact_caption_exempt``), which pass on
+    caption evidence alone.  The optional joint-ML precision stage gates on
+    ``jaccard_ml`` too."""
     import pyarrow.compute as pc
 
     mods = {m.name: m for m in cfg.sketch.modalities}
@@ -290,8 +299,10 @@ def verified_edges(pairs, cfg: DedupConfig):
             cap_ok = pc.and_(
                 pc.greater_equal(t["jaccard_cap"],
                                  pa.scalar(mods["cap"].threshold)),
-                pc.greater_equal(t["jaccard_vis"],
-                                 pa.scalar(cfg.multimodal_support)))
+                pc.or_(pc.greater_equal(t["jaccard_vis"],
+                                        pa.scalar(cfg.multimodal_support)),
+                       pc.greater_equal(t["jaccard_cap"],
+                                        pa.scalar(cfg.exact_caption_exempt))))
             mask = pc.and_(mask, pc.or_(vis_ok, cap_ok))
         if "jaccard_ml" in t.column_names:
             mask = pc.and_(mask, pc.greater_equal(
