@@ -210,6 +210,9 @@ def test_count_distinct(rd):
 
     t = pa.table({"x": pa.array([1, 2, 2, 3, 3, 3, 4], pa.int64())})
     assert count_distinct(rd.from_arrow(t).repartition(3), "x") == 4
+    # string column + duplicates split across blocks (partition-merge path)
+    s = pa.table({"x": pa.array([f"k{i % 37}" for i in range(400)])})
+    assert count_distinct(rd.from_arrow(s).repartition(5), "x") == 37
 
 
 def test_approx_distinct_accuracy(rd):
