@@ -177,6 +177,17 @@ def _q_knn_bruteforce(sf_dir: str):
     return knn_bruteforce(ds, query_vec_id=0, k=10)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF approximate top-10 neighbors of vec_id 0 (deterministic k-means
+    coarse quantizer + n_probe nearest cells — the 100 TB ANN scale path);
+    rows-only: the probed-cell result is approximate by design (recall vs
+    brute force asserted in tests/test_functions.py)."""
+    from setsketch_ray.functions.knn import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, query_vec_id=0, k=10, n_centroids=32, n_probe=8)
+
+
 def _q_near_dup_docs(sf_dir: str):
     """Near-dup candidate pairs over documents (MinHash-LSH + exact verify) —
     deterministic but not SQL-expressible (rows-only check)."""
@@ -462,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "token_counts": _q_token_counts,
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "events_hourly": _q_events_hourly,
         "orders_by_segment": _q_orders_by_segment,

@@ -81,6 +81,117 @@ def knn_bruteforce(ds, query_vec_id: int, k: int = 10, id_col: str = "vec_id"):
     })
 
 
+def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
+                     seed: int = 11, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed Lloyd k-means over the embedding column —
+    the IVF coarse quantizer.  Init picks the ``n_centroids`` rows with the
+    smallest ``mix2(id, seed)`` (a deterministic pseudo-random sample, no
+    RNG state); each iteration is one ``map_batches`` pass emitting
+    per-centroid partial (sum, count) against the broadcast centroids, with
+    a tiny (n_centroids x dim) driver combine.  Returns (n_centroids, dim).
+    """
+    import ray
+
+    def pick_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix2(ids, seed)
+        k = min(n_centroids, len(h))
+        sel = np.argpartition(h, k - 1)[:k] if len(h) > k else np.arange(len(h))
+        return pa.table({"h": pa.array(h[sel], pa.uint64()),
+                         emb_col: t[emb_col].take(pa.array(sel))})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(pick_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    order = np.argsort(parts["h"].to_numpy())[:n_centroids]
+    centroids = _embedding_matrix(parts[emb_col])[order]
+
+    for _ in range(n_iters):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = _embedding_matrix(t[emb_col])
+            assign = np.argmax(emb @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "centroid": pa.array(np.arange(len(c)), pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+                "sum": pa.array([row.tobytes() for row in sums], pa.binary()),
+            })
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            idx = b["centroid"].to_numpy()
+            np.add.at(counts, idx, b["count"].to_numpy())
+            block = np.stack([np.frombuffer(r, dtype=centroids.dtype)
+                              for r in b["sum"].to_pylist()])
+            np.add.at(sums, idx, block)
+        nonzero = counts > 0
+        centroids = np.where(nonzero[:, None],
+                             sums / np.maximum(counts, 1)[:, None],
+                             centroids)
+    return centroids
+
+
+def knn_ivf(ds, query_vec_id: int, k: int = 10, n_centroids: int = 64,
+            n_probe: int = 8, n_iters: int = 4, seed: int = 11,
+            id_col: str = "vec_id", centroids: np.ndarray | None = None):
+    """IVF approximate top-k: coarse-quantize with k-means centroids, then
+    scan ONLY the ``n_probe`` cells nearest the query — the 100 TB path
+    where the brute-force full scan is off the table.  At corpus scale the
+    cell assignment is written as a partition column so a probe reads only
+    its cells' files; here the filter happens in-stream.
+
+    Returns (vec_id, rank) like :func:`knn_bruteforce`; recall vs the exact
+    answer is governed by ``n_probe / n_centroids``.
+    """
+    import ray
+
+    if centroids is None:
+        centroids = kmeans_centroids(ds, n_centroids, n_iters, seed,
+                                     id_col=id_col)
+    qrow = ds.filter(expr=f"{id_col} == {query_vec_id}").take(1)
+    if not qrow:
+        raise ValueError(f"query id {query_vec_id} not found")
+    qvec = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    probe = set(np.argsort(-(cn @ (qvec / np.linalg.norm(qvec))))[:n_probe]
+                .tolist())
+    cref = ray.put(centroids)
+    pref = ray.put(probe)
+    qref = ray.put(qvec)
+
+    class ProbeScore:
+        def __init__(self, cr, pr, qr, kk, excl, idc):
+            self.c = ray.get(cr)
+            self.probe = ray.get(pr)
+            self.inner = _ScoreBatch(qr, kk, excl, idc)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = _embedding_matrix(t["embedding"])
+            assign = np.argmax(emb @ self.c.T, axis=1)
+            mask = np.isin(assign, list(self.probe))
+            return self.inner(t.filter(pa.array(mask)))
+
+    scored = ds.map_batches(
+        ProbeScore, fn_constructor_args=(cref, pref, qref, k,
+                                         query_vec_id, id_col),
+        batch_format="pyarrow", batch_size=8192, concurrency=2)
+    top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table({
+        id_col: t[id_col],
+        "rank": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
+    })
+
+
 class _HyperplaneBucket:
     """SimHash bucketing stage: ``bucket = sign-bits of R @ v`` (R broadcast,
     built once per actor from a seed)."""

@@ -205,6 +205,29 @@ def test_grouped_aggregate_matches_pandas(rd):
         assert np.isclose(out.loc[k, "mn"], ref.loc[k, "min"])
 
 
+def test_knn_ivf_recall_vs_bruteforce(rd):
+    """IVF probe path recovers (almost all of) the exact top-k on clustered
+    vectors, and is deterministic across runs."""
+    from setsketch_ray.functions.knn import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 24)) * 4
+    vecs = np.concatenate([
+        centers[i % 8] + rng.standard_normal(24) * 0.4
+        for i in range(400)]).reshape(400, 24)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    ds = rd.from_arrow(t).repartition(4)
+    exact = knn_bruteforce(ds, query_vec_id=0, k=10)["vec_id"].to_pylist()
+    approx = knn_ivf(ds, query_vec_id=0, k=10, n_centroids=16, n_probe=4)
+    got = approx["vec_id"].to_pylist()
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+    again = knn_ivf(ds, query_vec_id=0, k=10, n_centroids=16,
+                    n_probe=4)["vec_id"].to_pylist()
+    assert got == again  # deterministic
+
+
 def test_count_distinct(rd):
     from setsketch_ray.functions.relational import count_distinct
 
