@@ -82,21 +82,6 @@ class BandExpand:
         })
 
 
-def _exact_jaccard(vals: np.ndarray, offs: np.ndarray, i: np.ndarray,
-                   j: np.ndarray) -> np.ndarray:
-    """Exact Jaccard between row-set pairs of a (sorted-unique) list column."""
-    out = np.empty(len(i), dtype=np.float64)
-    for p in range(len(i)):
-        a = vals[offs[i[p]]:offs[i[p] + 1]]
-        b = vals[offs[j[p]]:offs[j[p] + 1]]
-        if len(a) == 0 and len(b) == 0:
-            out[p] = 0.0
-            continue
-        inter = len(np.intersect1d(a, b, assume_unique=True))
-        out[p] = inter / (len(a) + len(b) - inter)
-    return out
-
-
 class EmitPairsPartition:
     """Vectorized candidate-pair emission for one shuffle partition
     (``map_groups`` over ``part``): sort by band_key, walk bucket
