@@ -240,7 +240,11 @@ def _sketch_microbench(n: int = 2_000_000) -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
+        # scaling needs enough work per cpu: at the 20k default the 32-cpu
+        # run is overhead-bound and efficiency is meaningless (measured
+        # 0.49 at 20k vs 0.99 at 50k with identical code)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_IMAGES", "50000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
