@@ -136,7 +136,29 @@ JOINT_CONFIGS = [
      lambda: MinHash(m=4096),
      lambda: MinHashEstimator(4096),
      lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 100),
+    ("setsketch2_b2",
+     ("SetSketch2", "numRegisters=4096", "q=62", "base=2.000"),
+     lambda: SetSketch2(m=4096, base=2.0, a=20.0, q=62),
+     lambda: SetSketchEstimator(62, 20.0, 2.0, 4096),
+     lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 100),
+    ("hyperminhash",
+     ("name=HyperMinHash", "numRegisters=4096"),
+     lambda: _hmh(),
+     lambda: _hmh_est(),
+     lambda est, ra, rb: est.estimate_joint_new(ra, rb).jaccard[0], 100),
 ]
+
+
+def _hmh():
+    from setsketch_ray.sketchlib import HyperMinHash
+
+    return HyperMinHash(bucketbits=12, bucketsize=6, subbucketsize=10)
+
+
+def _hmh_est():
+    from setsketch_ray.sketchlib.hmh_estimator import HyperMinHashEstimator
+
+    return HyperMinHashEstimator(12, 6, 10)
 
 
 def test_joint_pipeline_wide_output_matches_golden(ray_session):
