@@ -135,15 +135,30 @@ class GHLL(_MaxMergeSketch):
         if n == 0:
             return
         regs_flat = regs.reshape(-1)
+        # vectorized lower-bound fast path (RegistersWithLowerBound,
+        # sketch.hpp:767-841 / early exit sketch.hpp:1047): an element whose
+        # level is <= the row's current MIN register can't update anything,
+        # so it skips the index draw and the scatter sort entirely.  The
+        # cached minima are refreshed per chunk (stale-low minima only make
+        # the filter conservative, never wrong); as a sketch saturates the
+        # surviving fraction ~ m*q/n -> 0 and cost/element falls like the
+        # reference's O(1) amortized insert.
+        row_min = regs.min(axis=1).astype(np.int64)
         for lo in range(0, n, self._cache_chunk):
             hi = min(lo + self._cache_chunk, n)
             v = values[lo:hi]
+            rid = row_ids[lo:hi]
             u = uniform_double(mix2(v, _CTR_POINT))
             k = self.mapping.map_levels(u)
+            rel = k > row_min[rid]
+            if not rel.any():
+                continue
+            v, rid, k = v[rel], rid[rel], k[rel]
             idx = bounded_uint(mix2(v, _CTR_INDEX), self.m)
-            rel = k > 0
-            flat = row_ids[lo:hi][rel] * self.m + idx[rel].astype(np.int64)
-            scatter_max(regs_flat, flat, k[rel])
+            flat = rid * self.m + idx.astype(np.int64)
+            scatter_max(regs_flat, flat, k)
+            touched = np.unique(rid)
+            row_min[touched] = regs[touched].min(axis=1)
 
 
 class HLL(_MaxMergeSketch):
@@ -161,14 +176,28 @@ class HLL(_MaxMergeSketch):
         self.a = 1.0 / self.m
         self.dtype = value_dtype(q)
 
+    _cache_chunk = 1 << 18
+
     def add_flat(self, regs: np.ndarray, row_ids: np.ndarray, values: np.ndarray) -> None:
-        if len(values) == 0:
+        n = len(values)
+        if n == 0:
             return
-        d = np.asarray(values, dtype=np.uint64)
-        idx = (d >> U64(64 - self.p)).astype(np.int64)
-        k = trailing_ones(d, self.q) + 1
-        flat = row_ids * self.m + idx
-        scatter_max(regs.reshape(-1), flat, k)
+        regs_flat = regs.reshape(-1)
+        # lower-bound fast path as in GHLL (guarded insert, sketch.hpp:1072)
+        row_min = regs.min(axis=1).astype(np.int64)
+        for lo in range(0, n, self._cache_chunk):
+            d = np.asarray(values[lo:lo + self._cache_chunk], dtype=np.uint64)
+            rid = row_ids[lo:lo + self._cache_chunk]
+            k = trailing_ones(d, self.q) + 1
+            rel = k > row_min[rid]
+            if not rel.any():
+                continue
+            d, rid, k = d[rel], rid[rel], k[rel]
+            idx = (d >> U64(64 - self.p)).astype(np.int64)
+            flat = rid * self.m + idx
+            scatter_max(regs_flat, flat, k)
+            touched = np.unique(rid)
+            row_min[touched] = regs[touched].min(axis=1)
 
 
 class _BulkLimitSketch(_MaxMergeSketch):
