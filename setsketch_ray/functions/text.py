@@ -27,23 +27,29 @@ def token_count_column(texts) -> pa.Array:
     return pc.add(spaces, 1)
 
 
+_BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]"
+_BPE_ISH = re.compile(_BPE_ISH_PATTERN)
+
+
 class AddTokenStats:
-    """Appends ``n_tokens`` (whitespace tokens) and ``n_chars_engine``."""
+    """Appends ``n_tokens`` (whitespace tokens), ``n_tokens_bpe`` (BPE-ish
+    regex token count: letter runs, <=3-digit runs, single symbols — the
+    subword-proxy budget column for training-data pipelines) and
+    ``n_chars_engine``.  All three are vectorized RE2/Arrow kernels."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = batch[self.text_col]
+        arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
         out = batch.append_column("n_tokens",
                                   token_count_column(t).cast(pa.int64()))
+        out = out.append_column(
+            "n_tokens_bpe",
+            pc.count_substring_regex(arr, _BPE_ISH_PATTERN).cast(pa.int64()))
         return out.append_column("n_chars_engine",
-                                 pc.utf8_length(t.combine_chunks()
-                                                if isinstance(t, pa.ChunkedArray)
-                                                else t).cast(pa.int64()))
-
-
-_BPE_ISH = re.compile(r"[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]")
+                                 pc.utf8_length(arr).cast(pa.int64()))
 
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that for on "

@@ -160,10 +160,19 @@ def test_exact_dedup(rd):
 def test_token_stats_and_fingerprint(rd):
     from setsketch_ray.functions.text import AddTokenStats, fingerprint_column
 
-    t = pa.table({"text": pa.array(["one two three", "hello", "a b c d"])})
+    t = pa.table({"text": pa.array(["one two three", "hello", "a b c d",
+                                    "GPT-4 costs $0.03/1k tokens!", ""])})
     out = AddTokenStats()(t)
-    assert out["n_tokens"].to_pylist() == [3, 1, 4]
-    assert out["n_chars_engine"].to_pylist() == [13, 5, 7]
+    assert out["n_tokens"].to_pylist() == [3, 1, 4, 4, 1]
+    assert out["n_chars_engine"].to_pylist() == [13, 5, 7, 28, 0]
+    # BPE-ish count == Python re.findall of the same pattern
+    import re
+
+    from setsketch_ray.functions.text import _BPE_ISH
+
+    expect = [len(_BPE_ISH.findall(s)) for s in t["text"].to_pylist()]
+    assert out["n_tokens_bpe"].to_pylist() == expect
+    assert expect[3] > 4  # symbols/digit-runs split into subword-ish pieces
     fp1 = fingerprint_column(["x", "y", "x"]).to_pylist()
     assert fp1[0] == fp1[2] != fp1[1]
 
