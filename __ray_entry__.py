@@ -395,6 +395,19 @@ def _q_top_events_per_user(sf_dir: str):
                            tiebreak_col="event_id")
 
 
+def _q_sample_split_docs(sf_dir: str):
+    """Deterministic 20% Bernoulli sample of documents + leakage-safe
+    train/val/test split column — Knuth multiplicative hash on doc_id, the
+    same arithmetic the SQL oracle computes (no RNG state anywhere)."""
+    from setsketch_ray.functions.relational import (sample_by_key,
+                                                    train_val_test_split)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    sampled = sample_by_key(ds, "doc_id", 0.2)
+    return train_val_test_split(sampled, "doc_id", val_fraction=0.05,
+                                test_fraction=0.05)
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based session windows over the events stream (30-min gap):
     hash-partition by user, one vectorized sessionization pass per partition.
@@ -489,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_eval": _q_joint_eval,
         "approx_distinct_methods": _q_approx_distinct_methods,
         "substring_dup_docs": _q_substring_dup_docs,
+        "sample_split_docs": _q_sample_split_docs,
         "sessionize": _q_sessionize,
         "top_events_per_user": _q_top_events_per_user,
     }
@@ -551,6 +565,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_quantity > 45 GROUP BY o_orderpriority",
+        "sample_split_docs":
+            "WITH f AS (SELECT doc_id, n_chars, "
+            "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "
+            "/ 4294967296.0 AS frac FROM documents) "
+            "SELECT doc_id, n_chars, CASE WHEN frac < 0.05 THEN 'test' "
+            "WHEN frac < 0.10 THEN 'val' ELSE 'train' END AS split "
+            "FROM f WHERE frac < 0.2",
         "sessionize":
             "WITH marked AS ("
             "  SELECT user_id, ts, value,"

@@ -143,6 +143,51 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
                                            batch_format="pyarrow")
 
 
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (SQL-expressible)
+
+
+def hash_fraction_column(t: pa.Table, key_col: str) -> "np.ndarray":
+    """Deterministic per-row uniform fraction in [0, 1): Knuth multiplicative
+    hash of an integer key, mod 2^32.  The SAME arithmetic is expressible in
+    ANSI SQL (``(key * 2654435761) % 4294967296 / 4294967296.0``), so
+    sampling/splitting operators built on it have exact DuckDB oracles —
+    unlike our 64-bit mixers."""
+    import numpy as np
+
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (k * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+    return h.astype(np.float64) / float(1 << 32)
+
+
+def sample_by_key(ds, key_col: str, fraction: float):
+    """Deterministic Bernoulli sample: keep rows whose hash fraction falls
+    below ``fraction``.  Reproducible across runs/workers and restartable —
+    no RNG state, membership is a pure function of the key."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(hash_fraction_column(t, key_col) < fraction))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def train_val_test_split(ds, key_col: str, val_fraction: float = 0.05,
+                         test_fraction: float = 0.05):
+    """Append a deterministic ``split`` column (train/val/test) keyed by the
+    row's hash fraction — the standard leakage-safe corpus split (same key
+    always lands in the same split, across reruns and cluster sizes)."""
+
+    def add_split(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = hash_fraction_column(t, key_col)
+        split = np.where(f < test_fraction, "test",
+                         np.where(f < test_fraction + val_fraction,
+                                  "val", "train"))
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(add_split, batch_format="pyarrow")
+
+
 def count_distinct(ds, column: str, num_partitions: int = 64) -> int:
     """Exact distinct count, fully distributed: per-batch unique partials ->
     hash-partition by value -> per-partition unique count -> sum of tiny

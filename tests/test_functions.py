@@ -237,6 +237,30 @@ def test_knn_ivf_recall_vs_bruteforce(rd):
     assert got == again  # deterministic
 
 
+def test_sample_and_split_deterministic(rd):
+    """Hash sampling/splitting: reproducible, RNG-free, block-layout
+    independent, and the splits partition the sample."""
+    from setsketch_ray.functions.relational import (sample_by_key,
+                                                    train_val_test_split)
+
+    t = pa.table({"k": pa.array(range(10_000), pa.int64())})
+    a = pa.concat_tables(list(sample_by_key(rd.from_arrow(t), "k", 0.3)
+                              .iter_batches(batch_format="pyarrow")))
+    b = pa.concat_tables(list(
+        sample_by_key(rd.from_arrow(t).repartition(7), "k", 0.3)
+        .iter_batches(batch_format="pyarrow")))
+    assert sorted(a["k"].to_pylist()) == sorted(b["k"].to_pylist())
+    assert 0.25 < len(a) / 10_000 < 0.35
+    sp = pa.concat_tables(list(
+        train_val_test_split(rd.from_arrow(t), "k", 0.1, 0.1)
+        .iter_batches(batch_format="pyarrow")))
+    counts = dict(zip(*np.unique(sp["split"].to_numpy(zero_copy_only=False),
+                                 return_counts=True)))
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.07 < counts["test"] / 10_000 < 0.13
+    assert counts["train"] + counts["val"] + counts["test"] == 10_000
+
+
 def test_count_distinct(rd):
     from setsketch_ray.functions.relational import count_distinct
 
