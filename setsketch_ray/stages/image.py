@@ -180,24 +180,85 @@ class VideoFrameSampleStage:
 
 
 class AudioFeatureStage:
-    """STUB (clearly marked): audio feature extraction (no audio codec in
-    this environment).  Contract: ``bytes: binary`` in, ``audio_features:
-    list<float>`` (fixed DIM) out; deterministic fake path for plumbing
-    tests."""
+    """Audio feature extraction over raw audio bytes (actor-pool
+    ``map_batches`` stage).
+
+    REAL path — RIFF/WAVE PCM (8/16/32-bit, any channel count), parsed with
+    the stdlib ``wave`` module + NumPy (no external codec needed): the
+    signal is downmixed to mono and summarized as DIM=16 features —
+    ``[duration_s, rms, zero_crossing_rate, 13 log-magnitude spectral band
+    energies]`` from the mean rfft magnitude over 2048-sample frames.
+
+    COMPRESSED formats (mp3/ogg/flac/aac) remain a clearly-marked stub: no
+    codec exists in this environment, so they raise ``NotImplementedError``
+    (or, with ``fake=True``, produce a deterministic pseudo-feature for
+    plumbing tests — never silently wrong output).
+    """
 
     DIM = 16
+    _N_BANDS = 13
+    _FRAME = 2048
 
-    def __init__(self, fake: bool = False):
+    def __init__(self, fake: bool = False, fmt_col: str | None = None):
         self.fake = fake
+        self.fmt_col = fmt_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for blob in batch["bytes"].to_pylist():
-            if not self.fake:
-                raise NotImplementedError(
-                    "audio decoding stubbed: no codec in this environment")
+    def _wav_features(self, blob: bytes) -> list[float]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(blob)) as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width == 1:  # unsigned 8-bit
+            sig = np.frombuffer(raw, np.uint8).astype(np.float64) / 128.0 - 1.0
+        elif width == 2:
+            sig = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif width == 4:
+            sig = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM sample width {width}")
+        if nch > 1:
+            sig = sig[:len(sig) - len(sig) % nch].reshape(-1, nch).mean(axis=1)
+        n = len(sig)
+        if n == 0:
+            return [0.0] * self.DIM
+        duration = n / rate
+        rms = float(np.sqrt(np.mean(sig ** 2)))
+        zcr = float(np.mean(np.signbit(sig[1:]) != np.signbit(sig[:-1])))
+        # mean magnitude spectrum over fixed frames -> log-spaced band energy
+        F = self._FRAME
+        nfr = max(n // F, 1)
+        frames = np.zeros((nfr, F))
+        usable = sig[:nfr * F]
+        frames[:len(usable) // F] = usable[:len(usable) // F * F] \
+            .reshape(-1, F)
+        mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+        edges = np.unique(np.geomspace(1, len(mag) - 1,
+                                       self._N_BANDS + 1).astype(np.int64))
+        bands = np.zeros(self._N_BANDS)
+        for i in range(min(self._N_BANDS, len(edges) - 1)):
+            bands[i] = mag[edges[i]:edges[i + 1] + 1].mean()
+        bands = np.log1p(bands)
+        return [duration, rms, zcr] + [float(b) for b in bands]
+
+    def _features(self, blob: bytes, fmt: str | None) -> list[float]:
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return self._wav_features(blob)
+        if self.fake:
             arr = np.frombuffer(blob[:1024].ljust(1024, b"\0"), dtype=np.uint8)
             spec = np.abs(np.fft.rfft(arr.astype(np.float64)))[:self.DIM]
-            feats.append([float(x) for x in spec / (spec.max() or 1.0)])
+            return [float(x) for x in spec / (spec.max() or 1.0)]
+        raise NotImplementedError(
+            f"audio format {fmt or blob[:4]!r}: only PCM WAV decodes in this "
+            "environment (compressed codecs stubbed; fake=True for plumbing)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch[self.fmt_col].to_pylist() if self.fmt_col and \
+            self.fmt_col in batch.column_names else [None] * batch.num_rows
+        feats = [self._features(blob, fmt)
+                 for blob, fmt in zip(batch["bytes"].to_pylist(), fmts)]
         return batch.append_column(
             "audio_features", pa.array(feats, pa.list_(pa.float32())))
