@@ -194,6 +194,17 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
         payload_tbl = pa.concat_tables(payload_batches)
         lookup_ref = ray.put(payload_tbl)
 
+        if not carry_regs:
+            # FUSED attach+verify: candidates outnumber rows ~20x at web
+            # scale, so materializing two payload copies per pair dominated
+            # the whole pipeline; the fused stage gathers shingle elements
+            # straight from the broadcast pool (stages/lsh.py)
+            from ..stages.lsh import VerifyPairsAgainstPayload
+
+            return pairs.map_batches(
+                VerifyPairsAgainstPayload(lookup_ref, mods, id_col),
+                batch_format="pyarrow", batch_size=16384)
+
         def attach(batch: pa.Table) -> pa.Table:
             # stateless TASKS (no actor-pool startup latency); the id index
             # is built once per worker process and cached by object ref
@@ -224,9 +235,11 @@ _WORKER_CACHE: dict = {}
 
 def _attach_payload(batch: pa.Table, lookup_ref, id_col: str) -> pa.Table:
     """Append ``<payload>_a`` / ``<payload>_b`` columns by Arrow ``take``
-    from the broadcast payload table.  The (table, id->row index) pair is
-    cached per worker process keyed by the object ref — reused across tasks
-    with no actor pool."""
+    from the broadcast payload table.  The (table, key array) pair is cached
+    per worker process keyed by the object ref — reused across tasks with no
+    actor pool.  Lookups are vectorized ``pc.index_in`` (C++ hash join), not
+    per-row Python dict probes."""
+    import pyarrow.compute as pc
     import ray
 
     key = ("payload", lookup_ref.hex() if hasattr(lookup_ref, "hex")
@@ -235,16 +248,16 @@ def _attach_payload(batch: pa.Table, lookup_ref, id_col: str) -> pa.Table:
     if cached is None:
         table: pa.Table = ray.get(lookup_ref) \
             if not isinstance(lookup_ref, pa.Table) else lookup_ref
-        index = {v: i for i, v in enumerate(table[id_col].to_pylist())}
-        cached = (table, index)
+        keys = table[id_col].combine_chunks() \
+            if isinstance(table[id_col], pa.ChunkedArray) else table[id_col]
+        cached = (table, keys)
         _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = cached
-    table, index = cached
+    table, keys = cached
     value_cols = [c for c in table.column_names if c != id_col]
     out = batch
     for side in ("a", "b"):
-        rows = pa.array([index[i] for i in batch[f"id_{side}"].to_pylist()],
-                        pa.int64())
+        rows = pc.index_in(batch[f"id_{side}"], value_set=keys)
         taken = table.take(rows)
         for cname in value_cols:
             out = out.append_column(f"{cname}_{side}", taken[cname])
@@ -260,17 +273,16 @@ class _AttachPayloadBroadcast:
 
         self.table: pa.Table = ray.get(lookup_ref)
         self.id_col = id_col
-        self.index = {v: i for i, v in
-                      enumerate(self.table[id_col].to_pylist())}
+        k = self.table[id_col]
+        self.keys = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
         self.value_cols = [c for c in self.table.column_names if c != id_col]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         out = batch
-        idx_map = self.index
         for side in ("a", "b"):
-            rows = pa.array([idx_map[i]
-                             for i in batch[f"id_{side}"].to_pylist()],
-                            pa.int64())
+            rows = pc.index_in(batch[f"id_{side}"], value_set=self.keys)
             taken = self.table.take(rows)
             for cname in self.value_cols:
                 out = out.append_column(f"{cname}_{side}", taken[cname])

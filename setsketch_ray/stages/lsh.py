@@ -220,6 +220,104 @@ class VerifyPairsExact:
         return out.drop_columns(drop)
 
 
+_LSH_WORKER_CACHE: dict = {}
+
+
+def _seg_gather(offs: np.ndarray, rows: np.ndarray):
+    """Flat element indices + per-pair sizes for payload rows ``rows``."""
+    sizes = (offs[rows + 1] - offs[rows]).astype(np.int64)
+    out_off = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=out_off[1:])
+    idx = (np.arange(out_off[-1], dtype=np.int64)
+           - np.repeat(out_off[:-1], sizes)
+           + np.repeat(offs[rows], sizes))
+    return idx, sizes
+
+
+class VerifyPairsAgainstPayload:
+    """FUSED broadcast-attach + exact verify (one stage): instead of
+    materializing ``<shingles>_a/_b`` binary columns per candidate pair
+    (x2 payload copies per pair — the dominant cost at 9.7M candidates per
+    500k rows) the broadcast payload is parsed ONCE per worker into flat
+    (values, offsets) pools per modality, and each pair's exact Jaccard is
+    computed by gathering u64 elements straight out of the pool with the
+    batched tagged-intersection.  Output columns match
+    :class:`VerifyPairsExact` (``jaccard_<mod>`` + ``score``).
+
+    Usable as a stateless task fn (worker-level cache keyed by the object
+    ref) — ``candidate_pairs`` wires it for the broadcast join strategy."""
+
+    def __init__(self, payload_ref, modalities, id_col: str = "image_id"):
+        self.payload_ref = payload_ref
+        self.modalities = modalities
+        self.id_col = id_col
+
+    def _pools(self):
+        import ray
+
+        from .sketch_stage import binary_to_flat_u64
+
+        key = ("verify_pool", self.payload_ref.hex()
+               if hasattr(self.payload_ref, "hex") else id(self.payload_ref))
+        cached = _LSH_WORKER_CACHE.get(key)
+        if cached is None:
+            table = ray.get(self.payload_ref) \
+                if not isinstance(self.payload_ref, pa.Table) \
+                else self.payload_ref
+            keys = table[self.id_col]
+            keys = keys.combine_chunks() \
+                if isinstance(keys, pa.ChunkedArray) else keys
+            pools = {}
+            for mod in self.modalities:
+                col = f"{mod.shingle_col}"
+                if col in table.column_names:
+                    pools[mod.name] = binary_to_flat_u64(table[col])
+            cached = (keys, pools)
+            _LSH_WORKER_CACHE.clear()
+            _LSH_WORKER_CACHE[key] = cached
+        return cached
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        out = batch
+        score = np.zeros(n)
+        if n == 0:
+            for mod in self.modalities:
+                out = out.append_column(mod.jaccard_col,
+                                        pa.array([], pa.float64()))
+            return out.append_column("score", pa.array([], pa.float64()))
+        keys, pools = self._pools()
+        ia = pc.index_in(batch["id_a"], value_set=keys) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pc.index_in(batch["id_b"], value_set=keys) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        for mod in self.modalities:
+            if mod.name not in pools:
+                out = out.append_column(mod.jaccard_col,
+                                        pa.array(np.zeros(n), pa.float64()))
+                continue
+            vals, offs = pools[mod.name]
+            a_idx, sa = _seg_gather(offs, ia)
+            b_idx, sb = _seg_gather(offs, ib)
+            pair_a = np.repeat(np.arange(n, dtype=np.uint64), sa)
+            pair_b = np.repeat(np.arange(n, dtype=np.uint64), sb)
+            ka = mix2(vals[a_idx], pair_a * np.uint64(2) + np.uint64(101))
+            kb = mix2(vals[b_idx], pair_b * np.uint64(2) + np.uint64(101))
+            _, iia, _ = np.intersect1d(ka, kb, assume_unique=True,
+                                       return_indices=True)
+            inter = np.bincount(pair_a[iia].astype(np.int64), minlength=n)
+            union = sa + sb - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = inter / union
+            jac = np.nan_to_num(jac, nan=0.0)
+            out = out.append_column(mod.jaccard_col,
+                                    pa.array(jac, pa.float64()))
+            score = np.maximum(score, jac / mod.threshold)
+        return out.append_column("score", pa.array(score, pa.float64()))
+
+
 def dedup_pairs_partition(partition: pa.Table) -> pa.Table:
     """Keep one row per pair within a pair partition — the same pair surfaces
     from up to sum(num_bands) buckets (hash-partition + per-group first,
