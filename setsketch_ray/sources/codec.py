@@ -90,25 +90,31 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     raw = zlib.decompress(idat)
     stride = w * 3
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
+    a = np.frombuffer(raw, dtype=np.uint8)
+    if len(a) != h * (stride + 1):
+        raise ValueError("corrupt PNG stream")
+    a = a.reshape(h, stride + 1)
+    filters = a[:, 0]
+    body = a[:, 1:]
+    if not filters.any():
+        # all filter 0 (what encode_png writes): zero reconstruction work
+        return body.reshape(h, w, 3).copy()
+    # uint8 arithmetic wraps mod 256, exactly the PNG reconstruction rule
+    out = body.copy()
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
-                             dtype=np.uint8).astype(np.int64)
+        f = filters[y]
         if f == 0:
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif f == 1:  # Sub
-            cur = line.copy()
+            continue
+        if f == 2:  # Up: one vectorized row add against the decoded row above
+            if y:
+                out[y] += out[y - 1]
+        elif f == 1:  # Sub (rare here): per-pixel carry chain
+            row = out[y]
             for i in range(3, stride):
-                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+                row[i] = (int(row[i]) + int(row[i - 3])) & 0xFF
         else:
             raise NotImplementedError(f"PNG filter {f} not supported")
-        out[y] = cur.reshape(w, 3).astype(np.uint8)
-        prev = cur
-    return out
+    return out.reshape(h, w, 3)
 
 
 # ------------------------------------------------------- LJP1 (lossy, real DCT)
@@ -231,6 +237,37 @@ def phash64(pixels: np.ndarray) -> int:
     for i, b in enumerate(bits):
         h |= b << np.uint64(i)
     return int(h)
+
+
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`phash64` over an (n, h, w, 3) uint8 stack —
+    bit-identical per image (same op order: gray dot, integral-image area
+    resize, 32x32 DCT, median threshold), one batched pass each.  Chunked so
+    the f64 gray/integral temporaries stay cache-resident (a whole-batch
+    pass is DRAM-bound and slower than the scalar loop)."""
+    n, h, w, _ = stack.shape
+    chunk = max(16, (4 << 20) // (8 * (h + 1) * (w + 1)))
+    if n > chunk:
+        return np.concatenate([phash64_batch(stack[lo:lo + chunk])
+                               for lo in range(0, n, chunk)])
+    gray = stack.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = np.arange(33) * h // 32
+    xs = np.arange(33) * w // 32
+    csum = np.zeros((n, h + 1, w + 1))
+    csum[:, 1:, 1:] = gray.cumsum(1).cumsum(2)
+    out = (csum[:, ys[1:], :][:, :, xs[1:]]
+           - csum[:, ys[:-1], :][:, :, xs[1:]]
+           - csum[:, ys[1:], :][:, :, xs[:-1]]
+           + csum[:, ys[:-1], :][:, :, xs[:-1]])
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    small = out / np.maximum(areas, 1)
+    dct = _DCT32 @ small @ _DCT32.T          # batched (n, 32, 32)
+    block = dct[:, :8, :8].reshape(n, 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = block > med[:, None]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    # bits are disjoint powers of two, so the sum is exact (it's an OR)
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
 
 
 def phash_to_int64(h: int) -> int:

@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.codec import decode_image, phash64, phash_to_int64
+from ..sources.codec import (decode_image, phash64, phash64_batch,
+                             phash_to_int64)
 
 
 class DecodeStage:
@@ -45,13 +46,22 @@ class DecodeStage:
             if self.phash_col in batch.column_names else [0] * len(blobs)
         out_hash = np.empty(len(blobs), dtype=np.int64)
         ok = np.zeros(len(blobs), dtype=bool)
+        # decode per row (codec work), then phash in shape-grouped BATCHES
+        # (one gray/resize/DCT/median pass per shape — bit-identical to the
+        # scalar phash64, ~3x cheaper)
+        by_shape: dict = {}
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 pixels = decode_image(blob, fmt)
-                out_hash[i] = phash_to_int64(phash64(pixels))
+                by_shape.setdefault(pixels.shape, ([], []))
+                by_shape[pixels.shape][0].append(i)
+                by_shape[pixels.shape][1].append(pixels)
                 ok[i] = True
             except (NotImplementedError, ValueError):
                 out_hash[i] = stored[i]
+        for _shape, (idxs, pix) in by_shape.items():
+            hashes = phash64_batch(np.stack(pix)).astype(np.int64)
+            out_hash[np.asarray(idxs)] = hashes
         cols = {c: batch[c] for c in batch.column_names}
         cols[self.phash_col] = pa.array(out_hash, pa.int64())
         cols["decode_ok"] = pa.array(ok, pa.bool_())
