@@ -146,7 +146,7 @@ def encode_ljpg(pixels: np.ndarray, quality: int = 85) -> bytes:
     coeffs = []
     for c in range(3):
         blocks = _to_blocks(padded[:, :, c])
-        dct = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+        dct = _DCT8 @ blocks @ _DCT8.T   # batched BLAS matmul over blocks
         coeffs.append(np.round(dct / qt).astype(np.int16))
     payload = zlib.compress(np.concatenate([c.ravel() for c in coeffs]).tobytes(), 6)
     return _LJP_MAGIC + struct.pack(">HHB", w, h, quality) + payload
@@ -164,7 +164,7 @@ def decode_ljpg(data: bytes) -> np.ndarray:
     out = np.empty((ph, pw, 3), dtype=np.float64)
     for c in range(3):
         blocks = arr[c * n:(c + 1) * n].reshape(ph // 8, pw // 8, 8, 8) * qt
-        idct = np.einsum("ji,abjk,kl->abil", _DCT8, blocks, _DCT8)
+        idct = _DCT8.T @ blocks @ _DCT8  # batched BLAS matmul over blocks
         out[:, :, c] = _from_blocks(idct)
     return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
 
