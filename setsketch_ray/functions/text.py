@@ -175,16 +175,38 @@ def fingerprint_column(texts) -> pa.Array:
 def simhash64(texts) -> np.ndarray:
     """64-bit SimHash over whitespace tokens: each token hash votes its bits;
     the sign of each bit-sum forms the fingerprint.  Near-dups differ in few
-    bits (Hamming LSH over 4x16-bit bands finds them)."""
-    lst = texts.to_pylist() if not isinstance(texts, list) else texts
-    out = np.zeros(len(lst), dtype=np.uint64)
-    for i, s in enumerate(lst):
-        toks = s.split() if s else []
-        if not toks:
-            continue
-        h = hash_str_u64(toks)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
-        v = (votes > 0).astype(np.uint64)
-        out[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    bits (Hamming LSH over 4x16-bit bands finds them).
+
+    Vectorized: one whitespace split (Arrow), each UNIQUE token hashed once
+    via dictionary encoding, per-row bit votes via one bincount per bit.
+    Bit-identical to the per-row formulation."""
+    if isinstance(texts, list):
+        arr = pa.array([s if s is not None else "" for s in texts],
+                       pa.string())
+    else:
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+            else texts
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    toks = pc.utf8_split_whitespace(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n), np.diff(offs))
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    row_ne = row_of[nonempty]
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq_hash = hash_str_u64(enc.dictionary.to_pylist()) \
+        if len(enc.dictionary) else np.empty(0, np.uint64)
+    th = uniq_hash[enc.indices.to_numpy(zero_copy_only=False)][nonempty]
+    n_tok = np.bincount(row_ne, minlength=n).astype(np.int64)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        ones = np.bincount(row_ne[(th >> np.uint64(b)) & np.uint64(1) == 1],
+                           minlength=n)
+        out |= ((2 * ones > n_tok) & (n_tok > 0)).astype(np.uint64) \
+            << np.uint64(b)
     return out
