@@ -33,6 +33,7 @@ STOPWORDS = frozenset(
     "or our she that the their they this to was we were will with you your "
     "near under over above below between into onto upon about after before "
     "during while than then there here not no so if but".split())
+_STOP_ARR = pa.array(sorted(STOPWORDS), pa.string())
 
 
 def _token_lists(captions: pa.ChunkedArray | pa.Array) -> pa.ListArray:
@@ -59,23 +60,34 @@ def caption_shingles(captions, ngrams: tuple = (1, 2),
     tokens = _token_lists(captions)
     flat_tokens = tokens.flatten()
     tok_offsets = np.asarray(tokens.offsets, dtype=np.int64)
-    tok_list = flat_tokens.to_pylist()
     n_rows = len(tok_offsets) - 1
+    sizes0 = np.diff(tok_offsets)
 
-    if drop_stopwords and tok_list:
-        keep_tok = np.fromiter((t not in STOPWORDS for t in tok_list),
-                               dtype=bool, count=len(tok_list))
-        sizes0 = np.diff(tok_offsets)
+    if drop_stopwords and len(flat_tokens):
+        # vectorized membership test (C++ hash set) instead of per-token
+        # Python `in`
+        keep_tok = pc.invert(pc.is_in(flat_tokens, value_set=_STOP_ARR)) \
+            .to_numpy(zero_copy_only=False)
         row_of0 = np.repeat(np.arange(n_rows), sizes0)
-        tok_list = [t for t, k in zip(tok_list, keep_tok) if k]
+        flat_kept = flat_tokens.filter(pa.array(keep_tok))
         row_of_kept = row_of0[keep_tok]
         sizes = np.bincount(row_of_kept, minlength=n_rows).astype(np.int64)
         tok_offsets = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(sizes, out=tok_offsets[1:])
     else:
-        sizes = np.diff(tok_offsets)
+        flat_kept = flat_tokens
+        sizes = sizes0
 
-    tok_hashes = hash_str_u64(tok_list)
+    # hash each UNIQUE token once (the FNV kernel is per-byte Python), then
+    # gather by dictionary code — bit-identical, ~#occurrences/#uniques faster
+    if len(flat_kept):
+        enc = pc.dictionary_encode(flat_kept)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq_hash = hash_str_u64(enc.dictionary.to_pylist())
+        tok_hashes = uniq_hash[enc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        tok_hashes = np.empty(0, dtype=np.uint64)
 
     sel_rows_parts, sel_vals_parts = [], []
     if len(tok_hashes):
