@@ -349,29 +349,55 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
     shuffle-friendly at 10^12 rows.
     """
     def expand(t: pa.Table) -> pa.Table:
-        ids_out, keys_out = [], []
-        for rid, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            toks = text.split() if text else []
-            if len(toks) < window:
-                continue
-            th = hash_str_u64(toks)
-            # rolling window hash: combine w consecutive token hashes
-            wh = th[:len(th) - window + 1].copy()
-            for j in range(1, window):
-                wh = mix2(wh, th[j:j + len(wh)])
-            uniq = np.unique(wh)
-            keys_out.append(uniq)
-            ids_out += [rid] * len(uniq)
-        if not keys_out:
-            return pa.table({"band_key": pa.array([], pa.uint64()),
-                             "part": pa.array([], pa.uint32()),
-                             id_col: pa.array([], pa.int64())})
-        keys = np.concatenate(keys_out)
+        """Vectorized: one Arrow whitespace split, dictionary-unique token
+        hashing, rolling ``window``-token combine over the flat stream with
+        cross-row windows masked, one lexsort per-row dedup."""
+        empty = pa.table({"band_key": pa.array([], pa.uint64()),
+                          "part": pa.array([], pa.uint32()),
+                          id_col: pa.array([], pa.int64())})
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        toks = pc.utf8_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        if len(flat) == 0:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        th = hash_str_u64(enc.dictionary.to_pylist())[
+            enc.indices.to_numpy(zero_copy_only=False)]
+        keys = th.copy()
+        for j in range(1, window):
+            shifted = np.zeros_like(th)
+            if j < len(th):
+                shifted[:len(th) - j] = th[j:]
+            keys = mix2(keys, shifted)
+        valid = np.zeros(len(th), dtype=bool)
+        if len(th) >= window:
+            valid[:len(th) - window + 1] = \
+                row_of[:len(th) - window + 1] == row_of[window - 1:]
+        keys, rows = keys[valid], row_of[valid]
+        if len(keys) == 0:
+            return empty
+        order = np.lexsort((keys, rows))
+        keys, rows = keys[order], rows[order]
+        keep = np.ones(len(keys), dtype=bool)
+        keep[1:] = (keys[1:] != keys[:-1]) | (rows[1:] != rows[:-1])
+        keys, rows = keys[keep], rows[keep]
+        ids = t[id_col].take(pa.array(rows))
         return pa.table({
             "band_key": pa.array(keys, pa.uint64()),
             "part": pa.array((keys % num_partitions).astype(np.uint32),
                              pa.uint32()),
-            id_col: pa.array(ids_out),
+            id_col: ids,
         })
 
     bands = ds.select_columns([id_col, text_col]).map_batches(
