@@ -139,30 +139,44 @@ _LANG_PROFILES = {
 
 class LangId:
     """Character-trigram + script-range language classifier (actor pool;
-    profiles built once in ``__init__``).  Appends ``lang_pred``."""
+    profiles built once in ``__init__``).  Appends ``lang_pred``.
+
+    Vectorized: each profile trigram becomes ONE Arrow ``count_substring``
+    presence pass over the truncated lowercased column (a handful of C++
+    memmem scans instead of per-row Python set algebra); CJK detection is a
+    single regex count.  A real deployment swaps this for a fasttext-style
+    model loaded once per actor — the stage shape is identical."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-
-    def _classify(self, s: str) -> str:
-        if not s:
-            return "und"
-        cjk = sum(1 for c in s[:200] if "一" <= c <= "鿿")
-        if cjk > len(s[:200]) * 0.2:
-            return "zh"
-        low = s.lower()
-        tris = {low[i:i + 3] for i in range(min(len(low), 400) - 2)}
-        best, best_n = "und", 0
-        for lang, prof in self.profiles.items():
-            n = len(tris & prof)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
+        self.profiles = {k: tuple(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._classify(s) for s in batch[self.text_col].to_pylist()]
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        t = batch[self.text_col]
+        arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        head200 = pc.utf8_slice_codeunits(arr, 0, 200)
+        cjk = pc.count_substring_regex(head200, r"[一-鿿]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        len200 = pc.utf8_length(head200).to_numpy(zero_copy_only=False)
+        is_zh = cjk > len200 * 0.2
+        low400 = pc.utf8_lower(pc.utf8_slice_codeunits(arr, 0, 400))
+        langs = [k for k in self.profiles if self.profiles[k]]
+        scores = np.zeros((len(langs), n), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for tri in self.profiles[lang]:
+                scores[li] += (pc.count_substring(low400, tri)
+                               .to_numpy(zero_copy_only=False) > 0)
+        best_n = scores.max(axis=0)
+        best_i = scores.argmax(axis=0)  # first max wins = profile dict order
+        lang_arr = np.array(langs)
+        pred = np.where(best_n > 0, lang_arr[best_i], "und")
+        pred = np.where(is_zh, "zh", pred)
+        is_empty = pc.equal(pc.utf8_length(arr), 0) \
+            .to_numpy(zero_copy_only=False)
+        pred = np.where(is_empty, "und", pred)
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 def fingerprint_column(texts) -> pa.Array:
