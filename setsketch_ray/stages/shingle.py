@@ -192,34 +192,42 @@ def hot_shingle_blocklist(ds, cfg_modalities, caption_col: str = "caption",
 
     def partial(t: pa.Table) -> pa.Table:
         sh = stage(t)
-        counts: dict = {}
+        us, cs = [], []
         for mod_col in ("shingles_cap", "shingles_vis"):
             if mod_col not in sh.column_names:
                 continue
             arr = sh[mod_col].combine_chunks()
             flat = np.asarray(arr.values, dtype=np.uint64)
             u, c = np.unique(flat, return_counts=True)
-            for k, v in zip(u.tolist(), c.tolist()):
-                counts[k] = counts.get(k, 0) + v
-        items = sorted(counts.items(), key=lambda kv: -kv[1])[:top_k * 4]
+            us.append(u)
+            cs.append(c)
+        if not us:
+            return pa.table({"shingle": pa.array([], pa.uint64()),
+                             "df": pa.array([], pa.int64())})
+        u = np.concatenate(us)
+        c = np.concatenate(cs)
+        order = np.argsort(-c, kind="stable")[:top_k * 4]
         return pa.table({
-            "shingle": pa.array([k for k, _ in items], pa.uint64()),
-            "df": pa.array([v for _, v in items], pa.int64()),
-            "docs": pa.array([t.num_rows] * len(items), pa.int64()),
+            "shingle": pa.array(u[order], pa.uint64()),
+            "df": pa.array(c[order], pa.int64()),
         })
 
-    totals: dict = {}
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for k, v in zip(b["shingle"].to_pylist(), b["df"].to_pylist()):
-            totals[k] = totals.get(k, 0) + v
+    batches = list(parts.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
     n_docs = ds.count()
-    if n_docs == 0:
+    if n_docs == 0 or not batches:
         return frozenset()
+    # vectorized combine (one Arrow group_by) instead of a Python dict loop
+    agg = pa.concat_tables(batches).group_by("shingle") \
+        .aggregate([("df", "sum")])
+    sh_v = agg["shingle"].to_numpy(zero_copy_only=False)
+    df_v = agg["df_sum"].to_numpy(zero_copy_only=False)
     thr = max(2, int(min_doc_fraction * n_docs))
-    hot = [k for k, v in totals.items() if v >= thr]
-    hot.sort(key=lambda k: -totals[k])
-    return frozenset(hot[:top_k])
+    hot_mask = df_v >= thr
+    sh_v, df_v = sh_v[hot_mask], df_v[hot_mask]
+    order = np.argsort(-df_v, kind="stable")[:top_k]
+    return frozenset(int(x) for x in sh_v[order])
 
 
 def content_keys(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
