@@ -116,6 +116,7 @@ def run_benchmarks() -> dict:
         d = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
         d = d.map_batches(DecodeStage(), batch_format="pyarrow",
                           batch_size=1024, concurrency=max(2, NUM_CPUS // 2))
+        d = d.drop_columns(["bytes", "w", "h", "fmt", "decode_ok"])
         d = d.map_batches(ShingleStage(), batch_format="pyarrow")
         d = d.map_batches(SketchStage(SketchConfig(), drop_shingles=True),
                           batch_format="pyarrow", batch_size=4096,

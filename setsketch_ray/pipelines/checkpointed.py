@@ -83,14 +83,15 @@ def run_checkpointed(input_path: str, out_root: str,
 
             ds = ds.map_batches(DecodeStage(), batch_format="pyarrow",
                                 batch_size=1024)
+        drop = [c for c in ("bytes", "w", "h", "fmt", "decode_ok")
+                if c in ds.schema().names]
+        if drop:  # blobs dropped right after decode: bandwidth, not needed
+            ds = ds.drop_columns(drop)
         ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams,
                                          use_phash=cfg.use_phash),
                             batch_format="pyarrow")
-        ds = ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
-                            batch_format="pyarrow", batch_size=2048)
-        drop = [c for c in ("bytes", "w", "h", "fmt", "decode_ok")
-                if c in ds.schema().names]
-        return ds.drop_columns(drop) if drop else ds
+        return ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
+                              batch_format="pyarrow", batch_size=2048)
 
     sketched = sk_ckpt.run(compute_sketched)
     sk_fp = fingerprint_input(sk_ckpt.dir)

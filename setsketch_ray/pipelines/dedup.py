@@ -126,6 +126,11 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
             decode_kwargs["concurrency"] = cfg.sketch_concurrency
         ds = ds.map_batches(DecodeStage(), **decode_kwargs)
         heavy = list(dict.fromkeys(heavy + ["decode_ok"]))
+    # drop blobs IMMEDIATELY: after decode only (caption, phash) matter, and
+    # carrying ~10 KB/row of bytes across two more map-stage object-store
+    # boundaries is pure shared-memory bandwidth waste
+    if heavy:
+        ds = ds.drop_columns(heavy)
     ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams, use_phash=cfg.use_phash),
                         batch_format="pyarrow")
     sketch_kwargs = dict(batch_format="pyarrow", batch_size=4096)
@@ -134,8 +139,6 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     carry_regs = cfg.verify_ml and cfg.sketch.compute_registers
     ds = ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
                         **sketch_kwargs)
-    if heavy:
-        ds = ds.drop_columns(heavy)  # blobs must not enter any shuffle
     mods = cfg.sketch.modalities
     if cfg.materialize_sketches:
         ds = ds.materialize()

@@ -159,14 +159,26 @@ def decode_ljpg(data: bytes) -> np.ndarray:
     ph = (h + 7) // 8 * 8
     pw = (w + 7) // 8 * 8
     n = ph * pw
-    arr = np.frombuffer(zlib.decompress(data[9:]), dtype=np.int16).astype(np.float64)
-    qt = _quality_scale(quality)
-    out = np.empty((ph, pw, 3), dtype=np.float64)
+    # float32 throughout: the map stage is DRAM-bandwidth-bound at high
+    # concurrency and this halves the decode's memory traffic; LJP1 is a
+    # LOSSY codec (PSNR-checked), and f32 keeps ~1e-3 pixel accuracy vs the
+    # quantization error of ~1.0
+    arr = np.frombuffer(zlib.decompress(data[9:]), dtype=np.int16) \
+        .astype(np.float32)
+    qt = _quality_scale(quality).astype(np.float32)
+    dct8 = _DCT8.astype(np.float32)
+    out = np.empty((ph, pw, 3), dtype=np.float32)
+    scratch = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float32)
     for c in range(3):
-        blocks = arr[c * n:(c + 1) * n].reshape(ph // 8, pw // 8, 8, 8) * qt
-        idct = _DCT8.T @ blocks @ _DCT8  # batched BLAS matmul over blocks
-        out[:, :, c] = _from_blocks(idct)
-    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+        blocks = arr[c * n:(c + 1) * n].reshape(ph // 8, pw // 8, 8, 8)
+        np.multiply(blocks, qt, out=blocks)
+        np.matmul(dct8.T, blocks, out=scratch)
+        np.matmul(scratch, dct8, out=blocks)
+        out[:, :, c] = _from_blocks(blocks)
+    np.add(out, np.float32(128.0), out=out)
+    np.round(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)[:h, :w]
 
 
 # ------------------------------------------------------------------- dispatch
