@@ -4,16 +4,20 @@ image+caption table (BASELINE.json north_star).
 Stage graph (all lazy; ONE wide shuffle at the band groupby):
 
   read (parquet/lance)
+    -> [DecodeStage]           map_batches, ACTOR POOL  (bytes -> pixels+phash)
+    -> drop bytes/wide cols                             (blobs never cross
+                                                         another boundary)
     -> ShingleStage            map_batches, tasks       (caption+phash -> set)
     -> SketchStage             map_batches, ACTOR POOL  (MinHash + SetSketch)
-    -> drop bytes/wide cols                             (never shuffle blobs)
     -> BandExpand              map_batches, tasks       (x num_bands rows)
     -> groupby(band_key)       THE shuffle
-    -> EmitPairs               map_groups               (pairs + sig Jaccard)
-    -> groupby(id_a,id_b) first                         (pair dedup, light)
-    -> [VerifyPairsML]         map_batches              (paper's joint ML)
-    -> threshold filter -> edges (small)
-    -> union-find (driver) -> broadcast -> AssignClusters
+    -> EmitPairs               map_groups               (pairs, skew-capped)
+    -> groupby(pair_key) first                          (pair dedup, light)
+    -> VerifyPairsAgainstPayload map_batches            (FUSED broadcast
+                                  attach + exact Jaccard; or attach+verify
+                                  [+joint-ML] when regs are carried)
+    -> threshold filter (+ multimodal support gate) -> edges (small)
+    -> union-find (driver) / labelprop (distributed) -> AssignClusters
 
 Scale notes (10^12 rows): the band groupby is hash-partitioned on band_key;
 hot buckets are capped with a star+chain topology (see ``stages/lsh.py``);
