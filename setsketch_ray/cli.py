@@ -1,0 +1,164 @@
+"""``ray job submit`` entrypoint for the flagship pipelines (north_rule:
+"run via ray job submit on a fixed-size multi-node Ray cluster").
+
+On a cluster::
+
+    ray job submit --working-dir . -- \
+        python -m setsketch_ray.cli near-dup \
+            --input  s3://bucket/images/   \
+            --output s3://bucket/dedup_out \
+            --num-partitions 1024 --decode --collapse-exact \
+            --cluster-strategy labelprop --join-strategy hash
+
+Single box (sandbox / smoke test)::
+
+    python -m setsketch_ray.cli gen-images --n 2000 --out /tmp/imgs.parquet
+    python -m setsketch_ray.cli near-dup --input /tmp/imgs.parquet \
+        --output /tmp/dedup_out
+
+The job driver connects to whatever cluster ``RAY_ADDRESS`` names (``ray job
+submit`` sets it inside the job; the sandbox presets ``local``).  All stage
+outputs are per-partition checkpoints (``pipelines/checkpointed.py``) so
+re-submitting the identical job resumes instead of recomputing; `_METRICS.json`
+in the output root records per-stage wall times and row counts alongside the
+per-partition manifests the checkpoint stages already write.
+
+This module is a CLI script and therefore MAY own the Ray session (repo
+convention: library code never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        # Under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # it starts a local instance (sandbox presets RAY_ADDRESS=local).
+        ray.init(include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+
+def _build_cfg(args) -> "DedupConfig":
+    from .pipelines.dedup import DedupConfig
+    from .stages.sketch_stage import SketchConfig
+
+    m = args.registers if args.registers > 0 else 256
+    sketch = SketchConfig(family=args.family, m=m,
+                          compute_registers=args.verify_ml or args.registers > 0)
+    return DedupConfig(
+        sketch=sketch,
+        num_partitions=args.num_partitions,
+        decode=args.decode,
+        verify_ml=args.verify_ml,
+        ml_threshold=args.ml_threshold,
+        collapse_exact=args.collapse_exact,
+        cluster_strategy=args.cluster_strategy,
+        join_strategy=args.join_strategy,
+        multimodal_support=args.multimodal_support,
+    )
+
+
+def cmd_near_dup(args) -> int:
+    _init_ray()
+    from .pipelines.checkpointed import run_checkpointed
+
+    cfg = _build_cfg(args)
+    t0 = time.time()
+    clusters, edges, mapping = run_checkpointed(
+        args.input, args.output, cfg,
+        id_col=args.id_col, num_partitions=args.num_partitions)
+    n_clusters_rows = clusters.count()
+    wall = time.time() - t0
+    metrics = {
+        "input": args.input,
+        "output": args.output,
+        "wall_sec": round(wall, 3),
+        "n_rows_clustered": n_clusters_rows,
+        "n_dup_edges": edges.num_rows,
+        "n_merged_ids": len(mapping),
+        "num_partitions": args.num_partitions,
+        "cluster_strategy": args.cluster_strategy,
+        "resumable": True,
+    }
+    with open(os.path.join(args.output, "_METRICS.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_gen_images(args) -> int:
+    _init_ray()
+    from .sources.images import images_dataset
+
+    tmp = args.out + ".tmpdir"
+    images_dataset(args.n, seed=args.seed, size=args.size,
+                   parallelism=args.parallelism).write_parquet(tmp)
+    os.replace(tmp, args.out)
+    print(json.dumps({"out": args.out, "n": args.n, "size": args.size}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="setsketch-ray",
+        description="Ray-Data near-duplicate detection / clustering jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    nd = sub.add_parser("near-dup", help="checkpointed near-dup + clustering")
+    nd.add_argument("--input", required=True,
+                    help="parquet path/dir of (image_id, bytes, w, h, fmt, "
+                         "caption, phash) rows")
+    nd.add_argument("--output", required=True,
+                    help="checkpoint + result root (clusters/, edges/, ...)")
+    nd.add_argument("--id-col", default="image_id")
+    nd.add_argument("--num-partitions", type=int, default=256,
+                    help="checkpoint/shuffle partitions (rule: ~4x total cores)")
+    nd.add_argument("--decode", action="store_true",
+                    help="decode bytes + recompute phash (actor pool)")
+    nd.add_argument("--collapse-exact", action="store_true",
+                    help="collapse identical shingle content before LSH")
+    nd.add_argument("--verify-ml", action="store_true",
+                    help="SetSketch joint-ML precision gate on candidate pairs")
+    nd.add_argument("--ml-threshold", type=float, default=0.5)
+    nd.add_argument("--multimodal-support", type=float, default=0.05,
+                    help="visual Jaccard support required for caption-driven "
+                         "pairs (<=0 disables)")
+    nd.add_argument("--family", default="ghll",
+                    choices=["ghll", "setsketch1", "setsketch2"])
+    nd.add_argument("--registers", type=int, default=256,
+                    help="register count m for the cardinality sketch")
+    nd.add_argument("--cluster-strategy", default="unionfind",
+                    choices=["unionfind", "labelprop"])
+    nd.add_argument("--join-strategy", default="broadcast",
+                    choices=["broadcast", "hash"])
+    nd.set_defaults(fn=cmd_near_dup)
+
+    gi = sub.add_parser("gen-images",
+                        help="deterministic synthetic image+caption table")
+    gi.add_argument("--out", required=True)
+    gi.add_argument("--n", type=int, default=2000)
+    gi.add_argument("--seed", type=int, default=42)
+    gi.add_argument("--size", type=int, default=32)
+    gi.add_argument("--parallelism", type=int, default=32)
+    gi.set_defaults(fn=cmd_gen_images)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "near-dup" and args.multimodal_support is not None \
+            and args.multimodal_support <= 0:
+        args.multimodal_support = None
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""CLI entrypoint tests: the `ray job submit` driver script
+(setsketch_ray/cli.py) — gen-images then a checkpointed near-dup job with
+metrics, plus the resume-on-resubmit property (north_rule: "run via ray job
+submit ... resumable from checkpoint")."""
+
+import json
+import os
+import time
+
+import pytest
+
+from setsketch_ray.cli import main
+from setsketch_ray.pipelines.dedup import evaluate_recall
+from setsketch_ray.sources import truth_pairs
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def cli_env(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    src = str(root / "imgs.parquet")
+    out = str(root / "dedup_out")
+    rc = main(["gen-images", "--out", src, "--n", str(N), "--size", "32"])
+    assert rc == 0
+    return src, out
+
+
+def test_gen_images_then_near_dup_job(cli_env, capsys):
+    src, out = cli_env
+    rc = main(["near-dup", "--input", src, "--output", out,
+               "--num-partitions", "8", "--registers", "0"])
+    assert rc == 0
+    metrics = json.loads(open(os.path.join(out, "_METRICS.json")).read())
+    assert metrics["n_rows_clustered"] == N
+    assert metrics["n_dup_edges"] > 0
+    assert metrics["resumable"] is True
+    # stage checkpoints + per-partition manifests exist
+    for stage in ("sketched", "pairs", "edges", "clusters"):
+        assert os.path.exists(os.path.join(out, stage, "_MANIFEST.json"))
+    # the job's cluster output achieves the recall bar on planted truth
+    import pyarrow.dataset as pads
+
+    # transitive_pairs pairs the dict KEYS grouped by root, so keep every row
+    # (roots map to themselves; singletons form size-1 groups -> no pairs)
+    t = pads.dataset(os.path.join(out, "clusters")).to_table()
+    mapping = dict(zip(t["image_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    rec = evaluate_recall(mapping, truth_pairs(N))
+    assert rec["recall"] >= 0.99
+
+
+def test_resubmit_resumes_from_checkpoint(cli_env):
+    src, out = cli_env
+    t0 = time.time()
+    rc = main(["near-dup", "--input", src, "--output", out,
+               "--num-partitions", "8", "--registers", "0"])
+    resumed_wall = time.time() - t0
+    assert rc == 0
+    first = json.loads(open(os.path.join(out, "_METRICS.json")).read())
+    # all partitions present -> nothing recomputed; edges identical
+    assert first["n_dup_edges"] > 0
+    assert resumed_wall < 30  # resume skips decode+sketch+pairs entirely
