@@ -343,8 +343,9 @@ def _q_lineitem_orders_join(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    """Heuristic language ID (actor-pool stage); rows-only — the trigram
-    classifier is not SQL-expressible."""
+    """Heuristic language ID (actor-pool stage).  Oracled: the trigram
+    presence votes + first-max-wins argmax + CJK/empty overrides translate
+    to CASE expressions over strpos() (both sides integer arithmetic)."""
     from setsketch_ray.functions.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -353,13 +354,30 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_quality_scores(sf_dir: str):
-    """Document quality features + score; rows-only."""
+    """Document quality features + score, integer-scaled to 1e-6 so the
+    DuckDB oracle hash-matches: every feature is per-row rational arithmetic
+    (IEEE-exact on both engines); the one libm call (exp in the word-length
+    gaussian) is absorbed by the e6 scaling.  floor(x*1e6+0.5) on BOTH sides
+    (pc.round / numpy round are half-even, DuckDB ROUND is half-away)."""
     from setsketch_ray.functions.text import QualityScore
 
+    def scale(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def e6(col):
+            x = pc.multiply(t[col], 1000000.0)
+            return pc.cast(pc.floor(pc.add(x, 0.5)), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "alpha_ratio_e6": e6("alpha_ratio"),
+            "stop_ratio_e6": e6("stop_ratio"),
+            "repetition_ratio_e6": e6("repetition_ratio"),
+            "quality_score_e6": e6("quality_score"),
+        })
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(QualityScore(), batch_format="pyarrow").select_columns(
-        ["doc_id", "alpha_ratio", "stop_ratio", "repetition_ratio",
-         "quality_score"])
+    return ds.map_batches(QualityScore(), batch_format="pyarrow") \
+        .map_batches(scale, batch_format="pyarrow")
 
 
 def _q_cardinality_eval(sf_dir: str):
@@ -565,6 +583,91 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_quantity > 45 GROUP BY o_orderpriority",
+        "lang_id":
+            # mirrors functions/text.py LangId: per-language trigram presence
+            # votes over lower(text[:400]), first-max-wins in profile order
+            # (en,fr,de,es), overridden by CJK density then by empty text
+            "WITH b AS (SELECT doc_id, coalesce(text,'') AS t, "
+            "lower(substr(coalesce(text,''), 1, 400)) AS low FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "length(regexp_replace(substr(t,1,200), '[^一-鿿]', '', 'g')) "
+            "AS cjk, length(substr(t,1,200)) AS hlen, "
+            "(CASE WHEN strpos(low,'the')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'and')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ing')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ion')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'is ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,' th')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'er ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'of ')>0 THEN 1 ELSE 0 END) AS s_en, "
+            "(CASE WHEN strpos(low,'le ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'de ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'es ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ent')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'la ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,' et')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'une')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ais')>0 THEN 1 ELSE 0 END) AS s_fr, "
+            "(CASE WHEN strpos(low,'der')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'die')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'und')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ein')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'sch')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ich')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'en ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'cht')>0 THEN 1 ELSE 0 END) AS s_de, "
+            "(CASE WHEN strpos(low,'de ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'la ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'el ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'que')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'os ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ión')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,'ar ')>0 THEN 1 ELSE 0 END)"
+            "+(CASE WHEN strpos(low,' es')>0 THEN 1 ELSE 0 END) AS s_es "
+            "FROM b) "
+            "SELECT doc_id, CASE WHEN length(t) = 0 THEN 'und' "
+            "WHEN CAST(cjk AS DOUBLE) > hlen * 0.2 THEN 'zh' "
+            "WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und' "
+            "WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en' "
+            "WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr' "
+            "WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred FROM s",
+        "quality_scores":
+            # mirrors functions/text.py QualityScore exactly: rational
+            # features (IEEE-exact), floor(x*1e6+0.5) scaling on both sides
+            "WITH toks AS (SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_replace(text, '\\P{L}', '', 'g')) AS n_alpha, "
+            "list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+            "FROM documents), "
+            "f AS (SELECT doc_id, n_chars, n_alpha, len(tk) AS n_tok, "
+            "CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) "
+            "AS tok_total, "
+            "len(list_filter(tk, t -> lower(t) IN ('the','a','an','and','or',"
+            "'of','to','in','is','are','was','were','be','been','it','this',"
+            "'that','for','on','with','as','at','by','from'))) AS n_stop, "
+            "len(list_distinct(tk)) AS n_uniq FROM toks), "
+            "g AS (SELECT doc_id, "
+            "CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars "
+            "ELSE 0.0 END AS alpha_ratio, "
+            "CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok "
+            "ELSE 0.0 END AS stop_ratio, "
+            "CASE WHEN n_tok > 0 THEN 1.0 - CAST(n_uniq AS DOUBLE) / n_tok "
+            "ELSE 0.0 END AS rep_ratio, "
+            "CASE WHEN n_tok > 0 THEN tok_total / n_tok ELSE 0.0 END "
+            "AS mean_wlen, "
+            "LEAST(GREATEST((n_tok - 5) / 45.0, 0.0), 1.0) AS len_ok "
+            "FROM f) "
+            "SELECT doc_id, "
+            "CAST(FLOOR(alpha_ratio * 1000000.0 + 0.5) AS BIGINT) "
+            "AS alpha_ratio_e6, "
+            "CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) AS BIGINT) "
+            "AS stop_ratio_e6, "
+            "CAST(FLOOR(rep_ratio * 1000000.0 + 0.5) AS BIGINT) "
+            "AS repetition_ratio_e6, "
+            "CAST(FLOOR((0.3 * len_ok + 0.25 * alpha_ratio "
+            "+ 0.2 * (1.0 - rep_ratio) "
+            "+ 0.25 * exp(-0.5 * (((mean_wlen - 5.0) / 3.0) "
+            "* ((mean_wlen - 5.0) / 3.0)))) * 1000000.0 + 0.5) AS BIGINT) "
+            "AS quality_score_e6 FROM g",
         "sample_split_docs":
             "WITH f AS (SELECT doc_id, n_chars, "
             "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "

@@ -233,9 +233,13 @@ def _sketch_microbench(n: int = 2_000_000) -> dict:
         v = vals[:cnt]
         o = np.array([0, cnt])
         sk.sketch_rows(v, o)  # warm
-        t0 = time.time()
-        sk.sketch_rows(v, o)
-        out[name] = round(cnt / (time.time() - t0))
+        best = None
+        for _rep in range(3):  # best-of-3: host steal bursts hit single reps
+            t0 = time.perf_counter()
+            sk.sketch_rows(v, o)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(cnt / best)
     return out
 
 

@@ -149,7 +149,8 @@ def test_entry_and_oracle_contract(ray_session):
     from util_compare import compare
 
     sf = "/root/testdata/sf0.001"
-    for name in ("lineitem_agg", "doc_stats_by_lang"):
+    for name in ("lineitem_agg", "doc_stats_by_lang", "lang_id",
+                 "quality_scores"):
         ok, msg = compare(qs[name](sf), oracles[name], sf)
         assert ok, f"{name}: {msg}"
 
