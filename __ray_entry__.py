@@ -481,7 +481,10 @@ def _q_approx_distinct_methods(sf_dir: str):
 
 def _q_substring_dup_docs(sf_dir: str):
     """Documents sharing a >=16-token substring (rolling-window buckets, the
-    distributed suffix-array-dedup stand-in); deterministic, rows-only."""
+    distributed suffix-array-dedup stand-in).  Oracled: the window keys are
+    content hashes, so the pair set equals a DuckDB self-join of the distinct
+    (doc, 16-token-window) relation (exact modulo 2^-64 hash collisions and
+    the >256-doc bucket cap, neither reachable on the sf tables)."""
     from setsketch_ray.functions.dedup import substring_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -668,6 +671,23 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.25 * exp(-0.5 * (((mean_wlen - 5.0) / 3.0) "
             "* ((mean_wlen - 5.0) / 3.0)))) * 1000000.0 + 0.5) AS BIGINT) "
             "AS quality_score_e6 FROM g",
+        "substring_dup_docs":
+            # distinct 16-token windows per doc, self-joined: pair (min,max)
+            # with the count of shared windows — mirrors functions/dedup.py
+            # substring_dup_pairs (hash-bucketed rolling windows)
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, tk, "
+            "unnest(generate_series(1, len(tk) - 15)) AS i "
+            "FROM toks WHERE len(tk) >= 16), "
+            "w AS (SELECT doc_id, array_to_string(tk[i:i+15], ' ') AS win "
+            "FROM idx), "
+            "wd AS (SELECT DISTINCT doc_id, win FROM w) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared_windows "
+            "FROM wd a JOIN wd b ON a.win = b.win AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id",
         "sample_split_docs":
             "WITH f AS (SELECT doc_id, n_chars, "
             "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "

@@ -150,7 +150,7 @@ def test_entry_and_oracle_contract(ray_session):
 
     sf = "/root/testdata/sf0.001"
     for name in ("lineitem_agg", "doc_stats_by_lang", "lang_id",
-                 "quality_scores"):
+                 "quality_scores", "substring_dup_docs"):
         ok, msg = compare(qs[name](sf), oracles[name], sf)
         assert ok, f"{name}: {msg}"
 
