@@ -35,6 +35,9 @@ def _ensure_bench_images(path: str) -> None:
     from setsketch_ray.sources.images import images_dataset
 
     tmp = path + ".tmpdir"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # drop partial files of a killed run
     images_dataset(BENCH_IMAGES, seed=42, size=IMG_SIZE,
                    parallelism=NUM_CPUS * 2).write_parquet(tmp)
     os.replace(tmp, path)

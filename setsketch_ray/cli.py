@@ -114,8 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     nd = sub.add_parser("near-dup", help="checkpointed near-dup + clustering")
     nd.add_argument("--input", required=True,
-                    help="parquet path/dir of (image_id, bytes, w, h, fmt, "
-                         "caption, phash) rows")
+                    help="parquet or Lance path/dir of (image_id, bytes, w, "
+                         "h, fmt, caption, phash) rows")
     nd.add_argument("--output", required=True,
                     help="checkpoint + result root (clusters/, edges/, ...)")
     nd.add_argument("--id-col", default="image_id")

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sketchlib.hashing import hash_str_u64, mix64
+from ..sources.readers import read_corpus
 from ..state.checkpoint import (
     StageCheckpoint,
     fingerprint_config,
@@ -63,7 +64,7 @@ def run_checkpointed(input_path: str, out_root: str,
                               "sk_part", num_partitions)
 
     def compute_sketched(missing):
-        ds = rd.read_parquet(input_path)
+        ds = read_corpus(input_path)
 
         def add_part(t: pa.Table) -> pa.Table:
             part = _id_partition(t[id_col].to_pylist(), num_partitions)
@@ -187,7 +188,7 @@ def run_checkpointed(input_path: str, out_root: str,
 
     def compute_clusters(missing):
         mref = ray.put(mapping)
-        ds = rd.read_parquet(input_path, columns=[id_col])
+        ds = read_corpus(input_path, columns=[id_col])
 
         def add_part(t: pa.Table) -> pa.Table:
             part = _id_partition(t[id_col].to_pylist(), num_partitions)
