@@ -92,7 +92,7 @@ def run_benchmarks() -> dict:
 
     # --- headline: flagship image+caption near-dup pipeline (best of N
     # repeats: single-node Ray scheduling/object-store variance is +-30%)
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     best = None
     for _rep in range(repeats):
         t0 = time.time()

@@ -372,7 +372,7 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
         enc = pc.dictionary_encode(flat)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        th = hash_str_u64(enc.dictionary.to_pylist())[
+        th = hash_str_u64(enc.dictionary)[
             enc.indices.to_numpy(zero_copy_only=False)]
         keys = th.copy()
         for j in range(1, window):

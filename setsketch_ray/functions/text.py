@@ -182,8 +182,7 @@ class LangId:
 def fingerprint_column(texts) -> pa.Array:
     """64-bit content fingerprint per row (hash of the full text; rolling-hash
     equivalent for exact dedup keys)."""
-    lst = texts.to_pylist() if not isinstance(texts, list) else texts
-    return pa.array(hash_str_u64(lst).astype(np.int64), pa.int64())
+    return pa.array(hash_str_u64(texts).astype(np.int64), pa.int64())
 
 
 def simhash64(texts) -> np.ndarray:
@@ -213,7 +212,7 @@ def simhash64(texts) -> np.ndarray:
     enc = pc.dictionary_encode(flat)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    uniq_hash = hash_str_u64(enc.dictionary.to_pylist()) \
+    uniq_hash = hash_str_u64(enc.dictionary) \
         if len(enc.dictionary) else np.empty(0, np.uint64)
     th = uniq_hash[enc.indices.to_numpy(zero_copy_only=False)][nonempty]
     n_tok = np.bincount(row_ne, minlength=n).astype(np.int64)

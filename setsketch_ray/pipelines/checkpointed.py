@@ -32,7 +32,7 @@ from .dedup import DedupConfig, evaluate_recall  # noqa: F401 (re-export)
 
 
 def _id_partition(ids, num_partitions: int) -> np.ndarray:
-    return (mix64(hash_str_u64(list(ids))) % num_partitions).astype(np.int64)
+    return (mix64(hash_str_u64(ids)) % num_partitions).astype(np.int64)
 
 
 def run_checkpointed(input_path: str, out_root: str,
@@ -67,7 +67,7 @@ def run_checkpointed(input_path: str, out_root: str,
         ds = read_corpus(input_path)
 
         def add_part(t: pa.Table) -> pa.Table:
-            part = _id_partition(t[id_col].to_pylist(), num_partitions)
+            part = _id_partition(t[id_col], num_partitions)
             return t.append_column("sk_part", pa.array(part, pa.int64()))
 
         ds = ds.map_batches(add_part, batch_format="pyarrow")
@@ -191,7 +191,7 @@ def run_checkpointed(input_path: str, out_root: str,
         ds = read_corpus(input_path, columns=[id_col])
 
         def add_part(t: pa.Table) -> pa.Table:
-            part = _id_partition(t[id_col].to_pylist(), num_partitions)
+            part = _id_partition(t[id_col], num_partitions)
             return t.append_column("cl_part", pa.array(part, pa.int64()))
 
         ds = ds.map_batches(add_part, batch_format="pyarrow")

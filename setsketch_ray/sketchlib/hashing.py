@@ -84,24 +84,61 @@ def mix_columns_into(vals: np.ndarray, seeds: np.ndarray,
 
 
 def hash_str_u64(values, seed: int = 0) -> np.ndarray:
-    """Hash an iterable of Python strings/bytes to uint64 (for shingles/ids).
+    """Hash strings/bytes to uint64 (for shingles/ids): FNV-1a over UTF-8
+    bytes followed by ``mix64`` — deterministic across workers and runs
+    (Python's builtin hash is salted per-process).
 
-    Python's builtin hash is salted per-process, so we use a simple explicit
-    FNV-1a over UTF-8 bytes followed by ``mix64``; deterministic across
-    workers and runs.
+    Accepts a Python list OR a ``pyarrow`` string/binary array.  Vectorized
+    across rows: the byte matrix is walked column-wise, so the inner loop is
+    ``max_len`` NumPy passes instead of ``total_bytes`` Python ops.  uint64
+    wraparound reproduces the masked Python arithmetic bit-exactly.
     """
-    out = np.empty(len(values), dtype=np.uint64)
-    fnv_offset = 0xCBF29CE484222325 ^ (seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
-    fnv_prime = 0x100000001B3
-    mask = 0xFFFFFFFFFFFFFFFF
-    for i, v in enumerate(values):
-        if isinstance(v, str):
-            v = v.encode("utf-8")
-        h = fnv_offset
-        for byte in v:
-            h = ((h ^ byte) * fnv_prime) & mask
-        out[i] = h
-    return mix64(out)
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = list(values)
+        is_bytes = bool(values) and isinstance(values[0], bytes)
+        values = pa.array(values, pa.binary() if is_bytes else pa.string())
+    n = len(values)
+    fnv_offset = U64(0xCBF29CE484222325
+                     ^ (seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    fnv_prime = U64(0x100000001B3)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_large_string(values.type) or \
+            pa.types.is_large_binary(values.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offs = np.frombuffer(values.buffers()[1], off_dtype)[
+        values.offset:values.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(values.buffers()[2] or b"", np.uint8)
+    lens = np.diff(offs)
+    h = np.full(n, fnv_offset, dtype=np.uint64)
+    max_len = int(lens.max()) if n else 0
+    # chunk rows so the padded byte matrix stays cache-friendly
+    rows_per_chunk = max(1, (1 << 22) // max(max_len, 1))
+    with np.errstate(over="ignore"):
+        for lo in range(0, n, rows_per_chunk):
+            hi = min(lo + rows_per_chunk, n)
+            L = lens[lo:hi]
+            ml = int(L.max())
+            if ml == 0:
+                continue
+            m = hi - lo
+            mat = np.zeros((m, ml), dtype=np.uint8)
+            mask2d = np.arange(ml) < L[:, None]
+            # string rows are contiguous in the value buffer
+            mat[mask2d] = data[offs[lo]:offs[hi]]
+            hc = h[lo:hi]
+            for j in range(ml):
+                active = j < L
+                nh = (hc ^ mat[:, j].astype(np.uint64)) * fnv_prime
+                hc = np.where(active, nh, hc)
+            h[lo:hi] = hc
+    return mix64(h)
 
 
 def uniform_double(h: np.ndarray) -> np.ndarray:

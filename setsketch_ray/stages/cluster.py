@@ -121,8 +121,7 @@ def cluster_edges_labelprop(edges_ds, num_partitions: int | None = None,
 
     def checksum(lab_ds) -> int:
         def part(t: pa.Table) -> pa.Table:
-            h = mix2(hash_str_u64(t["node"].to_pylist()),
-                     hash_str_u64(t["label"].to_pylist()))
+            h = mix2(hash_str_u64(t["node"]), hash_str_u64(t["label"]))
             s = int(h.sum(dtype=np.uint64))
             return pa.table({"s": pa.array([s], pa.uint64())})
 

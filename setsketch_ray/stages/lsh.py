@@ -152,8 +152,7 @@ class EmitPairsPartition:
         if len(i) == 0:
             return self._empty()
         id_a, id_b = ids.take(pa.array(i)), ids.take(pa.array(j))
-        pair_key = mix2(hash_str_u64(id_a.to_pylist()),
-                        hash_str_u64(id_b.to_pylist()))
+        pair_key = mix2(hash_str_u64(id_a), hash_str_u64(id_b))
         # partition-local dedup: the same pair surfaces from several buckets
         # of the SAME partition; cross-partition duplicates (different bands)
         # are deduplicated at the edge level (tiny) instead of a dedicated

@@ -84,7 +84,7 @@ def caption_shingles(captions, ngrams: tuple = (1, 2),
         enc = pc.dictionary_encode(flat_kept)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        uniq_hash = hash_str_u64(enc.dictionary.to_pylist())
+        uniq_hash = hash_str_u64(enc.dictionary)
         tok_hashes = uniq_hash[enc.indices.to_numpy(zero_copy_only=False)]
     else:
         tok_hashes = np.empty(0, dtype=np.uint64)

@@ -119,3 +119,36 @@ def test_feistel_uniform_first_slot():
     chi2 = ((counts - expected) ** 2 / expected).sum()
     df = m - 1
     assert chi2 < df + 3.3 * np.sqrt(2 * df) + 10
+
+
+def test_hash_str_u64_matches_scalar_fnv():
+    """The vectorized column-walk FNV-1a must be bit-identical to the scalar
+    definition (checkpoint partition lineage + band keys depend on it)."""
+    import pyarrow as pa
+
+    from setsketch_ray.sketchlib.hashing import hash_str_u64
+
+    def scalar(values, seed=0):
+        out = np.empty(len(values), dtype=np.uint64)
+        off = 0xCBF29CE484222325 ^ (seed * 0x9E3779B97F4A7C15
+                                    & 0xFFFFFFFFFFFFFFFF)
+        for i, v in enumerate(values):
+            h = off
+            for b in v.encode("utf-8") if isinstance(v, str) else v:
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h
+        return mix64(out)
+
+    cases = ["", "a", "img000000000042", "abc" * 80, "日本語テキスト",
+             "word " * 50]
+    assert (hash_str_u64(cases) == scalar(cases)).all()
+    assert (hash_str_u64(cases, seed=99) == scalar(cases, seed=99)).all()
+    assert (hash_str_u64([b"", b"\x00\xff", bytes(range(256))])
+            == scalar([b"", b"\x00\xff", bytes(range(256))])).all()
+    arr = pa.array(cases)
+    assert (hash_str_u64(arr) == scalar(cases)).all()
+    sl = arr.slice(2, 3)  # non-zero offset view
+    assert (hash_str_u64(sl) == scalar(cases[2:5])).all()
+    assert (hash_str_u64(pa.chunked_array([arr[:3], arr[3:]]))
+            == scalar(cases)).all()
+    assert hash_str_u64([]).shape == (0,)
