@@ -498,6 +498,26 @@ def _q_substring_dup_docs(sf_dir: str):
                      "shared_windows": pa.array([], pa.int64())})
 
 
+def _q_suffix_dup_spans(sf_dir: str):
+    """Suffix-array-style substring dedup with maximal shared-span lengths
+    per doc pair (Lee et al. 2021 corpus-dedup semantics).  Oracled: matched
+    16-token windows merged along diagonals equal a DuckDB gaps-and-islands
+    query over the window self-join (exact modulo 2^-64 key collisions and
+    the hot-window bucket cap, neither reachable on the sf tables)."""
+    from setsketch_ray.functions.dedup import suffix_array_dup_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = suffix_array_dup_spans(ds, "doc_id", window=16)
+    batches = list(out.iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 20))
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.table({"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "n_matches": pa.array([], pa.int64()),
+                     "max_run_tokens": pa.array([], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -523,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_eval": _q_joint_eval,
         "approx_distinct_methods": _q_approx_distinct_methods,
         "substring_dup_docs": _q_substring_dup_docs,
+        "suffix_dup_spans": _q_suffix_dup_spans,
         "sample_split_docs": _q_sample_split_docs,
         "sessionize": _q_sessionize,
         "top_events_per_user": _q_top_events_per_user,
@@ -688,6 +709,30 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS shared_windows "
             "FROM wd a JOIN wd b ON a.win = b.win AND a.doc_id < b.doc_id "
             "GROUP BY a.doc_id, b.doc_id",
+        "suffix_dup_spans":
+            # gaps-and-islands over the matched-window self-join: runs of
+            # consecutive positions along a diagonal (pa-pb const) are
+            # maximal shared substrings — mirrors functions/dedup.py
+            # suffix_array_dup_spans
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, tk, "
+            "unnest(generate_series(1, len(tk) - 15)) AS i "
+            "FROM toks WHERE len(tk) >= 16), "
+            "w AS (SELECT doc_id, i, array_to_string(tk[i:i+15], ' ') AS win "
+            "FROM idx), "
+            "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.i AS pa, b.i AS pb "
+            "FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id), "
+            "r AS (SELECT id_a, id_b, pa - pb AS diag, "
+            "pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb "
+            "ORDER BY pa) AS grp FROM m), "
+            "runs AS (SELECT id_a, id_b, diag, grp, count(*) AS rl "
+            "FROM r GROUP BY id_a, id_b, diag, grp) "
+            "SELECT id_a, id_b, CAST(sum(rl) AS BIGINT) AS n_matches, "
+            "CAST(max(rl) + 15 AS BIGINT) AS max_run_tokens "
+            "FROM runs GROUP BY id_a, id_b",
         "sample_split_docs":
             "WITH f AS (SELECT doc_id, n_chars, "
             "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "

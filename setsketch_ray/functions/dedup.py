@@ -471,6 +471,170 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
     return pairs.groupby("pp").map_groups(combine, batch_format="pyarrow")
 
 
+def suffix_array_dup_spans(ds, id_col: str, text_col: str = "text",
+                           window: int = 16, num_partitions: int = 64,
+                           bucket_cap: int = 1024, pair_partitions: int = 16):
+    """Suffix-array-style substring dedup with MAXIMAL shared-span lengths.
+
+    The classic corpus-dedup recipe (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better") builds a suffix array over the corpus
+    and reports, per document pair, the longest shared substring of length
+    >= L.  The distributed equivalent of "sort all suffixes, scan equal
+    prefixes" is: key every token position by the hash of its next ``window``
+    tokens, co-locate equal keys (hash partition — same co-location a sorted
+    suffix array gives, without a global sort), emit cross-document position
+    matches, then merge matches that are consecutive along a diagonal
+    (pos_a - pos_b constant) into maximal runs.
+
+    Output per pair: ``(id_a, id_b, n_matches, max_run_tokens)`` where
+    ``n_matches`` is the number of matched window-position pairs and
+    ``max_run_tokens = longest_run + window - 1`` is the length in tokens of
+    the longest shared substring.
+
+    Scale notes: one 20-byte row per token position flows through the first
+    shuffle (key u64 + id + pos); equal-key groups larger than
+    ``bucket_cap`` are dropped (hot boilerplate windows — same policy as
+    :func:`substring_dup_pairs`); the second shuffle carries only matched
+    pairs.  Exact modulo 2^-64 key collisions (vs the reference's exact
+    suffix comparison; reference has no substring dedup — this extends
+    `c++/sketch.hpp` shingling to span detection).
+    """
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table({"band_key": pa.array([], pa.uint64()),
+                          "part": pa.array([], pa.uint32()),
+                          id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        toks = pc.utf8_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        if len(flat) == 0:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        th = hash_str_u64(enc.dictionary)[
+            enc.indices.to_numpy(zero_copy_only=False)]
+        keys = th.copy()
+        for j in range(1, window):
+            shifted = np.zeros_like(th)
+            if j < len(th):
+                shifted[:len(th) - j] = th[j:]
+            keys = mix2(keys, shifted)
+        valid = np.zeros(len(th), dtype=bool)
+        if len(th) >= window:
+            valid[:len(th) - window + 1] = \
+                row_of[:len(th) - window + 1] == row_of[window - 1:]
+        if not valid.any():
+            return empty
+        # token position within its row (row_of is sorted ascending)
+        uniq_rows, first_idx = np.unique(row_of, return_index=True)
+        start_of = np.zeros(n, dtype=np.int64)
+        start_of[uniq_rows] = first_idx
+        pos = np.arange(len(th), dtype=np.int64) - start_of[row_of]
+        keys, rows, pos = keys[valid], row_of[valid], pos[valid]
+        return pa.table({
+            "band_key": pa.array(keys, pa.uint64()),
+            "part": pa.array((keys % num_partitions).astype(np.uint32),
+                             pa.uint32()),
+            id_col: t[id_col].take(pa.array(rows)),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    bands = ds.select_columns([id_col, text_col]).map_batches(
+        expand, batch_format="pyarrow")
+
+    def emit_matches(partition: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "pa_": pa.array([], pa.int64()),
+                          "pb_": pa.array([], pa.int64()),
+                          "pp": pa.array([], pa.uint32())})
+        if partition.num_rows < 2:
+            return empty
+        order = pc.sort_indices(partition,
+                                sort_keys=[("band_key", "ascending"),
+                                           (id_col, "ascending"),
+                                           ("pos", "ascending")])
+        t = partition.take(order)
+        keys = t["band_key"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(keys)]]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        ii, jj = [], []
+        for s, m in zip(starts, sizes):
+            if m < 2 or m > bucket_cap:
+                continue
+            a, b = np.triu_indices(m, k=1)
+            ii.append(s + a)
+            jj.append(s + b)
+        if not ii:
+            return empty
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        cross = ids[i] != ids[j]
+        i, j = i[cross], j[cross]
+        if len(i) == 0:
+            return empty
+        swap = ids[i] > ids[j]
+        i, j = np.where(swap, j, i), np.where(swap, i, j)
+        a, b, p_a, p_b = ids[i], ids[j], pos[i], pos[j]
+        pp = (mix2(a.astype(np.uint64), b.astype(np.uint64))
+              % np.uint64(pair_partitions)).astype(np.uint32)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "pa_": pa.array(p_a, pa.int64()),
+                         "pb_": pa.array(p_b, pa.int64()),
+                         "pp": pa.array(pp, pa.uint32())})
+
+    matches = bands.groupby("part").map_groups(emit_matches,
+                                               batch_format="pyarrow")
+
+    def spans(partition: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64()),
+                          "max_run_tokens": pa.array([], pa.int64())})
+        if partition.num_rows == 0:
+            return empty
+        a = partition["id_a"].to_numpy()
+        b = partition["id_b"].to_numpy()
+        p_a = partition["pa_"].to_numpy()
+        p_b = partition["pb_"].to_numpy()
+        diag = p_a - p_b
+        order = np.lexsort((p_a, diag, b, a))
+        a, b, p_a, diag = a[order], b[order], p_a[order], diag[order]
+        new_pair = np.ones(len(a), dtype=bool)
+        new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        new_run = new_pair.copy()
+        new_run[1:] |= (diag[1:] != diag[:-1]) | (p_a[1:] != p_a[:-1] + 1)
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.concatenate([run_starts, [len(a)]]))
+        # per-pair reduction over runs (runs are pair-sorted already)
+        pair_first_run = np.flatnonzero(new_pair[run_starts])
+        n_matches = np.add.reduceat(run_len, pair_first_run)
+        max_run = np.maximum.reduceat(run_len, pair_first_run)
+        sel = run_starts[pair_first_run]
+        return pa.table({
+            "id_a": pa.array(a[sel], pa.int64()),
+            "id_b": pa.array(b[sel], pa.int64()),
+            "n_matches": pa.array(n_matches, pa.int64()),
+            "max_run_tokens": pa.array(max_run + window - 1, pa.int64()),
+        })
+
+    return matches.groupby("pp").map_groups(spans, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              emb_col: str = "embedding",
                              cosine_threshold: float = 0.95,

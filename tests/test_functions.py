@@ -310,6 +310,55 @@ def test_substring_dup_pairs(rd):
     assert min(pairs["shared_windows"].to_pylist()) >= 1
 
 
+def test_suffix_array_dup_spans(rd):
+    from setsketch_ray.functions.dedup import suffix_array_dup_spans
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{k}" for k in range(300)]
+    base = [vocab[k] for k in rng.integers(0, 300, 60)]
+    docs = [" ".join(vocab[k] for k in rng.integers(0, 300, 50))
+            for _ in range(6)]
+    # docs 6+7 share a 30-token run; doc 8 repeats a 16-token run twice
+    docs.append(" ".join([vocab[k] for k in rng.integers(0, 300, 10)]
+                         + base[:30]))
+    docs.append(" ".join(base[:30] + ["t1", "t2"]))
+    rep = " ".join(base[:16])
+    docs.append(rep + " zz " + rep)
+    docs.append("a b c")   # < window tokens
+    docs.append("")        # empty (trailing)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    out = pa.concat_tables(list(
+        suffix_array_dup_spans(ds, "doc_id", window=16)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    rows = {(a, b): (n, r) for a, b, n, r in zip(
+        out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+        out["n_matches"].to_pylist(), out["max_run_tokens"].to_pylist())}
+    # the 30-token shared run: 15 window matches merged to one 30-token span
+    assert rows[(6, 7)] == (15, 30)
+    # doc 8 holds base[:16] twice -> two matches vs each of 6 and 7
+    assert rows[(6, 8)] == (2, 16) and rows[(7, 8)] == (2, 16)
+    # no pair involves the random, short or empty docs
+    assert set(rows) == {(6, 7), (6, 8), (7, 8)}
+
+
+def test_suffix_dup_spans_oracle_sf0001(rd):
+    """End-to-end vs the registered DuckDB oracle on the real sf0.001 table."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    from util_compare import compare
+
+    sf = os.environ.get("GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    res = entry.queries()["suffix_dup_spans"](sf)
+    ok, msg = compare(res, entry.oracle_sql()["suffix_dup_spans"], sf)
+    assert ok, msg
+
+
 def test_read_corpus_parquet_and_lance_gate(rd, tmp_path):
     import pytest as _pytest
 
