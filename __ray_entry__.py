@@ -518,6 +518,23 @@ def _q_suffix_dup_spans(sf_dir: str):
                      "max_run_tokens": pa.array([], pa.int64())})
 
 
+def _q_doc_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprints (k=8-token grams, window w=4, md5 gram
+    hash).  Oracled: DuckDB computes the identical md5 gram hashes
+    (md5_number_lower = bytes 8:16 little-endian) and the identical windowed
+    min + distinct selection."""
+    from setsketch_ray.functions.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = winnow_fingerprints(ds, "doc_id", k=8, w=4)
+    batches = list(out.iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 20))
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.table({"doc_id": pa.array([], pa.int64()),
+                     "fingerprint": pa.array([], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -544,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_methods": _q_approx_distinct_methods,
         "substring_dup_docs": _q_substring_dup_docs,
         "suffix_dup_spans": _q_suffix_dup_spans,
+        "doc_fingerprints": _q_doc_fingerprints,
         "sample_split_docs": _q_sample_split_docs,
         "sessionize": _q_sessionize,
         "top_events_per_user": _q_top_events_per_user,
@@ -733,6 +751,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CAST(sum(rl) AS BIGINT) AS n_matches, "
             "CAST(max(rl) + 15 AS BIGINT) AS max_run_tokens "
             "FROM runs GROUP BY id_a, id_b",
+        "doc_fingerprints":
+            # winnowing: md5 hash per 8-token gram, min per 4-gram window
+            # (clipped to one window for docs with < 4 grams), distinct
+            # selected hashes — mirrors functions/text.py winnow_fingerprints
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+            "FROM documents), "
+            "g AS (SELECT doc_id, len(tk) - 7 AS ng, tk, "
+            "unnest(generate_series(1, len(tk) - 7)) AS i "
+            "FROM toks WHERE len(tk) >= 8), "
+            "f AS (SELECT doc_id, ng, i, "
+            "md5_number_lower(array_to_string(tk[i:i+7], ' ')) "
+            "% CAST(9223372036854775808 AS HUGEINT) AS fp FROM g), "
+            "sel AS (SELECT doc_id, ng, i, "
+            "CAST(min(fp) OVER (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) "
+            "AS fingerprint FROM f) "
+            "SELECT DISTINCT doc_id, fingerprint FROM sel "
+            "WHERE i <= greatest(1, ng - 3)",
         "sample_split_docs":
             "WITH f AS (SELECT doc_id, n_chars, "
             "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "

@@ -185,6 +185,103 @@ def fingerprint_column(texts) -> pa.Array:
     return pa.array(hash_str_u64(texts).astype(np.int64), pa.int64())
 
 
+def winnow_fingerprints(ds, id_col: str, text_col: str = "text",
+                        k: int = 8, w: int = 4, hash_name: str = "md5"):
+    """MOSS-style winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken 2003 — the classic rolling-hash fingerprint): hash every
+    ``k``-token gram, slide a window of ``w`` consecutive gram hashes, keep
+    each window's minimum; the DISTINCT selected hashes are the document's
+    fingerprint set.  Guarantee: any shared token run of length >=
+    ``k + w - 1`` between two documents yields a shared fingerprint.
+
+    Output: one row per ``(doc_id, fingerprint)`` — int64 (hash mod 2^63).
+
+    ``hash_name="md5"`` (default) uses md5 of the gram string, bit-exactly
+    reproducible in DuckDB (``md5_number_lower``) for the SQL oracle; the
+    md5 loop runs over dictionary-unique grams (C-speed hashlib).
+    ``hash_name="fnv"`` is the fully-vectorized production path (FNV-1a +
+    mix64 via :func:`hash_str_u64`), same selection semantics.
+
+    Docs shorter than ``k`` tokens emit nothing; docs with fewer than ``w``
+    grams emit the minimum of all their grams (one clipped window), so every
+    doc with >= k tokens gets at least one fingerprint.
+    """
+    import hashlib
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], t[id_col].type),
+                          "fingerprint": pa.array([], pa.int64())})
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        toks = pc.utf8_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        nt = len(flat)
+        if nt < k:
+            return empty
+        # gram start positions: k consecutive tokens within one row
+        gvalid = row_of[:nt - k + 1] == row_of[k - 1:]
+        gidx = np.flatnonzero(gvalid)
+        if len(gidx) == 0:
+            return empty
+        parts = []
+        for j in range(k):
+            parts.append(flat.take(pa.array(gidx + j)))
+        grams = pc.binary_join_element_wise(*parts, " ")
+        grow = row_of[gidx]
+        if hash_name == "md5":
+            enc = pc.dictionary_encode(grams)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            uniq = enc.dictionary.to_pylist()
+            ufp = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                                "little") for s in uniq),
+                dtype=np.uint64, count=len(uniq))
+            fp = ufp[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            fp = hash_str_u64(grams)
+        fp = (fp % np.uint64(1 << 63)).astype(np.int64)
+        ng = len(fp)
+        sel_rows, sel_fps = [], []
+        if ng >= w:
+            # full windows: start valid when w consecutive grams share a row
+            win = np.lib.stride_tricks.sliding_window_view(fp, w)
+            wmin = win.min(axis=1)
+            wvalid = grow[:ng - w + 1] == grow[w - 1:]
+            sel_rows.append(grow[:ng - w + 1][wvalid])
+            sel_fps.append(wmin[wvalid])
+        # rows with 1..w-1 grams: one clipped window = min of all grams
+        gstarts = np.flatnonzero(np.concatenate(
+            [[True], grow[1:] != grow[:-1]]))
+        gsizes = np.diff(np.concatenate([gstarts, [ng]]))
+        short = gsizes < w
+        if short.any():
+            row_min = np.minimum.reduceat(fp, gstarts)
+            sel_rows.append(grow[gstarts[short]])
+            sel_fps.append(row_min[short])
+        rows = np.concatenate(sel_rows)
+        fps = np.concatenate(sel_fps)
+        # distinct (doc, fingerprint)
+        order = np.lexsort((fps, rows))
+        rows, fps = rows[order], fps[order]
+        keep = np.ones(len(rows), dtype=bool)
+        keep[1:] = (rows[1:] != rows[:-1]) | (fps[1:] != fps[:-1])
+        rows, fps = rows[keep], fps[keep]
+        return pa.table({id_col: t[id_col].take(pa.array(rows)),
+                         "fingerprint": pa.array(fps, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fingerprint, batch_format="pyarrow")
+
+
 def simhash64(texts) -> np.ndarray:
     """64-bit SimHash over whitespace tokens: each token hash votes its bits;
     the sign of each bit-sum forms the fingerprint.  Near-dups differ in few

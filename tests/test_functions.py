@@ -359,6 +359,62 @@ def test_suffix_dup_spans_oracle_sf0001(rd):
     assert ok, msg
 
 
+def test_winnow_fingerprints(rd):
+    from setsketch_ray.functions.text import winnow_fingerprints
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{k}" for k in range(400)]
+    shared = [vocab[k] for k in rng.integers(0, 400, 11)]  # k + w - 1 = 11
+    docs = []
+    for i in range(4):
+        filler = [vocab[k] for k in rng.integers(0, 400, 40)]
+        docs.append(" ".join(filler[:20] + shared + filler[20:]))
+    docs.append(" ".join(vocab[k] for k in rng.integers(0, 400, 40)))
+    docs.append("a b c d e f g h i")   # 9 tokens -> 2 grams < w: clipped
+    docs.append("short doc")           # < k tokens: no fingerprints
+    docs.append("")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    out = pa.concat_tables(list(
+        winnow_fingerprints(ds, "doc_id", k=8, w=4)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    fps = {}
+    for d, f in zip(out["doc_id"].to_pylist(),
+                    out["fingerprint"].to_pylist()):
+        fps.setdefault(d, set()).add(f)
+    # winnowing guarantee: a shared run of k+w-1 tokens => shared fingerprint
+    common = fps[0] & fps[1] & fps[2] & fps[3]
+    assert common, "docs sharing an 11-token run must share a fingerprint"
+    assert 5 in fps and len(fps[5]) == 1   # clipped single window
+    assert 6 not in fps and 7 not in fps   # too short / empty
+    # fnv path: same selection semantics, deterministic
+    out2 = pa.concat_tables(list(
+        winnow_fingerprints(ds, "doc_id", k=8, w=4, hash_name="fnv")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    fps2 = {}
+    for d, f in zip(out2["doc_id"].to_pylist(),
+                    out2["fingerprint"].to_pylist()):
+        fps2.setdefault(d, set()).add(f)
+    assert fps2[0] & fps2[1] & fps2[2] & fps2[3]
+    assert set(fps2) == set(fps)
+
+
+def test_doc_fingerprints_oracle_sf0001(rd):
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    from util_compare import compare
+
+    sf = os.environ.get("GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    res = entry.queries()["doc_fingerprints"](sf)
+    ok, msg = compare(res, entry.oracle_sql()["doc_fingerprints"], sf)
+    assert ok, msg
+
+
 def test_read_corpus_parquet_and_lance_gate(rd, tmp_path):
     import pytest as _pytest
 
