@@ -220,15 +220,39 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
         pairs = pairs.map_batches(attach, batch_format="pyarrow",
                                   batch_size=16384)
     else:
+        from ..functions.relational import lookup_join
+
         pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
                                     batch_format="pyarrow")
         pay_b = payload.map_batches(_rename_payload("_b", id_col, list_cols),
                                     batch_format="pyarrow")
-        npart = max(cfg.num_partitions // 8, 8)
-        pairs = pairs.join(pay_a, join_type="inner", num_partitions=npart,
-                           on=("id_a",), right_on=(id_col,))
-        pairs = pairs.join(pay_b, join_type="inner", num_partitions=npart,
-                           on=("id_b",), right_on=(id_col,))
+        npart = max(cfg.num_partitions // 2, 8)
+        # deduped pairs are consumed by two co-partition joins and their
+        # schema feeds lookup_join — one materialize, no re-execution
+        pairs = pairs.materialize()
+        pairs_schema = pairs.schema().base_schema
+        base = schema.base_schema if schema is not None else pa.schema(
+            [(id_col, pa.string())]
+            + [(c, pa.binary()) for c in payload_cols if c != id_col])
+
+        def _pay_schema(suffix: str) -> pa.Schema:
+            fields = []
+            for c in payload_cols:
+                typ = pa.binary() if c in list_cols else base.field(c).type
+                name = c if c == id_col else f"{c}{suffix}"
+                fields.append((name, typ))
+            return pa.schema(fields)
+
+        pairs = lookup_join(pairs, pay_a, "id_a", id_col,
+                            num_partitions=npart,
+                            left_schema=pairs_schema,
+                            right_schema=_pay_schema("_a"))
+        mid_fields = list(zip(pairs_schema.names, pairs_schema.types)) + [
+            (f.name, f.type) for f in _pay_schema("_a") if f.name != id_col]
+        pairs = lookup_join(pairs, pay_b, "id_b", id_col,
+                            num_partitions=npart,
+                            left_schema=pa.schema(mid_fields),
+                            right_schema=_pay_schema("_b"))
     pairs = pairs.map_batches(VerifyPairsExact(mods), batch_format="pyarrow",
                               batch_size=8192)
     if carry_regs:

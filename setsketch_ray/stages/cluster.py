@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class UnionFind:
@@ -86,12 +87,16 @@ def cluster_edges_labelprop(edges_ds, num_partitions: int | None = None,
     NEVER pulled to the driver).
 
     Each round: every node's label becomes the min of its own label, its
-    neighbors' labels (edge joins), and its label's label (pointer-jump
-    doubling — one extra label-to-label self-join halves the round count to
-    O(log diameter)).  Convergence is detected with a driver-side 64-bit
-    checksum aggregate over the (node, label) pairs: labels only decrease,
-    so an unchanged checksum means a fixpoint (no per-round full driver
-    sort-compare).
+    neighbors' labels, and its label's label (pointer-jump doubling — the
+    extra label-of-label hop halves the round count to O(log diameter)).
+    All three lookups ride ONE co-partition shuffle per round: label rows
+    (keyed by node) plus edge rows (keyed by each endpoint, emitted once,
+    re-used every round) plus jump rows (labels keyed by label) meet in a
+    single ``groupby(part)`` where a vectorized ``index_in`` resolves every
+    proposal — no per-round join operators, no actor pools.  Convergence is
+    detected with a driver-side 64-bit checksum aggregate over the
+    (node, label) pairs: labels only decrease, so an unchanged checksum
+    means a fixpoint (no per-round full driver sort-compare).
 
     Returns {member_id: root_id} like :func:`cluster_edges` (asserted equal
     in tests).
@@ -102,9 +107,9 @@ def cluster_edges_labelprop(edges_ds, num_partitions: int | None = None,
     from ..sketchlib.hashing import hash_str_u64, mix2
 
     if num_partitions is None:
-        # each Dataset.join spawns num_partitions aggregator actors per round;
-        # keep the pool well under the cpu count
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        # task-based co-partition pass (no per-round actor pools to warm),
+        # so partitions can track the cpu count
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
     edges = edges_ds.select_columns(["id_a", "id_b"]).materialize()
 
@@ -131,37 +136,67 @@ def cluster_edges_labelprop(edges_ds, num_partitions: int | None = None,
             tot = (tot + sum(b["s"].to_pylist())) % (1 << 64)
         return tot
 
-    def proposals(t: pa.Table) -> pa.Table:
-        return pa.table({"node": _concat_col(t, "id_a", "id_b"),
-                         "label": _concat_col(t, "label_b", "label_a")})
+    P = np.uint64(num_partitions)
+
+    def _key_part(arr) -> np.ndarray:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            h = hash_str_u64(a)
+        else:
+            h = a.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (h % P).astype(np.uint32)
+
+    def _rows(key, val, tag: int) -> pa.Table:
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        val = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+        return pa.table({
+            "key": key, "val": val,
+            "tag": pa.array(np.full(len(key), tag, np.int8), pa.int8()),
+            "part": pa.array(_key_part(key), pa.uint32())})
+
+    # edge lookup rows never change: key = one endpoint (where the label
+    # lives), val = the other endpoint (who receives the proposal); emitted
+    # once for both directions and reused every round
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([_rows(t["id_a"], t["id_b"], 1),
+                                 _rows(t["id_b"], t["id_a"], 1)])
+
+    edge_tagged = edges.map_batches(
+        edge_rows, batch_format="pyarrow").materialize()
+
+    # label rows per round: tag 0 = lookup side (key=node, val=label);
+    # tag 2 = pointer-jump request (key=label, val=node)
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([_rows(t["node"], t["label"], 0),
+                                 _rows(t["label"], t["node"], 2)])
+
+    def propagate(t: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], t["key"].type),
+                          "label": pa.array([], t["val"].type)})
+        if t.num_rows == 0:
+            return empty
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        lk = t.filter(pa.array(tag == 0))
+        rq = t.filter(pa.array(tag != 0))
+        if lk.num_rows == 0 or rq.num_rows == 0:
+            return empty
+        keys = lk["key"].combine_chunks() if isinstance(lk["key"], pa.ChunkedArray) else lk["key"]
+        idx = pc.index_in(rq["key"], value_set=keys)
+        valid = pc.is_valid(idx)
+        rq = rq.filter(valid)
+        idx = idx.filter(valid) if isinstance(idx, pa.Array) \
+            else pc.filter(idx, valid)
+        # proposal: the requester (val) adopts the looked-up label
+        return pa.table({"node": rq["val"],
+                         "label": lk["val"].take(idx)})
 
     prev = checksum(labels)
     for _round in range(max_rounds):
-        lab_a = labels.map_batches(
-            lambda t: t.rename_columns(["node_a", "label_a"]),
-            batch_format="pyarrow")
-        lab_b = labels.map_batches(
-            lambda t: t.rename_columns(["node_b", "label_b"]),
-            batch_format="pyarrow")
-        withl = edges.join(lab_a, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("id_a",), right_on=("node_a",))
-        withl = withl.join(lab_b, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("id_b",), right_on=("node_b",))
-        prop = withl.map_batches(proposals, batch_format="pyarrow")
-        # pointer jumping: node also proposes label(label(node))
-        lab_p = labels.map_batches(
-            lambda t: t.rename_columns(["node_p", "label_p"]),
-            batch_format="pyarrow")
-        hop2 = labels.join(lab_p, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("label",), right_on=("node_p",))
-        hop2 = hop2.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label_p"]}),
-            batch_format="pyarrow")
+        lab_tagged = labels.map_batches(label_rows, batch_format="pyarrow")
+        prop = edge_tagged.union(lab_tagged).groupby("part").map_groups(
+            propagate, batch_format="pyarrow")
         new_labels = grouped_aggregate(
-            prop.union(hop2).union(labels),
+            prop.union(labels),
             ["node"], {"label": ("min", "label")}, final="ray").materialize()
         cs = checksum(new_labels)
         labels = new_labels

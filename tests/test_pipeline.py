@@ -231,3 +231,22 @@ def test_collapse_exact_preserves_recall(fixture_path, ray_session):
     copies = [f"zzz{i:09d}" for i in range(len(orig))]
     assert all(mapping.get(a, a) == mapping.get(b, b)
                for a, b in zip(orig, copies))
+
+
+def test_hash_join_strategy_matches_broadcast(fixture_path, ray_session):
+    """join_strategy="hash" (lookup_join co-partition attach) must produce
+    the exact pair set and scores of the broadcast fused path."""
+    from setsketch_ray.pipelines.dedup import candidate_pairs
+    from setsketch_ray.sources.readers import read_corpus
+
+    def pair_set(strategy):
+        cfg = DedupConfig(join_strategy=strategy, pair_dedup="shuffle")
+        pairs = candidate_pairs(read_corpus(fixture_path), cfg)
+        out = set()
+        for b in pairs.iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 20):
+            out.update(zip(b["id_a"].to_pylist(), b["id_b"].to_pylist(),
+                           (round(s, 9) for s in b["score"].to_pylist())))
+        return out
+
+    assert pair_set("hash") == pair_set("broadcast")
