@@ -330,14 +330,20 @@ def _q_orders_by_segment(sf_dir: str):
 
 
 def _q_lineitem_orders_join(sf_dir: str):
-    """Large-large hash join (Dataset.join) + grouped aggregate."""
-    from setsketch_ray.functions.relational import grouped_aggregate
+    """Large-large equi-join (task-based lookup_join co-partition; orders is
+    unique on o_orderkey) + grouped aggregate."""
+    from setsketch_ray.functions.relational import grouped_aggregate, \
+        lookup_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     li = li.filter(expr="l_quantity > 45")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_quantity", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
     return grouped_aggregate(joined, ["o_orderpriority"],
                              {"n_items": ("count", None)})
 
