@@ -159,6 +159,14 @@ def run_benchmarks() -> dict:
     entrymod._q_knn_bruteforce(SF_DIR)
     timings["knn_bruteforce"] = time.time() - t0
 
+    # --- suffix-array substring spans + winnowing fingerprints
+    t0 = time.time()
+    entrymod._q_suffix_dup_spans(SF_DIR)
+    timings["suffix_dup_spans"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_doc_fingerprints(SF_DIR)
+    timings["doc_fingerprints"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

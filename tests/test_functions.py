@@ -471,3 +471,44 @@ def test_hot_shingle_blocklist(rd):
     assert not (set(v1.tolist()) & set(block))
     # rare shingles survive
     assert len(v1) > 0.5 * len(v0)
+
+
+def test_lookup_join_matches_pandas(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import lookup_join
+
+    rng = np.random.default_rng(17)
+    lt = pa.table({"k": pa.array(rng.integers(0, 60, 500), pa.int64()),
+                   "v": pa.array(rng.standard_normal(500))})
+    rt = pa.table({"rk": pa.array(np.arange(40), pa.int64()),
+                   "w": pa.array([f"s{i}" for i in range(40)])})
+    out = pa.concat_tables(list(
+        lookup_join(rd.from_arrow(lt).repartition(5),
+                    rd.from_arrow(rt).repartition(3), "k", "rk", 8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    exp = lt.to_pandas().merge(rt.to_pandas(), left_on="k",
+                               right_on="rk").drop(columns=["rk"])
+    srt = lambda d: d.sort_values(["k", "v", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(srt(out.to_pandas()), srt(exp))
+
+    # no matches at all -> empty, schema preserved
+    rt2 = pa.table({"rk": pa.array([1000, 1001], pa.int64()),
+                    "w": pa.array(["a", "b"])})
+    ds2 = lookup_join(rd.from_arrow(lt), rd.from_arrow(rt2), "k", "rk", 4)
+    assert ds2.count() == 0
+    assert set(ds2.schema().names) >= {"k", "v", "w"}
+
+
+def test_lookup_join_rejects_duplicate_right_keys(rd):
+    import pytest as _pytest
+    import ray
+
+    from setsketch_ray.functions.relational import lookup_join
+
+    lt = pa.table({"k": pa.array([1, 2], pa.int64())})
+    rt = pa.table({"rk": pa.array([1, 1], pa.int64()),
+                   "w": pa.array(["a", "b"])})
+    ds = lookup_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "rk", 2)
+    with _pytest.raises((ray.exceptions.RayTaskError, AssertionError)):
+        ds.materialize()
