@@ -146,14 +146,31 @@ def _q_lineitem_agg(sf_dir: str):
 
 
 def _q_top_users(sf_dir: str):
-    """Grouped aggregate -> global sort -> limit (top-k)."""
+    """Grouped aggregate -> global sort -> limit (top-k).
+
+    ``value`` is exact cents, so the sum runs integer-scaled (x100, int64)
+    for association-independent hashing; the oracle scales identically."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from setsketch_ray.functions.relational import grouped_aggregate
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = grouped_aggregate(ds, ["user_id"], {
-        "n_events": ("count", None), "total_value": ("sum", "value")})
+
+    def scaled(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "value_s": pc.round(pc.multiply(t["value"], pa.scalar(100.0)))
+            .cast(pa.int64()),
+        })
+
+    agg = grouped_aggregate(ds.map_batches(scaled, batch_format="pyarrow"),
+                            ["user_id"], {
+        "n_events": ("count", None), "total_value_s": ("sum", "value_s")})
+    agg = pa.table({
+        "user_id": agg["user_id"], "n_events": agg["n_events"],
+        "total_value": pc.divide(pc.cast(agg["total_value_s"], pa.float64()),
+                                 100.0)})
     top = rd.from_arrow(agg).sort(["n_events", "user_id"],
                                   descending=[True, False]).limit(10)
     return top
@@ -277,11 +294,22 @@ def _q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def add_hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+        # cents are exact -> integer-scaled sum, association-independent
+        return pa.table({
+            "user_id": t["user_id"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value_s": pc.round(pc.multiply(t["value"], pa.scalar(100.0)))
+            .cast(pa.int64()),
+        })
 
     ds = ds.map_batches(add_hour, batch_format="pyarrow")
-    return grouped_aggregate(ds, ["user_id", "hour"], {
-        "n_events": ("count", None), "total_value": ("sum", "value")})
+    agg = grouped_aggregate(ds, ["user_id", "hour"], {
+        "n_events": ("count", None), "total_value_s": ("sum", "value_s")})
+    return pa.table({
+        "user_id": agg["user_id"], "hour": agg["hour"],
+        "n_events": agg["n_events"],
+        "total_value": pc.divide(pc.cast(agg["total_value_s"], pa.float64()),
+                                 100.0)})
 
 
 def _q_orders_by_segment(sf_dir: str):
@@ -439,7 +467,19 @@ def _q_sessionize(sf_dir: str):
     from setsketch_ray.functions.streaming import sessionize
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
-    return sessionize(ds, gap_seconds=1800.0)
+    return sessionize(ds, gap_seconds=1800.0, value_scale=100)
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles of events.value (cents-exact fixed point):
+    distributed scaled value-count partials + tiny driver walk.  Oracle:
+    DuckDB quantile_disc over the same list of q's (same ceil(q*n)-1
+    discrete rule, verified empirically)."""
+    from setsketch_ray.functions.relational import quantiles_fixedpoint
+
+    ds = _read(sf_dir, "events", ["value"])
+    return quantiles_fixedpoint(
+        ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
 
 
 def _q_approx_distinct_methods(sf_dir: str):
@@ -570,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "sample_split_docs": _q_sample_split_docs,
         "sessionize": _q_sessionize,
+        "value_quantiles": _q_value_quantiles,
         "top_events_per_user": _q_top_events_per_user,
     }
 
@@ -600,7 +641,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "top_users":
-            "SELECT user_id, count(*) AS n_events, sum(value) AS total_value "
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " / 100.0 AS total_value "
             "FROM events GROUP BY user_id "
             "ORDER BY n_events DESC, user_id LIMIT 10",
         "token_counts":
@@ -619,7 +662,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents QUALIFY id_b IS NOT NULL",
         "events_hourly":
             "SELECT user_id, date_trunc('hour', ts) AS hour, "
-            "count(*) AS n_events, sum(value) AS total_value "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " / 100.0 AS total_value "
             "FROM events GROUP BY user_id, date_trunc('hour', ts)",
         "orders_by_segment":
             "SELECT c_mktsegment, count(*) AS n_orders, "
@@ -798,10 +843,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "count(*) AS n_events,"
             "  min(ts) AS session_start, max(ts) AS session_end,"
-            "  sum(value) AS total_value "
+            "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            "    / 100.0 AS total_value "
             "FROM sess GROUP BY user_id, session_id",
         "top_events_per_user":
             "SELECT user_id, event_id, value FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
             "ORDER BY value DESC, event_id) <= 3",
+        "value_quantiles":
+            "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+            "unnest(quantile_disc(value, "
+            "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value FROM events",
     }

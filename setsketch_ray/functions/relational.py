@@ -321,3 +321,57 @@ def lookup_join(left, right, left_key: str, right_key: str,
         return pa.table(cols)
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def quantiles_fixedpoint(ds, column: str, qs: list[float],
+                         scale: int = 100) -> pa.Table:
+    """Exact discrete quantiles of a fixed-point-decimal float column (e.g.
+    money cents), fully distributed.
+
+    Plan: per-batch value counts over the INTEGER-SCALED domain (one row per
+    distinct scaled value per block), tree-combined by
+    :func:`grouped_aggregate`, then a tiny driver-side cumulative walk over
+    the sorted distinct values.  The shuffled key domain is the number of
+    DISTINCT values (bounded for fixed-point columns: price ranges, scores),
+    never the row count — at 100 TB the partial rows stay ~#blocks x #values.
+
+    Quantile definition matches DuckDB ``quantile_disc``: 0-based index
+    ``ceil(q*n) - 1`` into the sorted multiset (verified empirically across
+    n and q, see tests).  ``scale`` must make the column integer-exact
+    (``round(x*scale)/scale == x``), which also makes the result independent
+    of float summation order.
+
+    Returns ``pa.table({"q": float64, "value": float64})``.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(t[column], pa.scalar(float(scale)))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    counts = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                               ["v"], {"cnt": ("sum", "cnt")})
+    v = counts["v"].to_numpy(zero_copy_only=False)
+    c = counts["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            out_q.append(float(q))
+            out_v.append(float("nan"))
+            continue
+        k = max(1, math.ceil(q * n))            # 1-based rank, clamped
+        i = int(np.searchsorted(cum, k))        # first cum >= k
+        out_q.append(float(q))
+        out_v.append(float(v[i]) / scale)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                value_col: str = "value", gap_seconds: float = 1800.0,
-               num_partitions: int = 32):
+               num_partitions: int = 32, value_scale: int | None = None):
     """Gap-based session windows: a new session starts when the inter-event
     gap within a key exceeds ``gap_seconds``.
 
@@ -28,6 +28,12 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     session_start, session_end, total_value).  Implementation: hash-partition
     by user, then ONE vectorized pass per partition (sort by (user, ts),
     boundary mask, cumulative session numbering) — no per-user Python.
+
+    ``value_scale``: when the value column is a fixed-point decimal stored as
+    float (e.g. cents -> scale 100), sum round(v*scale) as int64 and divide
+    back, so total_value is exact and independent of summation order (float
+    reduceat over ts-sorted rows associates differently than an engine
+    summing in scan order — same convention as the oracled money sums).
     """
     def add_part(t: pa.Table) -> pa.Table:
         u = t[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -74,7 +80,11 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
         out_n = (ends - starts).astype(np.int64)
         out_start = ts[starts]
         out_end = ts[ends - 1]
-        out_val = np.add.reduceat(vals, starts)
+        if value_scale is not None:
+            cents = np.rint(vals * value_scale).astype(np.int64)
+            out_val = np.add.reduceat(cents, starts) / float(value_scale)
+        else:
+            out_val = np.add.reduceat(vals, starts)
         return pa.table({
             user_col: pa.array(out_user),
             "session_id": pa.array(out_sid, pa.int64()),

@@ -512,3 +512,60 @@ def test_lookup_join_rejects_duplicate_right_keys(rd):
     ds = lookup_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "rk", 2)
     with _pytest.raises((ray.exceptions.RayTaskError, AssertionError)):
         ds.materialize()
+
+
+def test_sessionize_boundaries_and_scaled_sums(rd):
+    from setsketch_ray.functions.streaming import sessionize
+
+    # user 1: two sessions (gap 3600 s > 1800); user 2: one session.
+    ts = np.array([0, 600, 1200, 1200 + 3600, 1200 + 4200, 0, 900],
+                  dtype="datetime64[s]").astype("datetime64[us]")
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(ts),
+        # cents-exact floats whose naive float sum is inexact (0.1+0.2)
+        "value": pa.array([0.10, 0.20, 0.30, 1.10, 2.20, 0.70, 0.10]),
+    })
+    out = pa.concat_tables(list(
+        sessionize(rd.from_arrow(t).repartition(3), gap_seconds=1800.0,
+                   num_partitions=4, value_scale=100)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [3, 2, 2]
+    # integer-scaled sums are exact: 0.1+0.2+0.3 == 0.6 bit-exact
+    assert out["total_value"].tolist() == [0.6, 3.3, 0.8]
+    # unscaled path still sums (approximately) the same
+    out2 = pa.concat_tables(list(
+        sessionize(rd.from_arrow(t), gap_seconds=1800.0, num_partitions=4)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    assert np.allclose(sorted(out2["total_value"].to_pylist()),
+                       [0.6, 0.8, 3.3])
+
+
+def test_quantiles_fixedpoint_matches_duckdb(rd):
+    """Distributed scaled-count quantiles == DuckDB quantile_disc, across
+    awkward n (ties, tiny partitions, values repeating across blocks)."""
+    import duckdb
+
+    from setsketch_ray.functions.relational import quantiles_fixedpoint
+
+    rng = np.random.default_rng(11)
+    # canonical decimal doubles (d/100): the operator's stated input contract
+    # is round(x*scale)/scale == x bit-exact (true for the cents-valued
+    # events table; d/100 is the nearest-double of the decimal)
+    vals = rng.integers(1, 50_000, size=1237).astype(np.float64) / 100.0
+    vals[:50] = 7.77  # heavy tie
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = quantiles_fixedpoint(rd.from_arrow(t).repartition(7), "value", qs,
+                               scale=100)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        f"SELECT unnest({qs}) AS q, unnest(quantile_disc(value, {qs})) "
+        "AS value FROM t").df()
+    assert got["q"].to_pylist() == exp["q"].tolist()
+    assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
