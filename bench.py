@@ -167,6 +167,11 @@ def run_benchmarks() -> dict:
     entrymod._q_doc_fingerprints(SF_DIR)
     timings["doc_fingerprints"] = time.time() - t0
 
+    # --- distributed exact quantiles (bounded-domain value counts)
+    t0 = time.time()
+    entrymod._q_value_quantiles(SF_DIR)
+    timings["value_quantiles"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

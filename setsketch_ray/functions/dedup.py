@@ -639,10 +639,16 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              emb_col: str = "embedding",
                              cosine_threshold: float = 0.95,
                              n_bits: int = 12, n_tables: int = 4,
-                             seed: int = 7, num_partitions: int = 32):
+                             seed: int = 7, num_partitions: int = 32,
+                             bucket_cap: int = 512):
     """Embedding-cosine near-duplicates: ``n_tables`` independent random-
     hyperplane (SimHash) bucketings generate candidates; exact cosine inside
-    the bucket group verifies.  Deterministic given the seed."""
+    the bucket group verifies.  Deterministic given the seed.
+
+    Buckets above ``bucket_cap`` switch from all-pairs to the star+chain
+    topology (as in stages/lsh.py): emitted candidates stay O(n) per hot
+    bucket and a cluster of mutually-similar vectors stays transitively
+    connected through the chain instead of being silently dropped."""
     from .knn import _embedding_matrix
 
     first = ds.take(1)
@@ -692,9 +698,16 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         ids = t[id_col].to_numpy(zero_copy_only=False)
         ii, jj = [], []
         for s, n in zip(starts, sizes):
-            if n < 2 or n > 512:
+            if n < 2:
                 continue
-            a, b = np.triu_indices(n, k=1)
+            if n <= bucket_cap:
+                a, b = np.triu_indices(n, k=1)
+            else:
+                # star + chain: O(n) candidates, connectivity preserved
+                a = np.concatenate([np.zeros(n - 1, dtype=np.int64),
+                                    np.arange(1, n - 1, dtype=np.int64)])
+                b = np.concatenate([np.arange(1, n, dtype=np.int64),
+                                    np.arange(2, n, dtype=np.int64)])
             ii.append(s + a)
             jj.append(s + b)
         if not ii:

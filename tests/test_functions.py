@@ -569,3 +569,31 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
         "AS value FROM t").df()
     assert got["q"].to_pylist() == exp["q"].tolist()
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
+
+
+def test_embedding_hot_bucket_stays_connected(rd):
+    """>bucket_cap identical embeddings land in one LSH bucket in every
+    table; star+chain keeps the cluster connected instead of dropping it."""
+    from setsketch_ray.functions.dedup import embedding_near_dup_pairs
+    from setsketch_ray.stages.cluster import cluster_edges
+
+    rng = np.random.default_rng(9)
+    n_hot = 30
+    vecs = [list(map(float, np.ones(16)))] * n_hot
+    ids = list(range(n_hot))
+    for i in range(20):  # unrelated background vectors
+        vecs.append(list(map(float, rng.standard_normal(16))))
+        ids.append(n_hot + i)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    pairs = pa.concat_tables(list(
+        embedding_near_dup_pairs(ds, cosine_threshold=0.99, n_bits=6,
+                                 n_tables=4, bucket_cap=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    mapping = cluster_edges(pairs["id_a"].to_pylist(),
+                            pairs["id_b"].to_pylist())
+    roots = {mapping.get(i, i) for i in range(n_hot)}
+    assert len(roots) == 1, f"hot bucket fragmented into {len(roots)}"
+    # O(n) per bucket per table, not O(n^2)
+    assert pairs.num_rows < 4 * (2 * n_hot)
