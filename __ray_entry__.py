@@ -225,7 +225,10 @@ def _q_near_dup_docs(sf_dir: str):
 
 def _q_near_dup_images(sf_dir: str):
     """The flagship image+caption pipeline over the deterministic synthetic
-    Lance-schema table (BASELINE.json input_hint) with planted near-dups."""
+    Lance-schema table (BASELINE.json input_hint) with planted near-dups.
+    Rows-only: LSH + sketch verification over decoded image bytes is not
+    SQL-expressible; recall/precision vs planted truth are asserted in
+    tests/test_pipeline.py and bench.py --stress."""
     import ray.data as rd
 
     from setsketch_ray.pipelines.dedup import DedupConfig, near_dup_pipeline
