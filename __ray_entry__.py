@@ -30,8 +30,17 @@ def _read(sf_dir: str, table: str, columns=None):
 
     nb = int(os.environ.get("RAY_GRAFT_BLOCKS", "0")) or \
         max(4, int(ray.cluster_resources().get("CPU", 8)))
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
-                           override_num_blocks=nb)
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                         override_num_blocks=nb)
+    # The driver's pandas-written parquet embeds b'pandas' schema metadata,
+    # which makes pa.Schema unhashable and defeats Ray Data's schema-dedup
+    # fast path (a logged warning per task).  Stripping is metadata-only
+    # (zero-copy) and the map fuses with the read operator.
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
 # --------------------------------------------------------------------- entry

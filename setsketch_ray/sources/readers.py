@@ -34,8 +34,17 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
                 "lance is not installed in this environment; the corpus "
                 "reader supports Lance in production and parquet here"
             ) from e
-        return rd.read_lance(path, **kwargs)
-    return rd.read_parquet(path, **kwargs)
+        ds = rd.read_lance(path, **kwargs)
+    else:
+        ds = rd.read_parquet(path, **kwargs)
+    # Strip file-embedded schema metadata (e.g. pandas'): unhashable
+    # metadata dicts defeat Ray Data's schema-dedup fast path and spam a
+    # warning per task.  Zero-copy; fuses with the read operator.
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+def _strip_schema_metadata(t):
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
 def write_corpus(ds, path: str, partition_cols=None):
