@@ -203,6 +203,17 @@ def _q_knn_bruteforce(sf_dir: str):
     return knn_bruteforce(ds, query_vec_id=0, k=10)
 
 
+def _q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine-similarity join (cos >= 0.3) over the
+    embeddings table — the brute-force baseline that anchors the approximate
+    embedding near-dup paths.  Emits integer (id_a, id_b) only, so the
+    result hashes identically against the DuckDB cross-join oracle."""
+    from setsketch_ray.functions.knn import cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs(ds, threshold=0.3)
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF approximate top-10 neighbors of vec_id 0 (deterministic k-means
     coarse quantizer + n_probe nearest cells — the 100 TB ANN scale path);
@@ -603,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
+        "cosine_pairs": _q_cosine_pairs,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "events_hourly": _q_events_hourly,
         "orders_by_segment": _q_orders_by_segment,
@@ -667,6 +679,12 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rank "
             "FROM embeddings e, q WHERE e.vec_id <> 0 "
             "ORDER BY rank LIMIT 10",
+        "cosine_pairs":
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.3",
         "char_jaccard_pairs":
             "SELECT doc_id AS id_a, "
             "lead(doc_id) OVER (ORDER BY doc_id) AS id_b, "

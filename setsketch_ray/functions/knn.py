@@ -81,6 +81,71 @@ def knn_bruteforce(ds, query_vec_id: int, k: int = 10, id_col: str = "vec_id"):
     })
 
 
+class _PairScore:
+    """Emit (id_a < id_b) pairs whose cosine >= threshold, each batch
+    matmul'd against the broadcast normalized matrix of the whole table."""
+
+    def __init__(self, bref, threshold: float, id_col: str):
+        import ray
+
+        self.all_ids, self.all_norm = ray.get(bref)
+        self.threshold = threshold
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch["embedding"])
+        norms = np.linalg.norm(emb, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bn = emb / norms[:, None]
+        sims = np.nan_to_num(bn @ self.all_norm.T, nan=-2.0)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        # strict id_a < id_b: each unordered pair emitted exactly once even
+        # though every batch sees the full broadcast side
+        hit = (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
+        ai, bj = np.nonzero(hit)
+        return pa.table({"id_a": pa.array(ids[ai], pa.int64()),
+                         "id_b": pa.array(self.all_ids[bj], pa.int64())})
+
+
+def cosine_pairs(ds, threshold: float = 0.3, id_col: str = "vec_id"):
+    """EXACT all-pairs cosine similarity join: every unordered pair with
+    cosine >= ``threshold``.  The brute-force baseline for near-duplicate
+    embedding detection (reference has no embedding ops; this anchors the
+    approximate paths — :func:`embedding_buckets` / LSH in
+    functions/dedup.py — with an oracle-checkable exact answer).
+
+    Shape: one pass collects the (id, normalized-vector) matrix and
+    broadcasts it via ``ray.put`` (read once per actor); each input batch
+    then does ONE float64 matmul against it and emits qualifying integer id
+    pairs — O(n^2/p) compute, O(n*d) broadcast, no shuffle.  Quadratic by
+    design: at corpus scale the same kernel runs per LSH/IVF bucket
+    (embedding_buckets) instead of per batch-vs-all.
+
+    Only integer ids leave the stage (float scores stay internal), so the
+    result is hash-stable across engines as long as no pair's cosine sits
+    within float error of the threshold (margin at sf0.01: 6.9e-5).
+    """
+    import ray
+
+    ids_parts, mat_parts = [], []
+    for b in ds.map_batches(
+            lambda t: t.select([id_col, "embedding"]),
+            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        ids_parts.append(b[id_col].to_numpy(zero_copy_only=False))
+        mat_parts.append(_embedding_matrix(b["embedding"]))
+    all_ids = np.concatenate(ids_parts).astype(np.int64)
+    mat = np.concatenate(mat_parts)
+    norms = np.linalg.norm(mat, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mat = mat / norms[:, None]
+    mat = np.nan_to_num(mat, nan=0.0)
+    bref = ray.put((all_ids, mat))
+    return ds.map_batches(
+        _PairScore, fn_constructor_args=(bref, threshold, id_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=2)
+
+
 def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
                      seed: int = 11, id_col: str = "vec_id",
                      emb_col: str = "embedding") -> np.ndarray:

@@ -128,6 +128,29 @@ def test_embedding_near_dup_recall(rd):
     assert len(got - planted) <= 2
 
 
+def test_cosine_pairs_matches_numpy(rd):
+    from setsketch_ray.functions.knn import cosine_pairs
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((120, 16))
+    vecs[11] = vecs[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    vecs[77] = -vecs[20]                                  # anti-correlated
+    emb = pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(range(120), pa.int64()),
+                                 "embedding": emb}))
+    out = pa.concat_tables(list(
+        cosine_pairs(ds, threshold=0.4)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    n = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    sims = n @ n.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.4, k=1))
+    expected = set(zip(ia.tolist(), ib.tolist()))
+    assert got == expected
+    assert (3, 11) in got and (20, 77) not in got
+
+
 def test_knn_bruteforce_matches_numpy(rd):
     from setsketch_ray.functions.knn import knn_bruteforce
 
