@@ -399,6 +399,37 @@ def _q_lineitem_orders_join(sf_dir: str):
                              {"n_items": ("count", None)})
 
 
+def _q_asof_last_order(sf_dir: str):
+    """Backward as-of join: each event picks the customer's most recent order
+    at or before the event timestamp (ties on o_orderdate broken by greatest
+    o_orderkey — pinned on both sides; naked DuckDB ASOF JOIN is
+    nondeterministic under ties).  Ray Data has no as-of join; this is the
+    engine's tagged hash co-partition + one vectorized lexsort/cumsum-rank
+    merge per partition (functions/relational.asof_join)."""
+    from setsketch_ray.functions.relational import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderkey", "user_id", "o_orderdate", "o_totalprice"])
+
+    orders = orders.map_batches(ren, batch_format="pyarrow")
+    return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tie_col="o_orderkey", how="inner",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("user_id", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_totalprice", pa.float64())]))
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -619,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_orders_join": _q_lineitem_orders_join,
+        "asof_last_order": _q_asof_last_order,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -706,6 +738,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_quantity > 45 GROUP BY o_orderpriority",
+        # pinned tie-break (o_orderdate DESC, o_orderkey DESC) instead of a
+        # naked ASOF JOIN: DuckDB ASOF is nondeterministic when a customer
+        # has two orders on the same date (32 such groups at sf0.01)
+        "asof_last_order":
+            "SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, "
+            "o.o_orderdate, o.o_totalprice "
+            "FROM events e JOIN orders o ON e.user_id = o.o_custkey "
+            "AND o.o_orderdate <= e.ts "
+            "QUALIFY row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

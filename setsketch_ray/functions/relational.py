@@ -375,3 +375,157 @@ def quantiles_fixedpoint(ds, column: str, qs: list[float],
         out_v.append(float(v[i]) / scale)
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def asof_join(left, right, on: str, left_ts: str, right_ts: str,
+              right_cols: list[str], tie_col: str | None = None,
+              num_partitions: int = 32, how: str = "inner",
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None):
+    """Distributed backward as-of join: for each left row, attach the right
+    row with the same ``on`` key and the greatest ``right_ts`` <=
+    ``left_ts``.  Ties on ``right_ts`` are broken by the greatest
+    ``tie_col`` (pass one whenever the right side can repeat (key, ts) —
+    DuckDB/pandas ASOF are nondeterministic there, this operator is not).
+
+    Ray Data has no as-of join; the scale shape is the engine's standard
+    tagged hash co-partition (see :func:`lookup_join` for why not
+    ``Dataset.join``): one union + one ``groupby("__part")`` all-to-all,
+    then a per-partition merge that is pure vectorized NumPy — a single
+    lexsort of the partition's (group, ts, side, tie) tuples and a
+    cumulative count of right rows gives every left row its within-group
+    "number of right rows at or before me"; index ``-1`` into the group's
+    (ts, tie)-sorted right rows is exactly the as-of match.  No per-group
+    Python loop, no per-row work, skew bounded by the key-hash partitioning
+    like every other shuffle here.
+
+    ``how``: "inner" drops unmatched left rows (DuckDB ASOF JOIN default);
+    "left" keeps them with nulls in ``right_cols``.
+
+    Output columns: all left columns + ``right_cols`` (caller pre-renames
+    collisions).  Timestamps may be any type with exact int64 cast order
+    (timestamp[us], int, date).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    lschema = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    rschema = right_schema if right_schema is not None \
+        else right.schema().base_schema
+    left_out = list(lschema.names)
+    for c in right_cols:
+        if c in left_out:
+            raise ValueError(f"asof_join: output name collision on {c!r}")
+    rkeep = [on, right_ts] + [c for c in right_cols
+                              if c not in (on, right_ts)]
+    if tie_col is not None and tie_col not in rkeep:
+        rkeep.append(tie_col)
+
+    fields = [(n, lschema.field(n).type) for n in left_out]
+    fields += [(n, rschema.field(n).type) for n in rkeep if n not in left_out]
+    # the union needs identical schemas on both sides: null-pad and carry
+    # private __k/__t copies of the join/time columns so left and right
+    # column sets line up even when names differ between the sides
+    key_t = lschema.field(on).type if on in left_out \
+        else rschema.field(on).type
+
+    def _key_hash(arr) -> "np.ndarray":
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type) \
+                or pa.types.is_binary(a.type):
+            return hash_str_u64(a)
+        return mix64(a.to_numpy(zero_copy_only=False).astype(np.uint64))
+
+    def _tag(side: int, ts_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            h = _key_hash(t[on])
+            cols = {}
+            for name, typ in fields:
+                if name in t.column_names:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(t.num_rows, typ)
+            cols["__ts"] = t[ts_col].cast(pa.int64())
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, np.int8), pa.int8())
+            cols["__part"] = pa.array(
+                (h % np.uint64(num_partitions)).astype(np.uint32),
+                pa.uint32())
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(_tag(0, left_ts), batch_format="pyarrow") \
+        .union(right.map_batches(_tag(1, right_ts), batch_format="pyarrow"))
+
+    out_names = left_out + [n for n in right_cols if n not in left_out]
+    out_types = {n: t for n, t in fields}
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.array([], out_types[n]) for n in out_names})
+        if t.num_rows == 0:
+            return empty
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0))
+        rt = t.filter(pa.array(side == 1))
+        if rt.num_rows == 0 or lt.num_rows == 0:
+            if how == "inner" or lt.num_rows == 0:
+                return empty
+            cols = {n: lt[n] for n in left_out}
+            for n in out_names[len(left_out):]:
+                cols[n] = pa.nulls(lt.num_rows, out_types[n])
+            return pa.table(cols)
+
+        nl, nr = lt.num_rows, rt.num_rows
+        lk = _key_hash(lt[on])          # hashed key = dense-group domain
+        rk = _key_hash(rt[on])
+        lts = lt["__ts"].to_numpy(zero_copy_only=False)
+        rts = rt["__ts"].to_numpy(zero_copy_only=False)
+        rtie = (rt[tie_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                if tie_col is not None else np.zeros(nr, np.int64))
+
+        uk, inv = np.unique(np.concatenate([rk, lk]), return_inverse=True)
+        gr, gl = inv[:nr], inv[nr:]
+        # one global lexsort of (group, ts, right-before-left, tie)
+        gid = np.concatenate([gr, gl])
+        tss = np.concatenate([rts, lts])
+        isl = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+        tie = np.concatenate([rtie, np.zeros(nl, np.int64)])
+        order = np.lexsort((tie, isl, tss, gid))
+        isl_sorted = isl[order]
+        rights_incl = np.cumsum((isl_sorted == 0).astype(np.int64))
+        pos_of = np.empty(nr + nl, np.int64)
+        pos_of[order] = np.arange(nr + nl)
+        # rights in global (group, ts, tie) sorted sequence, as rt indices
+        r_seq = order[isl_sorted == 0]
+        rights_per_group = np.bincount(gr, minlength=len(uk))
+        group_base = np.concatenate([[0],
+                                     np.cumsum(rights_per_group)])[:-1]
+        p = pos_of[nr:]                           # left rows' sorted slots
+        idx_in_group = rights_incl[p] - group_base[gl]
+        matched = idx_in_group > 0
+        midx = r_seq[group_base[gl[matched]] + idx_in_group[matched] - 1]
+
+        if how == "inner":
+            lt = lt.filter(pa.array(matched))
+            take = pa.array(midx, pa.int64())
+            cols = {n: lt[n] for n in left_out}
+            for n in out_names[len(left_out):]:
+                cols[n] = rt[n].take(take)
+            return pa.table(cols)
+        # left: scatter matches, nulls elsewhere
+        full = np.full(nl, -1, np.int64)
+        full[matched] = midx
+        take = pa.array(np.where(full >= 0, full, 0), pa.int64())
+        sel = pa.array(full >= 0)
+        cols = {n: lt[n] for n in left_out}
+        for n in out_names[len(left_out):]:
+            picked = rt[n].take(take)
+            cols[n] = pc.if_else(sel, picked.combine_chunks()
+                                 if isinstance(picked, pa.ChunkedArray)
+                                 else picked, pa.nulls(1, out_types[n])[0])
+        return pa.table(cols)
+
+    return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")

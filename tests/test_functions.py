@@ -620,3 +620,77 @@ def test_embedding_hot_bucket_stays_connected(rd):
     assert len(roots) == 1, f"hot bucket fragmented into {len(roots)}"
     # O(n) per bucket per table, not O(n^2)
     assert pairs.num_rows < 4 * (2 * n_hot)
+
+
+def test_asof_join_matches_pandas_merge_asof(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import asof_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 400, 150
+    lt = pa.table({
+        "k": pa.array(rng.integers(0, 25, nl), pa.int64()),
+        "t": pa.array(rng.integers(0, 1000, nl), pa.int64()),
+        "lid": pa.array(np.arange(nl), pa.int64())})
+    # right side with deliberate (k, t) ties — tie broken by greatest rid
+    rt = pa.table({
+        "k": pa.array(rng.integers(0, 20, nr), pa.int64()),
+        "rt": pa.array(rng.integers(0, 1000, nr) // 50 * 50, pa.int64()),
+        "rid": pa.array(np.arange(nr), pa.int64()),
+        "w": pa.array([f"p{i}" for i in range(nr)])})
+
+    out = pa.concat_tables(list(
+        asof_join(rd.from_arrow(lt).repartition(5),
+                  rd.from_arrow(rt).repartition(3),
+                  on="k", left_ts="t", right_ts="rt",
+                  right_cols=["rid", "w"], tie_col="rid",
+                  num_partitions=8, how="inner")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+
+    # reference: pandas merge on key with time filter, pick max (rt, rid)
+    lp, rp = lt.to_pandas(), rt.to_pandas()
+    m = lp.merge(rp, on="k")
+    m = m[m["rt"] <= m["t"]]
+    m = m.sort_values(["lid", "rt", "rid"]).groupby("lid").tail(1)
+    exp = m[["k", "t", "lid", "rid", "w"]].reset_index(drop=True)
+    got = out.to_pandas().sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values("lid").reset_index(drop=True)[exp.columns], exp)
+
+    # left-outer keeps unmatched rows with nulls
+    outl = pa.concat_tables(list(
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                  on="k", left_ts="t", right_ts="rt",
+                  right_cols=["rid", "w"], tie_col="rid",
+                  num_partitions=8, how="left")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    assert outl.num_rows == nl
+    gotl = outl.to_pandas().sort_values("lid").reset_index(drop=True)
+    matched = gotl["rid"].notna()
+    assert matched.sum() == len(exp)
+    pd.testing.assert_frame_equal(
+        gotl[matched][exp.columns].reset_index(drop=True).astype(
+            {"rid": np.int64}), exp)
+
+
+def test_asof_join_empty_and_collision_guard(rd):
+    import pytest as _pytest
+
+    from setsketch_ray.functions.relational import asof_join
+
+    lt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "t": pa.array([10, 20], pa.int64())})
+    rt = pa.table({"k": pa.array([7], pa.int64()),
+                   "rt": pa.array([5], pa.int64()),
+                   "w": pa.array(["x"])})
+    # disjoint keys -> empty inner result, schema preserved
+    ds = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k",
+                   left_ts="t", right_ts="rt", right_cols=["w"],
+                   num_partitions=4)
+    assert ds.count() == 0
+    assert set(ds.schema().names) >= {"k", "t", "w"}
+
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k",
+                  left_ts="t", right_ts="rt", right_cols=["t"])
