@@ -430,6 +430,41 @@ def _q_asof_last_order(sf_dir: str):
                                 ("o_totalprice", pa.float64())]))
 
 
+def _q_events_prev_24h(sf_dir: str):
+    """Self range join with aggregation push-down: per event, count + cent-sum
+    of the SAME user's events in the trailing 24 h window [ts-24h, ts).
+    The pairs are never materialized (prefix-difference merge,
+    functions/relational.range_join_aggregate) — at a dense window the
+    exploded join is O(pairs), this stays O(rows log rows) per partition."""
+    from setsketch_ray.functions.relational import range_join_aggregate
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "value_c": pc.round(pc.multiply(t["value"], pa.scalar(100.0)))
+                         .cast(pa.int64())})
+
+    right = right.map_batches(scale, batch_format="pyarrow")
+    hour_us = 3_600_000_000
+    return range_join_aggregate(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        window=(-24 * hour_us, 0),
+        aggs={"n_prev": ("count", None),
+              "prev_value_cents": ("sum", "value_c")},
+        how="left",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("user_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("value_c", pa.int64())]))
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -651,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "asof_last_order": _q_asof_last_order,
+        "events_prev_24h": _q_events_prev_24h,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -748,6 +784,16 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate <= e.ts "
             "QUALIFY row_number() OVER (PARTITION BY e.event_id "
             "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1",
+        # half-open window [ts-24h, ts): the strict upper bound excludes the
+        # row itself; cent-sums integer-scaled on both sides as always
+        "events_prev_24h":
+            "SELECT a.event_id, a.ts, a.user_id, "
+            "count(b.ts) AS n_prev, "
+            "coalesce(sum(CAST(round(b.value * 100) AS BIGINT)), 0) "
+            "AS prev_value_cents "
+            "FROM events a LEFT JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts >= a.ts - INTERVAL 24 HOUR AND b.ts < a.ts "
+            "GROUP BY a.event_id, a.ts, a.user_id",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

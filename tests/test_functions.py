@@ -694,3 +694,52 @@ def test_asof_join_empty_and_collision_guard(rd):
     with _pytest.raises(ValueError, match="collision"):
         asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k",
                   left_ts="t", right_ts="rt", right_cols=["t"])
+
+
+def test_range_join_aggregate_matches_pandas(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import range_join_aggregate
+
+    rng = np.random.default_rng(31)
+    nl, nr = 300, 500
+    lt = pa.table({"k": pa.array(rng.integers(0, 12, nl), pa.int64()),
+                   "t": pa.array(rng.integers(0, 500, nl), pa.int64()),
+                   "lid": pa.array(np.arange(nl), pa.int64())})
+    rt = pa.table({"k": pa.array(rng.integers(0, 15, nr), pa.int64()),
+                   "rt": pa.array(rng.integers(0, 500, nr), pa.int64()),
+                   "v": pa.array(rng.integers(-50, 50, nr), pa.int64())})
+    lo, hi = -40, 10          # window [t-40, t+10): spans both sides of t
+
+    out = pa.concat_tables(list(
+        range_join_aggregate(rd.from_arrow(lt).repartition(4),
+                             rd.from_arrow(rt).repartition(3),
+                             on="k", left_ts="t", right_ts="rt",
+                             window=(lo, hi),
+                             aggs={"n_w": ("count", None),
+                                   "sum_v": ("sum", "v")},
+                             num_partitions=8, how="left")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    assert out.num_rows == nl
+
+    lp, rp = lt.to_pandas(), rt.to_pandas()
+    m = lp.merge(rp, on="k", how="left")
+    inw = (m["rt"] >= m["t"] + lo) & (m["rt"] < m["t"] + hi)
+    m.loc[~inw.fillna(False), ["rt", "v"]] = np.nan
+    g = m.groupby("lid").agg(n_w=("rt", "count"),
+                             sum_v=("v", "sum")).reset_index()
+    g["sum_v"] = g["sum_v"].fillna(0).astype(np.int64)
+    g["n_w"] = g["n_w"].astype(np.int64)
+    exp = lp.merge(g, on="lid").sort_values("lid").reset_index(drop=True)
+    got = out.to_pandas().sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    # inner drops zero-count rows
+    inner = pa.concat_tables(list(
+        range_join_aggregate(rd.from_arrow(lt), rd.from_arrow(rt),
+                             on="k", left_ts="t", right_ts="rt",
+                             window=(lo, hi),
+                             aggs={"n_w": ("count", None)},
+                             num_partitions=8, how="inner")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    assert inner.num_rows == int((exp["n_w"] > 0).sum())
