@@ -465,6 +465,20 @@ def _q_events_prev_24h(sf_dir: str):
                                 ("value_c", pa.int64())]))
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1 h windows, 15 min hop): each event lands
+    in exactly 4 windows — vectorized np.repeat expansion + combiner-style
+    grouped aggregate, no sort and no per-key state
+    (functions/streaming.hopping_window_aggregate)."""
+    from setsketch_ray.functions.streaming import hopping_window_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return hopping_window_aggregate(
+        ds, key_col="user_id", ts_col="ts",
+        window_us=3_600_000_000, hop_us=900_000_000,
+        value_col="value", value_scale=100)
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -687,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "asof_last_order": _q_asof_last_order,
         "events_prev_24h": _q_events_prev_24h,
+        "events_hopping": _q_events_hopping,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -794,6 +809,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events a LEFT JOIN events b ON a.user_id = b.user_id "
             "AND b.ts >= a.ts - INTERVAL 24 HOUR AND b.ts < a.ts "
             "GROUP BY a.event_id, a.ts, a.user_id",
+        # every event belongs to exactly window/hop = 4 hopping windows:
+        # s_i = floor(t/hop)*hop - i*hop, i in 0..3
+        "events_hopping":
+            "SELECT user_id, make_timestamp(epoch_us(ts) // 900000000 "
+            "* 900000000 - i * 900000000) AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_value_c "
+            "FROM events CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS i) g "
+            "GROUP BY user_id, window_start",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

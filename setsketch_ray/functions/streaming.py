@@ -97,3 +97,58 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def hopping_window_aggregate(ds, key_col: str, ts_col: str,
+                             window_us: int, hop_us: int,
+                             value_col: str | None = None,
+                             value_scale: int | None = 100):
+    """Hopping (sliding) event-time windows: aggregate per ``key`` over
+    windows of length ``window_us`` starting at every multiple of ``hop_us``
+    (``window_us`` must be a multiple of ``hop_us``).  An event at time ``t``
+    belongs to exactly ``window_us // hop_us`` windows, so the expansion
+    factor is a small constant known up front — each batch repeats its rows
+    k times vectorized (``np.repeat``) and tags the window start, then the
+    engine's combiner-style :func:`grouped_aggregate
+    <setsketch_ray.functions.relational.grouped_aggregate>` collapses to
+    (#blocks x #keys x #windows) partial rows before anything shuffles.
+    No sort, no per-key state; late/out-of-order events are handled by
+    construction (window membership is a pure function of ``t``).
+
+    ``value_scale`` integer-scales the value sums (deterministic parallel
+    association, the engine-wide convention); the output ``total_value_c``
+    stays in scaled integer units.
+
+    Returns a pyarrow Table: (key, window_start, n_events[, total_value_c]).
+    """
+    from .relational import grouped_aggregate
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s0 = ts // hop_us * hop_us
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        cols = {
+            key_col: t[key_col].take(pa.array(idx, pa.int64())),
+            "window_start": pa.array(np.repeat(s0, k) - offs,
+                                     pa.int64()).cast(pa.timestamp("us")),
+        }
+        if value_col is not None:
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            if value_scale is not None:
+                vc = np.rint(v * value_scale).astype(np.int64)
+            else:
+                vc = v.astype(np.int64)
+            cols["__vc"] = pa.array(np.repeat(vc, k), pa.int64())
+        return pa.table(cols)
+
+    spec = {"n_events": ("count", None)}
+    if value_col is not None:
+        spec["total_value_c"] = ("sum", "__vc")
+    return grouped_aggregate(ds.map_batches(expand, batch_format="pyarrow"),
+                             [key_col, "window_start"], spec)

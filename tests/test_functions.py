@@ -743,3 +743,44 @@ def test_range_join_aggregate_matches_pandas(rd):
                              num_partitions=8, how="inner")
         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
     assert inner.num_rows == int((exp["n_w"] > 0).sum())
+
+
+def test_hopping_window_aggregate_matches_bruteforce(rd):
+    from setsketch_ray.functions.streaming import hopping_window_aggregate
+
+    rng = np.random.default_rng(41)
+    n = 400
+    W, H = 100, 25                      # 4 windows per event
+    ts = rng.integers(0, 2000, n).astype(np.int64)
+    ts[0] = 0                           # exactly on a hop boundary
+    ts[1] = 100                         # exactly on a window end
+    key = rng.integers(0, 7, n).astype(np.int64)
+    val = (rng.integers(0, 500, n) / 100.0)  # exact cents
+    t = pa.table({"k": pa.array(key), 
+                  "ts": pa.array(ts).cast(pa.timestamp("us")),
+                  "v": pa.array(val)})
+    out = hopping_window_aggregate(
+        rd.from_arrow(t).repartition(5), key_col="k", ts_col="ts",
+        window_us=W, hop_us=H, value_col="v", value_scale=100)
+    ws_us = out["window_start"].cast(pa.int64()).to_pylist()
+    got = {(k_, s_): (n_, v_) for k_, s_, n_, v_ in zip(
+        out["k"].to_pylist(), ws_us, out["n_events"].to_pylist(),
+        out["total_value_c"].to_pylist())}
+
+    # brute force: every window start s (multiple of H), events with
+    # s <= t < s+W
+    from collections import defaultdict
+    exp = defaultdict(lambda: [0, 0])
+    for kk, tt, vv in zip(key, ts, val):
+        s0 = tt // H * H
+        for i in range(W // H):
+            s = s0 - i * H
+            exp[(kk, s)][0] += 1
+            exp[(kk, s)][1] += round(vv * 100)
+    assert len(got) == len(exp)
+    for (kk, s), (c, sv) in exp.items():
+        import datetime
+        # window_start in got is a datetime from pyarrow -> compare via us
+        match = [v for (gk, gs), v in got.items()
+                 if gk == kk and int(gs) == s]
+        assert match and match[0] == (c, sv), (kk, s, match, (c, sv))
