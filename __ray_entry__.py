@@ -479,6 +479,48 @@ def _q_events_hopping(sf_dir: str):
         value_col="value", value_scale=100)
 
 
+def _q_parts_never_ordered(sf_dir: str):
+    """Distributed ANTI join: parts that no high-quantity lineitem references
+    (functions/relational.semi_anti_join — right side ships only its pruned
+    key column, merge is one pc.is_in per partition)."""
+    from setsketch_ray.functions.relational import semi_anti_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
+        .filter(expr="l_quantity > 48").select_columns(["l_partkey"])
+    return semi_anti_join(
+        part, li, "p_partkey", "l_partkey", mode="anti",
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("p_name", pa.string())]))
+
+
+def _q_parts_hot_ordered(sf_dir: str):
+    """Distributed SEMI join: parts referenced by at least one high-quantity
+    lineitem (same machinery as the anti query)."""
+    from setsketch_ray.functions.relational import semi_anti_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
+        .filter(expr="l_quantity > 48").select_columns(["l_partkey"])
+    return semi_anti_join(
+        part, li, "p_partkey", "l_partkey", mode="semi",
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("p_name", pa.string())]))
+
+
+def _q_events_running_total(sf_dir: str):
+    """Per-user running total (SUM OVER window): hash-partition + one
+    lexsort + cumsum with per-key offsets (functions/streaming.running_sum);
+    cent-scaled so parallel association cannot flip the hash."""
+    from setsketch_ray.functions.streaming import running_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = running_sum(ds, key_col="user_id", ts_col="ts",
+                      value_col="value", order_tiebreak="event_id",
+                      value_scale=100)
+    return out.select_columns(["event_id", "user_id", "ts", "running_c"])
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -702,6 +744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "events_prev_24h": _q_events_prev_24h,
         "events_hopping": _q_events_hopping,
+        "parts_never_ordered": _q_parts_never_ordered,
+        "parts_hot_ordered": _q_parts_hot_ordered,
+        "events_running_total": _q_events_running_total,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -820,6 +865,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM events CROSS JOIN "
             "(SELECT unnest(generate_series(0, 3)) AS i) g "
             "GROUP BY user_id, window_start",
+        "parts_never_ordered":
+            "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN "
+            "(SELECT l_partkey FROM lineitem WHERE l_quantity > 48)",
+        "parts_hot_ordered":
+            "SELECT p_partkey, p_name FROM part WHERE p_partkey IN "
+            "(SELECT l_partkey FROM lineitem WHERE l_quantity > 48)",
+        # running total over cents; event_id pins order at equal ts
+        "events_running_total":
+            "SELECT event_id, user_id, ts, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c "
+            "FROM events",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

@@ -670,3 +670,79 @@ def range_join_aggregate(left, right, on: str, left_ts: str, right_ts: str,
         return pa.table(cols)
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def semi_anti_join(left, right, left_key: str, right_key: str,
+                   mode: str = "semi", num_partitions: int = 32,
+                   left_schema: "pa.Schema | None" = None):
+    """Distributed semi / anti join: keep left rows whose key does (semi) or
+    does not (anti) appear in ``right``.  Same tagged hash co-partition as
+    :func:`lookup_join`; the right side ships ONLY its key column (pruned
+    here, so callers can pass the full dataset), and the per-partition merge
+    is one ``pc.is_in`` against the partition's unique right keys — no
+    payload movement, no row multiplication, duplicate right keys welcome.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"semi_anti_join: bad mode {mode!r}")
+    lschema = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    left_cols = list(lschema.names)
+    key_type = lschema.field(left_key).type
+
+    def _key_hash(arr) -> "np.ndarray":
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type) \
+                or pa.types.is_binary(a.type):
+            return hash_str_u64(a)
+        return mix64(a.to_numpy(zero_copy_only=False).astype(np.uint64))
+
+    fields = [(n, lschema.field(n).type) for n in left_cols]
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        h = _key_hash(t[left_key])
+        cols = {n: t[n] for n in left_cols}
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        cols["__part"] = pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32())
+        return pa.table(cols)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        # prune to the key column, dedup per batch (semi/anti only need
+        # membership), rename into the left key slot
+        keys = pc.unique(t[right_key].combine_chunks()
+                         if isinstance(t[right_key], pa.ChunkedArray)
+                         else t[right_key]).cast(key_type)
+        h = _key_hash(keys)
+        cols = {}
+        for n, typ in fields:
+            cols[n] = keys if n == left_key else pa.nulls(len(keys), typ)
+        cols["__side"] = pa.array(np.ones(len(keys), np.int8), pa.int8())
+        cols["__part"] = pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32())
+        return pa.table(cols)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow") \
+        .union(right.map_batches(_tag_right, batch_format="pyarrow"))
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.array([], typ) for n, typ in fields})
+        if t.num_rows == 0:
+            return empty
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).drop_columns(["__side", "__part"])
+        if lt.num_rows == 0:
+            return empty
+        rkeys = t.filter(pa.array(side == 1))[left_key]
+        rkeys = rkeys.combine_chunks() if isinstance(rkeys, pa.ChunkedArray) \
+            else rkeys
+        if len(rkeys) == 0:
+            return empty if mode == "semi" else lt
+        hit = pc.is_in(lt[left_key], value_set=pc.unique(rkeys))
+        return lt.filter(hit if mode == "semi" else pc.invert(hit))
+
+    return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")

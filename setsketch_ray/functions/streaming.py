@@ -152,3 +152,52 @@ def hopping_window_aggregate(ds, key_col: str, ts_col: str,
         spec["total_value_c"] = ("sum", "__vc")
     return grouped_aggregate(ds.map_batches(expand, batch_format="pyarrow"),
                              [key_col, "window_start"], spec)
+
+
+def running_sum(ds, key_col: str, ts_col: str, value_col: str,
+                order_tiebreak: str, value_scale: int = 100,
+                num_partitions: int = 32):
+    """Per-key running total (the SQL ``SUM(v) OVER (PARTITION BY key ORDER
+    BY ts, tiebreak ROWS UNBOUNDED PRECEDING)``): hash-partition by key,
+    then per partition ONE vectorized lexsort by (key, ts, tiebreak) and a
+    cumulative sum with per-key offsets — no per-key Python, no global sort.
+    ``order_tiebreak`` pins determinism at equal timestamps; values are
+    integer-scaled (``value_scale``) so the running total is exact and
+    association-free, emitted as scaled int64 ``running_c``.
+    """
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("running_c", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k = keys[order]
+        v = np.rint(t[value_col].to_numpy(zero_copy_only=False)
+                    * value_scale).astype(np.int64)
+        cum = np.cumsum(v)
+        new_key = np.empty(len(k), bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        idx = np.arange(len(k))
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        base = np.where(start > 0, cum[np.maximum(start - 1, 0)], 0)
+        running = cum - base
+        return t.append_column("running_c", pa.array(running, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

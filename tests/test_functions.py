@@ -784,3 +784,62 @@ def test_hopping_window_aggregate_matches_bruteforce(rd):
         match = [v for (gk, gs), v in got.items()
                  if gk == kk and int(gs) == s]
         assert match and match[0] == (c, sv), (kk, s, match, (c, sv))
+
+
+def test_semi_anti_join_matches_pandas(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import semi_anti_join
+
+    rng = np.random.default_rng(53)
+    lt = pa.table({"k": pa.array(rng.integers(0, 40, 300), pa.int64()),
+                   "v": pa.array(rng.standard_normal(300))})
+    # right with duplicate keys (membership only) and keys missing from left
+    rt = pa.table({"rk": pa.array(rng.integers(20, 60, 500), pa.int64())})
+    rset = set(rt["rk"].to_pylist())
+    for mode in ("semi", "anti"):
+        out = pa.concat_tables(list(
+            semi_anti_join(rd.from_arrow(lt).repartition(4),
+                           rd.from_arrow(rt).repartition(3),
+                           "k", "rk", mode=mode, num_partitions=8)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        lp = lt.to_pandas()
+        keep = lp["k"].isin(rset) if mode == "semi" \
+            else ~lp["k"].isin(rset)
+        exp = lp[keep].sort_values(["k", "v"]).reset_index(drop=True)
+        got = out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+    # empty right: semi -> nothing, anti -> everything
+    rt0 = pa.table({"rk": pa.array([], pa.int64())})
+    assert semi_anti_join(rd.from_arrow(lt), rd.from_arrow(rt0),
+                          "k", "rk", mode="semi").count() == 0
+    assert semi_anti_join(rd.from_arrow(lt), rd.from_arrow(rt0),
+                          "k", "rk", mode="anti").count() == 300
+
+
+def test_running_sum_matches_pandas(rd):
+    import pandas as pd
+
+    from setsketch_ray.functions.streaming import running_sum
+
+    rng = np.random.default_rng(67)
+    n = 500
+    t = pa.table({
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n).astype(np.int64))
+              .cast(pa.timestamp("us")),   # heavy ts ties -> tiebreak matters
+        "v": pa.array(rng.integers(-200, 200, n) / 100.0)})
+    out = pa.concat_tables(list(
+        running_sum(rd.from_arrow(t).repartition(5), key_col="k",
+                    ts_col="ts", value_col="v", order_tiebreak="eid",
+                    value_scale=100, num_partitions=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = out.to_pandas().sort_values("eid").reset_index(drop=True)
+
+    lp = t.to_pandas().sort_values(["k", "ts", "eid"])
+    lp["c"] = np.rint(lp["v"] * 100).astype(np.int64)
+    lp["running_c"] = lp.groupby("k")["c"].cumsum()
+    exp = lp.sort_values("eid").reset_index(drop=True)
+    assert (got["running_c"].to_numpy()
+            == exp["running_c"].to_numpy()).all()
