@@ -172,6 +172,17 @@ def run_benchmarks() -> dict:
     entrymod._q_value_quantiles(SF_DIR)
     timings["value_quantiles"] = time.time() - t0
 
+    # --- join/window family (as-of, range-agg, running total)
+    t0 = time.time()
+    entrymod._q_asof_last_order(SF_DIR).count()
+    timings["asof_last_order"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_events_prev_24h(SF_DIR).count()
+    timings["events_prev_24h"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_events_running_total(SF_DIR).count()
+    timings["events_running_total"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
