@@ -521,6 +521,28 @@ def _q_events_running_total(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "running_c"])
 
 
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): per-batch pair dedup combiner ->
+    pair-hash co-partition (no hot key: one key's values spread across all
+    partitions) -> disjoint partial counts -> sum
+    (functions/relational.grouped_count_distinct)."""
+    from setsketch_ray.functions.relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id")
+
+
+def _q_approx_users_by_type(sf_dir: str):
+    """Per-group approximate distinct via GHLL register rows (m bytes per
+    key per block through the shuffle, never the data).  rows-only:
+    approximate by design; accuracy vs exact asserted in
+    tests/test_functions.py."""
+    from setsketch_ray.aggregates import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id")
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -747,6 +769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered": _q_parts_never_ordered,
         "parts_hot_ordered": _q_parts_hot_ordered,
         "events_running_total": _q_events_running_total,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "approx_users_by_type": _q_approx_users_by_type,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -878,6 +902,9 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c "
             "FROM events",
+        "distinct_users_by_type":
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

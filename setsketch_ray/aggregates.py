@@ -138,3 +138,65 @@ def approx_distinct(ds, column: str, m: int = 4096, base: float = 2.0,
     if isinstance(res, dict):
         return res[f"approx_distinct({column})"]
     return float(res)
+
+
+def approx_distinct_by(ds, key_col: str, column: str, m: int = 4096,
+                       base: float = 2.0, q: int = 62):
+    """Per-group approximate COUNT(DISTINCT ``column``) via GHLL: each batch
+    folds its rows into one m-byte register row PER KEY present in the batch
+    (vectorized ``sketch_rows`` over the group-sorted values), then a
+    groupby-merge maxes the per-key partials and estimates once per key.
+    The shuffle carries (#blocks x #keys-per-block) m-byte rows — never the
+    data.  Deterministic (counter-mode hashing).
+
+    Sized for moderate key cardinality (event types, languages, domains):
+    at very high key cardinality the m-byte-per-key partial state dominates
+    and exact :func:`~setsketch_ray.functions.relational.grouped_count_distinct`
+    is the better plan (its shuffle volume is the distinct pairs).
+
+    Returns a Ray Dataset of (key, approx_n_distinct: float64).
+    """
+    import pyarrow as pa
+
+    sketch = GHLL(m=m, base=base, q=q)
+    estimator = SetSketchEstimator(q, 1.0 / m, base, m,
+                                   card_range_correction=True)
+    nb = sketch.empty(1)[0].nbytes
+    key_type = ds.schema().base_schema.field(key_col).type
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             "__regs": pa.array([], pa.binary(nb))})
+        vals = _column_u64(t, column)
+        karr = t[key_col].combine_chunks() if isinstance(
+            t[key_col], pa.ChunkedArray) else t[key_col]
+        kn = karr.to_numpy(zero_copy_only=False)
+        order = np.argsort(kn, kind="stable")
+        ks = kn[order]
+        new = np.empty(len(ks), bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(ks))
+        regs = sketch.sketch_rows(vals[order], offsets)
+        return pa.table({
+            key_col: karr.take(pa.array(order[starts], pa.int64())),
+            "__regs": pa.array([r.tobytes() for r in regs], pa.binary(nb))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        arr = t["__regs"].combine_chunks() if isinstance(
+            t["__regs"], pa.ChunkedArray) else t["__regs"]
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        lo = arr.offset * nb
+        mat = raw[lo:lo + len(arr) * nb].view(
+            np.dtype(sketch.dtype)).reshape(len(arr), -1)
+        merged = sketch.merge_rows(mat)
+        est = float(estimator.estimate_cardinality_simple(
+            merged[None, :])[0])
+        return pa.table({key_col: t[key_col].take(pa.array([0])),
+                         "approx_n_distinct": pa.array([est], pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(combine,
+                                                batch_format="pyarrow")

@@ -746,3 +746,48 @@ def semi_anti_join(left, right, left_key: str, right_key: str,
         return lt.filter(hit if mode == "semi" else pc.invert(hit))
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def grouped_count_distinct(ds, key_col: str, value_col: str,
+                           num_partitions: int = 64) -> pa.Table:
+    """Exact per-group COUNT(DISTINCT value), fully distributed: per-batch
+    (key, value) dedup (combiner — the shuffle then carries distinct pairs,
+    not rows) -> hash co-partition by the PAIR hash -> per-partition global
+    dedup + per-key partial counts -> tiny final sum per key.  Pair-hash
+    partitioning means one key's values spread over all partitions (no hot
+    key), and the per-partition partial counts are disjoint by construction,
+    so summing them is exact.
+    """
+    import numpy as np
+
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    def _h(arr) -> "np.ndarray":
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type) \
+                or pa.types.is_binary(a.type):
+            return hash_str_u64(a)
+        return mix64(a.to_numpy(zero_copy_only=False).astype(np.uint64))
+
+    def uniq_tag(t: pa.Table) -> pa.Table:
+        u = t.select([key_col, value_col]) \
+             .group_by([key_col, value_col]).aggregate([])
+        h = mix64(_h(u[key_col]) ^ (_h(u[value_col])
+                                    * np.uint64(0x9E3779B97F4A7C15)))
+        return u.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], t.schema.field(key_col).type),
+                             "__n": pa.array([], pa.int64())})
+        u = t.group_by([key_col, value_col]).aggregate([])
+        c = u.group_by([key_col]).aggregate([(value_col, "count")])
+        return pa.table({key_col: c[key_col],
+                         "__n": c[f"{value_col}_count"].cast(pa.int64())})
+
+    partials = ds.map_batches(uniq_tag, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")
+    return grouped_aggregate(partials, [key_col],
+                             {"n_distinct": ("sum", "__n")})

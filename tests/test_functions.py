@@ -843,3 +843,47 @@ def test_running_sum_matches_pandas(rd):
     exp = lp.sort_values("eid").reset_index(drop=True)
     assert (got["running_c"].to_numpy()
             == exp["running_c"].to_numpy()).all()
+
+
+def test_grouped_count_distinct_matches_pandas(rd):
+    from setsketch_ray.functions.relational import grouped_count_distinct
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    t = pa.table({"k": pa.array(rng.integers(0, 8, n), pa.int64()),
+                  "v": pa.array(rng.integers(0, 300, n), pa.int64())})
+    got = grouped_count_distinct(rd.from_arrow(t).repartition(6),
+                                 "k", "v", num_partitions=16)
+    gm = dict(zip(got["k"].to_pylist(), got["n_distinct"].to_pylist()))
+    exp = t.to_pandas().groupby("k")["v"].nunique().to_dict()
+    assert gm == exp
+
+    # string values too (different hash path)
+    t2 = pa.table({"k": pa.array(rng.integers(0, 4, 800), pa.int64()),
+                   "v": pa.array([f"u{i % 97}" for i in range(800)])})
+    got2 = grouped_count_distinct(rd.from_arrow(t2), "k", "v",
+                                  num_partitions=8)
+    gm2 = dict(zip(got2["k"].to_pylist(), got2["n_distinct"].to_pylist()))
+    exp2 = t2.to_pandas().groupby("k")["v"].nunique().to_dict()
+    assert gm2 == exp2
+
+
+def test_approx_distinct_by_accuracy(rd):
+    from setsketch_ray.aggregates import approx_distinct_by
+
+    rng = np.random.default_rng(73)
+    # skewed per-key cardinalities: 10, 100, 2000
+    ks, vs = [], []
+    for key, card, reps in [("a", 10, 300), ("b", 100, 40), ("c", 2000, 3)]:
+        vals = np.tile(np.arange(card), reps)
+        ks += [key] * len(vals)
+        vs += list(rng.permutation(vals))
+    t = pa.table({"k": pa.array(ks), "v": pa.array(vs, pa.int64())})
+    out = pa.concat_tables(list(
+        approx_distinct_by(rd.from_arrow(t).repartition(7), "k", "v")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = dict(zip(out["k"].to_pylist(),
+                   out["approx_n_distinct"].to_pylist()))
+    for key, card in [("a", 10), ("b", 100), ("c", 2000)]:
+        relerr = abs(got[key] - card) / card
+        assert relerr < 0.12, (key, got[key], card)
