@@ -543,6 +543,16 @@ def _q_approx_users_by_type(sf_dir: str):
     return approx_distinct_by(ds, "event_type", "user_id")
 
 
+def _q_normalized_docs(sf_dir: str):
+    """Stop-word removal + whitespace collapse, RE2 kernels on both sides
+    (pyarrow.compute and DuckDB regexp_replace are both RE2 — bit-identical
+    output; functions/text.normalize_text)."""
+    from setsketch_ray.functions.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return normalize_text(ds).select_columns(["doc_id", "norm_text"])
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -771,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
+        "normalized_docs": _q_normalized_docs,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -905,6 +916,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",
+        "normalized_docs":
+            r"SELECT doc_id, trim(regexp_replace(regexp_replace(text, "
+            r"'\b(a|the)\b', '', 'g'), ' +', ' ', 'g')) AS norm_text "
+            "FROM documents",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

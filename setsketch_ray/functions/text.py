@@ -320,3 +320,25 @@ def simhash64(texts) -> np.ndarray:
         out |= ((2 * ones > n_tok) & (n_tok > 0)).astype(np.uint64) \
             << np.uint64(b)
     return out
+
+
+def normalize_text(ds, text_col: str = "text",
+                   remove_words: tuple[str, ...] = ("a", "the"),
+                   out_col: str = "norm_text"):
+    """Stop-word removal + whitespace normalization, fully vectorized: one
+    RE2 pass dropping ``remove_words`` at word boundaries, one collapsing
+    space runs, then trim — all ``pyarrow.compute`` string kernels (RE2),
+    which makes the transform BIT-IDENTICAL to DuckDB's ``regexp_replace``
+    (also RE2), so the query has an exact value oracle.  No Python per row,
+    no actor state (stateless kernels)."""
+    import re
+
+    pat = r"\b(" + "|".join(re.escape(w) for w in remove_words) + r")\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring_regex(t[text_col], pattern=pat,
+                                       replacement="")
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        return t.append_column(out_col, pc.utf8_trim_whitespace(x))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

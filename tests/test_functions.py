@@ -887,3 +887,19 @@ def test_approx_distinct_by_accuracy(rd):
     for key, card in [("a", 10), ("b", 100), ("c", 2000)]:
         relerr = abs(got[key] - card) / card
         assert relerr < 0.12, (key, got[key], card)
+
+
+def test_normalize_text_semantics(rd):
+    from setsketch_ray.functions.text import normalize_text
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([
+                      "the quick a fox the",      # boundary words both ends
+                      "a",                        # collapses to empty
+                      "theater a cathedral",      # substrings NOT removed
+                      ""])})
+    out = pa.concat_tables(list(
+        normalize_text(rd.from_arrow(t))
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = dict(zip(out["doc_id"].to_pylist(), out["norm_text"].to_pylist()))
+    assert got == {1: "quick fox", 2: "", 3: "theater cathedral", 4: ""}
