@@ -659,6 +659,18 @@ def _q_value_quantiles(sf_dir: str):
         ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
 
 
+def _q_value_quantiles_by_type(sf_dir: str):
+    """Per-group exact discrete quantiles (grouped form of value_quantiles;
+    shuffle volume = distinct (group, value) pairs, final walk one lexsort
+    — functions/relational.grouped_quantiles_fixedpoint)."""
+    from setsketch_ray.functions.relational import \
+        grouped_quantiles_fixedpoint
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_fixedpoint(
+        ds, "event_type", "value", [0.25, 0.5, 0.9], scale=100)
+
+
 def _q_approx_distinct_methods(sf_dir: str):
     """Distinct l_partkey estimated by every sketch family (GHLL / HLL /
     SetSketch1 / SetSketch2 / MinHash / HyperMinHash) in ONE pass: the
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split_docs": _q_sample_split_docs,
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
         "top_events_per_user": _q_top_events_per_user,
     }
 
@@ -1098,4 +1111,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(value, "
             "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value FROM events",
+        "value_quantiles_by_type":
+            "SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q, "
+            "unnest(quantile_disc(value, [0.25, 0.5, 0.9])) AS value "
+            "FROM events GROUP BY event_type",
     }

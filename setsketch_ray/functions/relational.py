@@ -791,3 +791,63 @@ def grouped_count_distinct(ds, key_col: str, value_col: str,
         .groupby("__part").map_groups(per_part, batch_format="pyarrow")
     return grouped_aggregate(partials, [key_col],
                              {"n_distinct": ("sum", "__n")})
+
+
+def grouped_quantiles_fixedpoint(ds, key_col: str, column: str,
+                                 qs: list[float],
+                                 scale: int = 100) -> pa.Table:
+    """Per-group exact discrete quantiles of a fixed-point-decimal column —
+    the grouped form of :func:`quantiles_fixedpoint`, same contract
+    (``quantile_disc`` rule ``ceil(q*n)-1``, ``round(x*scale)/scale == x``).
+    Per-batch (key, scaled-value) counts collapse the shuffle to the number
+    of distinct (group, value) pairs; the final walk is one vectorized
+    lexsort over those distinct pairs + a per-(group, q) searchsorted into
+    each group's cumulative slice — driver work is O(distinct pairs), never
+    O(rows).
+
+    Returns ``pa.table({key_col, "q": float64, "value": float64})`` with
+    len(qs) rows per group.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(t[column], pa.scalar(float(scale)))) \
+            .cast(pa.int64())
+        u = pa.table({key_col: t[key_col], "v": v}) \
+            .group_by([key_col, "v"]).aggregate([("v", "count")])
+        return pa.table({key_col: u[key_col], "v": u["v"],
+                         "cnt": u["v_count"].cast(pa.int64())})
+
+    counts = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                               [key_col, "v"], {"cnt": ("sum", "cnt")})
+    keys = counts[key_col].to_numpy(zero_copy_only=False)
+    v = counts["v"].to_numpy(zero_copy_only=False)
+    c = counts["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, keys))
+    keys, v, c = keys[order], v[order], c[order]
+    new = np.empty(len(keys), bool)
+    if len(keys):
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(keys))
+    cum = np.cumsum(c)
+    base = np.concatenate([[0], cum[ends[:-1] - 1]]) if len(starts) else \
+        np.empty(0, np.int64)
+    out_k, out_q, out_v = [], [], []
+    for g, (s, e) in enumerate(zip(starts, ends)):
+        gcum = cum[s:e] - base[g]
+        n = int(gcum[-1])
+        for q in qs:
+            k = max(1, math.ceil(q * n))
+            i = int(np.searchsorted(gcum, k))
+            out_k.append(keys[s])
+            out_q.append(float(q))
+            out_v.append(float(v[s + i]) / scale)
+    return pa.table({key_col: pa.array(out_k,
+                                       counts[key_col].type),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -594,6 +594,34 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_grouped_quantiles_fixedpoint_matches_duckdb(rd):
+    """Per-group distributed quantiles == DuckDB quantile_disc GROUP BY,
+    including a singleton group and a group that is one heavy tie."""
+    import duckdb
+
+    from setsketch_ray.functions.relational import grouped_quantiles_fixedpoint
+
+    rng = np.random.default_rng(12)
+    n = 997
+    keys = rng.choice(["a", "b", "c"], size=n).astype(object)
+    vals = rng.integers(1, 10_000, size=n).astype(np.float64) / 100.0
+    keys[0] = "solo"                      # singleton group
+    vals[keys == "b"] = 3.33              # whole group one tie
+    t = pa.table({"k": pa.array(list(keys)), "value": pa.array(vals)})
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = grouped_quantiles_fixedpoint(
+        rd.from_arrow(t).repartition(6), "k", "value", qs, scale=100) \
+        .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        f"SELECT k, unnest({qs}) AS q, unnest(quantile_disc(value, {qs})) "
+        "AS value FROM t GROUP BY k ORDER BY k, q").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["q"].tolist() == exp["q"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()  # bit-exact
+
+
 def test_embedding_hot_bucket_stays_connected(rd):
     """>bucket_cap identical embeddings land in one LSH bucket in every
     table; star+chain keeps the cluster connected instead of dropping it."""
