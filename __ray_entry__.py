@@ -521,6 +521,31 @@ def _q_events_running_total(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "running_c"])
 
 
+def _q_events_pivot(sf_dir: str):
+    """Pivot per user: count per event_type as wide columns (conditional
+    aggregation — functions/relational.pivot_aggregate; one-hot expansion
+    partial, shuffle volume one row per (block, user))."""
+    from setsketch_ray.functions.relational import pivot_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_aggregate(
+        ds, "user_id", "event_type",
+        ["click", "view", "purchase", "signup", "error"])
+
+
+def _q_events_lag_lead(sf_dir: str):
+    """Per-user LAG/LEAD window: hash-partition + one lexsort + two masked
+    shifts (functions/streaming.lag_lead); pure value copies so floats
+    round-trip bit-exactly; event_id pins order at equal ts."""
+    from setsketch_ray.functions.streaming import lag_lead
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_lead(ds, key_col="user_id", ts_col="ts", value_col="value",
+                   order_tiebreak="event_id")
+    return out.select_columns(
+        ["event_id", "user_id", "prev_value", "next_value"])
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Exact per-group COUNT(DISTINCT): per-batch pair dedup combiner ->
     pair-hash co-partition (no hot key: one key's values spread across all
@@ -791,6 +816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered": _q_parts_never_ordered,
         "parts_hot_ordered": _q_parts_hot_ordered,
         "events_running_total": _q_events_running_total,
+        "events_lag_lead": _q_events_lag_lead,
+        "events_pivot": _q_events_pivot,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -926,6 +953,20 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c "
             "FROM events",
+        "events_lag_lead":
+            "SELECT event_id, user_id, "
+            "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_value, "
+            "lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS next_value FROM events",
+        "events_pivot":
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error "
+            "FROM events GROUP BY user_id",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

@@ -851,3 +851,44 @@ def grouped_quantiles_fixedpoint(ds, key_col: str, column: str,
                                        counts[key_col].type),
                      "q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def pivot_aggregate(ds, key_col: str, pivot_col: str,
+                    pivot_values: list, value_col: str | None = None,
+                    value_scale: int = 100, prefix: str = "n_") -> pa.Table:
+    """Pivot (conditional aggregation): one output row per key, one column
+    per pivot value — ``count(*) FILTER (WHERE pivot = v)`` (default) or,
+    with ``value_col``, ``sum(value) FILTER (...)`` on the integer-scaled
+    domain (exact, association-free; result divided back by
+    ``value_scale``).  Scale shape: a vectorized one-hot expansion per batch
+    (``pc.equal`` per pivot value — the pivot domain must be small and
+    known, the usual pivot contract) followed by :func:`grouped_aggregate`'s
+    partial-sum combine — shuffle volume is one partial row per (block,
+    key), never the input rows.
+    """
+    import pyarrow.compute as pc
+
+    names = [f"{prefix}{v}" for v in pivot_values]
+
+    def onehot(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        if value_col is not None:
+            scaled = pc.round(pc.multiply(
+                t[value_col], pa.scalar(float(value_scale)))) \
+                .cast(pa.int64())
+        for v, name in zip(pivot_values, names):
+            m = pc.equal(t[pivot_col], pa.scalar(v)).cast(pa.int64())
+            cols[name] = m if value_col is None else \
+                pc.multiply(m, scaled)
+        return pa.table(cols)
+
+    expanded = ds.map_batches(onehot, batch_format="pyarrow")
+    out = grouped_aggregate(expanded, [key_col],
+                            {n: ("sum", n) for n in names})
+    if value_col is not None:
+        out = pa.table(
+            {key_col: out[key_col],
+             **{n: pc.divide(pc.cast(out[n], pa.float64()),
+                             pa.scalar(float(value_scale)))
+                for n in names}})
+    return out

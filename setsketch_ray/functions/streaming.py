@@ -201,3 +201,57 @@ def running_sum(ds, key_col: str, ts_col: str, value_col: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def lag_lead(ds, key_col: str, ts_col: str, value_col: str,
+             order_tiebreak: str, num_partitions: int = 32):
+    """Per-key LAG/LEAD window (the SQL ``LAG(v) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak)`` / ``LEAD(v) OVER ...``): hash-partition by key,
+    then per partition ONE vectorized lexsort by (key, ts, tiebreak) and two
+    masked shifts — null at each key's first (lag) / last (lead) row.  Pure
+    value copies, no arithmetic, so floats round-trip bit-exactly.
+    ``order_tiebreak`` pins determinism at equal timestamps.  Appends
+    ``prev_value`` / ``next_value`` with ``value_col``'s type.  Scale shape
+    identical to :func:`running_sum` (shuffle volume = selected columns,
+    per-partition work one lexsort).
+    """
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        vt = t.schema.field(value_col).type
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("prev_value", vt), ("next_value", vt)])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k = keys[order]
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        first = np.empty(len(k), bool)          # first row of its key
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        last = np.empty(len(k), bool)           # last row of its key
+        last[-1] = True
+        last[:-1] = first[1:]
+        prev = np.roll(v, 1)
+        nxt = np.roll(v, -1)
+        return t.append_column(
+            "prev_value", pa.array(np.where(first, v, prev), vt,
+                                   mask=first)) \
+            .append_column(
+            "next_value", pa.array(np.where(last, v, nxt), vt, mask=last))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

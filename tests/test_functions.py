@@ -594,6 +594,76 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_pivot_aggregate_matches_duckdb(rd):
+    """Pivot counts and cent-exact pivot sums == DuckDB FILTER aggregates,
+    including a pivot value absent from the data (all-zero column)."""
+    import duckdb
+
+    from setsketch_ray.functions.relational import pivot_aggregate
+
+    rng = np.random.default_rng(14)
+    n = 800
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 37, n), pa.int64()),
+        "p": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(0, 10_000, n).astype(np.float64) / 100),
+    })
+    pvs = ["a", "b", "c", "zzz"]          # zzz never occurs
+    con = duckdb.connect()
+    con.register("t", t)
+    for value_col in (None, "v"):
+        got = pivot_aggregate(rd.from_arrow(t).repartition(5), "k", "p",
+                              pvs, value_col=value_col) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        def agg(pv):
+            if value_col is None:
+                return f"count(*) FILTER (WHERE p = '{pv}')"
+            return ("coalesce(sum(CAST(round(v*100) AS BIGINT)) "
+                    f"FILTER (WHERE p = '{pv}'), 0)/100.0")
+        exp = con.sql(
+            "SELECT k, " + ", ".join(
+                f"{agg(pv)} AS n_{pv}" for pv in pvs)
+            + " FROM t GROUP BY k ORDER BY k").df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        for pv in pvs:
+            assert np.array_equal(
+                got[f"n_{pv}"].to_numpy().astype(np.float64),
+                exp[f"n_{pv}"].to_numpy().astype(np.float64)), (value_col, pv)
+
+
+def test_lag_lead_matches_duckdb(rd):
+    """Per-key LAG/LEAD == DuckDB window, across partitions, with equal-ts
+    ties pinned by the tiebreak column and nulls at key edges."""
+    import duckdb
+
+    from setsketch_ray.functions.streaming import lag_lead
+
+    rng = np.random.default_rng(13)
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n), pa.int64()),  # heavy ties
+        "tie": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.float64) / 100),
+    })
+    got = pa.concat_tables(list(
+        lag_lead(rd.from_arrow(t).repartition(5), "k", "ts", "v", "tie",
+                 num_partitions=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("tie").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT tie, lag(v) OVER w AS prev_value, "
+        "lead(v) OVER w AS next_value FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY ts, tie) ORDER BY tie").df()
+    for c in ("prev_value", "next_value"):
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        assert np.array_equal(a[m], b[m])  # bit-exact copies
+
+
 def test_grouped_quantiles_fixedpoint_matches_duckdb(rd):
     """Per-group distributed quantiles == DuckDB quantile_disc GROUP BY,
     including a singleton group and a group that is one heavy tie."""
