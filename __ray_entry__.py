@@ -521,6 +521,65 @@ def _q_events_running_total(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "running_c"])
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-table join (customer semi-filter -> orders ->
+    lineitem lookup_join), revenue = sum(extendedprice*(1-discount)) on the
+    1e-4-scaled integer domain (floor(x*1e4+0.5) both sides — IEEE-identical
+    per row, association-free sum), top 10 orders by revenue with l_orderkey
+    pinning ties."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join,
+                                                    semi_anti_join)
+
+    from datetime import datetime
+
+    cutoff = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+                     batch_format="pyarrow")
+    orders_b = semi_anti_join(
+        orders, cust, "o_custkey", "c_custkey", mode="semi",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], cutoff)),
+                     batch_format="pyarrow")
+    joined = lookup_join(
+        li, orders_b, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def rev(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "rev_c": pa.array(c, pa.int64())})
+
+    agg = grouped_aggregate(joined.map_batches(rev, batch_format="pyarrow"),
+                            ["l_orderkey", "o_orderdate"],
+                            {"revenue_c": ("sum", "rev_c")})
+    order = pc.sort_indices(agg, sort_keys=[("revenue_c", "descending"),
+                                            ("l_orderkey", "ascending")])
+    return agg.take(order[:10]).select(
+        ["l_orderkey", "o_orderdate", "revenue_c"])
+
+
 def _q_events_pivot(sf_dir: str):
     """Pivot per user: count per event_type as wide columns (conditional
     aggregation — functions/relational.pivot_aggregate; one-hot expansion
@@ -818,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_lag_lead": _q_events_lag_lead,
         "events_pivot": _q_events_pivot,
+        "shipping_priority": _q_shipping_priority,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -967,6 +1027,20 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
             "count(*) FILTER (WHERE event_type = 'error') AS n_error "
             "FROM events GROUP BY user_id",
+        # revenue on the 1e-4-scaled integer domain, identical per-row IEEE
+        # formula both sides; l_orderkey pins ties in the top-10
+        "shipping_priority":
+            "SELECT l_orderkey, o_orderdate, revenue_c FROM ("
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_c "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate) "
+            "ORDER BY revenue_c DESC, l_orderkey LIMIT 10",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",
