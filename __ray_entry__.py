@@ -580,6 +580,20 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_events_rank(sf_dir: str):
+    """Per-user ROW_NUMBER + PERCENT_RANK window: hash-partition + one
+    lexsort + per-key index offsets (functions/streaming.window_rank);
+    percent_rank is one float64 division of identical integer operands on
+    both engines; event_id pins order at equal ts."""
+    from setsketch_ray.functions.streaming import window_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = window_rank(ds, key_col="user_id", ts_col="ts",
+                      order_tiebreak="event_id")
+    return out.select_columns(
+        ["event_id", "user_id", "row_number", "percent_rank"])
+
+
 def _q_events_pivot(sf_dir: str):
     """Pivot per user: count per event_type as wide columns (conditional
     aggregation — functions/relational.pivot_aggregate; one-hot expansion
@@ -878,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": _q_events_lag_lead,
         "events_pivot": _q_events_pivot,
         "shipping_priority": _q_shipping_priority,
+        "events_rank": _q_events_rank,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1041,6 +1056,11 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY l_orderkey, o_orderdate) "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10",
+        "events_rank":
+            "SELECT event_id, user_id, "
+            "row_number() OVER w AS row_number, "
+            "percent_rank() OVER w AS percent_rank FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

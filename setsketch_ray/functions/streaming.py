@@ -255,3 +255,55 @@ def lag_lead(ds, key_col: str, ts_col: str, value_col: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def window_rank(ds, key_col: str, ts_col: str, order_tiebreak: str,
+                num_partitions: int = 32):
+    """Per-key ROW_NUMBER + PERCENT_RANK window (the SQL ``row_number()
+    OVER (PARTITION BY key ORDER BY ts, tiebreak)`` pair): hash-partition by
+    key, one lexsort per partition, ranks from per-key index offsets.
+    ``percent_rank`` = (row_number-1)/(n-1) computed as one float64 division
+    of identical integer operands on both engines (IEEE-identical); a
+    single-row key emits 0.0 (the SQL convention).  ``order_tiebreak`` makes
+    row numbering deterministic at equal timestamps.
+    """
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("row_number", pa.int64()), ("percent_rank", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k = keys[order]
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - start + 1
+        # key sizes scattered back to rows: end offset of each key's run
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, n))
+        per_row_n = np.repeat(sizes, sizes)
+        pr = np.where(per_row_n > 1,
+                      (rn - 1) / np.maximum(per_row_n - 1, 1), 0.0)
+        return t.append_column("row_number", pa.array(rn, pa.int64())) \
+            .append_column("percent_rank", pa.array(pr, pa.float64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

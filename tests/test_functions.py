@@ -594,6 +594,39 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_window_rank_matches_duckdb(rd):
+    """Per-key ROW_NUMBER/PERCENT_RANK == DuckDB windows, with equal-ts
+    ties pinned by the tiebreak and single-row keys emitting 0.0."""
+    import duckdb
+
+    from setsketch_ray.functions.streaming import window_rank
+
+    rng = np.random.default_rng(15)
+    n = 600
+    keys = rng.integers(0, 25, n)
+    keys[0] = 999                         # singleton key -> percent_rank 0.0
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "ts": pa.array(rng.integers(0, 40, n), pa.int64()),  # heavy ties
+        "tie": pa.array(np.arange(n), pa.int64()),
+    })
+    got = pa.concat_tables(list(
+        window_rank(rd.from_arrow(t).repartition(5), "k", "ts", "tie",
+                    num_partitions=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("tie").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT tie, row_number() OVER w AS rn, "
+        "percent_rank() OVER w AS pr FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY ts, tie) ORDER BY tie").df()
+    assert got["row_number"].tolist() == exp["rn"].tolist()
+    assert np.array_equal(got["percent_rank"].to_numpy(),
+                          exp["pr"].to_numpy())  # bit-exact IEEE division
+    assert got.loc[got["k"] == 999, "percent_rank"].tolist() == [0.0]
+
+
 def test_pivot_aggregate_matches_duckdb(rd):
     """Pivot counts and cent-exact pivot sums == DuckDB FILTER aggregates,
     including a pivot value absent from the data (all-zero column)."""
