@@ -580,6 +580,18 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    """Wide -> long (UNPIVOT): per-batch constant-factor expansion, values
+    verbatim copies, no shuffle (functions/relational.unpivot)."""
+    from setsketch_ray.functions.relational import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def _q_events_rank(sf_dir: str):
     """Per-user ROW_NUMBER + PERCENT_RANK window: hash-partition + one
     lexsort + per-key index offsets (functions/streaming.window_rank);
@@ -893,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "shipping_priority": _q_shipping_priority,
         "events_rank": _q_events_rank,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1061,6 +1074,14 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER w AS row_number, "
             "percent_rank() OVER w AS percent_rank FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+        "lineitem_unpivot":
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+            "l_quantity AS value FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+            "l_extendedprice FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
+            "FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

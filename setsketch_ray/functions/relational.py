@@ -892,3 +892,34 @@ def pivot_aggregate(ds, key_col: str, pivot_col: str,
                              pa.scalar(float(value_scale)))
                 for n in names}})
     return out
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value"):
+    """Wide -> long (SQL UNPIVOT / pandas melt): each input row becomes
+    ``len(value_cols)`` rows of (id columns, measure name, float64 value).
+    Pure per-batch expansion — one ``take`` on a repeated index for the id
+    columns, one tiled name column, one strided value interleave; values are
+    verbatim copies (bit-exact), nothing shuffles, the stream stays a
+    stream.  Constant expansion factor, so block sizes grow by a known k —
+    same memory contract as :func:`hopping_window_aggregate
+    <setsketch_ray.functions.streaming.hopping_window_aggregate>`.
+    """
+    import numpy as np
+
+    k = len(value_cols)
+    names = np.array(value_cols, dtype=object)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k),
+                       pa.int64())
+        cols = {c: t[c].take(idx) for c in id_cols}
+        cols[var_name] = pa.array(np.tile(names, n), pa.string())
+        vals = np.empty(n * k, np.float64)
+        for j, c in enumerate(value_cols):
+            vals[j::k] = t[c].to_numpy(zero_copy_only=False)
+        cols[value_name] = pa.array(vals, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

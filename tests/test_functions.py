@@ -594,6 +594,22 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_unpivot_wide_to_long(rd):
+    """melt: k rows out per row in, verbatim value copies, id columns
+    repeated, measure names cycling in declaration order."""
+    from setsketch_ray.functions.relational import unpivot
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([0.1, 0.2]),
+                  "b": pa.array([10.0, 20.0])})
+    out = pa.concat_tables(list(
+        unpivot(rd.from_arrow(t), ["id"], ["a", "b"])
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    assert out["id"].to_pylist() == [1, 1, 2, 2]
+    assert out["measure"].to_pylist() == ["a", "b", "a", "b"]
+    assert out["value"].to_pylist() == [0.1, 10.0, 0.2, 20.0]
+
+
 def test_window_rank_matches_duckdb(rd):
     """Per-key ROW_NUMBER/PERCENT_RANK == DuckDB windows, with equal-ts
     ties pinned by the tiebreak and single-row keys emitting 0.0."""
