@@ -580,6 +580,17 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_heavy_users(sf_dir: str):
+    """Exact top-20 users by event count via the two-pass Misra-Gries
+    sweep + candidate recount (functions/relational.heavy_hitters) — the
+    100 TB shape for frequency ranking over domains too large to shuffle;
+    certification bound delta = 0 here (k >= distinct users)."""
+    from setsketch_ray.functions.relational import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", top_n=20, k=4096)
+
+
 def _q_lineitem_unpivot(sf_dir: str):
     """Wide -> long (UNPIVOT): per-batch constant-factor expansion, values
     verbatim copies, no shuffle (functions/relational.unpivot)."""
@@ -906,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "events_rank": _q_events_rank,
         "lineitem_unpivot": _q_lineitem_unpivot,
+        "heavy_users": _q_heavy_users,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1082,6 +1094,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
             "FROM lineitem UNION ALL "
             "SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem",
+        "heavy_users":
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

@@ -923,3 +923,113 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, column: str, top_n: int, k: int = 4096,
+                  id_is_string: bool = False):
+    """EXACT distributed top-N most-frequent values in two passes — the
+    100 TB shape for frequency ranking when the distinct domain is too big
+    to shuffle:
+
+    1. **Misra-Gries candidate sweep**: each block emits its value counts
+       compressed to ``k`` counters (subtract the (k+1)-th largest count,
+       drop non-positive — the batch form of the MG decrement); the driver
+       merges the tiny per-block summaries and compresses once more.  For
+       the merged summary, every value with true frequency above
+       ``delta = (n_total - stored_mass) / (k + 1)`` is guaranteed present
+       (MG invariant: stored counts undercount by at most ``delta``).
+    2. **Exact recount**: the candidate set (<= k values) is broadcast and
+       each block emits exact counts for candidates only — shuffle volume
+       <= k rows per block regardless of the domain size.
+
+    The result is CERTIFIED exact when the N-th recounted frequency exceeds
+    ``delta`` (no non-candidate can reach it); otherwise raises
+    ``ValueError`` — raise ``k``.  With ``k`` >= the distinct count the
+    sweep never decrements, ``delta == 0``, and certification is
+    unconditional.  Ties in the top-N are broken by value ascending
+    (deterministic, oracle-friendly).
+
+    Returns ``pa.table({column, "n": int64})`` with ``top_n`` rows sorted
+    by (n desc, value asc).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _counts(col) -> pa.Table:
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vc = pc.value_counts(a)
+        return pa.table({"v": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    def _compress(t: pa.Table, limit: int) -> pa.Table:
+        if t.num_rows <= limit:
+            return t
+        c = t["c"].to_numpy(zero_copy_only=False)
+        thresh = np.partition(c, len(c) - limit - 1)[len(c) - limit - 1]
+        kept = c - thresh
+        mask = kept > 0
+        return pa.table({"v": t["v"].filter(pa.array(mask)),
+                         "c": pa.array(kept[mask], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], t.schema.field(column).type),
+                             "c": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        out = _compress(_counts(t[column]), k)
+        if out.num_rows == 0:
+            # every count hit the decrement threshold (e.g. all singletons);
+            # keep one zero counter so the block's row count still ships
+            out = pa.table({"v": t[column].slice(0, 1),
+                            "c": pa.array([0], pa.int64())})
+        n_rows = np.zeros(out.num_rows, np.int64)
+        n_rows[0] = t.num_rows
+        return out.append_column("n_rows", pa.array(n_rows, pa.int64()))
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    n_total = int(pc.sum(parts["n_rows"]).as_py() or 0)
+    merged = parts.select(["v", "c"]).group_by("v").aggregate([("c", "sum")])
+    merged = pa.table({"v": merged["v"],
+                       "c": merged["c_sum"].cast(pa.int64())})
+    merged = _compress(merged, k)
+    stored = int(pc.sum(merged["c"]).as_py() or 0)
+    delta = (n_total - stored) / (k + 1)
+
+    # pass 2: exact recount of the candidate set only
+    import ray
+
+    cand = merged["v"].combine_chunks() if \
+        isinstance(merged["v"], pa.ChunkedArray) else merged["v"]
+    cref = ray.put(cand)
+
+    class Recount:
+        def __init__(self, ref):
+            self.cand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t[column].combine_chunks() if \
+                isinstance(t[column], pa.ChunkedArray) else t[column]
+            hit = pc.is_in(col, value_set=self.cand)
+            return _counts(col.filter(hit))
+
+    exact = pa.concat_tables(list(
+        ds.map_batches(Recount, fn_constructor_args=(cref,),
+                       batch_format="pyarrow", concurrency=2)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .group_by("v").aggregate([("c", "sum")])
+    order = pc.sort_indices(exact, sort_keys=[("c_sum", "descending"),
+                                              ("v", "ascending")])
+    top = exact.take(order[:top_n])
+    nth = top["c_sum"][top.num_rows - 1].as_py() if top.num_rows else 0
+    # exact iff no non-candidate (true freq <= delta) could displace rank N:
+    # needs N certified candidates, the N-th strictly above the bound
+    if (top.num_rows < top_n and delta > 0) or \
+            (top.num_rows == top_n and nth <= delta):
+        raise ValueError(
+            f"heavy_hitters: top-{top_n} not certifiable ({top.num_rows} "
+            f"candidates, nth count {nth} vs MG error bound {delta:.1f}); "
+            f"raise k (k={k})")
+    return pa.table({column: top["v"],
+                     "n": top["c_sum"].cast(pa.int64())})

@@ -594,6 +594,30 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_heavy_hitters_exact_on_zipf(rd):
+    """Two-pass MG heavy hitters return the EXACT top-N on a Zipf stream
+    even when k << distinct (the decrement path runs), and raise when the
+    certification bound cannot separate the tail."""
+    from setsketch_ray.functions.relational import heavy_hitters
+
+    rng = np.random.default_rng(16)
+    vals = rng.zipf(1.5, size=40_000)
+    vals = vals[vals < 100_000].astype(np.int64)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    ds = rd.from_arrow(t).repartition(7)
+    got = heavy_hitters(ds, "v", top_n=10, k=64)
+    # exact reference: counts, ties broken by value ascending
+    import collections
+    cnt = collections.Counter(vals.tolist())
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got["v"].to_pylist() == [v for v, _ in exp]
+    assert got["n"].to_pylist() == [c for _, c in exp]
+    # k=2 on a heavy-tail stream cannot certify 10 ranks
+    import pytest
+    with pytest.raises(ValueError, match="not certifiable"):
+        heavy_hitters(ds, "v", top_n=10, k=2)
+
+
 def test_unpivot_wide_to_long(rd):
     """melt: k rows out per row in, verbatim value copies, id columns
     repeated, measure names cycling in declaration order."""
