@@ -580,6 +580,23 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_parts_never_ordered_bloom(sf_dir: str):
+    """Same anti join as parts_never_ordered, through the Bloom pre-filter
+    path (functions/relational.bloom_anti_join): right blocks ship n_bits/8-
+    byte partial bitmaps, bloom-negative left rows bypass the shuffle
+    entirely, bloom-positives get the exact confirm — result EXACT, same
+    oracle."""
+    from setsketch_ray.functions.relational import bloom_anti_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
+        .filter(expr="l_quantity > 48").select_columns(["l_partkey"])
+    return bloom_anti_join(
+        part, li, "p_partkey", "l_partkey", n_bits=1 << 18,
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("p_name", pa.string())]))
+
+
 def _q_heavy_users(sf_dir: str):
     """Exact top-20 users by event count via the two-pass Misra-Gries
     sweep + candidate recount (functions/relational.heavy_hitters) — the
@@ -918,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": _q_events_rank,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "heavy_users": _q_heavy_users,
+        "parts_never_ordered_bloom": _q_parts_never_ordered_bloom,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1097,6 +1115,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_users":
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20",
+        "parts_never_ordered_bloom":
+            "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN "
+            "(SELECT l_partkey FROM lineitem WHERE l_quantity > 48)",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

@@ -1033,3 +1033,81 @@ def heavy_hitters(ds, column: str, top_n: int, k: int = 4096,
             f"raise k (k={k})")
     return pa.table({column: top["v"],
                      "n": top["c_sum"].cast(pa.int64())})
+
+
+def _bloom_positions(keys: "np.ndarray", n_bits: int, n_hashes: int):
+    """(len(keys), n_hashes) bit positions via double hashing — counter-mode
+    (engine-wide convention, no RNG state)."""
+    import numpy as np
+
+    from ..sketchlib.hashing import mix2
+
+    h1 = mix2(keys, 0x9E3779B97F4A7C15)
+    h2 = mix2(keys, 0xC2B2AE3D27D4EB4F) | np.uint64(1)
+    j = np.arange(n_hashes, dtype=np.uint64)
+    return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def bloom_anti_join(left, right, left_key: str, right_key: str,
+                    n_bits: int = 1 << 20, n_hashes: int = 4,
+                    num_partitions: int = 32,
+                    left_schema: "pa.Schema | None" = None):
+    """Anti join with a Bloom pre-filter — the 100 TB shape when the right
+    side is large but its key set fits a bitmap: each right block emits an
+    ``n_bits``-bit partial bitmap (``n_bits/8`` bytes per block, OR-merged
+    on the driver — never the keys themselves), the merged filter is
+    broadcast once (``ray.put``), and left rows split on membership:
+
+    * bloom-NEGATIVE rows are *definitely* absent from the right — they are
+      emitted directly, touching no shuffle at all;
+    * bloom-POSITIVE rows (true matches + the ~``(1-e^{-kn/m})^k`` false
+      positives) go through the exact :func:`semi_anti_join` — so the final
+      result is EXACT, and the all-to-all carries only the positive
+      fraction instead of the whole left side.
+
+    Integer keys only (hashes ride ``mix2`` on the uint64 domain).
+    """
+    import numpy as np
+    import ray
+
+    lschema = left_schema if left_schema is not None \
+        else left.schema().base_schema
+
+    def bitmap_partial(t: pa.Table) -> pa.Table:
+        keys = t[right_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bm = np.zeros(n_bits // 8, np.uint8)
+        pos = _bloom_positions(keys, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bitmap = np.zeros(n_bits // 8, np.uint8)
+    for b in right.map_batches(bitmap_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for raw in b["bm"].to_pylist():
+            bitmap |= np.frombuffer(raw, np.uint8)
+    bref = ray.put(bitmap)
+
+    # plain tasks, not actor pools: two concurrent pools would reserve CPUs
+    # the downstream shuffle needs (deadlocks small sessions), and the
+    # per-task ray.get of the bitmap is a zero-copy shared-memory read
+    def _bloom_filter(want_hit: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            bm = ray.get(bref)
+            keys = t[left_key].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            pos = _bloom_positions(keys, n_bits, n_hashes)
+            bits = (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+            hit = bits.all(axis=1)
+            return t.filter(pa.array(hit == want_hit))
+        return fn
+
+    negatives = left.map_batches(_bloom_filter(False),
+                                 batch_format="pyarrow")
+    positives = left.map_batches(_bloom_filter(True),
+                                 batch_format="pyarrow")
+    survivors = semi_anti_join(positives, right, left_key, right_key,
+                               mode="anti", num_partitions=num_partitions,
+                               left_schema=lschema)
+    return negatives.union(survivors)

@@ -594,6 +594,27 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_bloom_anti_join_exact_even_with_tiny_filter(rd):
+    """Bloom-prefiltered anti join == plain anti join, including with a
+    deliberately tiny bitmap (high false-positive rate) — positives go
+    through the exact confirm, so the result never degrades."""
+    from setsketch_ray.functions.relational import bloom_anti_join
+
+    rng = np.random.default_rng(17)
+    left = pa.table({"k": pa.array(np.arange(2000), pa.int64()),
+                     "x": pa.array(rng.integers(0, 9, 2000), pa.int64())})
+    right = pa.table({"rk": pa.array(
+        rng.choice(2000, 700, replace=False).astype(np.int64))})
+    expect = sorted(set(range(2000)) - set(right["rk"].to_pylist()))
+    for n_bits in (1 << 16, 256):          # roomy and saturated bitmaps
+        out = pa.concat_tables(list(
+            bloom_anti_join(rd.from_arrow(left).repartition(4),
+                            rd.from_arrow(right).repartition(3),
+                            "k", "rk", n_bits=n_bits, num_partitions=8)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        assert sorted(out["k"].to_pylist()) == expect, n_bits
+
+
 def test_heavy_hitters_exact_on_zipf(rd):
     """Two-pass MG heavy hitters return the EXACT top-N on a Zipf stream
     even when k << distinct (the decrement path runs), and raise when the
