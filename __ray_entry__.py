@@ -580,6 +580,26 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_lineitem_left_join(sf_dir: str):
+    """LEFT OUTER lookup join: every lineitem keeps its row, priority of
+    big orders (o_totalprice > 250000) attached, null elsewhere — the
+    unmatched gather rides the same pc.index_in null index
+    (functions/relational.lookup_join how='left')."""
+    from setsketch_ray.functions.relational import lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderpriority"]) \
+        .filter(expr="o_totalprice > 250000") \
+        .select_columns(["o_orderkey", "o_orderpriority"])
+    return lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", how="left",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int32())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+
 def _q_parts_never_ordered_bloom(sf_dir: str):
     """Same anti join as parts_never_ordered, through the Bloom pre-filter
     path (functions/relational.bloom_anti_join): right blocks ship n_bits/8-
@@ -936,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "heavy_users": _q_heavy_users,
         "parts_never_ordered_bloom": _q_parts_never_ordered_bloom,
+        "lineitem_left_join": _q_lineitem_left_join,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1118,6 +1139,11 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered_bloom":
             "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN "
             "(SELECT l_partkey FROM lineitem WHERE l_quantity > 48)",
+        "lineitem_left_join":
+            "SELECT l_orderkey, l_linenumber, o_orderpriority "
+            "FROM lineitem LEFT JOIN "
+            "(SELECT o_orderkey, o_orderpriority FROM orders "
+            "WHERE o_totalprice > 250000) o ON l_orderkey = o_orderkey",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

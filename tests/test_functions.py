@@ -523,6 +523,30 @@ def test_lookup_join_matches_pandas(rd):
     assert set(ds2.schema().names) >= {"k", "v", "w"}
 
 
+def test_lookup_join_left_outer_matches_pandas(rd):
+    """how='left' keeps unmatched rows with null right columns — including
+    partitions whose right side is entirely empty."""
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import lookup_join
+
+    rng = np.random.default_rng(18)
+    lt = pa.table({"k": pa.array(rng.integers(0, 60, 400), pa.int64()),
+                   "v": pa.array(rng.standard_normal(400))})
+    rt = pa.table({"rk": pa.array(np.arange(15), pa.int64()),  # sparse right
+                   "w": pa.array([f"s{i}" for i in range(15)])})
+    out = pa.concat_tables(list(
+        lookup_join(rd.from_arrow(lt).repartition(5),
+                    rd.from_arrow(rt).repartition(3), "k", "rk", 8,
+                    how="left")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    exp = lt.to_pandas().merge(rt.to_pandas(), left_on="k", right_on="rk",
+                               how="left").drop(columns=["rk"])
+    srt = lambda d: d.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(srt(out.to_pandas()), srt(exp))
+    assert out.num_rows == 400                      # every left row kept
+
+
 def test_lookup_join_rejects_duplicate_right_keys(rd):
     import pytest as _pytest
     import ray
