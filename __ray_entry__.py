@@ -580,6 +580,30 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): one distributed pass at
+    the finest level, coarser prefixes + grand total re-combined from the
+    tiny finest table (functions/relational.rollup_aggregate); qty summed
+    cent-scaled (exact, association-free)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def scaled(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["l_quantity"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty_s": q})
+
+    return rollup_aggregate(
+        ds.map_batches(scaled, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty_s": ("sum", "qty_s"), "n_items": ("count", None)})
+
+
 def _q_lineitem_left_join(sf_dir: str):
     """LEFT OUTER lookup join: every lineitem keeps its row, priority of
     big orders (o_totalprice > 250000) attached, null elsewhere — the
@@ -957,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_users": _q_heavy_users,
         "parts_never_ordered_bloom": _q_parts_never_ordered_bloom,
         "lineitem_left_join": _q_lineitem_left_join,
+        "lineitem_rollup": _q_lineitem_rollup,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1144,6 +1169,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem LEFT JOIN "
             "(SELECT o_orderkey, o_orderpriority FROM orders "
             "WHERE o_totalprice > 250000) o ON l_orderkey = o_orderkey",
+        "lineitem_rollup":
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_s, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

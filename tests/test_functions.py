@@ -618,6 +618,37 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_rollup_aggregate_matches_duckdb(rd):
+    """ROLLUP levels (finest, each prefix, grand total) match DuckDB for
+    every re-combinable op; mean is rejected."""
+    import duckdb
+    import pytest
+
+    from setsketch_ray.functions.relational import rollup_aggregate
+
+    rng = np.random.default_rng(19)
+    n = 500
+    t = pa.table({"a": pa.array(rng.choice(["x", "y"], n)),
+                  "b": pa.array(rng.integers(0, 3, n), pa.int64()),
+                  "v": pa.array(rng.integers(-50, 50, n), pa.int64())})
+    got = rollup_aggregate(
+        rd.from_arrow(t).repartition(4), ["a", "b"],
+        {"s": ("sum", "v"), "n": ("count", None),
+         "lo": ("min", "v"), "hi": ("max", "v")}) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT a, b, CAST(sum(v) AS BIGINT) AS s, "
+        "CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi "
+        "FROM t GROUP BY ROLLUP(a, b) ORDER BY a, b").df()
+    assert len(got) == len(exp)
+    for c in ("s", "n", "lo", "hi"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    with pytest.raises(ValueError, match="not re-combinable"):
+        rollup_aggregate(rd.from_arrow(t), ["a"], {"m": ("mean", "v")})
+
+
 def test_bloom_anti_join_exact_even_with_tiny_filter(rd):
     """Bloom-prefiltered anti join == plain anti join, including with a
     deliberately tiny bitmap (high false-positive rate) — positives go
