@@ -604,6 +604,30 @@ def _q_lineitem_rollup(sf_dir: str):
         {"sum_qty_s": ("sum", "qty_s"), "n_items": ("count", None)})
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
+    sets from one distributed finest pass
+    (functions/relational.cube_aggregate); totalprice summed cent-scaled."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import cube_aggregate
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def scaled(t: pa.Table) -> pa.Table:
+        p = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "price_s": p})
+
+    return cube_aggregate(
+        ds.map_batches(scaled, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"sum_price_s": ("sum", "price_s"), "n_orders": ("count", None)})
+
+
 def _q_lineitem_left_join(sf_dir: str):
     """LEFT OUTER lookup join: every lineitem keeps its row, priority of
     big orders (o_totalprice > 250000) attached, null elsewhere — the
@@ -982,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered_bloom": _q_parts_never_ordered_bloom,
         "lineitem_left_join": _q_lineitem_left_join,
         "lineitem_rollup": _q_lineitem_rollup,
+        "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
@@ -1175,6 +1200,11 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_qty_s, CAST(count(*) AS BIGINT) AS n_items "
             "FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        "orders_cube":
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_s, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
         "distinct_users_by_type":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",

@@ -1130,33 +1130,36 @@ def bloom_anti_join(left, right, left_key: str, right_key: str,
     return negatives.union(survivors)
 
 
-def rollup_aggregate(ds, keys: list[str], spec: dict) -> pa.Table:
-    """GROUP BY ROLLUP over prefix levels of ``keys``: the finest level runs
-    through :func:`grouped_aggregate` ONCE (one distributed pass; partial
-    rows per (block, key-tuple) through the shuffle), and every coarser
-    prefix — down to the grand total — re-combines the finest driver-side
-    table (tiny: one row per distinct key tuple) with plain Arrow
-    ``group_by``.  Rolled-up key columns are null, as in SQL.  ``spec`` ops
-    are limited to the re-combinable sum/count/min/max (count re-combines
-    as sum; mean is NOT re-combinable from finalized outputs — derive it
-    from sum+count columns yourself).
+def grouping_sets_aggregate(ds, keys: list[str], sets: list[list[str]],
+                            spec: dict) -> pa.Table:
+    """GROUP BY GROUPING SETS: the finest level (all ``keys``) runs through
+    :func:`grouped_aggregate` ONCE (one distributed pass; partial rows per
+    (block, key-tuple) through the shuffle), and every requested grouping
+    set re-combines the finest driver-side table (tiny: one row per
+    distinct key tuple) with plain Arrow ``group_by``.  Keys absent from a
+    set are null, as in SQL.  ``spec`` ops are limited to the re-combinable
+    sum/count/min/max (count re-combines as sum; mean is NOT re-combinable
+    from finalized outputs — derive it from sum+count columns yourself).
     """
     import pyarrow.compute as pc
 
     _recombine = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     for out, (op, _col) in spec.items():
         if op not in _recombine:
-            raise ValueError(f"rollup_aggregate: op {op!r} not re-combinable")
+            raise ValueError(
+                f"grouping_sets_aggregate: op {op!r} not re-combinable")
 
     finest = grouped_aggregate(ds, keys, spec)
     out_names = keys + list(spec)
     key_type = {k: finest.schema.field(k).type for k in keys}
-    levels = [finest.select(out_names)]
-    for n_kept in range(len(keys) - 1, -1, -1):
-        kept = keys[:n_kept]
+    levels = []
+    for kept in sets:
+        if sorted(kept) == sorted(keys):
+            levels.append(finest.select(out_names))
+            continue
         aggs = [(out, _recombine[op]) for out, (op, _c) in spec.items()]
         if kept:
-            g = finest.group_by(kept).aggregate(aggs)
+            g = finest.group_by(list(kept)).aggregate(aggs)
         else:
             # grand total: aggregate each column over the whole table
             g = pa.table({f"{out}_{cop}": pa.array(
@@ -1170,3 +1173,20 @@ def rollup_aggregate(ds, keys: list[str], spec: dict) -> pa.Table:
             cols[out] = g[f"{out}_{_recombine[op]}"]
         levels.append(pa.table(cols))
     return pa.concat_tables(levels)
+
+
+def rollup_aggregate(ds, keys: list[str], spec: dict) -> pa.Table:
+    """GROUP BY ROLLUP: the prefix grouping sets of ``keys`` down to the
+    grand total (see :func:`grouping_sets_aggregate` for the plan shape)."""
+    sets = [keys[:n] for n in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, spec)
+
+
+def cube_aggregate(ds, keys: list[str], spec: dict) -> pa.Table:
+    """GROUP BY CUBE: every subset of ``keys`` (see
+    :func:`grouping_sets_aggregate` for the plan shape)."""
+    from itertools import combinations
+
+    sets = [list(c) for n in range(len(keys), -1, -1)
+            for c in combinations(keys, n)]
+    return grouping_sets_aggregate(ds, keys, sets, spec)

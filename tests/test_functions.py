@@ -647,6 +647,16 @@ def test_rollup_aggregate_matches_duckdb(rd):
         assert got[c].tolist() == exp[c].tolist(), c
     with pytest.raises(ValueError, match="not re-combinable"):
         rollup_aggregate(rd.from_arrow(t), ["a"], {"m": ("mean", "v")})
+    # CUBE adds the non-prefix set {b}: 2*3 + 2 + 3 + 1 rows
+    from setsketch_ray.functions.relational import cube_aggregate
+
+    cube = cube_aggregate(rd.from_arrow(t).repartition(4), ["a", "b"],
+                          {"s": ("sum", "v")}).to_pandas()
+    expc = con.sql(
+        "SELECT a, b, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY CUBE(a, b) ORDER BY a, b, s").df()
+    cube = cube.sort_values(["a", "b", "s"]).reset_index(drop=True)
+    assert cube["s"].tolist() == expc["s"].tolist()
 
 
 def test_bloom_anti_join_exact_even_with_tiny_filter(rd):
