@@ -183,6 +183,27 @@ def run_benchmarks() -> dict:
     entrymod._q_events_running_total(SF_DIR).count()
     timings["events_running_total"] = time.time() - t0
 
+    # --- late-r2 relational family (Q3 join, heavy hitters, bloom anti
+    # join, cube, left outer, rank window)
+    t0 = time.time()
+    entrymod._q_shipping_priority(SF_DIR)
+    timings["shipping_priority"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_heavy_users(SF_DIR)
+    timings["heavy_users"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_parts_never_ordered_bloom(SF_DIR).count()
+    timings["parts_never_ordered_bloom"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_orders_cube(SF_DIR)
+    timings["orders_cube"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_lineitem_left_join(SF_DIR).count()
+    timings["lineitem_left_join"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_events_rank(SF_DIR).count()
+    timings["events_rank"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
