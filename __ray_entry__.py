@@ -714,6 +714,20 @@ def _q_events_pivot(sf_dir: str):
         ["click", "view", "purchase", "signup", "error"])
 
 
+def _q_events_rolling_10(sf_dir: str):
+    """Per-user moving sum over the last 10 rows (ROWS BETWEEN 9 PRECEDING):
+    hash-partition + one lexsort + cumsum DIFFERENCE with per-key window
+    clamps (functions/streaming.rolling_sum); cent-scaled so parallel
+    association cannot flip the hash."""
+    from setsketch_ray.functions.streaming import rolling_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_sum(ds, key_col="user_id", ts_col="ts",
+                      value_col="value", order_tiebreak="event_id",
+                      window_rows=9, value_scale=100)
+    return out.select_columns(["event_id", "user_id", "rolling_c"])
+
+
 def _q_events_lag_lead(sf_dir: str):
     """Per-user LAG/LEAD window: hash-partition + one lexsort + two masked
     shifts (functions/streaming.lag_lead); pure value copies so floats
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_hot_ordered": _q_parts_hot_ordered,
         "events_running_total": _q_events_running_total,
         "events_lag_lead": _q_events_lag_lead,
+        "events_rolling_10": _q_events_rolling_10,
         "events_pivot": _q_events_pivot,
         "shipping_priority": _q_shipping_priority,
         "events_rank": _q_events_rank,
@@ -1142,6 +1157,12 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c "
             "FROM events",
+        "events_rolling_10":
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS rolling_c FROM events",
         "events_lag_lead":
             "SELECT event_id, user_id, "
             "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "

@@ -307,3 +307,55 @@ def window_rank(ds, key_col: str, ts_col: str, order_tiebreak: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def rolling_sum(ds, key_col: str, ts_col: str, value_col: str,
+                order_tiebreak: str, window_rows: int,
+                value_scale: int = 100, num_partitions: int = 32):
+    """Per-key bounded moving sum (the SQL ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak ROWS BETWEEN window_rows PRECEDING AND CURRENT
+    ROW)``): hash-partition by key, one lexsort per partition, then the
+    window sum as a cumulative-sum DIFFERENCE — ``cum[i] - cum[lo-1]`` with
+    ``lo = max(i - window_rows, key_start)`` — O(n) per partition, no
+    per-row loop, no window materialization.  Values ride the
+    integer-scaled domain (``value_scale``) so the sums are exact and
+    association-free; emitted as scaled int64 ``rolling_c``.
+    """
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("rolling_c", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k = keys[order]
+        v = np.rint(t[value_col].to_numpy(zero_copy_only=False)
+                    * value_scale).astype(np.int64)
+        cum = np.cumsum(v)
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        lo = np.maximum(idx - window_rows, start)
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        rolling = cum - base
+        return t.append_column("rolling_c", pa.array(rolling, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

@@ -720,6 +720,36 @@ def test_unpivot_wide_to_long(rd):
     assert out["value"].to_pylist() == [0.1, 10.0, 0.2, 20.0]
 
 
+def test_rolling_sum_matches_duckdb(rd):
+    """Bounded moving sum == DuckDB ROWS BETWEEN window, with windows
+    clamped at key starts and keys shorter than the window."""
+    import duckdb
+
+    from setsketch_ray.functions.streaming import rolling_sum
+
+    rng = np.random.default_rng(20)
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, n), pa.int64()),  # short keys
+        "ts": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "tie": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.integers(-500, 500, n).astype(np.float64) / 100),
+    })
+    got = pa.concat_tables(list(
+        rolling_sum(rd.from_arrow(t).repartition(5), "k", "ts", "v", "tie",
+                    window_rows=3, num_partitions=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("tie").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT tie, CAST(sum(CAST(round(v * 100) AS BIGINT)) OVER "
+        "(PARTITION BY k ORDER BY ts, tie "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS rc "
+        "FROM t ORDER BY tie").df()
+    assert got["rolling_c"].tolist() == exp["rc"].tolist()
+
+
 def test_window_rank_matches_duckdb(rd):
     """Per-key ROW_NUMBER/PERCENT_RANK == DuckDB windows, with equal-ts
     ties pinned by the tiebreak and single-row keys emitting 0.0."""
