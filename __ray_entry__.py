@@ -714,6 +714,47 @@ def _q_events_pivot(sf_dir: str):
         ["click", "view", "purchase", "signup", "error"])
 
 
+def _q_repeat_actions(sf_dir: str):
+    """Multi-column INTERSECT: (user, event_type) pairs active BOTH before
+    and after 2024-01-16 (functions/relational.set_op — per-batch dedup
+    combiner, combined-column-hash co-partition, per-side presence flags;
+    shuffle volume = distinct tuples per block)."""
+    import pyarrow.compute as pc
+    from datetime import datetime
+
+    from setsketch_ray.functions.relational import set_op
+
+    cutoff = pa.scalar(datetime(2024, 1, 16), pa.timestamp("us"))
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    before = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cutoff)).select(
+            ["user_id", "event_type"]), batch_format="pyarrow")
+    after = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)).select(
+            ["user_id", "event_type"]), batch_format="pyarrow")
+    return set_op(before, after, ["user_id", "event_type"], op="intersect")
+
+
+def _q_dropped_actions(sf_dir: str):
+    """Multi-column EXCEPT: (user, event_type) pairs active before
+    2024-01-16 but never after (same machinery as repeat_actions,
+    op='except')."""
+    import pyarrow.compute as pc
+    from datetime import datetime
+
+    from setsketch_ray.functions.relational import set_op
+
+    cutoff = pa.scalar(datetime(2024, 1, 16), pa.timestamp("us"))
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    before = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cutoff)).select(
+            ["user_id", "event_type"]), batch_format="pyarrow")
+    after = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)).select(
+            ["user_id", "event_type"]), batch_format="pyarrow")
+    return set_op(before, after, ["user_id", "event_type"], op="except")
+
+
 def _q_events_rolling_10(sf_dir: str):
     """Per-user moving sum over the last 10 rows (ROWS BETWEEN 9 PRECEDING):
     hash-partition + one lexsort + cumsum DIFFERENCE with per-key window
@@ -1013,6 +1054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_lag_lead": _q_events_lag_lead,
         "events_rolling_10": _q_events_rolling_10,
+        "repeat_actions": _q_repeat_actions,
+        "dropped_actions": _q_dropped_actions,
         "events_pivot": _q_events_pivot,
         "shipping_priority": _q_shipping_priority,
         "events_rank": _q_events_rank,
@@ -1157,6 +1200,16 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c "
             "FROM events",
+        "repeat_actions":
+            "SELECT user_id, event_type FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-16' INTERSECT "
+            "SELECT user_id, event_type FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-16'",
+        "dropped_actions":
+            "SELECT user_id, event_type FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-16' EXCEPT "
+            "SELECT user_id, event_type FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-16'",
         "events_rolling_10":
             "SELECT event_id, user_id, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "

@@ -618,6 +618,39 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_set_op_intersect_except_match_duckdb(rd):
+    """Multi-column INTERSECT / EXCEPT with distinct semantics (duplicate
+    input rows collapse; tuples co-locate by combined column hash)."""
+    import duckdb
+
+    from setsketch_ray.functions.relational import set_op
+
+    rng = np.random.default_rng(21)
+    n = 700
+    # domain (400 x 3) >> n so EXCEPT is nonempty (at 40 x 3 both sides
+    # saturate every tuple and EXCEPT is legitimately empty)
+    mk = lambda seed: pa.table({
+        "a": pa.array(rng.integers(0, 400, n), pa.int64()),
+        "b": pa.array(rng.choice(["x", "y", "z"], n)),
+    })
+    lt, rt = mk(1), mk(2)
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    for op, sql_op in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        out = pa.concat_tables(list(
+            set_op(rd.from_arrow(lt).repartition(4),
+                   rd.from_arrow(rt).repartition(3), ["a", "b"], op=op,
+                   num_partitions=8)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        exp = con.sql(f"SELECT a, b FROM lt {sql_op} SELECT a, b FROM rt "
+                      "ORDER BY a, b").df()
+        assert len(out) > 0, op                   # nontrivial both ways
+        assert out["a"].tolist() == exp["a"].tolist(), op
+        assert out["b"].tolist() == exp["b"].tolist(), op
+
+
 def test_rollup_aggregate_matches_duckdb(rd):
     """ROLLUP levels (finest, each prefix, grand total) match DuckDB for
     every re-combinable op; mean is rejected."""
