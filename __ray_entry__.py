@@ -714,6 +714,18 @@ def _q_events_pivot(sf_dir: str):
         ["click", "view", "purchase", "signup", "error"])
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Per-user ordered action path: string_agg(event_type ORDER BY ts,
+    event_id) via one lexsort + one pc.binary_join over key-run list
+    offsets (functions/relational.grouped_string_agg) — no per-group
+    Python."""
+    from setsketch_ray.functions.relational import grouped_string_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return grouped_string_agg(ds, "user_id", "event_type", "ts",
+                              "event_id", sep=",")
+
+
 def _q_repeat_actions(sf_dir: str):
     """Multi-column INTERSECT: (user, event_type) pairs active BOTH before
     and after 2024-01-16 (functions/relational.set_op — per-batch dedup
@@ -1055,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": _q_events_lag_lead,
         "events_rolling_10": _q_events_rolling_10,
         "repeat_actions": _q_repeat_actions,
+        "user_event_paths": _q_user_event_paths,
         "dropped_actions": _q_dropped_actions,
         "events_pivot": _q_events_pivot,
         "shipping_priority": _q_shipping_priority,
@@ -1200,6 +1213,9 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c "
             "FROM events",
+        "user_event_paths":
+            "SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY ts, event_id) AS agg FROM events GROUP BY user_id",
         "repeat_actions":
             "SELECT user_id, event_type FROM events "
             "WHERE ts < TIMESTAMP '2024-01-16' INTERSECT "

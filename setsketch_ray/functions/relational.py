@@ -1255,3 +1255,57 @@ def set_op(left, right, cols: list[str], op: str = "intersect",
         return g.filter(pa.array(keep)).select(cols)
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, key_col: str, value_col: str, ts_col: str,
+                       order_tiebreak: str, sep: str = ",",
+                       num_partitions: int = 32):
+    """Per-key ordered string concatenation (the SQL ``string_agg(v, sep
+    ORDER BY ts, tiebreak) GROUP BY key``): hash-partition by key, one
+    lexsort per partition, then ONE ``pc.binary_join`` over a ListArray
+    built from the key run offsets — no per-group Python, the join is a
+    single Arrow kernel.  ``order_tiebreak`` pins element order at equal
+    timestamps (required — without it the concatenation is
+    nondeterministic across engines).
+
+    Returns a Dataset of (key, ``agg``) — one row per key.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        key_t = t.schema.field(key_col).type
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             "agg": pa.array([], pa.string())})
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        k = keys[order]
+        vals = t[value_col].take(pa.array(order, pa.int64()))
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) \
+            else vals
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_key).astype(np.int32)
+        offsets = pa.array(np.append(starts, n).astype(np.int32),
+                           pa.int32())
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        joined = pc.binary_join(lists, pa.scalar(sep))
+        return pa.table({key_col: pa.array(k[starts], key_t),
+                         "agg": joined})
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

@@ -618,6 +618,35 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_grouped_string_agg_matches_duckdb(rd):
+    """Ordered per-key concatenation == DuckDB string_agg(... ORDER BY),
+    across partitions with equal-ts ties pinned by the tiebreak."""
+    import duckdb
+
+    from setsketch_ray.functions.relational import grouped_string_agg
+
+    rng = np.random.default_rng(22)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 15, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 20, n), pa.int64()),  # heavy ties
+        "tie": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.choice(["a", "bb", "ccc"], n)),
+    })
+    got = pa.concat_tables(list(
+        grouped_string_agg(rd.from_arrow(t).repartition(5), "k", "v", "ts",
+                           "tie", sep="|", num_partitions=8)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT k, string_agg(v, '|' ORDER BY ts, tie) AS agg FROM t "
+        "GROUP BY k ORDER BY k").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["agg"].tolist() == exp["agg"].tolist()
+
+
 def test_set_op_intersect_except_match_duckdb(rd):
     """Multi-column INTERSECT / EXCEPT with distinct semantics (duplicate
     input rows collapse; tuples co-locate by combined column hash)."""
