@@ -714,6 +714,30 @@ def _q_events_pivot(sf_dir: str):
         ["click", "view", "purchase", "signup", "error"])
 
 
+def _q_props_k_stats(sf_dir: str):
+    """JSON field extraction at scale: events.props is a JSON string
+    ({"k": N}); one vectorized RE2 pc.extract_regex per batch pulls the
+    integer field (no per-row json.loads), then combiner-partial grouped
+    sum/max — oracle uses DuckDB's native json_extract on the same field."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = t["props"].combine_chunks() if \
+            isinstance(t["props"], pa.ChunkedArray) else t["props"]
+        m = pc.extract_regex(s, r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return grouped_aggregate(
+        ds.map_batches(extract, batch_format="pyarrow"), ["event_type"],
+        {"sum_k": ("sum", "k"), "max_k": ("max", "k"),
+         "n": ("count", None)})
+
+
 def _q_user_event_paths(sf_dir: str):
     """Per-user ordered action path: string_agg(event_type ORDER BY ts,
     event_id) via one lexsort + one pc.binary_join over key-run list
@@ -1068,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_10": _q_events_rolling_10,
         "repeat_actions": _q_repeat_actions,
         "user_event_paths": _q_user_event_paths,
+        "props_k_stats": _q_props_k_stats,
         "dropped_actions": _q_dropped_actions,
         "events_pivot": _q_events_pivot,
         "shipping_priority": _q_shipping_priority,
@@ -1216,6 +1241,13 @@ def oracle_sql() -> dict[str, str]:
         "user_event_paths":
             "SELECT user_id, string_agg(event_type, ',' "
             "ORDER BY ts, event_id) AS agg FROM events GROUP BY user_id",
+        "props_k_stats":
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS max_k, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type",
         "repeat_actions":
             "SELECT user_id, event_type FROM events "
             "WHERE ts < TIMESTAMP '2024-01-16' INTERSECT "

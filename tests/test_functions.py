@@ -618,6 +618,30 @@ def test_quantiles_fixedpoint_matches_duckdb(rd):
     assert got["value"].to_pylist() == exp["value"].tolist()  # bit-exact
 
 
+def test_json_field_extract_handles_missing_keys(rd):
+    """The vectorized RE2 json-field pull nulls out rows without the key,
+    matching DuckDB json_extract_string NULL semantics in sum/max."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    t = pa.table({"g": pa.array(["a", "a", "b", "b"]),
+                  "props": pa.array(['{"k": 3}', '{"other": 1}',
+                                     '{"k": 10}', '{"k": 7}'])})
+    m = pc.extract_regex(t["props"].combine_chunks(), r'"k":\s*(?P<k>\d+)')
+    k = pc.struct_field(m, "k").cast(pa.int64())
+    got = pa.table({"g": t["g"], "k": k}).group_by("g") \
+        .aggregate([("k", "sum"), ("k", "max")]).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT g, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS s, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS m "
+        "FROM t GROUP BY g ORDER BY g").df()
+    assert got["k_sum"].tolist() == exp["s"].tolist()
+    assert got["k_max"].tolist() == exp["m"].tolist()
+
+
 def test_grouped_string_agg_matches_duckdb(rd):
     """Ordered per-key concatenation == DuckDB string_agg(... ORDER BY),
     across partitions with equal-ts ties pinned by the tiebreak."""
