@@ -773,14 +773,14 @@ def _q_repeat_actions(sf_dir: str):
 
 def _q_dropped_actions(sf_dir: str):
     """Multi-column EXCEPT: (user, event_type) pairs active before
-    2024-01-16 but never after (same machinery as repeat_actions,
+    2024-01-28 but never after (same machinery as repeat_actions,
     op='except')."""
     import pyarrow.compute as pc
     from datetime import datetime
 
     from setsketch_ray.functions.relational import set_op
 
-    cutoff = pa.scalar(datetime(2024, 1, 16), pa.timestamp("us"))
+    cutoff = pa.scalar(datetime(2024, 1, 28), pa.timestamp("us"))
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
     before = ds.map_batches(
         lambda t: t.filter(pc.less(t["ts"], cutoff)).select(
@@ -1255,9 +1255,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ts >= TIMESTAMP '2024-01-16'",
         "dropped_actions":
             "SELECT user_id, event_type FROM events "
-            "WHERE ts < TIMESTAMP '2024-01-16' EXCEPT "
+            "WHERE ts < TIMESTAMP '2024-01-28' EXCEPT "
             "SELECT user_id, event_type FROM events "
-            "WHERE ts >= TIMESTAMP '2024-01-16'",
+            "WHERE ts >= TIMESTAMP '2024-01-28'",
         "events_rolling_10":
             "SELECT event_id, user_id, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
