@@ -580,6 +580,26 @@ def _q_shipping_priority(sf_dir: str):
         ["l_orderkey", "o_orderdate", "revenue_c"])
 
 
+def _q_orders_customers_full(sf_dir: str):
+    """FULL OUTER join: big orders (o_totalprice > 250000) x rich customers
+    (c_acctbal > 5000) — both sides contribute unmatched rows
+    (functions/relational.lookup_join how='full'; right-only rows appended
+    per partition with null left columns, right key kept)."""
+    from setsketch_ray.functions.relational import lookup_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 250000") \
+        .select_columns(["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .filter(expr="c_acctbal > 5000").select_columns(["c_custkey"])
+    return lookup_join(
+        orders, cust, "o_custkey", "c_custkey", how="full",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+
 def _q_lineitem_rollup(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): one distributed pass at
     the finest level, coarser prefixes + grand total re-combined from the
@@ -700,6 +720,42 @@ def _q_events_rank(sf_dir: str):
                       order_tiebreak="event_id")
     return out.select_columns(
         ["event_id", "user_id", "row_number", "percent_rank"])
+
+
+def _q_events_ntile(sf_dir: str):
+    """Per-type NTILE(4) over value (functions/streaming.window_ntile): one
+    lexsort per key-partition + pure integer tile arithmetic (the SQL
+    bucketing rule — first c%n tiles take one extra row); event_id pins the
+    total order so tiles are deterministic at equal values."""
+    from setsketch_ray.functions.streaming import window_ntile
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = window_ntile(ds, key_col="event_type", order_col="value",
+                       order_tiebreak="event_id", n_tiles=4)
+    return out.select_columns(["event_id", "tile"])
+
+
+def _q_mode_action_per_user(sf_dir: str):
+    """Per-user most frequent event_type with deterministic tie-break
+    (count desc, value asc) — functions/relational.grouped_mode: per-batch
+    count partials, key-hash co-partition, one combine + first-of-run pass;
+    only distinct (key, value, cnt) triples cross the shuffle."""
+    from setsketch_ray.functions.relational import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type")
+
+
+def _q_top_words(sf_dir: str):
+    """Corpus top-100 words (split on single spaces, empties dropped):
+    explode + per-batch local counts, word-hash shuffle of (word, cnt)
+    pairs only, per-partition top-k, driver merge of <= k x parts rows
+    (functions/text.word_topk).  Exact under the (cnt desc, word asc)
+    total order."""
+    from setsketch_ray.functions.text import word_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return word_topk(ds, "text", k=100)
 
 
 def _q_events_pivot(sf_dir: str):
@@ -1102,6 +1158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered_bloom": _q_parts_never_ordered_bloom,
         "lineitem_left_join": _q_lineitem_left_join,
         "lineitem_rollup": _q_lineitem_rollup,
+        "orders_customers_full": _q_orders_customers_full,
+        "events_ntile": _q_events_ntile,
+        "mode_action_per_user": _q_mode_action_per_user,
+        "top_words": _q_top_words,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
@@ -1316,6 +1376,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem LEFT JOIN "
             "(SELECT o_orderkey, o_orderpriority FROM orders "
             "WHERE o_totalprice > 250000) o ON l_orderkey = o_orderkey",
+        "orders_customers_full":
+            "SELECT o_orderkey, o_custkey, c_custkey FROM "
+            "(SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_totalprice > 250000) o FULL JOIN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c "
+            "ON o_custkey = c_custkey",
+        "events_ntile":
+            "SELECT event_id, CAST(ntile(4) OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS BIGINT) AS tile FROM events",
+        "mode_action_per_user":
+            "SELECT user_id, mode_value, cnt FROM ("
+            "SELECT user_id, event_type AS mode_value, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1",
+        "top_words":
+            "SELECT word, cnt FROM ("
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents) WHERE word <> '' GROUP BY word) "
+            "ORDER BY cnt DESC, word LIMIT 100",
         "lineitem_rollup":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) "

@@ -229,13 +229,15 @@ def lookup_join(left, right, left_key: str, right_key: str,
                 left_schema: "pa.Schema | None" = None,
                 right_schema: "pa.Schema | None" = None,
                 how: str = "inner"):
-    """Distributed inner (or left outer, ``how="left"``) equi-join against a
-    UNIQUE-keyed right side, built from the primitives this engine already
+    """Distributed inner / left outer (``how="left"``) / full outer
+    (``how="full"``) equi-join against a UNIQUE-keyed right side, built from the primitives this engine already
     shuffles with: hash co-partition both sides, one union, one
     ``groupby("__part")``, and a vectorized ``pc.index_in`` gather inside
     each partition.  ``how="left"`` keeps unmatched left rows with
     null-padded right columns (the gather rides the same index array — a
-    null index takes null, no extra pass).
+    null index takes null, no extra pass); ``how="full"`` additionally
+    appends right rows no left row matched (null left columns) and keeps
+    ``right_key`` in the output — the SQL FULL JOIN layout.
 
     Why not ``ray.data.Dataset.join``: each call spins up a fresh pool of
     ``num_partitions`` aggregator ACTORS (cold-start measured ~20 s at small
@@ -258,7 +260,7 @@ def lookup_join(left, right, left_key: str, right_key: str,
 
     from ..sketchlib.hashing import hash_str_u64, mix64
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"lookup_join: bad how {how!r}")
     lschema = left_schema if left_schema is not None \
         else left.schema().base_schema
@@ -298,7 +300,12 @@ def lookup_join(left, right, left_key: str, right_key: str,
     tagged = left.map_batches(_tag(0, left_key), batch_format="pyarrow") \
         .union(right.map_batches(_tag(1, right_key), batch_format="pyarrow"))
 
-    out_names = left_cols + [n for n in right_out if n not in left_cols]
+    # how="full" keeps right_key in the output (right-only rows carry a null
+    # left key, so the join key must survive on the right side — SQL FULL
+    # JOIN layout); inner/left drop it as before
+    keep_right = right_out if how != "full" else \
+        [n for n in rschema.names]
+    out_names = left_cols + [n for n in keep_right if n not in left_cols]
     out_types = {n: t for n, t in fields}
 
     def merge(t: pa.Table) -> pa.Table:
@@ -309,14 +316,17 @@ def lookup_join(left, right, left_key: str, right_key: str,
         lt = t.filter(pa.array(side == 0))
         rt = t.filter(pa.array(side == 1))
         if lt.num_rows == 0:
-            return empty
+            if how != "full" or rt.num_rows == 0:
+                return empty
+            cols = {n: pa.nulls(rt.num_rows, out_types[n])
+                    if n not in keep_right else rt[n] for n in out_names}
+            return pa.table(cols)
         if rt.num_rows == 0:
             if how == "inner":
                 return empty
-            cols = {n: lt[n] for n in left_cols}
-            for n in right_out:
-                if n not in left_cols:
-                    cols[n] = pa.nulls(lt.num_rows, out_types[n])
+            cols = {n: lt[n] if n in left_cols
+                    else pa.nulls(lt.num_rows, out_types[n])
+                    for n in out_names}
             return pa.table(cols)
         rkeys = rt[right_key]
         rkeys = rkeys.combine_chunks() if isinstance(rkeys, pa.ChunkedArray) \
@@ -329,13 +339,26 @@ def lookup_join(left, right, left_key: str, right_key: str,
             lt = lt.filter(valid)
             idx = pc.filter(idx, valid) if isinstance(idx, pa.ChunkedArray) \
                 else idx.filter(valid)
-        # how="left": null indices gather as nulls — unmatched rows keep
-        # their left columns and null right columns in the same take
+        # how="left"/"full": null indices gather as nulls — unmatched left
+        # rows keep their columns and take null right columns
         cols = {n: lt[n] for n in left_cols}
-        for n in right_out:
+        for n in keep_right:
             if n not in left_cols:
                 cols[n] = rt[n].take(idx)
-        return pa.table(cols)
+        out = pa.table({n: cols[n] for n in out_names})
+        if how == "full":
+            # append right-only rows: right keys no left row pointed at
+            lkeys = lt[left_key]
+            lkeys = lkeys.combine_chunks() if \
+                isinstance(lkeys, pa.ChunkedArray) else lkeys
+            ronly = rt.filter(pc.invert(
+                pc.is_in(rkeys, value_set=pc.unique(lkeys).cast(rkeys.type))))
+            if ronly.num_rows:
+                rcols = {n: pa.nulls(ronly.num_rows, out_types[n])
+                         if n not in keep_right else ronly[n]
+                         for n in out_names}
+                out = pa.concat_tables([out, pa.table(rcols)])
+        return out
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
 
@@ -1309,3 +1332,66 @@ def grouped_string_agg(ds, key_col: str, value_col: str, ts_col: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, value_col: str,
+                 num_partitions: int = 32):
+    """Per-key MODE (most frequent value, ties broken by smallest value —
+    the deterministic total order SQL's ``mode()`` lacks): per-batch
+    (key, value) count partials (arrow ``group_by``), hash co-partition by
+    KEY ONLY so every count of a key meets, one combine ``group_by`` plus a
+    lexsort-and-first-of-run pass per partition.  Only the distinct
+    (key, value, count) triples cross the shuffle — never rows.
+
+    Returns a Dataset of (key, ``mode_value``, ``cnt``).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = pa.table({key_col: t[key_col], value_col: t[value_col]})
+        agg = pairs.group_by([key_col, value_col]).aggregate(
+            [([], "count_all")])
+        cnt_name = [n for n in agg.column_names
+                    if n not in (key_col, value_col)][0]
+        g = agg[key_col].to_numpy(zero_copy_only=False)
+        if g.dtype.kind in "iu":
+            h = mix64(g.astype(np.uint64))
+        else:
+            karr = agg[key_col]
+            karr = karr.combine_chunks() if \
+                isinstance(karr, pa.ChunkedArray) else karr
+            h = hash_str_u64(karr)
+        return pa.table({key_col: agg[key_col], value_col: agg[value_col],
+                         "cnt": agg[cnt_name].cast(pa.int64()),
+                         "__part": pa.array(
+                             (h % np.uint64(num_partitions)).astype(
+                                 np.uint32), pa.uint32())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        key_t = t.schema.field(key_col).type
+        val_t = t.schema.field(value_col).type
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             "mode_value": pa.array([], val_t),
+                             "cnt": pa.array([], pa.int64())})
+        comb = t.group_by([key_col, value_col]).aggregate([("cnt", "sum")])
+        comb = comb.take(pc.sort_indices(comb, sort_keys=[
+            (key_col, "ascending"), ("cnt_sum", "descending"),
+            (value_col, "ascending")]))
+        k = comb[key_col].to_numpy(zero_copy_only=False)
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        first = np.flatnonzero(new_key)
+        top = comb.take(pa.array(first, pa.int64()))
+        return pa.table({key_col: top[key_col],
+                         "mode_value": top[value_col],
+                         "cnt": top["cnt_sum"].cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("__part").map_groups(per_partition,
+                                              batch_format="pyarrow")

@@ -309,6 +309,79 @@ def window_rank(ds, key_col: str, ts_col: str, order_tiebreak: str,
                                            batch_format="pyarrow")
 
 
+def window_ntile(ds, key_col: str, order_col: str, order_tiebreak: str,
+                 n_tiles: int, num_partitions: int = 32):
+    """Per-key NTILE window (the SQL ``ntile(n) OVER (PARTITION BY key ORDER
+    BY col, tiebreak)``): hash-partition by key, one lexsort per partition,
+    then the tile from pure integer arithmetic — with group size ``c`` and
+    ``q, rem = divmod(c, n)``, the first ``rem`` tiles take ``q+1`` rows and
+    the rest ``q`` (the SQL bucketing rule).  ``order_tiebreak`` pins a total
+    order so tiles are deterministic (SQL ntile at equal order keys is
+    implementation-defined).  Appends int64 ``tile``.
+    """
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        karr = t[key_col]
+        karr = karr.combine_chunks() if isinstance(karr, pa.ChunkedArray) \
+            else karr
+        if pa.types.is_string(karr.type) \
+                or pa.types.is_large_string(karr.type):
+            h = hash_str_u64(karr)
+        else:
+            h = mix64(karr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("tile", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        karr = t[key_col]
+        karr = karr.combine_chunks() if isinstance(karr, pa.ChunkedArray) \
+            else karr
+        if pa.types.is_string(karr.type) \
+                or pa.types.is_large_string(karr.type):
+            # lexsort needs numeric keys; dictionary codes group equal keys
+            # exactly (code ORDER is arbitrary — only run grouping matters)
+            keys = karr.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            keys = karr.to_numpy(zero_copy_only=False)
+        oc = t[order_col]
+        if pa.types.is_timestamp(oc.type):
+            oc = oc.cast(pa.int64())
+        ov = oc.to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ov, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k = keys[order]
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        r0 = idx - start                     # 0-based rank within key
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, n))
+        c = np.repeat(sizes, sizes)          # group size per row
+        q, rem = c // n_tiles, c % n_tiles
+        cut = rem * (q + 1)                  # rows covered by the big tiles
+        tile = np.where(
+            r0 < cut,
+            r0 // (q + 1) + 1,
+            rem + (r0 - cut) // np.maximum(q, 1) + 1)
+        return t.append_column("tile", pa.array(tile, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")
+
+
 def rolling_sum(ds, key_col: str, ts_col: str, value_col: str,
                 order_tiebreak: str, window_rows: int,
                 value_scale: int = 100, num_partitions: int = 32):

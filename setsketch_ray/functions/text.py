@@ -342,3 +342,59 @@ def normalize_text(ds, text_col: str = "text",
         return t.append_column(out_col, pc.utf8_trim_whitespace(x))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def word_topk(ds, text_col: str, k: int, num_partitions: int = 32) -> pa.Table:
+    """Corpus-level word count + exact global top-k (the classic wordcount,
+    split on single spaces, empty tokens dropped — matching SQL
+    ``unnest(string_split(text, ' '))``): per-batch explode + local counts
+    (one Arrow ``split_pattern`` + ``group_by``), hash-partition by WORD so
+    each word's partials meet exactly once, per-partition combine + local
+    top-k, then a driver merge of the <= k * num_partitions survivors.
+    Exact: a global top-k word is a top-k word of its (single) partition.
+    Only distinct (word, cnt) pairs cross the shuffle — never tokens.
+
+    Ties broken by word ascending (deterministic).  Returns a pyarrow Table
+    (word, cnt) with exactly ``k`` rows (fewer if the vocabulary is smaller).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        flat = pc.list_flatten(pc.split_pattern(txt, " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        agg = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        cnt_name = [n for n in agg.column_names if n != "word"][0]
+        words = agg["word"]
+        words = words.combine_chunks() if \
+            isinstance(words, pa.ChunkedArray) else words
+        h = hash_str_u64(words)
+        return pa.table({"word": words,
+                         "cnt": agg[cnt_name].cast(pa.int64()),
+                         "__part": pa.array(
+                             (h % np.uint64(num_partitions)).astype(
+                                 np.uint32), pa.uint32())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        comb = t.group_by(["word"]).aggregate([("cnt", "sum")])
+        comb = comb.take(pc.sort_indices(comb, sort_keys=[
+            ("cnt_sum", "descending"), ("word", "ascending")]))
+        top = comb.slice(0, k)
+        return pa.table({"word": top["word"],
+                         "cnt": top["cnt_sum"].cast(pa.int64())})
+
+    parts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow",
+                                batch_size=1 << 20)))
+    if merged.num_rows == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    merged = merged.take(pc.sort_indices(merged, sort_keys=[
+        ("cnt", "descending"), ("word", "ascending")]))
+    return merged.slice(0, k).combine_chunks()

@@ -547,6 +547,38 @@ def test_lookup_join_left_outer_matches_pandas(rd):
     assert out.num_rows == 400                      # every left row kept
 
 
+def test_lookup_join_full_outer_matches_pandas(rd):
+    """how='full' keeps unmatched rows from BOTH sides (right-only rows get
+    null left columns and keep the right key) — including partitions that
+    are entirely one-sided."""
+    import pandas as pd
+
+    from setsketch_ray.functions.relational import lookup_join
+
+    rng = np.random.default_rng(19)
+    # left keys 0..39, right keys 20..79: both sides have unmatched rows
+    lt = pa.table({"k": pa.array(rng.integers(0, 40, 300), pa.int64()),
+                   "v": pa.array(rng.standard_normal(300))})
+    rt = pa.table({"rk": pa.array(np.arange(20, 80), pa.int64()),
+                   "w": pa.array([f"s{i}" for i in range(60)])})
+    out = pa.concat_tables(list(
+        lookup_join(rd.from_arrow(lt).repartition(5),
+                    rd.from_arrow(rt).repartition(3), "k", "rk", 8,
+                    how="full")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    exp = lt.to_pandas().merge(rt.to_pandas(), left_on="k", right_on="rk",
+                               how="outer")
+    assert set(out.column_names) == {"k", "v", "rk", "w"}
+    srt = lambda d: d.sort_values(["k", "rk", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        srt(out.to_pandas())[["k", "v", "rk", "w"]],
+        srt(exp)[["k", "v", "rk", "w"]])
+    # right-only rows present with null left key
+    n_right_only = int(out.to_pandas()["k"].isna().sum())
+    assert n_right_only == len([x for x in range(20, 80)
+                                if x not in set(lt["k"].to_pylist())])
+
+
 def test_lookup_join_rejects_duplicate_right_keys(rd):
     import pytest as _pytest
     import ray
@@ -1276,3 +1308,72 @@ def test_normalize_text_semantics(rd):
         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
     got = dict(zip(out["doc_id"].to_pylist(), out["norm_text"].to_pylist()))
     assert got == {1: "quick fox", 2: "", 3: "theater cathedral", 4: ""}
+
+
+def test_window_ntile_matches_sql_rule(rd):
+    """ntile bucketing: first c%n tiles take one extra row; deterministic
+    under the (order, tiebreak) total order; string keys supported."""
+    rng = np.random.default_rng(23)
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.float64)),
+        "id": pa.array(np.arange(n), pa.int64())})
+    from setsketch_ray.functions.streaming import window_ntile
+
+    out = pa.concat_tables(list(
+        window_ntile(rd.from_arrow(t).repartition(4), "k", "v", "id", 4)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT id, ntile(4) OVER (PARTITION BY k ORDER BY v, id) AS tile "
+        "FROM t ORDER BY id").df()
+    assert (out["tile"].to_numpy() == exp["tile"].to_numpy()).all()
+    # tiny group: fewer rows than tiles -> one row per tile
+    t2 = pa.table({"k": pa.array(["z", "z"]),
+                   "v": pa.array([2.0, 1.0]),
+                   "id": pa.array([0, 1], pa.int64())})
+    out2 = pa.concat_tables(list(
+        window_ntile(rd.from_arrow(t2), "k", "v", "id", 4)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = dict(zip(out2["id"].to_pylist(), out2["tile"].to_pylist()))
+    assert got == {1: 1, 0: 2}
+
+
+def test_grouped_mode_tiebreak_and_counts(rd):
+    """Most frequent value per key; ties broken by smallest value."""
+    rng = np.random.default_rng(29)
+    n = 2000
+    k = rng.integers(0, 40, n)
+    v = rng.choice(["x", "y", "z", "w"], n)
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v)})
+    from setsketch_ray.functions.relational import grouped_mode
+
+    out = pa.concat_tables(list(
+        grouped_mode(rd.from_arrow(t).repartition(6), "k", "v")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "v": v})
+    cnt = df.groupby(["k", "v"]).size().reset_index(name="c")
+    cnt = cnt.sort_values(["k", "c", "v"],
+                          ascending=[True, False, True])
+    exp = cnt.groupby("k").first().reset_index()
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert list(out["mode_value"]) == list(exp["v"])
+    assert (out["cnt"].to_numpy() == exp["c"].to_numpy()).all()
+
+
+def test_word_topk_exact_counts(rd):
+    """Exact global top-k across the word-hash shuffle, ties by word asc."""
+    docs = ["b b a", "a c  c", "", "c b", "d"] * 7    # double space -> empty
+    t = pa.table({"text": pa.array(docs)})
+    from setsketch_ray.functions.text import word_topk
+
+    out = word_topk(rd.from_arrow(t).repartition(3), "text", k=3)
+    # counts: a=14, b=21, c=21, d=7 -> top3 = b(21), c(21), a(14)
+    assert out["word"].to_pylist() == ["b", "c", "a"]
+    assert out["cnt"].to_pylist() == [21, 21, 14]
