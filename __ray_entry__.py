@@ -758,6 +758,73 @@ def _q_top_words(sf_dir: str):
     return word_topk(ds, "text", k=100)
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated avg-subquery, decorrelated into a grouped
+    aggregate + lookup_join): revenue of lineitems whose quantity is below
+    20% of their part's average quantity, by returnflag.  The threshold
+    compare runs as a PURE INTEGER inequality on both engines —
+    ``qty_c * 5 * cnt < sum_qty_c`` is exactly ``qty < 0.2 * avg`` with no
+    float division to flip hashes."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    def scaled(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_returnflag": t["l_returnflag"],
+            "qty_c": pc.round(pc.multiply(t["l_quantity"], 100.0))
+            .cast(pa.int64()),
+            "price_c": pc.round(pc.multiply(t["l_extendedprice"], 100.0))
+            .cast(pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_returnflag", "l_quantity",
+                "l_extendedprice"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    stats = grouped_aggregate(li, ["l_partkey"], {
+        "cnt": ("count", None),
+        "sum_qty_c": ("sum", "qty_c"),
+    }, final="ray").map_batches(
+        lambda t: pa.table({"pk": t["l_partkey"],
+                            "cnt": t["cnt"].cast(pa.int64()),
+                            "sum_qty_c": t["sum_qty_c"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = lookup_join(
+        li, stats, "l_partkey", "pk",
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("qty_c", pa.int64()),
+                               ("price_c", pa.int64())]),
+        right_schema=pa.schema([("pk", pa.int64()), ("cnt", pa.int64()),
+                                ("sum_qty_c", pa.int64())]))
+    small = joined.map_batches(
+        lambda t: t.filter(pc.less(
+            pc.multiply(pc.multiply(t["qty_c"], pa.scalar(5, pa.int64())),
+                        t["cnt"]), t["sum_qty_c"])),
+        batch_format="pyarrow")
+    agg = grouped_aggregate(small, ["l_returnflag"], {
+        "revenue_c": ("sum", "price_c"),
+        "n": ("count", None),
+    })
+    return pa.table({"l_returnflag": agg["l_returnflag"],
+                     "revenue_c": agg["revenue_c"].cast(pa.int64()),
+                     "n": agg["n"].cast(pa.int64())})
+
+
+def _q_distinctive_terms(sf_dir: str):
+    """Most distinctive term per document (integer-only TF-IDF surrogate:
+    tf desc, df asc, term asc — functions/text.distinctive_terms): explode
+    with complete per-batch tf, word-hash co-partition computes AND attaches
+    df in one pass, doc-hash co-partition takes the top term with one
+    multi-key Arrow sort.  Only (doc, word, tf, df) tuples shuffle."""
+    from setsketch_ray.functions.text import distinctive_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return distinctive_terms(ds, "doc_id", "text")
+
+
 def _q_events_pivot(sf_dir: str):
     """Pivot per user: count per event_type as wide columns (conditional
     aggregation — functions/relational.pivot_aggregate; one-hot expansion
@@ -1162,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "mode_action_per_user": _q_mode_action_per_user,
         "top_words": _q_top_words,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "distinctive_terms": _q_distinctive_terms,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
@@ -1398,6 +1467,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents) WHERE word <> '' GROUP BY word) "
             "ORDER BY cnt DESC, word LIMIT 100",
+        "small_quantity_revenue":
+            "WITH g AS (SELECT l_partkey AS pk, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_c FROM lineitem GROUP BY l_partkey) "
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_c, CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem JOIN g ON l_partkey = pk "
+            "WHERE CAST(round(l_quantity*100) AS BIGINT) * 5 * cnt "
+            "< sum_qty_c GROUP BY l_returnflag",
+        "distinctive_terms":
+            "WITH dw AS (SELECT doc_id, word, "
+            "CAST(count(*) AS BIGINT) AS tf FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            "FROM documents) WHERE word <> '' GROUP BY doc_id, word), "
+            "dfs AS (SELECT word, CAST(count(*) AS BIGINT) AS df "
+            "FROM dw GROUP BY word) "
+            "SELECT doc_id, word, tf, df FROM ("
+            "SELECT dw.doc_id, dw.word, dw.tf, dfs.df, "
+            "row_number() OVER (PARTITION BY dw.doc_id "
+            "ORDER BY dw.tf DESC, dfs.df ASC, dw.word) AS rn "
+            "FROM dw JOIN dfs USING (word)) WHERE rn = 1",
         "lineitem_rollup":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) "

@@ -398,3 +398,97 @@ def word_topk(ds, text_col: str, k: int, num_partitions: int = 32) -> pa.Table:
     merged = merged.take(pc.sort_indices(merged, sort_keys=[
         ("cnt", "descending"), ("word", "ascending")]))
     return merged.slice(0, k).combine_chunks()
+
+
+def distinctive_terms(ds, id_col: str, text_col: str,
+                      num_partitions: int = 32):
+    """Most distinctive term per document — rank terms by (tf desc, df asc,
+    term asc), an integer-only TF-IDF surrogate that is bit-exact across
+    engines (no float idf/log).  Three vectorized stages:
+
+    1. explode + per-batch ``group_by`` -> (doc, word, tf).  A document's
+       text lives in ONE row, so per-batch tf counts are already complete —
+       no combine shuffle.
+    2. word-hash co-partition -> df per word = run length over the distinct
+       (doc, word) pairs, repeated back onto each pair (docs never move
+       twice for the join: df is computed and attached in the same
+       partition).
+    3. doc-hash co-partition -> one multi-key Arrow sort + first-of-run
+       pass per partition (no per-doc Python).
+
+    Only (doc, word, tf, df) tuples cross the shuffles — never text.
+    Returns a Dataset of (id_col, word, tf, df), one row per document.
+    """
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        doc = np.repeat(t[id_col].to_numpy(zero_copy_only=False),
+                        pc.list_value_length(words).to_numpy(
+                            zero_copy_only=False))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table({id_col: pa.array(doc[keep], pa.int64()),
+                          "word": flat.filter(pa.array(keep))})
+        agg = pairs.group_by([id_col, "word"]).aggregate([([], "count_all")])
+        w = agg["word"]
+        w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+        h = hash_str_u64(w)
+        return pa.table({id_col: agg[id_col], "word": w,
+                         "tf": agg["count_all"].cast(pa.int64()),
+                         "__part": pa.array(
+                             (h % np.uint64(num_partitions)).astype(
+                                 np.uint32), pa.uint32())})
+
+    from ..sketchlib.hashing import mix64
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "__part2": pa.array([], pa.uint32())})
+        t = t.drop_columns(["__part"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("word", "ascending")]))
+        w = t["word"].combine_chunks() if \
+            isinstance(t["word"], pa.ChunkedArray) else t["word"]
+        # run lengths over sorted words = document frequency (each (doc,
+        # word) pair is distinct by construction)
+        neq = pc.not_equal(w.slice(1), w.slice(0, len(w) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        sizes = np.diff(np.append(starts, len(w)))
+        df = np.repeat(sizes, sizes).astype(np.int64)
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col], "word": t["word"], "tf": t["tf"],
+            "df": pa.array(df, pa.int64()),
+            "__part2": pa.array(
+                (mix64(doc.astype(np.uint64))
+                 % np.uint64(num_partitions)).astype(np.uint32),
+                pa.uint32())})
+
+    def top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        t = t.drop_columns(["__part2"])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (id_col, "ascending"), ("tf", "descending"),
+            ("df", "ascending"), ("word", "ascending")]))
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        new_doc = np.empty(len(d), bool)
+        new_doc[0] = True
+        new_doc[1:] = d[1:] != d[:-1]
+        return t.filter(pa.array(new_doc))
+
+    pairs = ds.map_batches(explode_tf, batch_format="pyarrow")
+    with_df = pairs.groupby("__part").map_groups(
+        attach_df, batch_format="pyarrow")
+    return with_df.groupby("__part2").map_groups(
+        top1, batch_format="pyarrow")

@@ -1377,3 +1377,25 @@ def test_word_topk_exact_counts(rd):
     # counts: a=14, b=21, c=21, d=7 -> top3 = b(21), c(21), a(14)
     assert out["word"].to_pylist() == ["b", "c", "a"]
     assert out["cnt"].to_pylist() == [21, 21, 14]
+
+
+def test_distinctive_terms_tf_df_ranking(rd):
+    """tf desc, df asc, word asc — one row per doc, integer-only ranking."""
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        # 'the' is frequent everywhere (high df); doc-specific terms win
+        "text": pa.array(["the the cat cat cat",
+                          "the dog dog bird",
+                          "the the the"])})
+    from setsketch_ray.functions.text import distinctive_terms
+
+    out = pa.concat_tables(list(
+        distinctive_terms(rd.from_arrow(t).repartition(2), "doc_id", "text")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc0: cat tf=3 > the tf=2 -> cat (df of cat = 1)
+    # doc1: dog tf=2 > the/bird tf=1 -> dog
+    # doc2: the tf=3, df=3
+    assert list(out["word"]) == ["cat", "dog", "the"]
+    assert list(out["tf"]) == [3, 2, 3]
+    assert list(out["df"]) == [1, 1, 3]
