@@ -813,6 +813,48 @@ def _q_small_quantity_revenue(sf_dir: str):
                      "n": agg["n"].cast(pa.int64())})
 
 
+def _q_value_variance_by_type(sf_dir: str):
+    """Distributed population variance/stddev per event_type from integer
+    sufficient statistics (n, sum_c, sumsq_c — cents domain, associativity
+    -proof), finished with an IDENTICAL float expression tree on both
+    engines: msq = sumsq/n, mean = sum/n, var = msq - mean*mean, std =
+    sqrt(var).  All integers stay < 2^53 so the int->double conversions are
+    exact (DuckDB's HUGEINT->DOUBLE cast is NOT correctly rounded — tested;
+    that is why the oracle casts the BIGINT sums, never HUGEINT products)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    def scaled(t: pa.Table) -> pa.Table:
+        vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "vc": vc,
+                         "vsq": pc.multiply(vc, vc)})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    agg = grouped_aggregate(ds, ["event_type"], {
+        "n": ("count", None),
+        "sum_c": ("sum", "vc"),
+        "sumsq_c": ("sum", "vsq"),
+    })
+    n = agg["n"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    s = agg["sum_c"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    sq = agg["sumsq_c"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    mean_c = s / n
+    msq_c = sq / n
+    var_c2 = msq_c - mean_c * mean_c
+    return pa.table({
+        "event_type": agg["event_type"],
+        "n": agg["n"].cast(pa.int64()),
+        "mean_c": pa.array(mean_c, pa.float64()),
+        "var_c2": pa.array(var_c2, pa.float64()),
+        "std_c": pa.array(np.sqrt(var_c2), pa.float64())})
+
+
 def _q_distinctive_terms(sf_dir: str):
     """Most distinctive term per document (integer-only TF-IDF surrogate:
     tf desc, df asc, term asc — functions/text.distinctive_terms): explode
@@ -1231,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": _q_top_words,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "distinctive_terms": _q_distinctive_terms,
+        "value_variance_by_type": _q_value_variance_by_type,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
@@ -1478,6 +1521,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN g ON l_partkey = pk "
             "WHERE CAST(round(l_quantity*100) AS BIGINT) * 5 * cnt "
             "< sum_qty_c GROUP BY l_returnflag",
+        "value_variance_by_type":
+            "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_c, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT) * "
+            "CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sumsq_c "
+            "FROM events GROUP BY event_type), "
+            "m AS (SELECT event_type, n, "
+            "CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c, "
+            "CAST(sumsq_c AS DOUBLE) / CAST(n AS DOUBLE) AS msq_c FROM s) "
+            "SELECT event_type, n, mean_c, "
+            "msq_c - mean_c * mean_c AS var_c2, "
+            "sqrt(msq_c - mean_c * mean_c) AS std_c FROM m",
         "distinctive_terms":
             "WITH dw AS (SELECT doc_id, word, "
             "CAST(count(*) AS BIGINT) AS tf FROM ("
