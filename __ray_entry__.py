@@ -855,6 +855,73 @@ def _q_value_variance_by_type(sf_dir: str):
         "std_c": pa.array(np.sqrt(var_c2), pa.float64())})
 
 
+def _q_value_hour_corr_by_type(sf_dir: str):
+    """Distributed Pearson correlation (value cents x hour-of-day) per
+    event_type from FIVE integer sufficient statistics (n, sx, sy, sxy,
+    sxx, syy — all associativity-proof int64 sums < 2^53), finished with an
+    identical float expression tree on both engines (same technique as
+    value_variance_by_type)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        y = pc.hour(t["ts"]).cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "x": x, "y": y,
+                         "xy": pc.multiply(x, y),
+                         "xx": pc.multiply(x, x),
+                         "yy": pc.multiply(y, y)})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]) \
+        .map_batches(stats, batch_format="pyarrow")
+    agg = grouped_aggregate(ds, ["event_type"], {
+        "n": ("count", None), "sx": ("sum", "x"), "sy": ("sum", "y"),
+        "sxy": ("sum", "xy"), "sxx": ("sum", "xx"), "syy": ("sum", "yy"),
+    })
+
+    def f(col):
+        return agg[col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+
+    n, sx, sy = f("n"), f("sx"), f("sy")
+    mx, my = sx / n, sy / n
+    cov = f("sxy") / n - mx * my
+    vx = f("sxx") / n - mx * mx
+    vy = f("syy") / n - my * my
+    corr = cov / np.sqrt(vx * vy)
+    return pa.table({"event_type": agg["event_type"],
+                     "n": agg["n"].cast(pa.int64()),
+                     "corr_value_hour": pa.array(corr, pa.float64())})
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width value histogram per event_type (width_bucket shape):
+    bucket = cents // 1000 — pure integer floor division on both engines,
+    then a partial+final grouped count."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "bucket": pa.array(vc // 1000, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(bucketize, batch_format="pyarrow")
+    agg = grouped_aggregate(ds, ["event_type", "bucket"],
+                            {"n": ("count", None)})
+    return pa.table({"event_type": agg["event_type"],
+                     "bucket": agg["bucket"],
+                     "n": agg["n"].cast(pa.int64())})
+
+
 def _q_distinctive_terms(sf_dir: str):
     """Most distinctive term per document (integer-only TF-IDF surrogate:
     tf desc, df asc, term asc — functions/text.distinctive_terms): explode
@@ -1274,6 +1341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": _q_small_quantity_revenue,
         "distinctive_terms": _q_distinctive_terms,
         "value_variance_by_type": _q_value_variance_by_type,
+        "value_hour_corr_by_type": _q_value_hour_corr_by_type,
+        "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
@@ -1534,6 +1603,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n, mean_c, "
             "msq_c - mean_c * mean_c AS var_c2, "
             "sqrt(msq_c - mean_c * mean_c) AS std_c FROM m",
+        "value_hour_corr_by_type":
+            "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sx, "
+            "CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)) AS BIGINT) "
+            "AS sy, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT) * "
+            "CAST(extract(hour FROM ts) AS BIGINT)) AS BIGINT) AS sxy, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT) * "
+            "CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sxx, "
+            "CAST(sum(CAST(extract(hour FROM ts) AS BIGINT) * "
+            "CAST(extract(hour FROM ts) AS BIGINT)) AS BIGINT) AS syy "
+            "FROM events GROUP BY event_type), "
+            "m AS (SELECT event_type, n, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx, "
+            "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my, "
+            "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS mxy, "
+            "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS mxx, "
+            "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS myy FROM s) "
+            "SELECT event_type, n, (mxy - mx * my) / "
+            "sqrt((mxx - mx * mx) * (myy - my * my)) AS corr_value_hour "
+            "FROM m",
+        "value_histogram":
+            "SELECT event_type, "
+            "CAST(round(value*100) AS BIGINT) // 1000 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type, bucket",
         "distinctive_terms":
             "WITH dw AS (SELECT doc_id, word, "
             "CAST(count(*) AS BIGINT) AS tf FROM ("
