@@ -204,6 +204,24 @@ def run_benchmarks() -> dict:
     entrymod._q_events_rank(SF_DIR).count()
     timings["events_rank"] = time.time() - t0
 
+    # --- latest additions (Q17 avg-threshold, full outer join, integer
+    # TF-IDF surrogate, exact word top-k, exact grouped variance)
+    t0 = time.time()
+    entrymod._q_small_quantity_revenue(SF_DIR)
+    timings["small_quantity_revenue"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_orders_customers_full(SF_DIR).count()
+    timings["orders_customers_full"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_distinctive_terms(SF_DIR).count()
+    timings["distinctive_terms"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_top_words(SF_DIR)
+    timings["top_words"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_value_variance_by_type(SF_DIR)
+    timings["value_variance_by_type"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

@@ -1399,3 +1399,18 @@ def test_distinctive_terms_tf_df_ranking(rd):
     assert list(out["word"]) == ["cat", "dog", "the"]
     assert list(out["tf"]) == [3, 2, 3]
     assert list(out["df"]) == [1, 1, 3]
+
+
+def test_grouped_mode_string_keys(rd):
+    """String grouping keys ride hash_str_u64 partitioning."""
+    t = pa.table({"k": pa.array(["a", "a", "a", "b", "b"]),
+                  "v": pa.array([3, 3, 1, 2, 1], pa.int64())})
+    from setsketch_ray.functions.relational import grouped_mode
+
+    out = pa.concat_tables(list(
+        grouped_mode(rd.from_arrow(t).repartition(2), "k", "v")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == ["a", "b"]
+    assert list(out["mode_value"]) == [3, 1]   # b ties 2/1 -> smallest value
+    assert list(out["cnt"]) == [2, 1]
