@@ -19,6 +19,9 @@ import numpy as np
 import pyarrow as pa
 
 
+_READ_SCHEMA_CACHE: dict = {}
+
+
 def _read(sf_dir: str, table: str, columns=None):
     """Column-pruned parquet read.  Block count defaults to the session's CPU
     count: Ray's auto-split makes ~tiny blocks at test scale and per-task
@@ -30,13 +33,24 @@ def _read(sf_dir: str, table: str, columns=None):
 
     nb = int(os.environ.get("RAY_GRAFT_BLOCKS", "0")) or \
         max(4, int(ray.cluster_resources().get("CPU", 8)))
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
-                         override_num_blocks=nb)
     # The driver's pandas-written parquet embeds b'pandas' schema metadata,
     # which makes pa.Schema unhashable and defeats Ray Data's schema-dedup
-    # fast path (a logged warning per task).  Stripping is metadata-only
-    # (zero-copy) and the map fuses with the read operator.
-    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    # fast path (a logged warning per read task).  Passing an explicit
+    # metadata-stripped schema kills it at the source — blocks come out of
+    # ReadParquet already clean (the old post-read strip map couldn't reach
+    # inside the fused ReadParquet->SplitBlocks operator).
+    path = f"{sf_dir}/{table}.parquet"
+    key = (path, tuple(columns) if columns else None)
+    sch = _READ_SCHEMA_CACHE.get(key)
+    if sch is None:
+        import pyarrow.parquet as pq
+
+        full = pq.ParquetFile(path).schema_arrow.remove_metadata()
+        sch = pa.schema([full.field(n) for n in columns]) if columns \
+            else full
+        _READ_SCHEMA_CACHE[key] = sch
+    return rd.read_parquet(path, columns=columns, schema=sch,
+                           override_num_blocks=nb)
 
 
 def _strip_schema_metadata(t: pa.Table) -> pa.Table:

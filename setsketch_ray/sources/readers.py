@@ -35,11 +35,22 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
                 "reader supports Lance in production and parquet here"
             ) from e
         ds = rd.read_lance(path, **kwargs)
-    else:
-        ds = rd.read_parquet(path, **kwargs)
-    # Strip file-embedded schema metadata (e.g. pandas'): unhashable
-    # metadata dicts defeat Ray Data's schema-dedup fast path and spam a
-    # warning per task.  Zero-copy; fuses with the read operator.
+        # Strip file-embedded schema metadata: unhashable metadata dicts
+        # defeat Ray Data's schema-dedup fast path and spam a warning per
+        # task.  Zero-copy; fuses with the read operator.
+        return ds.map_batches(_strip_schema_metadata,
+                              batch_format="pyarrow")
+    # parquet: pass an explicit metadata-stripped schema so blocks come out
+    # of ReadParquet already clean — a post-read strip map cannot reach the
+    # warnings raised inside the fused ReadParquet->SplitBlocks operator
+    if "schema" not in kwargs and os.path.isfile(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        full = pq.ParquetFile(path).schema_arrow.remove_metadata()
+        kwargs["schema"] = pa.schema(
+            [full.field(n) for n in columns]) if columns else full
+    ds = rd.read_parquet(path, **kwargs)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 
