@@ -827,6 +827,18 @@ def _q_small_quantity_revenue(sf_dir: str):
                      "n": agg["n"].cast(pa.int64())})
 
 
+def _q_funnel_view_click_purchase(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase, each strictly after the
+    previous step's EARLIEST qualifying event — the unique greedy anchor, so
+    no tiebreak needed): functions/streaming.funnel_users, one lexsort +
+    one np.minimum.at pass per step per key partition."""
+    from setsketch_ray.functions.streaming import funnel_users
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_users(ds, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+
+
 def _q_value_variance_by_type(sf_dir: str):
     """Distributed population variance/stddev per event_type from integer
     sufficient statistics (n, sum_c, sumsq_c — cents domain, associativity
@@ -1356,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": _q_distinctive_terms,
         "value_variance_by_type": _q_value_variance_by_type,
         "value_hour_corr_by_type": _q_value_hour_corr_by_type,
+        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1617,6 +1630,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n, mean_c, "
             "msq_c - mean_c * mean_c AS var_c2, "
             "sqrt(msq_c - mean_c * mean_c) AS std_c FROM m",
+        "funnel_view_click_purchase":
+            "WITH v AS (SELECT user_id, min(ts) AS t0 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e "
+            "JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > v.t0 "
+            "GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > c.t1 "
+            "GROUP BY e.user_id) "
+            "SELECT v.user_id, v.t0 AS ts_0_view, c.t1 AS ts_1_click, "
+            "p.t2 AS ts_2_purchase FROM v "
+            "JOIN c ON v.user_id = c.user_id "
+            "JOIN p ON c.user_id = p.user_id",
         "value_hour_corr_by_type":
             "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sx, "

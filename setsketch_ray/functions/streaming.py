@@ -432,3 +432,76 @@ def rolling_sum(ds, key_col: str, ts_col: str, value_col: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def funnel_users(ds, key_col: str, ts_col: str, type_col: str,
+                 steps: list[str], num_partitions: int = 32):
+    """Ordered-funnel completion (the product-analytics classic): keys that
+    performed ``steps[0]``, then ``steps[1]`` STRICTLY after it, then ... —
+    each step anchored at the EARLIEST qualifying timestamp (the unique
+    greedy choice, so results are deterministic without a tiebreak column).
+
+    Hash-partition by key, one lexsort per partition, then one vectorized
+    pass per step: ``np.minimum.at`` folds each step's qualifying rows to a
+    per-key threshold for the next step — O(steps x rows), no per-user
+    Python, rows never leave their key partition.
+
+    Returns a Dataset of (key, ``ts_<i>_<step>`` for each step) — one row
+    per completing key.
+    """
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    step_cols = [f"ts_{i}_{s}" for i, s in enumerate(steps)]
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        key_t = t.schema.field(key_col).type
+        ts_t = t.schema.field(ts_col).type
+        empty = pa.table(
+            {key_col: pa.array([], key_t),
+             **{c: pa.array([], ts_t) for c in step_cols}})
+        if t.num_rows == 0:
+            return empty
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, keys))
+        k = keys[order]
+        ts = ts[order]
+        typ = t[type_col].take(pa.array(order, pa.int64()))
+        typ = typ.combine_chunks() if isinstance(typ, pa.ChunkedArray) \
+            else typ
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        kcode = np.cumsum(new_key) - 1          # dense per-partition key id
+        n_keys = kcode[-1] + 1
+        NONE = np.iinfo(np.int64).max
+        thr = np.full(n_keys, np.iinfo(np.int64).min)
+        hit_ts = []
+        alive = np.ones(n_keys, bool)
+        for si, step in enumerate(steps):
+            is_step = pc.equal(typ, step).to_numpy(zero_copy_only=False)
+            sel = is_step & (ts > thr[kcode]) & alive[kcode]
+            nxt = np.full(n_keys, NONE)
+            np.minimum.at(nxt, kcode[sel], ts[sel])
+            alive &= nxt != NONE
+            thr = nxt
+            hit_ts.append(nxt)
+        surv = np.flatnonzero(alive)
+        if len(surv) == 0:
+            return empty
+        first_rows = np.flatnonzero(new_key)[surv]
+        cols = {key_col: pa.array(k[first_rows]).cast(key_t)}
+        for c, h in zip(step_cols, hit_ts):
+            cols[c] = pa.array(h[surv], pa.int64()).cast(ts_t)
+        return pa.table(cols)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")

@@ -1414,3 +1414,38 @@ def test_grouped_mode_string_keys(rd):
     assert list(out["k"]) == ["a", "b"]
     assert list(out["mode_value"]) == [3, 1]   # b ties 2/1 -> smallest value
     assert list(out["cnt"]) == [2, 1]
+
+
+def test_funnel_users_order_and_strictness(rd):
+    """Steps must occur strictly after the previous step's earliest hit;
+    out-of-order and equal-timestamp events do not count."""
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: clean funnel a -> b -> c
+        (1, T(1), "a"), (1, T(2), "b"), (1, T(3), "c"),
+        # user 2: b before a only -> no funnel
+        (2, T(1), "b"), (2, T(2), "a"), (2, T(3), "c"),
+        # user 3: b at SAME ts as first a -> strict > fails, later b ok
+        (3, T(1), "a"), (3, T(1), "b"), (3, T(5), "b"), (3, T(6), "c"),
+        # user 4: missing c
+        (4, T(1), "a"), (4, T(2), "b"),
+        # user 5: two a's; funnel anchors on the EARLIEST a
+        (5, T(4), "a"), (5, T(2), "a"), (5, T(3), "b"), (5, T(9), "c"),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "typ": pa.array([r[2] for r in rows])})
+    from setsketch_ray.functions.streaming import funnel_users
+
+    out = pa.concat_tables(list(
+        funnel_users(rd.from_arrow(t).repartition(3), "u", "ts", "typ",
+                     ["a", "b", "c"])
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    assert list(out["u"]) == [1, 3, 5]
+    assert list(out["ts_1_b"]) == [T(2), T(5), T(3)]
+    # user 5's anchor is the earlier a at T(2), so b at T(3) qualifies
+    assert out.loc[out["u"] == 5, "ts_0_a"].iloc[0] == T(2)
