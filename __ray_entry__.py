@@ -839,6 +839,17 @@ def _q_funnel_view_click_purchase(sf_dir: str):
                         ["view", "click", "purchase"])
 
 
+def _q_weekly_retention(sf_dir: str):
+    """Weekly cohort retention (active users per epoch week + how many
+    return the following week): per-batch (user, week) dedup partials,
+    user-hash co-partition, one np.unique + adjacent-difference pass
+    (functions/streaming.weekly_retention); only distinct pairs shuffle."""
+    from setsketch_ray.functions.streaming import weekly_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return weekly_retention(ds, "user_id", "ts")
+
+
 def _q_value_variance_by_type(sf_dir: str):
     """Distributed population variance/stddev per event_type from integer
     sufficient statistics (n, sum_c, sumsq_c — cents domain, associativity
@@ -1369,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_variance_by_type": _q_value_variance_by_type,
         "value_hour_corr_by_type": _q_value_hour_corr_by_type,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
+        "weekly_retention": _q_weekly_retention,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1630,6 +1642,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n, mean_c, "
             "msq_c - mean_c * mean_c AS var_c2, "
             "sqrt(msq_c - mean_c * mean_c) AS std_c FROM m",
+        "weekly_retention":
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS bucket FROM events) "
+            "SELECT a.bucket, CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_retained "
+            "FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id "
+            "AND b.bucket = a.bucket + 1 GROUP BY a.bucket",
         "funnel_view_click_purchase":
             "WITH v AS (SELECT user_id, min(ts) AS t0 FROM events "
             "WHERE event_type = 'view' GROUP BY user_id), "

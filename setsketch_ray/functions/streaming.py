@@ -505,3 +505,67 @@ def funnel_users(ds, key_col: str, ts_col: str, type_col: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def weekly_retention(ds, key_col: str, ts_col: str,
+                     bucket_us: int = 604_800_000_000,
+                     num_partitions: int = 32) -> pa.Table:
+    """Cohort retention: for every time bucket (default epoch week), how
+    many distinct keys were active, and how many of those are active again
+    in the NEXT bucket.  Per-batch (key, bucket) dedup partials, key-hash
+    co-partition (a key's whole timeline meets in one partition), one
+    lexsort + adjacent-difference pass, then a tiny per-bucket combine.
+    Only distinct (key, bucket) pairs cross the shuffle.
+
+    Returns a pyarrow Table (bucket int64, n_users, n_retained).
+    """
+    from ..sketchlib.hashing import mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pairs = pa.table({key_col: t[key_col],
+                          "bucket": pa.array(ts // bucket_us, pa.int64())})
+        uniq = pairs.group_by([key_col, "bucket"]).aggregate([])
+        u = uniq[key_col].to_numpy(zero_copy_only=False)
+        return uniq.append_column("__part", pa.array(
+            (mix64(u.astype(np.uint64)) % np.uint64(num_partitions))
+            .astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64()),
+                             "n_retained": pa.array([], pa.int64())})
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        # global dedup of (key, bucket): batch partials can repeat a pair
+        kb = np.stack([k, b], axis=1)
+        kb = np.unique(kb, axis=0)
+        k, b = kb[:, 0], kb[:, 1]
+        # sorted by (key, bucket) from np.unique's lexicographic order
+        same_key = k[1:] == k[:-1]
+        retained = same_key & (b[1:] == b[:-1] + 1)
+        # per-bucket counts: active keys, and keys retained into bucket+1
+        buckets, n_users = np.unique(b, return_counts=True)
+        ret_b, ret_n = np.unique(b[:-1][retained], return_counts=True)
+        ret_map = dict(zip(ret_b.tolist(), ret_n.tolist()))
+        n_ret = np.array([ret_map.get(x, 0) for x in buckets.tolist()],
+                         dtype=np.int64)
+        return pa.table({"bucket": pa.array(buckets, pa.int64()),
+                         "n_users": pa.array(n_users.astype(np.int64)),
+                         "n_retained": pa.array(n_ret)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+    merged = pa.concat_tables(list(
+        parts.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    if merged.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64()),
+                         "n_retained": pa.array([], pa.int64())})
+    agg = merged.group_by(["bucket"]).aggregate(
+        [("n_users", "sum"), ("n_retained", "sum")])
+    agg = agg.take(pc.sort_indices(agg, sort_keys=[("bucket", "ascending")]))
+    return pa.table({"bucket": agg["bucket"],
+                     "n_users": agg["n_users_sum"].cast(pa.int64()),
+                     "n_retained": agg["n_retained_sum"].cast(pa.int64())})
