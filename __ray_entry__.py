@@ -839,6 +839,29 @@ def _q_funnel_view_click_purchase(sf_dir: str):
                         ["view", "click", "purchase"])
 
 
+def _q_docs_regex_by_lang(sf_dir: str):
+    """Regex-filtered doc counts per language: one RE2
+    ``match_substring_regex`` kernel per batch (DuckDB's regexp_matches is
+    also RE2 — identical match semantics), then a partial+final grouped
+    count."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    pattern = r"(fast|slow) (join|merge)"
+
+    def flt(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        return t.filter(pc.match_substring_regex(txt, pattern))
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]) \
+        .map_batches(flt, batch_format="pyarrow")
+    agg = grouped_aggregate(ds, ["lang"], {"n": ("count", None)})
+    return pa.table({"lang": agg["lang"], "n": agg["n"].cast(pa.int64())})
+
+
 def _q_weekly_retention(sf_dir: str):
     """Weekly cohort retention (active users per epoch week + how many
     return the following week): per-batch (user, week) dedup partials,
@@ -1225,6 +1248,18 @@ def _q_value_quantiles(sf_dir: str):
         ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
 
 
+def _q_value_quantiles_cont(sf_dir: str):
+    """Exact CONTINUOUS quantiles (DuckDB quantile_cont parity): same
+    distinct-count plan as value_quantiles plus the verified symmetric
+    interpolation (1-frac)*lo + frac*hi on the original doubles — bit-exact
+    (relational.quantiles_cont_fixedpoint)."""
+    from setsketch_ray.functions.relational import quantiles_cont_fixedpoint
+
+    ds = _read(sf_dir, "events", ["value"])
+    return quantiles_cont_fixedpoint(
+        ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9], scale=100)
+
+
 def _q_value_quantiles_by_type(sf_dir: str):
     """Per-group exact discrete quantiles (grouped form of value_quantiles;
     shuffle volume = distinct (group, value) pairs, final walk one lexsort
@@ -1381,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr_by_type": _q_value_hour_corr_by_type,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "weekly_retention": _q_weekly_retention,
+        "docs_regex_by_lang": _q_docs_regex_by_lang,
+        "value_quantiles_cont": _q_value_quantiles_cont,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1642,6 +1679,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n, mean_c, "
             "msq_c - mean_c * mean_c AS var_c2, "
             "sqrt(msq_c - mean_c * mean_c) AS std_c FROM m",
+        "docs_regex_by_lang":
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents "
+            "WHERE regexp_matches(text, '(fast|slow) (join|merge)') GROUP BY lang",
+        "value_quantiles_cont":
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"quantile_cont(value, {q}) AS value FROM events"
+                for q in (0.1, 0.25, 0.5, 0.75, 0.9)),
         "weekly_retention":
             "WITH uw AS (SELECT DISTINCT user_id, "
             "epoch_us(ts) // 604800000000 AS bucket FROM events) "
