@@ -839,6 +839,23 @@ def _q_funnel_view_click_purchase(sf_dir: str):
                         ["view", "click", "purchase"])
 
 
+def _q_approx_key_overlap(sf_dir: str):
+    """Sketch-based overlap of orders.o_custkey vs customer.c_custkey
+    distinct key sets (aggregates.approx_key_overlap): one GHLL union per
+    side, the paper's joint ML estimator (E4) on the register pair.
+    Rows-only: the output is an ESTIMATE (rel. error ~1.04/sqrt(m)); the
+    accuracy contract vs the exact intersection is asserted in
+    tests/test_functions.py::test_approx_key_overlap_accuracy."""
+    import pandas as pd
+
+    from setsketch_ray.aggregates import approx_key_overlap
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    res = approx_key_overlap(orders, "o_custkey", cust, "c_custkey")
+    return pd.DataFrame([res])
+
+
 def _q_docs_regex_by_lang(sf_dir: str):
     """Regex-filtered doc counts per language: one RE2
     ``match_substring_regex`` kernel per batch (DuckDB's regexp_matches is
@@ -1418,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_retention": _q_weekly_retention,
         "docs_regex_by_lang": _q_docs_regex_by_lang,
         "value_quantiles_cont": _q_value_quantiles_cont,
+        "approx_key_overlap": _q_approx_key_overlap,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,

@@ -200,3 +200,34 @@ def approx_distinct_by(ds, key_col: str, column: str, m: int = 4096,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(combine,
                                                 batch_format="pyarrow")
+
+
+def approx_key_overlap(left, left_col: str, right, right_col: str,
+                       m: int = 4096, base: float = 2.0,
+                       q: int = 62) -> dict:
+    """Sketch-based set-overlap estimate between two tables' key columns —
+    the paper's joint estimator as a RELATIONAL operator: one distributed
+    GHLL union per side (m-byte partials through the tree combine, the data
+    never shuffles), then ``estimateJointNew`` (E4,
+    ``/root/reference/c++/sketch.hpp:635-678``) on the two register rows.
+
+    The 100 TB alternative — exact |A ∩ B| — is a full co-partition of both
+    distinct key sets; this is two map-side folds and a constant-size
+    driver step.  Deterministic (counter-mode hashing).
+
+    Returns {card_left, card_right, intersection, union, jaccard} (floats).
+    """
+    sk = GHLL(m=m, base=base, q=q)
+    ra = multi_sketch_union(left, left_col, {"g": sk})["g"]
+    rb = multi_sketch_union(right, right_col, {"g": sk})["g"]
+    est = SetSketchEstimator(q, 1.0 / m, base, m,
+                             card_range_correction=True,
+                             joint_range_correction=True)
+    res = est.estimate_joint_new(ra[None, :], rb[None, :])
+    return {
+        "card_left": float(res.cardinality1[0]),
+        "card_right": float(res.cardinality2[0]),
+        "intersection": float(res.intersection[0]),
+        "union": float(res.union[0]),
+        "jaccard": float(res.jaccard[0]),
+    }

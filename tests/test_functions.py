@@ -1449,3 +1449,26 @@ def test_funnel_users_order_and_strictness(rd):
     assert list(out["ts_1_b"]) == [T(2), T(5), T(3)]
     # user 5's anchor is the earlier a at T(2), so b at T(3) qualifies
     assert out.loc[out["u"] == 5, "ts_0_a"].iloc[0] == T(2)
+
+
+def test_approx_key_overlap_accuracy(rd):
+    """Joint-estimator overlap of two key columns lands within the sketch's
+    expected relative error of the exact intersection."""
+    rng = np.random.default_rng(31)
+    a = np.arange(0, 30_000, dtype=np.int64)            # A = [0, 30k)
+    b = np.arange(20_000, 60_000, dtype=np.int64)       # B = [20k, 60k)
+    # true: |A|=30k, |B|=40k, inter=10k, union=60k, J=1/6
+    ta = pa.table({"k": pa.array(rng.permutation(a))})
+    tb = pa.table({"k": pa.array(rng.permutation(b))})
+    from setsketch_ray.aggregates import approx_key_overlap
+
+    res = approx_key_overlap(rd.from_arrow(ta).repartition(4), "k",
+                             rd.from_arrow(tb).repartition(4), "k")
+    assert abs(res["card_left"] / 30_000 - 1) < 0.10
+    assert abs(res["card_right"] / 40_000 - 1) < 0.10
+    assert abs(res["intersection"] / 10_000 - 1) < 0.25
+    assert abs(res["jaccard"] / (1 / 6) - 1) < 0.25
+    # determinism: same input -> bit-identical estimate
+    res2 = approx_key_overlap(rd.from_arrow(ta).repartition(2), "k",
+                              rd.from_arrow(tb).repartition(7), "k")
+    assert res2 == res
