@@ -1289,6 +1289,17 @@ def _q_value_quantiles_by_type(sf_dir: str):
         ds, "event_type", "value", [0.25, 0.5, 0.9], scale=100)
 
 
+def _q_value_quantiles_cont_by_type(sf_dir: str):
+    """Per-group exact CONTINUOUS quantiles (cont=True: DuckDB
+    quantile_cont's verified symmetric interpolation per group)."""
+    from setsketch_ray.functions.relational import \
+        grouped_quantiles_fixedpoint
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_fixedpoint(
+        ds, "event_type", "value", [0.25, 0.5, 0.9], scale=100, cont=True)
+
+
 def _q_approx_distinct_methods(sf_dir: str):
     """Distinct l_partkey estimated by every sketch family (GHLL / HLL /
     SetSketch1 / SetSketch2 / MinHash / HyperMinHash) in ONE pass: the
@@ -1458,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
+        "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "top_events_per_user": _q_top_events_per_user,
     }
 
@@ -1965,5 +1977,9 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_by_type":
             "SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q, "
             "unnest(quantile_disc(value, [0.25, 0.5, 0.9])) AS value "
+            "FROM events GROUP BY event_type",
+        "value_quantiles_cont_by_type":
+            "SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q, "
+            "unnest(quantile_cont(value, [0.25, 0.5, 0.9])) AS value "
             "FROM events GROUP BY event_type",
     }

@@ -888,7 +888,8 @@ def grouped_count_distinct(ds, key_col: str, value_col: str,
 
 def grouped_quantiles_fixedpoint(ds, key_col: str, column: str,
                                  qs: list[float],
-                                 scale: int = 100) -> pa.Table:
+                                 scale: int = 100,
+                                 cont: bool = False) -> pa.Table:
     """Per-group exact discrete quantiles of a fixed-point-decimal column —
     the grouped form of :func:`quantiles_fixedpoint`, same contract
     (``quantile_disc`` rule ``ceil(q*n)-1``, ``round(x*scale)/scale == x``).
@@ -897,6 +898,10 @@ def grouped_quantiles_fixedpoint(ds, key_col: str, column: str,
     lexsort over those distinct pairs + a per-(group, q) searchsorted into
     each group's cumulative slice — driver work is O(distinct pairs), never
     O(rows).
+
+    ``cont=True`` switches to CONTINUOUS quantiles with DuckDB
+    ``quantile_cont``'s exact interpolation (the verified symmetric form —
+    see :func:`quantiles_cont_fixedpoint`).
 
     Returns ``pa.table({key_col, "q": float64, "value": float64})`` with
     len(qs) rows per group.
@@ -935,11 +940,22 @@ def grouped_quantiles_fixedpoint(ds, key_col: str, column: str,
         gcum = cum[s:e] - base[g]
         n = int(gcum[-1])
         for q in qs:
-            k = max(1, math.ceil(q * n))
-            i = int(np.searchsorted(gcum, k))
             out_k.append(keys[s])
             out_q.append(float(q))
-            out_v.append(float(v[s + i]) / scale)
+            if cont:
+                pos = q * (n - 1)
+                lo = int(math.floor(pos))
+                hi = int(math.ceil(pos))
+                frac = pos - lo
+                xlo = float(v[s + int(np.searchsorted(gcum, lo + 1))]) \
+                    / scale
+                xhi = float(v[s + int(np.searchsorted(gcum, hi + 1))]) \
+                    / scale
+                out_v.append((1.0 - frac) * xlo + frac * xhi)
+            else:
+                k = max(1, math.ceil(q * n))
+                i = int(np.searchsorted(gcum, k))
+                out_v.append(float(v[s + i]) / scale)
     return pa.table({key_col: pa.array(out_k,
                                        counts[key_col].type),
                      "q": pa.array(out_q, pa.float64()),
