@@ -92,11 +92,16 @@ class EmitPairsPartition:
     """
 
     def __init__(self, modalities, id_col: str = "image_id",
-                 group_cap: int = 64, num_partitions: int = 128):
+                 group_cap: int = 64, num_partitions: int = 128,
+                 new_col: str | None = None):
         self.modalities = modalities
         self.id_col = id_col
         self.group_cap = group_cap
         self.num_partitions = num_partitions
+        # incremental mode: band rows carry an int8 flag column; only pairs
+        # touching >= 1 flagged (new) row are emitted — old x old pairs were
+        # already found by the base run (pipelines/incremental.py)
+        self.new_col = new_col
 
     def _bucket_pairs(self, starts: np.ndarray, sizes: np.ndarray):
         """Pair (local) index arrays for all buckets, with the cap topology."""
@@ -135,7 +140,10 @@ class EmitPairsPartition:
         order = pc.sort_indices(
             partition, sort_keys=[("band_key", "ascending"),
                                   (self.id_col, "ascending")])
-        t = partition.select(["band_key", self.id_col]).take(order)
+        cols = ["band_key", self.id_col]
+        if self.new_col is not None:
+            cols.append(self.new_col)
+        t = partition.select(cols).take(order)
         keys = t["band_key"].to_numpy()
         boundaries = np.flatnonzero(np.diff(keys)) + 1
         starts = np.concatenate([[0], boundaries])
@@ -143,6 +151,13 @@ class EmitPairsPartition:
         i, j, oversize = self._bucket_pairs(starts, sizes)
         if len(i) == 0:
             return self._empty()
+        if self.new_col is not None:
+            is_new = t[self.new_col].to_numpy(
+                zero_copy_only=False).astype(bool)
+            touch_new = is_new[i] | is_new[j]
+            i, j, oversize = i[touch_new], j[touch_new], oversize[touch_new]
+            if len(i) == 0:
+                return self._empty()
         # drop self-pairs (same id met in the same bucket via dup band rows)
         ids = t[self.id_col]
         id_a = ids.take(pa.array(i))
