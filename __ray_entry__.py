@@ -1159,6 +1159,23 @@ def _q_normalized_docs(sf_dir: str):
     return normalize_text(ds).select_columns(["doc_id", "norm_text"])
 
 
+def _q_dedup_keep_longest(sf_dir: str):
+    """Normalized-text dedup keeping the BEST representative (longest
+    original, ties to smallest doc_id) — the keep-best flavor real
+    training-data dedup uses (vs exact_dedup_docs' keep-first):
+    normalize (RE2, oracled), then ONE hash-partitioned lexsort+rank pass
+    (functions/relational.top_k_per_group, k=1)."""
+    from setsketch_ray.functions.relational import top_k_per_group
+    from setsketch_ray.functions.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    norm = normalize_text(ds).select_columns(
+        ["doc_id", "n_chars", "norm_text"])
+    kept = top_k_per_group(norm, "norm_text", "n_chars", k=1,
+                           tiebreak_col="doc_id")
+    return kept.select_columns(["doc_id", "n_chars"])
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (actor-pool stage).  Oracled: the trigram
     presence votes + first-max-wins argmax + CJK/empty overrides translate
@@ -1452,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_users_by_type": _q_approx_users_by_type,
         "normalized_docs": _q_normalized_docs,
+        "dedup_keep_longest": _q_dedup_keep_longest,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "approx_distinct_parts": _q_approx_distinct_parts,
@@ -1796,6 +1814,14 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, trim(regexp_replace(regexp_replace(text, "
             r"'\b(a|the)\b', '', 'g'), ' +', ' ', 'g')) AS norm_text "
             "FROM documents",
+        "dedup_keep_longest":
+            r"WITH n AS (SELECT doc_id, n_chars, "
+            r"trim(regexp_replace(regexp_replace(text, '\b(a|the)\b', '', "
+            r"'g'), ' +', ' ', 'g')) AS norm_text FROM documents) "
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY norm_text ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM n) WHERE rn = 1",
         "lang_id":
             # mirrors functions/text.py LangId: per-language trigram presence
             # votes over lower(text[:400]), first-max-wins in profile order

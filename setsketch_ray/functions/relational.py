@@ -108,13 +108,16 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
     from ..sketchlib.hashing import mix64
 
     def add_part(t: pa.Table) -> pa.Table:
-        g = t[group_col].to_numpy(zero_copy_only=False)
-        if g.dtype.kind in "iu":
-            h = mix64(g.astype(np.uint64))
-        else:
+        garr = t[group_col]
+        garr = garr.combine_chunks() if isinstance(garr, pa.ChunkedArray) \
+            else garr
+        if pa.types.is_string(garr.type) \
+                or pa.types.is_large_string(garr.type):
             from ..sketchlib.hashing import hash_str_u64
 
-            h = hash_str_u64([str(v) for v in g])
+            h = hash_str_u64(garr)      # vectorized over the Arrow buffer
+        else:
+            h = mix64(garr.to_numpy(zero_copy_only=False).astype(np.uint64))
         return t.append_column("__part", pa.array(
             (h % num_partitions).astype(np.uint32), pa.uint32()))
 
