@@ -65,13 +65,19 @@ def sketch_corpus(input_path: str, cfg: DedupConfig,
                           batch_format="pyarrow", batch_size=2048)
 
 
-def incremental_near_dup(old_root: str, delta_path: str,
+def incremental_near_dup(old_roots, delta_path: str,
                          cfg: DedupConfig = DedupConfig(),
-                         id_col: str = "image_id"):
-    """Dedup a delta corpus against itself AND a finished base run.
+                         id_col: str = "image_id",
+                         out_root: str | None = None):
+    """Dedup a delta corpus against itself AND one or more finished runs.
 
-    ``old_root``: the ``out_root`` of a completed
-    :func:`~setsketch_ray.pipelines.checkpointed.run_checkpointed` run.
+    ``old_roots``: the ``out_root`` of a completed
+    :func:`~setsketch_ray.pipelines.checkpointed.run_checkpointed` run, or
+    a LIST of roots — the base run plus any earlier increments'
+    ``out_root``s, so daily increments COMPOSE: each round reads every
+    prior round's stored signatures and edges, sketches only its own
+    delta, and (with ``out_root``) persists its delta's sketch table +
+    accepted edges in the same layout for the next round.
 
     Returns ``(edges_table, mapping)`` over the COMBINED corpus — the same
     contract as the base run's (edges, mapping).
@@ -94,8 +100,37 @@ def incremental_near_dup(old_root: str, delta_path: str,
     if cfg.verify_ml and not cfg.sketch.compute_registers:
         raise ValueError("verify_ml requires sketch.compute_registers")
 
-    old_sk = rd.read_parquet(os.path.join(old_root, "sketched"))
+    roots = [old_roots] if isinstance(old_roots, str) else list(old_roots)
+    # one read per root (read_parquet expands a single directory, not a
+    # list of them), then a lazy union
+    sks = [rd.read_parquet(os.path.join(r, "sketched")) for r in roots]
+    old_sk = sks[0] if len(sks) == 1 else sks[0].union(*sks[1:])
     delta_sk = sketch_corpus(delta_path, cfg, id_col)
+    if out_root is not None:
+        # persist the delta's sketch table in the base layout so the NEXT
+        # increment can band-expand it without re-sketching
+        from ..state.checkpoint import (
+            StageCheckpoint,
+            fingerprint_config,
+            fingerprint_input,
+        )
+
+        sk_ckpt = StageCheckpoint(out_root, "sketched",
+                                  fingerprint_config(cfg),
+                                  fingerprint_input(delta_path),
+                                  "sk_part", 8)
+
+        def compute(_missing):
+            from ..pipelines.checkpointed import _id_partition
+
+            def add_part(t: pa.Table) -> pa.Table:
+                part = _id_partition(t[id_col], 8)
+                return t.append_column("sk_part",
+                                       pa.array(part, pa.int64()))
+
+            return delta_sk.map_batches(add_part, batch_format="pyarrow")
+
+        delta_sk = sk_ckpt.run(compute)
 
     # ---- band rows from both sides, tagged; ONLY ~41 B rows shuffle
     def bandify(is_new: int):
@@ -152,11 +187,24 @@ def incremental_near_dup(old_root: str, delta_path: str,
             batch_format="pyarrow", batch_size=65536))
         or [pa.table({"id_a": pa.array([], pa.string()),
                       "id_b": pa.array([], pa.string())})])
-    base_edges = pa.concat_tables(list(
-        rd.read_parquet(os.path.join(old_root, "edges")).iter_batches(
-            batch_format="pyarrow", batch_size=65536))
-        or [pa.table({"id_a": pa.array([], pa.string()),
-                      "id_b": pa.array([], pa.string())})])
+    if out_root is not None:
+        # persist this round's accepted edges for the next increment
+        import pyarrow.parquet as pq
+
+        edir = os.path.join(out_root, "edges", "e_part=0")
+        os.makedirs(edir, exist_ok=True)
+        pq.write_table(delta_edges.select(["id_a", "id_b"]),
+                       os.path.join(edir, "edges.parquet"))
+    base_edges = pa.concat_tables(
+        [pa.table({"id_a": pa.array([], pa.string()),
+                   "id_b": pa.array([], pa.string())})]
+        + [pa.concat_tables(list(
+            rd.read_parquet(os.path.join(r, "edges"))
+            .select_columns(["id_a", "id_b"]).iter_batches(
+                batch_format="pyarrow", batch_size=65536))
+            or [pa.table({"id_a": pa.array([], pa.string()),
+                          "id_b": pa.array([], pa.string())})])
+           for r in roots])
 
     id_a = base_edges["id_a"].to_pylist() + delta_edges["id_a"].to_pylist()
     id_b = base_edges["id_b"].to_pylist() + delta_edges["id_b"].to_pylist()

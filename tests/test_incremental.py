@@ -68,3 +68,30 @@ def test_incremental_matches_from_scratch(inc_env):
     ea = edges_inc["id_a"].to_pylist()
     eb = edges_inc["id_b"].to_pylist()
     assert any(int(a[3:]) < split <= int(b[3:]) for a, b in zip(ea, eb))
+
+
+def test_chained_increments_compose(inc_env, tmp_path_factory):
+    """Two increments in sequence (base -> +B1 -> +B2), each persisting its
+    delta's sketch table + edges via out_root, equal a from-scratch run."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    src, a_path, b_path, split, root = inc_env
+    # split the delta again so round 2 exists and crosses boundaries
+    full_b = pq.read_table(b_path)
+    nums = np.array([int(x[3:]) for x in full_b["image_id"].to_pylist()])
+    mid = int(np.median(nums))
+    r2 = tmp_path_factory.mktemp("inc2")
+    b1, b2 = str(r2 / "b1.parquet"), str(r2 / "b2.parquet")
+    pq.write_table(full_b.filter(pa.array(nums < mid)), b1)
+    pq.write_table(full_b.filter(pa.array(nums >= mid)), b2)
+
+    cfg = DedupConfig(sketch_concurrency=None, num_partitions=16)
+    base_root = f"{root}/base_run"          # built by the first test
+    run_checkpointed(a_path, base_root, cfg, num_partitions=8)  # no-op if done
+    inc1_root = str(r2 / "inc1")
+    incremental_near_dup(base_root, b1, cfg, out_root=inc1_root)
+    _, map_chain = incremental_near_dup([base_root, inc1_root], b2, cfg)
+    _, _, map_full = run_checkpointed(src, f"{root}/full_run", cfg,
+                                      num_partitions=8)  # cached from test 1
+    assert _partition_of(map_chain) == _partition_of(map_full)
