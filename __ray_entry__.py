@@ -493,6 +493,37 @@ def _q_events_hopping(sf_dir: str):
         value_col="value", value_scale=100)
 
 
+def _q_events_hopping_distinct(sf_dir: str):
+    """Distinct users per hopping window (1 h / 15 min) — windowed COUNT
+    DISTINCT, the streaming-analytics classic: constant-factor np.repeat
+    window expansion (each event lands in exactly 4 windows), then the
+    exact pair-hash-partitioned grouped_count_distinct; only distinct
+    (window, user) pairs cross the shuffle."""
+    import numpy as np
+
+    from setsketch_ray.functions.relational import grouped_count_distinct
+
+    window_us, hop_us = 3_600_000_000, 900_000_000
+    k = window_us // hop_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s0 = ts // hop_us * hop_us
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        return pa.table({
+            "window_start": pa.array(np.repeat(s0, k) - offs, pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": t["user_id"].take(pa.array(idx, pa.int64()))})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(expand, batch_format="pyarrow")
+    agg = grouped_count_distinct(ds, "window_start", "user_id")
+    return pa.table({"window_start": agg["window_start"],
+                     "n_users": agg["n_distinct"].cast(pa.int64())})
+
+
 def _q_parts_never_ordered(sf_dir: str):
     """Distributed ANTI join: parts that no high-quantity lineitem references
     (functions/relational.semi_anti_join — right side ships only its pruned
@@ -1434,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "events_prev_24h": _q_events_prev_24h,
         "events_hopping": _q_events_hopping,
+        "events_hopping_distinct": _q_events_hopping_distinct,
         "parts_never_ordered": _q_parts_never_ordered,
         "parts_hot_ordered": _q_parts_hot_ordered,
         "events_running_total": _q_events_running_total,
@@ -1590,6 +1622,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events CROSS JOIN "
             "(SELECT unnest(generate_series(0, 3)) AS i) g "
             "GROUP BY user_id, window_start",
+        "events_hopping_distinct":
+            "SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000 "
+            "- i * 900000000) AS window_start, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS i) g "
+            "GROUP BY window_start",
         "parts_never_ordered":
             "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN "
             "(SELECT l_partkey FROM lineitem WHERE l_quantity > 48)",
