@@ -767,6 +767,17 @@ def _q_events_rank(sf_dir: str):
         ["event_id", "user_id", "row_number", "percent_rank"])
 
 
+def _q_events_dense_rank(sf_dir: str):
+    """Per-user DENSE_RANK over the cents value + FIRST_VALUE over time
+    (functions/streaming.dense_rank_first_value): two lexsorts per key
+    partition, inverse-permutation scatter, no extra shuffle."""
+    from setsketch_ray.functions.streaming import dense_rank_first_value
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = dense_rank_first_value(ds, "user_id", "ts", "event_id", "value")
+    return out.select_columns(["event_id", "dense_rank", "first_value_c"])
+
+
 def _q_events_ntile(sf_dir: str):
     """Per-type NTILE(4) over value (functions/streaming.window_ntile): one
     lexsort per key-partition + pure integer tile arithmetic (the SQL
@@ -1485,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "orders_customers_full": _q_orders_customers_full,
         "events_ntile": _q_events_ntile,
+        "events_dense_rank": _q_events_dense_rank,
         "mode_action_per_user": _q_mode_action_per_user,
         "top_words": _q_top_words,
         "small_quantity_revenue": _q_small_quantity_revenue,
@@ -1729,6 +1741,14 @@ def oracle_sql() -> dict[str, str]:
         "events_ntile":
             "SELECT event_id, CAST(ntile(4) OVER (PARTITION BY event_type "
             "ORDER BY value, event_id) AS BIGINT) AS tile FROM events",
+        "events_dense_rank":
+            "SELECT event_id, "
+            "CAST(dense_rank() OVER (PARTITION BY user_id "
+            "ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS dense_rank, "
+            "first_value(CAST(round(value*100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS first_value_c "
+            "FROM events",
         "mode_action_per_user":
             "SELECT user_id, mode_value, cnt FROM ("
             "SELECT user_id, event_type AS mode_value, "

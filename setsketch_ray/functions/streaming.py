@@ -569,3 +569,71 @@ def weekly_retention(ds, key_col: str, ts_col: str,
     return pa.table({"bucket": agg["bucket"],
                      "n_users": agg["n_users_sum"].cast(pa.int64()),
                      "n_retained": agg["n_retained_sum"].cast(pa.int64())})
+
+
+def dense_rank_first_value(ds, key_col: str, ts_col: str,
+                           order_tiebreak: str, value_col: str,
+                           value_scale: int = 100,
+                           num_partitions: int = 32):
+    """Per-key DENSE_RANK (over the integer-scaled value) + FIRST_VALUE
+    (over time): hash-partition by key, then TWO lexsorts per partition —
+    one by (key, value) for dense ranks (cumulative count of value-change
+    boundaries within the key run), one by (key, ts, tiebreak) for the
+    first value — each scattered back to the original row order through
+    the inverse permutation.  No extra shuffle; appends int64
+    ``dense_rank`` and ``first_value_c`` (scaled integer units).
+    """
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("dense_rank", pa.int64()), ("first_value_c", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        vc = np.rint(t[value_col].to_numpy(zero_copy_only=False)
+                     * value_scale).astype(np.int64)
+        n = len(keys)
+
+        # dense_rank: sort by (key, value); boundary = new key OR new value
+        o1 = np.lexsort((vc, keys))
+        k1, v1 = keys[o1], vc[o1]
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k1[1:] != k1[:-1]
+        change = new_key.copy()
+        change[1:] |= v1[1:] != v1[:-1]
+        cum = np.cumsum(change)
+        key_start_cum = np.maximum.accumulate(np.where(new_key, cum, 0))
+        dr_sorted = cum - key_start_cum + 1
+        dr = np.empty(n, np.int64)
+        dr[o1] = dr_sorted
+
+        # first_value: sort by (key, ts, tiebreak); repeat each key's first
+        o2 = np.lexsort((tie, ts, keys))
+        k2, v2 = keys[o2], vc[o2]
+        nk2 = np.empty(n, bool)
+        nk2[0] = True
+        nk2[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(nk2)
+        sizes = np.diff(np.append(starts, n))
+        fv_sorted = np.repeat(v2[starts], sizes)
+        fv = np.empty(n, np.int64)
+        fv[o2] = fv_sorted
+
+        return t.append_column("dense_rank", pa.array(dr, pa.int64())) \
+            .append_column("first_value_c", pa.array(fv, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")
