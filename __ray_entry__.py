@@ -1458,6 +1458,361 @@ def _q_doc_fingerprints(sf_dir: str):
                      "fingerprint": pa.array([], pa.int64())})
 
 
+# ---------------------------------------------------------- TPC-H late-r2 set
+def _ts(y: int, m: int, d: int):
+    from datetime import datetime
+
+    return pa.scalar(datetime(y, m, d), pa.timestamp("us"))
+
+
+def _scalar_sum_count(ds, col: str) -> tuple[int, int]:
+    """Global (sum, count) of an int64 column: per-batch partials (combiner),
+    tiny final on the driver.  The shuffle carries one row per block."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "s": pa.array([pc.sum(t[col]).as_py() or 0], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return (sum(int(r["s"]) for r in parts), sum(int(r["n"]) for r in parts))
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 shape: 6-table chain (region->nation broadcast, customer ->
+    orders -> lineitem -> supplier lookup_joins), local-supplier condition
+    c_nationkey == s_nationkey, revenue on the 1e-4-scaled integer domain.
+    Dimension tables (nation x region, 25 rows) are broadcast as an Arrow
+    lookup inside map_batches — never shuffled."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    lo, hi = _ts(1996, 1, 1), _ts(1998, 1, 1)
+    # broadcast side: nations in ASIA (regionkey join done driver-side on the
+    # 25x5-row dimension tables)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").combine_chunks()
+    region = pq.read_table(f"{sf_dir}/region.parquet").combine_chunks()
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=asia))
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi))).drop_columns(["o_orderdate"]),
+            batch_format="pyarrow")
+    orders_c = lookup_join(
+        orders, cust, "o_custkey", "c_custkey", num_partitions=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())])) \
+        .select_columns(["o_orderkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j1 = lookup_join(
+        li, orders_c, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j2 = lookup_join(
+        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("c_nationkey", pa.int32())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.equal(t["c_nationkey"], t["s_nationkey"]),
+            pc.is_in(t["c_nationkey"], value_set=nat_keys)))
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        idx = pc.index_in(t["c_nationkey"], value_set=nat_keys)
+        return pa.table({"n_name": nat_names.take(idx),
+                         "rev_c": pa.array(c, pa.int64())})
+
+    return grouped_aggregate(j2.map_batches(rev, batch_format="pyarrow"),
+                             ["n_name"], {"revenue_c": ("sum", "rev_c")})
+
+
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a one-year window having
+    at least one returned lineitem (l_returnflag='R'; the synthetic schema
+    has no commit/receipt dates), counted per o_orderpriority.  The right
+    side ships only its key column (semi_anti_join prunes it)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    semi_anti_join)
+
+    lo, hi = _ts(1996, 1, 1), _ts(1997, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi))).drop_columns(["o_orderdate"]),
+            batch_format="pyarrow")
+    li_r = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .filter(expr="l_returnflag == 'R'")
+    hit = semi_anti_join(
+        orders, li_r, "o_orderkey", "l_orderkey", mode="semi",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderpriority", pa.string())]))
+    return grouped_aggregate(hit, ["o_orderpriority"],
+                             {"n_orders": ("count", None)})
+
+
+def _q_custdist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by how many non-urgent
+    orders they placed (including zero).  Per-custkey counts stay a Dataset
+    (grouped_aggregate final='ray'); customers LEFT-join the counts so
+    order-less customers survive with c_count=0; the final distribution
+    groupby runs over one small row per customer."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority != '1-URGENT'") \
+        .select_columns(["o_custkey"])
+    counts = grouped_aggregate(orders, ["o_custkey"],
+                               {"c_count": ("count", None)}, final="ray")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = lookup_join(
+        cust, counts, "c_custkey", "o_custkey", num_partitions=32,
+        how="left",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_count", pa.int64())]))
+
+    def fill0(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.coalesce(t["c_count"],
+                                                pa.scalar(0, pa.int64()))})
+
+    filled = joined.map_batches(fill0, batch_format="pyarrow")
+    return grouped_aggregate(filled, ["c_count"],
+                             {"custdist": ("count", None)})
+
+
+def _q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: suppliers per (p_brand, p_type, p_size) via the
+    lineitem association (no partsupp table in the synthetic schema), brand
+    exclusion + size IN-list filter, exact composite-key COUNT(DISTINCT)
+    (grouped_count_distinct with a key list — pair-hash partition, only
+    distinct (key, supplier) pairs shuffle)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_count_distinct,
+                                                    lookup_join)
+
+    sizes = pa.array([1, 5, 11, 18, 23, 32, 45], pa.int32())
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.not_equal(t["p_brand"], "Brand#2"),
+            pc.is_in(t["p_size"], value_set=sizes))),
+            batch_format="pyarrow")
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    joined = lookup_join(
+        pairs, part, "l_partkey", "p_partkey", num_partitions=32,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string()),
+                                ("p_type", pa.string()),
+                                ("p_size", pa.int32())]))
+    out = grouped_count_distinct(joined, ["p_brand", "p_type", "p_size"],
+                                 "l_suppkey")
+    return out.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+
+def _q_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    order since 2001-01-01, grouped by nation.  The global avg threshold is
+    decorrelated into two integer scalars (sum_c, n) broadcast into a PURE
+    INTEGER row filter acctbal_c * n > sum_c (exactly acctbal > avg, no
+    division); the recent-orders anti-join ships key columns only."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    semi_anti_join)
+
+    def scaled(t: pa.Table) -> pa.Table:
+        x = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        c = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal_c": pa.array(c, pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    sum_c, n_pos = _scalar_sum_count(
+        cust.filter(expr="bal_c > 0").select_columns(["bal_c"]), "bal_c")
+    rich = cust.map_batches(
+        lambda t, s=sum_c, n=n_pos: t.filter(
+            pc.greater(pc.multiply(t["bal_c"], pa.scalar(n, pa.int64())),
+                       pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow")
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], _ts(2001, 1, 1))),
+            batch_format="pyarrow")
+    lonely = semi_anti_join(
+        rich, recent, "c_custkey", "o_custkey", mode="anti",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int32()),
+                               ("bal_c", pa.int64())]))
+    return grouped_aggregate(lonely, ["c_nationkey"],
+                             {"n_cust": ("count", None),
+                              "total_acctbal_c": ("sum", "bal_c")})
+
+
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 1.5x the
+    per-part average (scale-free — a fixed fraction-of-total cutoff returns
+    0 rows at sf0.1, and an empty oracled result is forbidden: it loses its
+    schema through to_pandas).  One distributed grouped sum on the
+    cent-scaled integer domain; the HAVING threshold is the pure-integer
+    inequality value_c * nparts * 2 > 3 * total_c (exactly
+    value > 1.5 * total/nparts, no division); total and nparts come from
+    the per-part sums — no second pass over lineitem."""
+    def scaled(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "val_c": pa.array(c, pa.int64())})
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    per_part = grouped_aggregate(li, ["l_partkey"],
+                                 {"value_c": ("sum", "val_c")})
+    import pyarrow.compute as pc
+
+    total = int(pc.sum(per_part["value_c"]).as_py())
+    nparts = per_part.num_rows
+    keep = pc.greater(pc.multiply(per_part["value_c"],
+                                  pa.scalar(2 * nparts, pa.int64())),
+                      pa.scalar(3 * total, pa.int64()))
+    return per_part.filter(keep)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: percentage of a quarter's revenue from ECONOMY-type
+    parts (the synthetic p_type domain has no 'PROMO%').  Both revenue sums
+    run on the 1e-4-scaled integer domain; the percentage is ONE IEEE
+    division of two exactly-representable integers (promo_c*100 < 2^53), so
+    the float final is bit-exact against the oracle."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import lookup_join
+
+    lo, hi = _ts(1997, 1, 1), _ts(1997, 7, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo),
+            pc.less(t["l_shipdate"], hi))).drop_columns(["l_shipdate"]),
+            batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = lookup_join(
+        li, part, "l_partkey", "p_partkey", num_partitions=32,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_type", pa.string())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        promo = pc.equal(t["p_type"], "ECONOMY").to_numpy(
+            zero_copy_only=False)
+        return pa.table({"p": pa.array([int(c[promo].sum())], pa.int64()),
+                         "t": pa.array([int(c.sum())], pa.int64())})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    promo_c = sum(int(r["p"]) for r in parts)
+    total_c = sum(int(r["t"]) for r in parts)
+    pct = np.float64(promo_c * 100) / np.float64(total_c)
+    return pa.table({"promo_pct": pa.array([pct], pa.float64())})
+
+
+def _q_returned_revenue_customers(sf_dir: str):
+    """TPC-H Q10 shape: top 20 customers by returned revenue in one year
+    (l_returnflag='R' -> orders -> per-customer cent-scaled sum -> top 20 by
+    revenue desc, custkey pinning ties), customer attributes attached to the
+    20 survivors with a broadcast is_in filter — never a full join."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    lo, hi = _ts(1996, 1, 1), _ts(1997, 1, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag", "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.equal(t["l_returnflag"], "R"), pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi)))) \
+            .drop_columns(["l_returnflag", "l_shipdate"]),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def rev(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "rev_c": pa.array(c, pa.int64())})
+
+    agg = grouped_aggregate(joined.map_batches(rev, batch_format="pyarrow"),
+                            ["o_custkey"], {"revenue_c": ("sum", "rev_c")})
+    order = pc.sort_indices(agg, sort_keys=[("revenue_c", "descending"),
+                                            ("o_custkey", "ascending")])
+    top = agg.take(order[:20])
+    # attrs for 20 survivors: broadcast is_in filter, tiny driver-side gather
+    keys = top["o_custkey"].combine_chunks()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]) \
+        .map_batches(lambda t: t.filter(
+            pc.is_in(t["c_custkey"], value_set=keys)),
+            batch_format="pyarrow").take_all()
+    by_key = {int(r["c_custkey"]): r for r in cust}
+    names = pa.array([by_key[int(k.as_py())]["c_name"] for k in keys],
+                     pa.string())
+    bals = pa.array([by_key[int(k.as_py())]["c_acctbal"] for k in keys],
+                    pa.float64())
+    return pa.table({"c_custkey": keys, "c_name": names,
+                     "c_acctbal": bals, "revenue_c": top["revenue_c"]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1533,6 +1888,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "top_events_per_user": _q_top_events_per_user,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "order_priority_counts": _q_order_priority_counts,
+        "custdist": _q_custdist,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "global_sales_opportunity": _q_global_sales_opportunity,
+        "important_parts": _q_important_parts,
+        "promo_revenue": _q_promo_revenue,
+        "returned_revenue_customers": _q_returned_revenue_customers,
     }
 
 
@@ -2067,4 +2430,90 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q, "
             "unnest(quantile_cont(value, [0.25, 0.5, 0.9])) AS value "
             "FROM events GROUP BY event_type",
+        # TPC-H Q5 shape; revenue int-scaled floor(x*1e4+0.5) on both sides
+        "revenue_by_nation":
+            "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * "
+            "(1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name",
+        # TPC-H Q4 shape (EXISTS adapted to l_returnflag — the synthetic
+        # lineitem has no commit/receipt dates)
+        "order_priority_counts":
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority",
+        # TPC-H Q13 shape
+        "custdist":
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "  SELECT c_custkey, count(o_orderkey) AS c_count "
+            "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "    AND o_orderpriority <> '1-URGENT' "
+            "  GROUP BY c_custkey) GROUP BY c_count",
+        # TPC-H Q16 shape (supplier association via lineitem; no partsupp)
+        "part_supplier_counts":
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#2' "
+            "AND p_size IN (1, 5, 11, 18, 23, 32, 45) "
+            "GROUP BY p_brand, p_type, p_size",
+        # TPC-H Q22 shape: avg threshold decorrelated into the pure-integer
+        # inequality bal_c * n > sum_c (exactly bal > avg, no division)
+        "global_sales_opportunity":
+            "WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS s, count(*) AS n "
+            "FROM customer WHERE floor(c_acctbal * 100.0 + 0.5) > 0) "
+            "SELECT c_nationkey, count(*) AS n_cust, "
+            "CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS total_acctbal_c "
+            "FROM customer, pos "
+            "WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) * pos.n "
+            "> pos.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "  WHERE o_custkey = c_custkey "
+            "  AND o_orderdate >= TIMESTAMP '2001-01-01') "
+            "GROUP BY c_nationkey",
+        # TPC-H Q11 shape: HAVING sum > 1.5*avg as a pure-integer compare
+        "important_parts":
+            "SELECT l_partkey, CAST(sum(CAST(floor(l_extendedprice * 100.0 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS value_c "
+            "FROM lineitem GROUP BY l_partkey "
+            "HAVING sum(CAST(floor(l_extendedprice * 100.0 + 0.5) "
+            "AS BIGINT)) * 2 * (SELECT count(DISTINCT l_partkey) "
+            "FROM lineitem) > 3 * (SELECT sum(CAST(floor(l_extendedprice "
+            "* 100.0 + 0.5) AS BIGINT)) FROM lineitem)",
+        # TPC-H Q14 shape: one IEEE division of two int-exact operands
+        "promo_revenue":
+            "WITH r AS (SELECT CAST(floor(l_extendedprice * "
+            "(1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT) AS c, p_type "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-07-01') "
+            "SELECT CAST(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN c "
+            "ELSE 0 END) AS BIGINT) * 100 AS DOUBLE) "
+            "/ CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS promo_pct FROM r",
+        # TPC-H Q10 shape: top 20 by returned revenue, custkey pins ties
+        "returned_revenue_customers":
+            "SELECT c_custkey, c_name, c_acctbal, revenue_c FROM ("
+            "  SELECT o_custkey, CAST(sum(CAST(floor(l_extendedprice * "
+            "(1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c "
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "  WHERE l_returnflag = 'R' "
+            "  AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "  GROUP BY o_custkey "
+            "  ORDER BY revenue_c DESC, o_custkey LIMIT 20) "
+            "JOIN customer ON o_custkey = c_custkey",
     }

@@ -844,7 +844,7 @@ def semi_anti_join(left, right, left_key: str, right_key: str,
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
 
 
-def grouped_count_distinct(ds, key_col: str, value_col: str,
+def grouped_count_distinct(ds, key_col: "str | list[str]", value_col: str,
                            num_partitions: int = 64) -> pa.Table:
     """Exact per-group COUNT(DISTINCT value), fully distributed: per-batch
     (key, value) dedup (combiner — the shuffle then carries distinct pairs,
@@ -853,10 +853,16 @@ def grouped_count_distinct(ds, key_col: str, value_col: str,
     partitioning means one key's values spread over all partitions (no hot
     key), and the per-partition partial counts are disjoint by construction,
     so summing them is exact.
+
+    ``key_col`` may be a single column or a list (composite GROUP BY key,
+    e.g. TPC-H Q16's ``(p_brand, p_type, p_size)``); the partition hash
+    mixes every key column plus the value column.
     """
     import numpy as np
 
     from ..sketchlib.hashing import hash_str_u64, mix64
+
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
 
     def _h(arr) -> "np.ndarray":
         a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
@@ -865,27 +871,32 @@ def grouped_count_distinct(ds, key_col: str, value_col: str,
             return hash_str_u64(a)
         return mix64(a.to_numpy(zero_copy_only=False).astype(np.uint64))
 
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
     def uniq_tag(t: pa.Table) -> pa.Table:
-        u = t.select([key_col, value_col]) \
-             .group_by([key_col, value_col]).aggregate([])
-        h = mix64(_h(u[key_col]) ^ (_h(u[value_col])
-                                    * np.uint64(0x9E3779B97F4A7C15)))
+        u = t.select(keys + [value_col]) \
+             .group_by(keys + [value_col]).aggregate([])
+        h = _h(u[value_col]) * PHI
+        for k in keys:
+            h = mix64(h ^ _h(u[k]))
         return u.append_column("__part", pa.array(
             (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
 
     def per_part(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
         if t.num_rows == 0:
-            return pa.table({key_col: pa.array([], t.schema.field(key_col).type),
-                             "__n": pa.array([], pa.int64())})
-        u = t.group_by([key_col, value_col]).aggregate([])
-        c = u.group_by([key_col]).aggregate([(value_col, "count")])
-        return pa.table({key_col: c[key_col],
-                         "__n": c[f"{value_col}_count"].cast(pa.int64())})
+            cols = {k: pa.array([], t.schema.field(k).type) for k in keys}
+            cols["__n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        u = t.group_by(keys + [value_col]).aggregate([])
+        c = u.group_by(keys).aggregate([(value_col, "count")])
+        cols = {k: c[k] for k in keys}
+        cols["__n"] = c[f"{value_col}_count"].cast(pa.int64())
+        return pa.table(cols)
 
     partials = ds.map_batches(uniq_tag, batch_format="pyarrow") \
         .groupby("__part").map_groups(per_part, batch_format="pyarrow")
-    return grouped_aggregate(partials, [key_col],
+    return grouped_aggregate(partials, keys,
                              {"n_distinct": ("sum", "__n")})
 
 

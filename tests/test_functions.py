@@ -1272,6 +1272,19 @@ def test_grouped_count_distinct_matches_pandas(rd):
     exp2 = t2.to_pandas().groupby("k")["v"].nunique().to_dict()
     assert gm2 == exp2
 
+    # composite (multi-column) group key — TPC-H Q16 shape
+    t3 = pa.table({"a": pa.array(rng.integers(0, 3, 2000), pa.int64()),
+                   "b": pa.array([f"g{i % 5}" for i in
+                                  rng.integers(0, 5, 2000)]),
+                   "v": pa.array(rng.integers(0, 60, 2000), pa.int64())})
+    got3 = grouped_count_distinct(rd.from_arrow(t3).repartition(5),
+                                  ["a", "b"], "v", num_partitions=16)
+    gm3 = {(a, b): n for a, b, n in zip(got3["a"].to_pylist(),
+                                        got3["b"].to_pylist(),
+                                        got3["n_distinct"].to_pylist())}
+    exp3 = t3.to_pandas().groupby(["a", "b"])["v"].nunique().to_dict()
+    assert gm3 == exp3
+
 
 def test_approx_distinct_by_accuracy(rd):
     from setsketch_ray.aggregates import approx_distinct_by
