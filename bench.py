@@ -222,6 +222,21 @@ def run_benchmarks() -> dict:
     entrymod._q_value_variance_by_type(SF_DIR)
     timings["value_variance_by_type"] = time.time() - t0
 
+    # --- TPC-H family (Q5 six-table chain, Q13 custdist, Q16 composite
+    # COUNT DISTINCT, Q22 decorrelated avg threshold + anti join)
+    t0 = time.time()
+    entrymod._q_revenue_by_nation(SF_DIR)
+    timings["revenue_by_nation"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_custdist(SF_DIR)
+    timings["custdist"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_part_supplier_counts(SF_DIR)
+    timings["part_supplier_counts"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_global_sales_opportunity(SF_DIR)
+    timings["global_sales_opportunity"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
