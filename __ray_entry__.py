@@ -1813,6 +1813,62 @@ def _q_returned_revenue_customers(sf_dir: str):
                      "c_acctbal": bals, "revenue_c": top["revenue_c"]})
 
 
+def _q_image_cluster_representatives(sf_dir: str):
+    """Quality-aware canonical selection over the flagship's dup clusters:
+    keep the highest-resolution (w*h) member of each near-dup image cluster,
+    ties to the smallest id (pipelines/dedup.representatives_by_quality —
+    one distributed top_k_per_group pass).  Rows-only: the clusters come
+    from the non-SQL LSH pipeline; winner logic is unit-tested in
+    tests/test_pipeline.py::test_representatives_by_quality."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import (DedupConfig,
+                                               near_dup_pipeline,
+                                               representatives_by_quality)
+    from setsketch_ray.sources import cached_images_parquet
+
+    ds = rd.read_parquet(cached_images_parquet(1000))
+    _, _, mapping = near_dup_pipeline(ds, DedupConfig())
+
+    def add_quality(t: pa.Table) -> pa.Table:
+        q = pc.multiply(t["w"].cast(pa.int64()), t["h"].cast(pa.int64()))
+        return pa.table({"image_id": t["image_id"], "quality": q})
+
+    quality = rd.read_parquet(cached_images_parquet(1000),
+                              columns=["image_id", "w", "h"]) \
+        .map_batches(add_quality, batch_format="pyarrow")
+    return representatives_by_quality(quality, mapping, "quality",
+                                      only_dup_clusters=True)
+
+
+def _q_events_sample_bottomk(sf_dir: str):
+    """Exact-size uniform row sample as a mergeable bottom-k sketch over the
+    SQL-expressible Knuth hash (functions/relational.bottom_k_sample): the
+    sample is a pure function of the key set — partitioning/resume
+    invariant — and the oracle reproduces it with ORDER BY hash LIMIT k."""
+    from setsketch_ray.functions.relational import bottom_k_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return bottom_k_sample(ds, "event_id", 2048)
+
+
+def _q_value_quantiles_sampled(sf_dir: str):
+    """Approximate quantiles from the bottom-k uniform sample (rank error
+    O(1/sqrt(k)) vs the full data, asserted in tests) — but EXACTLY oracled,
+    because the sample itself is deterministic and SQL-expressible; the
+    quantile rule is the verified quantile_disc ceil(q*n)-1 walk."""
+    from setsketch_ray.functions.relational import (bottom_k_sample,
+                                                    quantiles_fixedpoint)
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    sample = bottom_k_sample(ds, "event_id", 2048) \
+        .select_columns(["value"])
+    return quantiles_fixedpoint(sample, "value",
+                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                                scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1896,6 +1952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _q_important_parts,
         "promo_revenue": _q_promo_revenue,
         "returned_revenue_customers": _q_returned_revenue_customers,
+        "events_sample_bottomk": _q_events_sample_bottomk,
+        "value_quantiles_sampled": _q_value_quantiles_sampled,
+        "image_cluster_representatives": _q_image_cluster_representatives,
     }
 
 
@@ -2516,4 +2575,17 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY o_custkey "
             "  ORDER BY revenue_c DESC, o_custkey LIMIT 20) "
             "JOIN customer ON o_custkey = c_custkey",
+        # bottom-k sample over the SQL-expressible Knuth hash: the sample is
+        # a pure function of the key set, so the oracle reproduces it
+        "events_sample_bottomk":
+            "SELECT event_id, value FROM events "
+            "ORDER BY (event_id * 2654435761) % 4294967296, event_id "
+            "LIMIT 2048",
+        "value_quantiles_sampled":
+            "WITH s AS (SELECT value FROM events "
+            "ORDER BY (event_id * 2654435761) % 4294967296, event_id "
+            "LIMIT 2048) "
+            "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+            "unnest(quantile_disc(value, "
+            "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value FROM s",
     }

@@ -162,6 +162,43 @@ def hash_fraction_column(t: pa.Table, key_col: str) -> "np.ndarray":
     return h.astype(np.float64) / float(1 << 32)
 
 
+def bottom_k_sample(ds, key_col: str, k: int, num_partitions: int = 32):
+    """Exact-size uniform row sample as a MERGEABLE bottom-k sketch: rank
+    every row by the SQL-expressible Knuth hash of its unique integer key
+    (``hash_fraction_column``'s arithmetic) and keep the k smallest.
+
+    Mergeable (union partials, keep k smallest overall) and independent of
+    partitioning — the sample is a pure function of the key set, so resumed
+    / re-partitioned runs reproduce it bit-identically, and DuckDB can
+    oracle it exactly: ``ORDER BY (key * 2654435761) % 4294967296, key
+    LIMIT k``.  Per-batch combiner keeps <= k rows per block, so the final
+    sort sees k x blocks rows, never the dataset.
+
+    Contract: ``key_col`` is a unique non-negative int64 (ids).  Overflow
+    guard: key * 2654435761 must stay < 2^63 (key < ~3.5e9) so the engine's
+    uint64 arithmetic and DuckDB's non-wrapping BIGINT agree; asserted per
+    batch.
+    """
+    import numpy as np
+
+    def local_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__h", pa.array([], pa.uint64()))
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        assert key.max(initial=0) < (1 << 63) // _KNUTH, \
+            "bottom_k_sample: key too large for the SQL-expressible hash"
+        h = (key * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+        if t.num_rows > k:
+            order = np.lexsort((key, h))[:k]
+            t = t.take(pa.array(order))
+            h = h[order]
+        return t.append_column("__h", pa.array(h, pa.uint64()))
+
+    partials = ds.map_batches(local_k, batch_format="pyarrow")
+    return partials.sort(key=["__h", key_col]).limit(k) \
+        .drop_columns(["__h"])
+
+
 def sample_by_key(ds, key_col: str, fraction: float):
     """Deterministic Bernoulli sample: keep rows whose hash fraction falls
     below ``fraction``.  Reproducible across runs/workers and restartable —

@@ -473,6 +473,56 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
     return clustered, edges_table, mapping
 
 
+def representatives_by_quality(ds, mapping: dict, quality_col: str,
+                               id_col: str = "image_id",
+                               only_dup_clusters: bool = False):
+    """Quality-aware canonical selection: instead of the min-id cluster root
+    (``near_dup_pipeline``'s ``is_canonical``), keep the HIGHEST-quality
+    member of each dup cluster (ties -> smallest id) — the variant a
+    training-data pipeline actually wants to retain (e.g. ``quality_col`` =
+    ``w * h`` keeps the highest-resolution copy of each duplicated image,
+    a per-batch arithmetic column added upstream).
+
+    ``ds`` needs ``id_col`` + ``quality_col``; ``mapping`` is the
+    near_dup_pipeline output ({member -> cluster root}, broadcast once via
+    ray.put and cached per worker).  Rows outside any dup cluster are their
+    own cluster (trivially canonical); ``only_dup_clusters=True`` restricts
+    the output to clusters with >= 2 members.  Selection is ONE distributed
+    ``top_k_per_group`` (k=1) pass — no driver-side loop over clusters.
+
+    Returns a Dataset with one row per cluster: (cluster_id, id_col,
+    quality_col).
+    """
+    import ray
+
+    from ..functions.relational import top_k_per_group
+
+    mapping_ref = ray.put(mapping)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = ("repmap", mapping_ref.hex())
+        m = _WORKER_CACHE.get(key)
+        if m is None:
+            m = ray.get(mapping_ref)
+            _WORKER_CACHE[key] = m
+        ids = batch[id_col].to_pylist()
+        cluster = [m.get(i) for i in ids]
+        if only_dup_clusters:
+            keep = pa.array([c is not None for c in cluster])
+            batch = batch.filter(keep)
+            cluster = [c for c in cluster if c is not None]
+        else:
+            cluster = [c if c is not None else i
+                       for c, i in zip(cluster, ids)]
+        return pa.table({"cluster_id": pa.array(cluster, pa.string()),
+                         id_col: batch[id_col],
+                         quality_col: batch[quality_col]})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return top_k_per_group(tagged, "cluster_id", quality_col, k=1,
+                           tiebreak_col=id_col)
+
+
 def evaluate_recall(mapping: dict, truth: pa.Table) -> dict:
     """Dup-pair recall/precision of the transitive cluster graph vs a
     truth_pairs table (north_rule: recall >= 0.99)."""

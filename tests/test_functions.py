@@ -1286,6 +1286,46 @@ def test_grouped_count_distinct_matches_pandas(rd):
     assert gm3 == exp3
 
 
+def test_bottom_k_sample_deterministic_mergeable_accurate(rd):
+    from setsketch_ray.functions.relational import (_KNUTH, bottom_k_sample)
+
+    rng = np.random.default_rng(77)
+    n, k = 50_000, 1024
+    vals = rng.normal(100.0, 15.0, n).round(2)
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+
+    # partitioning-invariant: identical sample under different block counts
+    s1 = bottom_k_sample(rd.from_arrow(t).repartition(3), "id", k) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    s2 = bottom_k_sample(rd.from_arrow(t).repartition(11), "id", k) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(s1) == k and s1["id"].tolist() == s2["id"].tolist()
+
+    # matches the SQL-expressible definition exactly
+    h = (np.arange(n).astype(np.uint64) * np.uint64(_KNUTH)) \
+        % np.uint64(1 << 32)
+    expect = set(np.lexsort((np.arange(n), h))[:k].tolist())
+    assert set(s1["id"].tolist()) == expect
+
+    # mergeable: bottom-k of the two halves' bottom-k samples == direct
+    a, b = t.slice(0, n // 2), t.slice(n // 2)
+    sa = bottom_k_sample(rd.from_arrow(a), "id", k).to_pandas()
+    sb = bottom_k_sample(rd.from_arrow(b), "id", k).to_pandas()
+    un = np.concatenate([sa["id"].to_numpy(), sb["id"].to_numpy()])
+    hu = (un.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+    merged = set(un[np.lexsort((un, hu))[:k]].tolist())
+    assert merged == expect
+
+    # rank accuracy of sampled quantiles: O(1/sqrt(k))
+    sample_v = np.sort(s1["v"].to_numpy())
+    full_sorted = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = sample_v[int(np.ceil(q * k)) - 1]
+        true_rank = np.searchsorted(full_sorted, est, side="right") / n
+        assert abs(true_rank - q) < 4.0 / np.sqrt(k), (q, true_rank)
+
+
 def test_approx_distinct_by_accuracy(rd):
     from setsketch_ray.aggregates import approx_distinct_by
 

@@ -250,3 +250,32 @@ def test_hash_join_strategy_matches_broadcast(fixture_path, ray_session):
         return out
 
     assert pair_set("hash") == pair_set("broadcast")
+
+
+def test_representatives_by_quality(ray_session):
+    """Quality-aware canonical selection: highest quality wins its cluster,
+    ties go to the smallest id, singletons are their own representative."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import representatives_by_quality
+
+    ids = [f"i{k}" for k in range(8)]
+    quality = [5, 9, 9, 1, 7, 3, 8, 2]          # i1/i2 tie at 9
+    mapping = {"i0": "i0", "i1": "i0", "i2": "i0",   # cluster A
+               "i3": "i3", "i4": "i3"}               # cluster B
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "q": pa.array(quality, pa.int64())})
+
+    out = representatives_by_quality(
+        rd.from_arrow(t).repartition(3), mapping, "q") \
+        .to_pandas().set_index("cluster_id")
+    assert out.loc["i0", "image_id"] == "i1"     # tie 9 -> smallest id
+    assert out.loc["i3", "image_id"] == "i4"     # 7 beats 1
+    for single in ("i5", "i6", "i7"):            # singletons keep themselves
+        assert out.loc[single, "image_id"] == single
+    assert len(out) == 5
+
+    dup_only = representatives_by_quality(
+        rd.from_arrow(t).repartition(2), mapping, "q",
+        only_dup_clusters=True).to_pandas()
+    assert sorted(dup_only["image_id"]) == ["i1", "i4"]
