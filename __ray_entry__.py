@@ -1813,6 +1813,18 @@ def _q_returned_revenue_customers(sf_dir: str):
                      "c_acctbal": bals, "revenue_c": top["revenue_c"]})
 
 
+def _q_events_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: the 256 hash-smallest events of
+    EVERY event_type (functions/relational.stratified_sample — per-batch
+    combiner keeps <= k rows per group per block, one group co-partition
+    finishes).  Exactly oracled via QUALIFY row_number() over the same
+    SQL-expressible Knuth hash order."""
+    from setsketch_ray.functions.relational import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return stratified_sample(ds, "event_type", "event_id", 256)
+
+
 def _q_image_cluster_representatives(sf_dir: str):
     """Quality-aware canonical selection over the flagship's dup clusters:
     keep the highest-resolution (w*h) member of each near-dup image cluster,
@@ -1955,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample_bottomk": _q_events_sample_bottomk,
         "value_quantiles_sampled": _q_value_quantiles_sampled,
         "image_cluster_representatives": _q_image_cluster_representatives,
+        "events_stratified_sample": _q_events_stratified_sample,
     }
 
 
@@ -2588,4 +2601,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(value, "
             "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value FROM s",
+        "events_stratified_sample":
+            "SELECT event_id, event_type, value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY (event_id * 2654435761) % 4294967296, event_id) "
+            "<= 256",
     }

@@ -199,6 +199,68 @@ def bottom_k_sample(ds, key_col: str, k: int, num_partitions: int = 32):
         .drop_columns(["__h"])
 
 
+def stratified_sample(ds, group_col: str, key_col: str, k: int,
+                      num_partitions: int = 32):
+    """Deterministic stratified sample: the k hash-smallest rows of EVERY
+    group (same SQL-expressible Knuth hash as :func:`bottom_k_sample`, so
+    DuckDB oracles it exactly with ``QUALIFY row_number() OVER (PARTITION BY
+    group ORDER BY (key * 2654435761) % 4294967296, key) <= k``).
+
+    Two-phase: a per-batch combiner keeps <= k rows per group per block
+    (the shuffle then carries at most k * groups * blocks rows, never the
+    dataset), then one hash co-partition by group + the same vectorized
+    rank pass finishes each group.  Partitioning/resume invariant — the
+    sample is a pure function of each group's key set.
+    """
+    import numpy as np
+
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    def _keep_k_smallest(t: pa.Table) -> pa.Table:
+        """Rows with rank < k within group by (hash, key) ascending."""
+        if t.num_rows == 0:
+            return t
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        assert key.max(initial=0) < (1 << 63) // _KNUTH, \
+            "stratified_sample: key too large for the SQL-expressible hash"
+        h = (key * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+        garr = t[group_col]
+        garr = garr.combine_chunks() if isinstance(garr, pa.ChunkedArray) \
+            else garr
+        if pa.types.is_string(garr.type) or pa.types.is_large_string(garr.type):
+            g = hash_str_u64(garr)
+        else:
+            g = mix64(garr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        order = np.lexsort((key, h, g))
+        gs = g[order]
+        new_g = np.empty(len(gs), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = gs[1:] != gs[:-1]
+        idx = np.arange(len(gs))
+        start = np.maximum.accumulate(np.where(new_g, idx, 0))
+        keep = order[(idx - start) < k]
+        return t.take(pa.array(np.sort(keep)))
+
+    def _part(t: pa.Table) -> pa.Table:
+        garr = t[group_col]
+        garr = garr.combine_chunks() if isinstance(garr, pa.ChunkedArray) \
+            else garr
+        if pa.types.is_string(garr.type) or pa.types.is_large_string(garr.type):
+            g = hash_str_u64(garr)
+        else:
+            import numpy as _np
+
+            g = mix64(garr.to_numpy(zero_copy_only=False).astype(_np.uint64))
+        return t.append_column("__part", pa.array(
+            (g % num_partitions).astype(np.uint32), pa.uint32()))
+
+    local = ds.map_batches(
+        lambda t: _part(_keep_k_smallest(t)), batch_format="pyarrow")
+    return local.groupby("__part").map_groups(
+        lambda t: _keep_k_smallest(t.drop_columns(["__part"])),
+        batch_format="pyarrow")
+
+
 def sample_by_key(ds, key_col: str, fraction: float):
     """Deterministic Bernoulli sample: keep rows whose hash fraction falls
     below ``fraction``.  Reproducible across runs/workers and restartable —

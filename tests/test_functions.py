@@ -1326,6 +1326,33 @@ def test_bottom_k_sample_deterministic_mergeable_accurate(rd):
         assert abs(true_rank - q) < 4.0 / np.sqrt(k), (q, true_rank)
 
 
+def test_stratified_sample_deterministic_and_exact(rd):
+    from setsketch_ray.functions.relational import _KNUTH, stratified_sample
+
+    rng = np.random.default_rng(79)
+    n, k = 20_000, 64
+    groups = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "g": pa.array(groups, pa.string()),
+                  "v": pa.array(rng.normal(0, 1, n), pa.float64())})
+
+    s1 = stratified_sample(rd.from_arrow(t).repartition(3), "g", "id", k) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    s2 = stratified_sample(rd.from_arrow(t).repartition(13), "g", "id", k) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert s1["id"].tolist() == s2["id"].tolist()
+    assert (s1.groupby("g").size() == k).all()
+
+    # matches the SQL-expressible definition: k hash-smallest ids per group
+    h = (np.arange(n).astype(np.uint64) * np.uint64(_KNUTH)) \
+        % np.uint64(1 << 32)
+    expect = set()
+    for g in "abcd":
+        ids = np.flatnonzero(groups == g)
+        expect.update(ids[np.lexsort((ids, h[ids]))[:k]].tolist())
+    assert set(s1["id"].tolist()) == expect
+
+
 def test_approx_distinct_by_accuracy(rd):
     from setsketch_ray.aggregates import approx_distinct_by
 
