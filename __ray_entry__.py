@@ -1813,6 +1813,42 @@ def _q_returned_revenue_customers(sf_dir: str):
                      "c_acctbal": bals, "revenue_c": top["revenue_c"]})
 
 
+def _q_embedding_norm_stats(sf_dir: str):
+    """Vectorized list-column kernel: per-vector squared L2 norm on the
+    1e-6-scaled integer domain (exact both sides: CAST(FLOAT AS DOUBLE) is
+    widening, floor(y*1e6+0.5) is IEEE-identical per element, and the
+    integer square-sums associate freely), grouped per label.  One
+    zero-copy pass over the flat Arrow list buffer — np.add.reduceat over
+    NONEMPTY row offsets (CLAUDE.md reduceat rule), no per-row Python."""
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    def norm2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "n2": pa.array([], pa.int64())})
+        col = t["embedding"].combine_chunks()
+        o = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = o[0]
+        idx = o - base
+        vals = col.values.to_numpy(zero_copy_only=False) \
+            [base:o[-1]].astype(np.float64)
+        e = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+        sq = e * e
+        n = t.num_rows
+        out = np.zeros(n, dtype=np.int64)
+        sizes = np.diff(idx)
+        nz = sizes > 0
+        if nz.any():
+            out[nz] = np.add.reduceat(sq, idx[:-1][nz])
+        return pa.table({"label": t["label"],
+                         "n2": pa.array(out, pa.int64())})
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return grouped_aggregate(ds.map_batches(norm2, batch_format="pyarrow"),
+                             ["label"], {"n_vecs": ("count", None),
+                                         "norm2_scaled": ("sum", "n2")})
+
+
 def _q_events_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: the 256 hash-smallest events of
     EVERY event_type (functions/relational.stratified_sample — per-batch
@@ -1968,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sampled": _q_value_quantiles_sampled,
         "image_cluster_representatives": _q_image_cluster_representatives,
         "events_stratified_sample": _q_events_stratified_sample,
+        "embedding_norm_stats": _q_embedding_norm_stats,
     }
 
 
@@ -2606,4 +2643,14 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY event_type "
             "ORDER BY (event_id * 2654435761) % 4294967296, event_id) "
             "<= 256",
+        # list-column norms on the 1e-6-scaled integer domain (FLOAT->DOUBLE
+        # is widening, floor(y*1e6+0.5) IEEE-identical per element)
+        "embedding_norm_stats":
+            "SELECT label, count(*) AS n_vecs, "
+            "CAST(sum(list_aggregate(list_transform("
+            "CAST(embedding AS DOUBLE[]), "
+            "y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) * "
+            "CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)), 'sum')) "
+            "AS BIGINT) AS norm2_scaled "
+            "FROM embeddings GROUP BY label",
     }
