@@ -1813,6 +1813,17 @@ def _q_returned_revenue_customers(sf_dir: str):
                      "c_acctbal": bals, "revenue_c": top["revenue_c"]})
 
 
+def _q_events_cume_dist(sf_dir: str):
+    """CUME_DIST + NTH_VALUE window per event_type (one lexsort per key
+    partition; cume_dist ties on value ALONE share the SQL value — one IEEE
+    division of identical int operands; nth_value over the whole-partition
+    frame with event_id pinning determinism)."""
+    from setsketch_ray.functions.streaming import window_cume_nth
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return window_cume_nth(ds, "event_type", "value", "event_id", nth=3)
+
+
 def _q_embedding_norm_stats(sf_dir: str):
     """Vectorized list-column kernel: per-vector squared L2 norm on the
     1e-6-scaled integer domain (exact both sides: CAST(FLOAT AS DOUBLE) is
@@ -2005,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_cluster_representatives": _q_image_cluster_representatives,
         "events_stratified_sample": _q_events_stratified_sample,
         "embedding_norm_stats": _q_embedding_norm_stats,
+        "events_cume_dist": _q_events_cume_dist,
     }
 
 
@@ -2653,4 +2665,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)), 'sum')) "
             "AS BIGINT) AS norm2_scaled "
             "FROM embeddings GROUP BY label",
+        "events_cume_dist":
+            "SELECT event_id, event_type, value, "
+            "cume_dist() OVER (PARTITION BY event_type ORDER BY value) "
+            "AS cume_dist, "
+            "nth_value(event_id, 3) OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS nth_id "
+            "FROM events",
     }

@@ -309,6 +309,93 @@ def window_rank(ds, key_col: str, ts_col: str, order_tiebreak: str,
                                            batch_format="pyarrow")
 
 
+def window_cume_nth(ds, key_col: str, order_col: str, order_tiebreak: str,
+                    nth: int, nth_out: str = "nth_id",
+                    num_partitions: int = 32):
+    """Per-key CUME_DIST + NTH_VALUE window: hash-partition by key, ONE
+    lexsort per partition, both outputs from pure integer offsets.
+
+    ``cume_dist`` follows the SQL tie rule — ties on ``order_col`` ALONE
+    share the value (count of rows with order value <= current, / n) — and
+    is one float64 division of identical integer operands on both engines.
+    ``nth_value`` uses the (order_col, order_tiebreak) TOTAL order over the
+    whole partition (the SQL ``ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING`` frame) and is null for keys with fewer than
+    ``nth`` rows; the tiebreak pins determinism where SQL nth_value at
+    equal order keys is implementation-defined.
+    """
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        karr = t[key_col]
+        karr = karr.combine_chunks() if isinstance(karr, pa.ChunkedArray) \
+            else karr
+        if pa.types.is_string(karr.type) \
+                or pa.types.is_large_string(karr.type):
+            h = hash_str_u64(karr)
+        else:
+            h = mix64(karr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        tie_type = t.schema.field(order_tiebreak).type
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("cume_dist", pa.float64()), (nth_out, tie_type)])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        karr = t[key_col]
+        karr = karr.combine_chunks() if isinstance(karr, pa.ChunkedArray) \
+            else karr
+        if pa.types.is_string(karr.type) \
+                or pa.types.is_large_string(karr.type):
+            keys = hash_str_u64(karr)          # sort key only (grouping)
+        else:
+            keys = karr.to_numpy(zero_copy_only=False)
+        val = t[order_col].to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, val, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k, v = keys[order], val[order]
+        n = len(k)
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, n))
+        key_n = np.repeat(sizes, sizes)
+        # cume_dist: end rank (1-based, within key) of the order-value run
+        new_run = new_key.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], n)     # exclusive
+        per_row_end = np.repeat(run_ends, np.diff(np.append(run_starts, n)))
+        cume = (per_row_end - key_start) / key_n
+        # nth_value over the whole partition: absolute index per key
+        tie_sorted = t[order_tiebreak]
+        nth_idx = key_start + (nth - 1)
+        ok = key_n >= nth
+        gather = pa.array(np.where(ok, nth_idx, 0), pa.int64())
+        nth_vals = tie_sorted.take(gather)
+        if not ok.all():
+            nth_vals = pa.chunked_array([nth_vals]).combine_chunks() \
+                if isinstance(nth_vals, pa.ChunkedArray) else nth_vals
+            import pyarrow.compute as pc
+
+            nth_vals = pc.if_else(pa.array(ok), nth_vals,
+                                  pa.scalar(None, tie_type))
+        return t.append_column("cume_dist", pa.array(cume, pa.float64())) \
+            .append_column(nth_out, nth_vals)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")
+
+
 def window_ntile(ds, key_col: str, order_col: str, order_tiebreak: str,
                  n_tiles: int, num_partitions: int = 32):
     """Per-key NTILE window (the SQL ``ntile(n) OVER (PARTITION BY key ORDER

@@ -1390,6 +1390,43 @@ def test_normalize_text_semantics(rd):
     assert got == {1: "quick fox", 2: "", 3: "theater cathedral", 4: ""}
 
 
+def test_window_cume_nth_matches_duckdb(rd):
+    """cume_dist tie rule (ties on the order value ALONE share the value)
+    and whole-partition nth_value (null when the key has < nth rows)."""
+    rng = np.random.default_rng(29)
+    n = 600
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], n)),
+        # coarse values force many ties
+        "v": pa.array(rng.integers(0, 12, n).astype(np.float64)),
+        "id": pa.array(np.arange(n), pa.int64())})
+    # a 2-row key: nth=3 must be null there
+    t = pa.concat_tables([t, pa.table({
+        "k": pa.array(["zz", "zz"]), "v": pa.array([5.0, 1.0]),
+        "id": pa.array([n, n + 1], pa.int64())})])
+    from setsketch_ray.functions.streaming import window_cume_nth
+
+    out = pa.concat_tables(list(
+        window_cume_nth(rd.from_arrow(t).repartition(4), "k", "v", "id",
+                        nth=3)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT id, cume_dist() OVER (PARTITION BY k ORDER BY v) AS cd, "
+        "nth_value(id, 3) OVER (PARTITION BY k ORDER BY v, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nid "
+        "FROM t ORDER BY id").df()
+    assert (out["cume_dist"].to_numpy() == exp["cd"].to_numpy()).all()
+    got_n = out["nth_id"].to_numpy()
+    exp_n = exp["nid"].to_numpy()
+    both_nan = np.isnan(got_n.astype(np.float64)) \
+        & np.isnan(exp_n.astype(np.float64))
+    assert np.all(both_nan | (got_n == exp_n))
+    assert np.isnan(out.loc[out["id"] >= n, "nth_id"]).all()
+
+
 def test_window_ntile_matches_sql_rule(rd):
     """ntile bucketing: first c%n tiles take one extra row; deterministic
     under the (order, tiebreak) total order; string keys supported."""
