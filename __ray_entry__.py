@@ -1267,16 +1267,18 @@ def _q_cardinality_eval(sf_dir: str):
 
 
 def _q_joint_eval(sf_dir: str):
-    """Monte-Carlo joint-estimator evaluation: the reference's FULL grid
-    shape (ratio sweep x intersection fractions x two union sizes, scaled
-    down via the union knob), composeSketch-composed operands, and the wide
+    """Monte-Carlo joint-estimator evaluation: the reference's FULL grid —
+    294 tuples (ratio sweep x intersection fractions x unions {10^6, 10^3},
+    joint_estimation_test.cpp:48-102), composeSketch-composed operands
+    (per-trial cost O(union), not O(tuples x union)), and the wide
     per-tuple Mean/MSE output over every estimator (new / corrected /
-    incl-excl / deprecated / equal-register bounds); rows-only."""
+    incl-excl / deprecated / equal-register bounds); rows-only.  48 trials
+    of this grid run in ~28 s at 32 cpus (BASELINE.md)."""
     from setsketch_ray.pipelines.evaluation import joint_error_pipeline
 
     return joint_error_pipeline(family="ghll", m=1024, n_trials=12,
-                                union_cardinalities=(10_000, 1_000),
-                                parallelism=8)
+                                union_cardinalities=(1_000_000, 1_000),
+                                parallelism=12, concurrency=6)
 
 
 def _q_top_events_per_user(sf_dir: str):

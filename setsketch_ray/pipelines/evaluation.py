@@ -381,7 +381,8 @@ def joint_error_pipeline(family: str = "ghll", m: int = 1024, base: float = 2.0,
                          tuples=None,
                          union_cardinalities=(10_000, 1_000),
                          n_trials: int = 50, seed: int = 42,
-                         parallelism: int = 16) -> pa.Table:
+                         parallelism: int = 16,
+                         concurrency: int = 2) -> pa.Table:
     """Distributed analogue of ``gradle runJointTest``: the full reference
     grid shape (scaled by ``union_cardinalities``), composeSketch-built
     operands, and the reference's WIDE output — per tuple the 12 true
@@ -400,7 +401,7 @@ def joint_error_pipeline(family: str = "ghll", m: int = 1024, base: float = 2.0,
     est = trials.map_batches(
         _JointTrials, fn_constructor_args=(family, m, base, q, a,
                                            tuple(tuples), seed),
-        batch_format="pyarrow", batch_size=4, concurrency=2)
+        batch_format="pyarrow", batch_size=4, concurrency=concurrency)
 
     labels = [lb for lb, _k, _fn in _joint_estimator_calls(family)]
     col_quantity = {f"{lb}{q}": q for lb in labels for q, _a in _QUANTITIES}
