@@ -1826,6 +1826,41 @@ def _q_events_cume_dist(sf_dir: str):
     return window_cume_nth(ds, "event_type", "value", "event_id", nth=3)
 
 
+def _q_doc_tokens(sf_dir: str):
+    """Explode/flat_map: one (doc_id, pos, word) row per token (split on
+    single spaces, empties dropped AFTER positions are assigned — the
+    unnest + generate_subscripts contract).  Fully vectorized: one Arrow
+    split_pattern per batch, doc ids and 1-based positions from np.repeat
+    over the list offsets, zero-copy value slice — no per-row Python."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string())})
+        txt = t["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        lst = pc.split_pattern(txt, " ")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) \
+            else lst
+        o = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lst.values.slice(o[0], o[-1] - o[0])
+        idx = o - o[0]
+        sizes = np.diff(idx)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), sizes)
+        pos = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(idx[:-1], sizes) + 1
+        out = pa.table({"doc_id": pa.array(doc, pa.int64()),
+                        "pos": pa.array(pos, pa.int64()),
+                        "word": flat})
+        return out.filter(pc.not_equal(out["word"], ""))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_embedding_norm_stats(sf_dir: str):
     """Vectorized list-column kernel: per-vector squared L2 norm on the
     1e-6-scaled integer domain (exact both sides: CAST(FLOAT AS DOUBLE) is
@@ -2019,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified_sample": _q_events_stratified_sample,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "events_cume_dist": _q_events_cume_dist,
+        "doc_tokens": _q_doc_tokens,
     }
 
 
@@ -2675,4 +2711,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND UNBOUNDED FOLLOWING) AS nth_id "
             "FROM events",
+        "doc_tokens":
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, pos, word FROM ("
+            "SELECT doc_id, unnest(toks) AS word, "
+            "unnest(range(1, len(toks) + 1)) AS pos FROM s) "
+            "WHERE word <> ''",
     }
