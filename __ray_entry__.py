@@ -1826,6 +1826,269 @@ def _q_events_cume_dist(sf_dir: str):
     return window_cume_nth(ds, "event_type", "value", "event_id", nth=3)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: single-table predicate-pushdown aggregate — one year
+    of lineitem, discount band, quantity cap, revenue = sum(price*discount)
+    on the 1e-6-scaled integer domain (price*discount needs two float
+    multiplies — floor(x*1e6+0.5) is IEEE-identical per row).  No shuffle
+    at all: per-batch partial sums, tiny driver fold."""
+    import pyarrow.compute as pc
+
+    lo, hi = _ts(1996, 1, 1), _ts(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo),
+            pc.less(t["l_shipdate"], hi)), pc.and_(
+            pc.and_(pc.greater_equal(t["l_discount"], 0.02),
+                    pc.less_equal(t["l_discount"], 0.06)),
+            pc.less(t["l_quantity"], 24.0)))
+        t = t.filter(m)
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * t["l_discount"].to_numpy(zero_copy_only=False)
+        c = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "revenue_c": pa.array([sum(int(r["s"]) for r in parts)], pa.int64()),
+        "n_items": pa.array([sum(int(r["n"]) for r in parts)], pa.int64())})
+
+
+def _q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape (argmin join): per part, the supplier with the LOWEST
+    account balance among suppliers who ever shipped it (lineitem is the
+    association; ties -> smallest suppkey).  Distinct (part, supp) pairs
+    through the shuffle, supplier attrs attached by lookup_join, then one
+    top_k_per_group k=1 pass on the negated balance (argmin via argmax)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (lookup_join,
+                                                    top_k_per_group)
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(lambda t: t.group_by(
+            ["l_partkey", "l_suppkey"]).aggregate([]),
+            batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    joined = lookup_join(
+        pairs, supp, "l_suppkey", "s_suppkey", num_partitions=32,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_acctbal", pa.float64())]))
+
+    def dedup_neg(t: pa.Table) -> pa.Table:
+        # batch-level pair dedup again post-join + negate for argmin
+        t = t.group_by(["l_partkey", "l_suppkey", "s_acctbal"]).aggregate([])
+        return t.append_column(
+            "__neg_bal", pc.negate(t["s_acctbal"]))
+
+    best = top_k_per_group(
+        joined.map_batches(dedup_neg, batch_format="pyarrow"),
+        "l_partkey", "__neg_bal", k=1, tiebreak_col="l_suppkey")
+    return best.map_batches(
+        lambda t: t.drop_columns(["__neg_bal"]), batch_format="pyarrow")
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape (max over an aggregated view): suppliers whose
+    one-year revenue equals the global maximum.  One distributed cent-scaled
+    grouped sum; the max + equality filter run on the tiny per-supplier
+    table — pure integer comparison, so ties (if any) all survive, exactly
+    like the SQL."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    lo, hi = _ts(1996, 1, 1), _ts(1996, 4, 1)
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev_c": pa.array(c, pa.int64())})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = grouped_aggregate(ds.map_batches(rev, batch_format="pyarrow"),
+                            ["l_suppkey"], {"total_rev_c": ("sum", "rev_c")})
+    mx = pc.max(agg["total_rev_c"])
+    return agg.filter(pc.equal(agg["total_rev_c"], mx))
+
+
+def _q_special_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR of conjunctive multi-table predicate branches
+    (brand x size-band x quantity-band), revenue on the scaled integer
+    domain.  The part attributes ride one lookup_join; the disjunction is
+    three vectorized masks OR-ed per batch."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    joined = lookup_join(
+        li, part, "l_partkey", "p_partkey", num_partitions=32,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string()),
+                                ("p_size", pa.int32())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"]
+        b1 = pc.and_(pc.and_(pc.equal(t["p_brand"], "Brand#12"),
+                             pc.less_equal(t["p_size"], 5)),
+                     pc.and_(pc.greater_equal(q, 1.0),
+                             pc.less_equal(q, 11.0)))
+        b2 = pc.and_(pc.and_(pc.equal(t["p_brand"], "Brand#23"),
+                             pc.less_equal(t["p_size"], 10)),
+                     pc.and_(pc.greater_equal(q, 10.0),
+                             pc.less_equal(q, 20.0)))
+        b3 = pc.and_(pc.and_(pc.equal(t["p_brand"], "Brand#3"),
+                             pc.less_equal(t["p_size"], 15)),
+                     pc.and_(pc.greater_equal(q, 20.0),
+                             pc.less_equal(q, 30.0)))
+        t = t.filter(pc.or_(pc.or_(b1, b2), b3))
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "revenue_c": pa.array([sum(int(r["s"]) for r in parts)], pa.int64()),
+        "n_items": pa.array([sum(int(r["n"]) for r in parts)], pa.int64())})
+
+
+def _q_sole_blame_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins on the same order):
+    per supplier, count multi-supplier orders where THIS supplier returned
+    items ('R') and NO other supplier did.  Distinct (order, supplier[, R])
+    pairs shuffle once; the per-order supplier/blame counts collapse in one
+    grouped pass; the EXISTS/NOT-EXISTS pair becomes the vectorized filter
+    n_supp >= 2 AND n_blame_supp == 1 applied on the blamed supplier's row."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_returnflag"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        r = pc.equal(t["l_returnflag"], "R").cast(pa.int64())
+        u = pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_suppkey": t["l_suppkey"], "is_r": r}) \
+            .group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("is_r", "max")])
+        # arrow puts aggregate outputs before keys — select by NAME
+        return pa.table({"l_orderkey": u["l_orderkey"],
+                         "l_suppkey": u["l_suppkey"],
+                         "is_r": u["is_r_max"].cast(pa.int64())})
+
+    # distinct (order, supplier, returned?) rows; global dedup via the
+    # grouped max (a supplier returning in one batch and not another)
+    ps = grouped_aggregate(li.map_batches(pairs, batch_format="pyarrow"),
+                           ["l_orderkey", "l_suppkey"],
+                           {"is_r": ("max", "is_r")}, final="ray")
+    per_order = grouped_aggregate(ps, ["l_orderkey"],
+                                  {"n_supp": ("count", None),
+                                   "n_blame": ("sum", "is_r")}, final="ray")
+    blamed = ps.filter(expr="is_r == 1")
+    joined = lookup_join(
+        blamed, per_order, "l_orderkey", "l_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("is_r", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("n_supp", pa.int64()),
+                                ("n_blame", pa.int64())]))
+    culprits = joined.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["n_supp"], 2),
+                                   pc.equal(t["n_blame"], 1))),
+        batch_format="pyarrow")
+    return grouped_aggregate(culprits, ["l_suppkey"],
+                             {"numwait": ("count", None)})
+
+
+def _q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nation pairs per year
+    (customer nation x supplier nation, both directions), revenue scaled.
+    Same join chain as Q5 (orders->customer, lineitem->orders, ->supplier);
+    the year comes from a vectorized timestamp floor."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    n1, n2 = 3, 7   # NATION_3 <-> NATION_7
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_c = lookup_join(
+        orders, cust, "o_custkey", "c_custkey", num_partitions=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())])) \
+        .map_batches(lambda t: t.filter(pc.is_in(
+            t["c_nationkey"], value_set=pa.array([n1, n2], pa.int32()))),
+            batch_format="pyarrow") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    j1 = lookup_join(
+        li, orders_c, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j2 = lookup_join(
+        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us")),
+                               ("c_nationkey", pa.int32())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def vol(t: pa.Table) -> pa.Table:
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = ((cn == n1) & (sn == n2)) | ((cn == n2) & (sn == n1))
+        t = t.filter(pa.array(keep))
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
+        return pa.table({"cust_nation": t["c_nationkey"].cast(pa.int64()),
+                         "supp_nation": t["s_nationkey"].cast(pa.int64()),
+                         "l_year": yr,
+                         "vol_c": pa.array(c, pa.int64())})
+
+    return grouped_aggregate(j2.map_batches(vol, batch_format="pyarrow"),
+                             ["cust_nation", "supp_nation", "l_year"],
+                             {"volume_c": ("sum", "vol_c")})
+
+
 def _q_doc_tokens(sf_dir: str):
     """Explode/flat_map: one (doc_id, pos, word) row per token (split on
     single spaces, empties dropped AFTER positions are assigned — the
@@ -2055,6 +2318,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "events_cume_dist": _q_events_cume_dist,
         "doc_tokens": _q_doc_tokens,
+        "forecast_revenue": _q_forecast_revenue,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "special_revenue": _q_special_revenue,
+        "sole_blame_suppliers": _q_sole_blame_suppliers,
+        "nation_trade_volume": _q_nation_trade_volume,
     }
 
 
@@ -2718,4 +2987,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(toks) AS word, "
             "unnest(range(1, len(toks) + 1)) AS pos FROM s) "
             "WHERE word <> ''",
+        # TPC-H Q6 shape: pushed-down predicate aggregate, no shuffle
+        "forecast_revenue":
+            "SELECT COALESCE(CAST(sum(CAST(floor(l_extendedprice * "
+            "l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT), 0) "
+            "AS revenue_c, count(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.02 AND l_discount <= 0.06 "
+            "AND l_quantity < 24.0",
+        # TPC-H Q2 shape: argmin join (lowest-balance supplier per part)
+        "cheapest_supplier_per_part":
+            "SELECT l_partkey, l_suppkey, s_acctbal FROM ("
+            "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "QUALIFY row_number() OVER (PARTITION BY l_partkey "
+            "ORDER BY s_acctbal, l_suppkey) = 1",
+        # TPC-H Q15 shape: max over an aggregated view; integer ties survive
+        "top_supplier_revenue":
+            "WITH r AS (SELECT l_suppkey, CAST(sum(CAST(floor("
+            "l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS total_rev_c FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT * FROM r "
+            "WHERE total_rev_c = (SELECT max(total_rev_c) FROM r)",
+        # TPC-H Q19 shape: OR of conjunctive predicate branches
+        "special_revenue":
+            "SELECT COALESCE(CAST(sum(CAST(floor(l_extendedprice * "
+            "(1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT), 0)"
+            " AS revenue_c, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size <= 5 "
+            "  AND l_quantity >= 1.0 AND l_quantity <= 11.0) "
+            "OR (p_brand = 'Brand#23' AND p_size <= 10 "
+            "  AND l_quantity >= 10.0 AND l_quantity <= 20.0) "
+            "OR (p_brand = 'Brand#3' AND p_size <= 15 "
+            "  AND l_quantity >= 20.0 AND l_quantity <= 30.0)",
+        # TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the order
+        "sole_blame_suppliers":
+            "WITH ps AS (SELECT DISTINCT l_orderkey, l_suppkey, "
+            "  max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "  OVER (PARTITION BY l_orderkey, l_suppkey) AS is_r "
+            "  FROM lineitem), "
+            "o AS (SELECT l_orderkey, count(*) AS n_supp, "
+            "  CAST(sum(is_r) AS BIGINT) AS n_blame FROM ps "
+            "  GROUP BY l_orderkey) "
+            "SELECT l_suppkey, count(*) AS numwait FROM ps JOIN o "
+            "USING (l_orderkey) "
+            "WHERE ps.is_r = 1 AND o.n_supp >= 2 AND o.n_blame = 1 "
+            "GROUP BY l_suppkey",
+        # TPC-H Q7 shape: bidirectional nation-pair volume per ship year
+        "nation_trade_volume":
+            "SELECT CAST(c_nationkey AS BIGINT) AS cust_nation, "
+            "CAST(s_nationkey AS BIGINT) AS supp_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS volume_c "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE (c_nationkey = 3 AND s_nationkey = 7) "
+            "OR (c_nationkey = 7 AND s_nationkey = 3) "
+            "GROUP BY c_nationkey, s_nationkey, year(l_shipdate)",
     }
