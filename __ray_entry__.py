@@ -2089,6 +2089,168 @@ def _q_nation_trade_volume(sf_dir: str):
                              {"volume_c": ("sum", "vol_c")})
 
 
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (HAVING-sum semi filter up a join chain): orders
+    whose total lineitem quantity exceeds 200 (cent-scaled integer sum),
+    joined back to orders for the customer.  The per-order sums collapse in
+    one distributed grouped pass; only qualifying orders ride the join."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    import ray.data as rd
+
+    def scaled(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["l_quantity"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "qty_c": q})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    per_order = grouped_aggregate(li, ["l_orderkey"],
+                                  {"sum_qty_c": ("sum", "qty_c")},
+                                  final="ray") \
+        .filter(expr="sum_qty_c > 20000")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    return lookup_join(
+        per_order, orders, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sum_qty_c", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]))
+
+
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape adapted to the schema (no partsupp/supplycost —
+    retailprice*quantity stands in for cost): profit per (supplier nation,
+    ship year).  amount = floor(rev*1e4+0.5) - floor(cost*1e4+0.5) per ROW
+    (floor of a difference != difference of floors; the per-row identical
+    expression keeps both engines exact), then one distributed grouped
+    sum."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    j1 = lookup_join(
+        li, part, "l_partkey", "p_partkey", num_partitions=32,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_retailprice", pa.float64())]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j2 = lookup_join(
+        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us")),
+                               ("p_retailprice", pa.float64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def amount(t: pa.Table) -> pa.Table:
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        cost = t["p_retailprice"].to_numpy(zero_copy_only=False) \
+            * t["l_quantity"].to_numpy(zero_copy_only=False)
+        a = np.floor(rev * 10000.0 + 0.5).astype(np.int64) \
+            - np.floor(cost * 10000.0 + 0.5).astype(np.int64)
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
+        return pa.table({"supp_nation": t["s_nationkey"].cast(pa.int64()),
+                         "l_year": yr,
+                         "amount_c": pa.array(a, pa.int64())})
+
+    return grouped_aggregate(j2.map_batches(amount, batch_format="pyarrow"),
+                             ["supp_nation", "l_year"],
+                             {"profit_c": ("sum", "amount_c")})
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape adapted: per ship year, NATION_7 suppliers' share of
+    all revenue to ASIA-region customers.  The share is ONE IEEE division
+    of two exactly-representable integer sums per year (same chain as Q5;
+    the conditional numerator is a vectorized sum_if partial)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").combine_chunks()
+    region = pq.read_table(f"{sf_dir}/region.parquet").combine_chunks()
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat_keys = nation.filter(pc.is_in(nation["n_regionkey"],
+                                      value_set=asia))["n_nationkey"] \
+        .combine_chunks()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(
+            t["c_nationkey"], value_set=nat_keys)) \
+            .select(["c_custkey"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from setsketch_ray.functions.relational import semi_anti_join
+
+    orders_a = semi_anti_join(
+        orders, cust, "o_custkey", "c_custkey", mode="semi",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])) \
+        .select_columns(["o_orderkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    j1 = lookup_join(
+        li, orders_a, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j2 = lookup_join(
+        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def vol(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
+        return pa.table({"l_year": yr,
+                         "n7_c": pa.array(np.where(sn == 7, c, 0),
+                                          pa.int64()),
+                         "tot_c": pa.array(c, pa.int64())})
+
+    agg = grouped_aggregate(j2.map_batches(vol, batch_format="pyarrow"),
+                            ["l_year"], {"n7_c": ("sum", "n7_c"),
+                                         "tot_c": ("sum", "tot_c")})
+    share = agg["n7_c"].to_numpy().astype(np.float64) \
+        / agg["tot_c"].to_numpy().astype(np.float64)
+    return pa.table({"l_year": agg["l_year"],
+                     "mkt_share": pa.array(share, pa.float64())})
+
+
 def _q_doc_tokens(sf_dir: str):
     """Explode/flat_map: one (doc_id, pos, word) row per token (split on
     single spaces, empties dropped AFTER positions are assigned — the
@@ -2324,6 +2486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "special_revenue": _q_special_revenue,
         "sole_blame_suppliers": _q_sole_blame_suppliers,
         "nation_trade_volume": _q_nation_trade_volume,
+        "large_volume_customers": _q_large_volume_customers,
+        "product_profit": _q_product_profit,
+        "market_share": _q_market_share,
     }
 
 
@@ -3050,4 +3215,40 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (c_nationkey = 3 AND s_nationkey = 7) "
             "OR (c_nationkey = 7 AND s_nationkey = 3) "
             "GROUP BY c_nationkey, s_nationkey, year(l_shipdate)",
+        # TPC-H Q18 shape: HAVING-sum semi filter, then the join back
+        "large_volume_customers":
+            "WITH g AS (SELECT l_orderkey, CAST(sum(CAST(round("
+            "l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT l_orderkey, sum_qty_c, o_custkey, o_totalprice "
+            "FROM g JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE sum_qty_c > 20000",
+        # TPC-H Q9 shape (retailprice*qty stands in for supplycost);
+        # amount = per-row floor difference, identical on both sides
+        "product_profit":
+            "SELECT CAST(s_nationkey AS BIGINT) AS supp_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 10000.0 + 0.5) AS BIGINT) - CAST(floor(p_retailprice "
+            "* l_quantity * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS profit_c "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_nationkey, year(l_shipdate)",
+        # TPC-H Q8 shape: per-year share = ONE IEEE division of two
+        # exactly-representable integer sums
+        "market_share":
+            "WITH v AS (SELECT year(l_shipdate) AS l_year, "
+            "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 "
+            "+ 0.5) AS BIGINT) AS c, s_nationkey "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA') "
+            "SELECT CAST(l_year AS BIGINT) AS l_year, "
+            "CAST(CAST(sum(CASE WHEN s_nationkey = 7 THEN c ELSE 0 END) "
+            "AS BIGINT) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) "
+            "AS DOUBLE) AS mkt_share FROM v GROUP BY l_year",
     }
