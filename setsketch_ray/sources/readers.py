@@ -1,6 +1,8 @@
 """Corpus readers: Lance first (the production input format per
 BASELINE.json input_hint), parquet fallback (this sandbox has no lance
-package — the reader is import-gated, not stubbed away).
+package — the reader is import-gated, not stubbed away), plus CSV and
+JSONL for text-schema corpora (delimited formats cannot carry binary
+image payloads; those stay Lance/parquet).
 """
 
 from __future__ import annotations
@@ -13,6 +15,8 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
 
     * ``*.lance`` / Lance dataset directories -> ``ray.data.read_lance``
       (requires the ``lance`` package; production path);
+    * ``*.csv`` -> ``ray.data.read_csv``;
+    * ``*.jsonl`` / ``*.json`` -> ``ray.data.read_json`` (newline-delimited);
     * parquet file or directory -> ``ray.data.read_parquet``.
     """
     import ray.data as rd
@@ -40,6 +44,20 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         # task.  Zero-copy; fuses with the read operator.
         return ds.map_batches(_strip_schema_metadata,
                               batch_format="pyarrow")
+    if path.endswith(".csv"):
+        # delimited text: no binary payload columns; column pruning happens
+        # post-parse (CSV has no column projection at the read)
+        ds = rd.read_csv(path, **{k: v for k, v in kwargs.items()
+                                  if k != "columns"})
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
+        return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    if path.endswith((".jsonl", ".json")):
+        ds = rd.read_json(path, **{k: v for k, v in kwargs.items()
+                                   if k != "columns"})
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
+        return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
     # parquet: pass an explicit metadata-stripped schema so blocks come out
     # of ReadParquet already clean — a post-read strip map cannot reach the
     # warnings raised inside the fused ReadParquet->SplitBlocks operator

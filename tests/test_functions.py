@@ -450,6 +450,37 @@ def test_read_corpus_parquet_and_lance_gate(rd, tmp_path):
         read_corpus(str(tmp_path / "corpus.lance"))
 
 
+def test_read_corpus_csv_and_jsonl_roundtrip(rd, tmp_path):
+    """CSV / JSONL sources round-trip a text-schema corpus through
+    read_corpus with identical values and support column pruning."""
+    import pyarrow.csv as pacsv
+
+    from setsketch_ray.sources.readers import read_corpus
+
+    t = pa.table({"doc_id": pa.array(np.arange(50), pa.int64()),
+                  "text": pa.array([f"doc number {i} body" for i in
+                                    range(50)]),
+                  "score": pa.array(np.linspace(0, 1, 50), pa.float64())})
+    csv_path = str(tmp_path / "docs.csv")
+    pacsv.write_csv(t, csv_path)
+    got = read_corpus(csv_path).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == list(range(50))
+    assert got["text"].tolist() == t["text"].to_pylist()
+    assert (got["score"].to_numpy() == t["score"].to_numpy()).all()
+
+    jsonl_path = str(tmp_path / "docs.jsonl")
+    with open(jsonl_path, "w") as f:
+        import json as _json
+
+        for row in t.to_pylist():
+            f.write(_json.dumps(row) + "\n")
+    got2 = read_corpus(jsonl_path, columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got2.columns) == ["doc_id", "text"]
+    assert got2["text"].tolist() == t["text"].to_pylist()
+
+
 def test_top_k_per_group(rd):
     import pandas as pd
 
