@@ -1519,6 +1519,10 @@ def _q_revenue_by_nation(sf_dir: str):
         .select_columns(["o_orderkey", "c_nationkey"])
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    # NOTE: a bloom_semi_prefilter on l_orderkey was measured here and
+    # reverted — at ~35% window selectivity the extra lineitem pass +
+    # materialize barrier cost more than the shuffle it saved; the
+    # prefilter pays at high selectivity (see urgent_lineitem_revenue)
     j1 = lookup_join(
         li, orders_c, "l_orderkey", "o_orderkey", num_partitions=32,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
@@ -2089,6 +2093,51 @@ def _q_nation_trade_volume(sf_dir: str):
                              {"volume_c": ("sum", "vol_c")})
 
 
+def _q_urgent_lineitem_revenue(sf_dir: str):
+    """Bloom-prefiltered INNER join (functions/relational.
+    bloom_semi_prefilter): revenue by returnflag over lineitems of urgent
+    orders in one quarter (~5% of orders) — the probe side drops its
+    definitely-non-matching rows BEFORE the join shuffle; bloom false
+    positives fall out of the exact lookup_join, so the result is exact."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (bloom_semi_prefilter,
+                                                    grouped_aggregate,
+                                                    lookup_join)
+
+    lo, hi = _ts(1996, 1, 1), _ts(1996, 7, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.equal(t["o_orderpriority"], "1-URGENT"), pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi)))) \
+            .select(["o_orderkey"]), batch_format="pyarrow") \
+        .materialize()   # consumed twice: bloom bitmap + join build side
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+    li = bloom_semi_prefilter(li, orders, "l_orderkey", "o_orderkey")
+    joined = lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", num_partitions=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]))
+
+    def rev(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "rev_c": pa.array(c, pa.int64())})
+
+    return grouped_aggregate(joined.map_batches(rev, batch_format="pyarrow"),
+                             ["l_returnflag"],
+                             {"revenue_c": ("sum", "rev_c"),
+                              "n_items": ("count", None)})
+
+
 def _q_large_volume_customers(sf_dir: str):
     """TPC-H Q18 shape (HAVING-sum semi filter up a join chain): orders
     whose total lineitem quantity exceeds 200 (cent-scaled integer sum),
@@ -2489,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "product_profit": _q_product_profit,
         "market_share": _q_market_share,
+        "urgent_lineitem_revenue": _q_urgent_lineitem_revenue,
     }
 
 
@@ -3251,4 +3301,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(sum(CASE WHEN s_nationkey = 7 THEN c ELSE 0 END) "
             "AS BIGINT) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) "
             "AS DOUBLE) AS mkt_share FROM v GROUP BY l_year",
+        # bloom-prefiltered inner join (probe-side reduction, exact result)
+        "urgent_lineitem_revenue":
+            "SELECT l_returnflag, CAST(sum(CAST(floor(l_extendedprice * "
+            "(1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c, count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "GROUP BY l_returnflag",
     }

@@ -1270,6 +1270,66 @@ def _bloom_positions(keys: "np.ndarray", n_bits: int, n_hashes: int):
     return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(n_bits)
 
 
+def _right_key_bitmap(right, right_key: str, n_bits: int, n_hashes: int):
+    """OR-merged Bloom bitmap of a dataset's key column: each block ships an
+    n_bits/8-byte partial (never the keys), merged on the driver, broadcast
+    once via ray.put.  Integer keys only."""
+    import numpy as np
+    import ray
+
+    def bitmap_partial(t: pa.Table) -> pa.Table:
+        keys = t[right_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bm = np.zeros(n_bits // 8, np.uint8)
+        pos = _bloom_positions(keys, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bitmap = np.zeros(n_bits // 8, np.uint8)
+    for b in right.map_batches(bitmap_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for raw in b["bm"].to_pylist():
+            bitmap |= np.frombuffer(raw, np.uint8)
+    return ray.put(bitmap)
+
+
+def _bloom_mask_fn(bref, left_key: str, n_bits: int, n_hashes: int,
+                   want_hit: bool):
+    """Per-batch task keeping bloom-hit (or bloom-miss) rows; the broadcast
+    bitmap read is a zero-copy shared-memory ray.get per task."""
+    import numpy as np
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        keys = t[left_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = _bloom_positions(keys, n_bits, n_hashes)
+        bits = (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        hit = bits.all(axis=1)
+        return t.filter(pa.array(hit == want_hit))
+    return fn
+
+
+def bloom_semi_prefilter(left, right, left_key: str, right_key: str,
+                         n_bits: int = 1 << 20, n_hashes: int = 4):
+    """Bloom PRE-filter for an inner join: drop left rows whose key is
+    definitely absent from ``right`` BEFORE the join shuffle — the 100 TB
+    probe-side reduction when the build side's key set fits a bitmap.
+    Bloom false positives survive here and are dropped by the exact join
+    downstream, so composition with :func:`lookup_join` (inner) or
+    :func:`semi_anti_join` stays EXACT.
+
+    ``right`` is consumed once to build the bitmap; pass a materialized
+    Dataset if it is also the join's build side (a lazy plan would
+    re-execute for each consumer).  Integer keys only.
+    """
+    bref = _right_key_bitmap(right, right_key, n_bits, n_hashes)
+    return left.map_batches(
+        _bloom_mask_fn(bref, left_key, n_bits, n_hashes, True),
+        batch_format="pyarrow")
+
+
 def bloom_anti_join(left, right, left_key: str, right_key: str,
                     n_bits: int = 1 << 20, n_hashes: int = 4,
                     num_partitions: int = 32,
@@ -1289,46 +1349,19 @@ def bloom_anti_join(left, right, left_key: str, right_key: str,
 
     Integer keys only (hashes ride ``mix2`` on the uint64 domain).
     """
-    import numpy as np
-    import ray
-
     lschema = left_schema if left_schema is not None \
         else left.schema().base_schema
-
-    def bitmap_partial(t: pa.Table) -> pa.Table:
-        keys = t[right_key].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bm = np.zeros(n_bits // 8, np.uint8)
-        pos = _bloom_positions(keys, n_bits, n_hashes).ravel()
-        np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
-                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
-        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
-
-    bitmap = np.zeros(n_bits // 8, np.uint8)
-    for b in right.map_batches(bitmap_partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for raw in b["bm"].to_pylist():
-            bitmap |= np.frombuffer(raw, np.uint8)
-    bref = ray.put(bitmap)
 
     # plain tasks, not actor pools: two concurrent pools would reserve CPUs
     # the downstream shuffle needs (deadlocks small sessions), and the
     # per-task ray.get of the bitmap is a zero-copy shared-memory read
-    def _bloom_filter(want_hit: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            bm = ray.get(bref)
-            keys = t[left_key].to_numpy(zero_copy_only=False) \
-                .astype(np.uint64)
-            pos = _bloom_positions(keys, n_bits, n_hashes)
-            bits = (bm[(pos >> np.uint64(3)).astype(np.int64)]
-                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1
-            hit = bits.all(axis=1)
-            return t.filter(pa.array(hit == want_hit))
-        return fn
-
-    negatives = left.map_batches(_bloom_filter(False),
-                                 batch_format="pyarrow")
-    positives = left.map_batches(_bloom_filter(True),
-                                 batch_format="pyarrow")
+    bref = _right_key_bitmap(right, right_key, n_bits, n_hashes)
+    negatives = left.map_batches(
+        _bloom_mask_fn(bref, left_key, n_bits, n_hashes, False),
+        batch_format="pyarrow")
+    positives = left.map_batches(
+        _bloom_mask_fn(bref, left_key, n_bits, n_hashes, True),
+        batch_format="pyarrow")
     survivors = semi_anti_join(positives, right, left_key, right_key,
                                mode="anti", num_partitions=num_partitions,
                                left_schema=lschema)
