@@ -237,6 +237,20 @@ def run_benchmarks() -> dict:
     entrymod._q_global_sales_opportunity(SF_DIR)
     timings["global_sales_opportunity"] = time.time() - t0
 
+    # --- latest TPC-H completions + bloom-prefiltered join
+    t0 = time.time()
+    entrymod._q_sole_blame_suppliers(SF_DIR)
+    timings["sole_blame_suppliers"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_market_share(SF_DIR)
+    timings["market_share"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_product_profit(SF_DIR)
+    timings["product_profit"] = time.time() - t0
+    t0 = time.time()
+    entrymod._q_urgent_lineitem_revenue(SF_DIR)
+    timings["urgent_lineitem_revenue"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
