@@ -2264,38 +2264,46 @@ def _q_market_share(sf_dir: str):
         left_schema=pa.schema([("o_orderkey", pa.int64()),
                                ("o_custkey", pa.int64())])) \
         .select_columns(["o_orderkey"])
+    def pre_vol(t: pa.Table) -> pa.Table:
+        # int64 revenue + int64 ship year replace two floats + a timestamp
+        # through both join exchanges (same trick as revenue_by_nation)
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": yr,
+                         "rev_c": pa.array(c, pa.int64())})
+
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-                "l_shipdate"])
+                "l_shipdate"]) \
+        .map_batches(pre_vol, batch_format="pyarrow")
     j1 = lookup_join(
         li, orders_a, "l_orderkey", "o_orderkey", num_partitions=32,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("l_suppkey", pa.int64()),
-                               ("l_extendedprice", pa.float64()),
-                               ("l_discount", pa.float64()),
-                               ("l_shipdate", pa.timestamp("us"))]),
+                               ("l_year", pa.int64()),
+                               ("rev_c", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64())]))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     j2 = lookup_join(
         j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("l_suppkey", pa.int64()),
-                               ("l_extendedprice", pa.float64()),
-                               ("l_discount", pa.float64()),
-                               ("l_shipdate", pa.timestamp("us"))]),
+                               ("l_year", pa.int64()),
+                               ("rev_c", pa.int64())]),
         right_schema=pa.schema([("s_suppkey", pa.int64()),
                                 ("s_nationkey", pa.int32())]))
 
     def vol(t: pa.Table) -> pa.Table:
-        x = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
-            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
-        c = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+        c = t["rev_c"].to_numpy(zero_copy_only=False)
         sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
-        return pa.table({"l_year": yr,
+        return pa.table({"l_year": t["l_year"],
                          "n7_c": pa.array(np.where(sn == 7, c, 0),
                                           pa.int64()),
-                         "tot_c": pa.array(c, pa.int64())})
+                         "tot_c": t["rev_c"]})
 
     agg = grouped_aggregate(j2.map_batches(vol, batch_format="pyarrow"),
                             ["l_year"], {"n7_c": ("sum", "n7_c"),
