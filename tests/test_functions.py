@@ -1357,6 +1357,44 @@ def test_bottom_k_sample_deterministic_mergeable_accurate(rd):
         assert abs(true_rank - q) < 4.0 / np.sqrt(k), (q, true_rank)
 
 
+def test_bloom_semi_prefilter_keeps_all_matches(rd):
+    """Probe-side bloom prefilter: NO true match is ever dropped (bloom has
+    no false negatives); survivors composed with the exact join equal the
+    plain join result."""
+    from setsketch_ray.functions.relational import (bloom_semi_prefilter,
+                                                    lookup_join)
+
+    rng = np.random.default_rng(83)
+    left = pa.table({"k": pa.array(rng.integers(0, 10_000, 5000), pa.int64()),
+                     "v": pa.array(np.arange(5000), pa.int64())})
+    rkeys = np.unique(rng.integers(0, 10_000, 300))
+    right = pa.table({"rk": pa.array(rkeys, pa.int64()),
+                      "w": pa.array(rkeys * 7, pa.int64())})
+
+    filtered = bloom_semi_prefilter(
+        rd.from_arrow(left).repartition(4), rd.from_arrow(right),
+        "k", "rk", n_bits=1 << 14)
+    surv = filtered.to_pandas()
+    matches = set(rkeys.tolist())
+    # every true match survives
+    lt = left.to_pandas()
+    assert set(lt[lt["k"].isin(matches)]["v"]) <= set(surv["v"])
+
+    joined = lookup_join(
+        bloom_semi_prefilter(rd.from_arrow(left).repartition(4),
+                             rd.from_arrow(right), "k", "rk",
+                             n_bits=1 << 14),
+        rd.from_arrow(right), "k", "rk",
+        left_schema=left.schema, right_schema=right.schema) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    plain = lookup_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
+        left_schema=left.schema, right_schema=right.schema) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert joined["v"].tolist() == plain["v"].tolist()
+    assert joined["w"].tolist() == plain["w"].tolist()
+
+
 def test_stratified_sample_deterministic_and_exact(rd):
     from setsketch_ray.functions.relational import _KNUTH, stratified_sample
 
