@@ -68,6 +68,9 @@ class DedupConfig:
     multimodal_support: float | None = 0.05
     exact_caption_exempt: float = 0.999
     sketch_concurrency: int | None = None  # actor-pool size (None = tasks)
+    # fuse decode+shingle+sketch into ONE map stage (pixel/shingle
+    # intermediates never cross the object store; bit-identical results)
+    fuse_map: bool = False
     # payload attachment for pair verification:
     #   "broadcast" — ray.put the id->payload map once, look up per batch.
     #     Right whenever the corpus payload fits comfortably in the object
@@ -122,27 +125,44 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
     """
     heavy = [c for c in ("bytes", "w", "h", "fmt", "decode_ok")
              if c in ds.schema().names]
-    if cfg.decode:
-        from ..stages.image import DecodeStage
-
-        decode_kwargs = dict(batch_format="pyarrow", batch_size=1024)
-        if cfg.sketch_concurrency:
-            decode_kwargs["concurrency"] = cfg.sketch_concurrency
-        ds = ds.map_batches(DecodeStage(), **decode_kwargs)
-        heavy = list(dict.fromkeys(heavy + ["decode_ok"]))
-    # drop blobs IMMEDIATELY: after decode only (caption, phash) matter, and
-    # carrying ~10 KB/row of bytes across two more map-stage object-store
-    # boundaries is pure shared-memory bandwidth waste
-    if heavy:
-        ds = ds.drop_columns(heavy)
-    ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams, use_phash=cfg.use_phash),
-                        batch_format="pyarrow")
-    sketch_kwargs = dict(batch_format="pyarrow", batch_size=4096)
-    if cfg.sketch_concurrency:
-        sketch_kwargs["concurrency"] = cfg.sketch_concurrency
     carry_regs = cfg.verify_ml and cfg.sketch.compute_registers
-    ds = ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
-                        **sketch_kwargs)
+    if cfg.decode and cfg.fuse_map:
+        # one fused stage: pixel tables + shingle lists stay in the worker
+        # heap instead of crossing the object store twice (the map path is
+        # DRAM-bandwidth-bound at full occupancy — BASELINE.md forensics)
+        from ..stages.sketch_stage import FusedDecodeShingleSketch
+
+        # 4096 beats 1024 here (sketch-kernel amortization dominates; the
+        # decoded 4096x4KB pixel table is 16 MB heap — fine)
+        fused_kwargs = dict(batch_format="pyarrow", batch_size=4096)
+        if cfg.sketch_concurrency:
+            fused_kwargs["concurrency"] = cfg.sketch_concurrency
+        ds = ds.map_batches(
+            FusedDecodeShingleSketch(cfg.sketch, ngrams=cfg.ngrams,
+                                     use_phash=cfg.use_phash,
+                                     drop_shingles=False), **fused_kwargs)
+    else:
+        if cfg.decode:
+            from ..stages.image import DecodeStage
+
+            decode_kwargs = dict(batch_format="pyarrow", batch_size=1024)
+            if cfg.sketch_concurrency:
+                decode_kwargs["concurrency"] = cfg.sketch_concurrency
+            ds = ds.map_batches(DecodeStage(), **decode_kwargs)
+            heavy = list(dict.fromkeys(heavy + ["decode_ok"]))
+        # drop blobs IMMEDIATELY: after decode only (caption, phash) matter,
+        # and carrying ~10 KB/row of bytes across two more map-stage
+        # object-store boundaries is pure shared-memory bandwidth waste
+        if heavy:
+            ds = ds.drop_columns(heavy)
+        ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams,
+                                         use_phash=cfg.use_phash),
+                            batch_format="pyarrow")
+        sketch_kwargs = dict(batch_format="pyarrow", batch_size=4096)
+        if cfg.sketch_concurrency:
+            sketch_kwargs["concurrency"] = cfg.sketch_concurrency
+        ds = ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
+                            **sketch_kwargs)
     mods = cfg.sketch.modalities
     if cfg.materialize_sketches:
         ds = ds.materialize()

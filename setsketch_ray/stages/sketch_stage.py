@@ -185,3 +185,34 @@ class SketchStage:
             out = out.drop_columns([m.shingle_col for m in self.cfg.modalities
                                     if m.shingle_col in out.column_names])
         return out
+
+
+class FusedDecodeShingleSketch:
+    """decode -> drop-heavy -> shingle -> sketch in ONE map stage.
+
+    The separate stages pay two extra object-store round trips for the
+    hottest intermediates (4 KB/image pixel tables, then shingle lists);
+    at full 32-core occupancy the map path is DRAM-bandwidth-bound
+    (BASELINE.md scaling forensics), so keeping those intermediates in the
+    worker heap trades nothing and removes ~2/3 of the shared-memory
+    traffic.  Enable via ``DedupConfig(fuse_map=True)``; results are
+    bit-identical to the unfused path (same kernels, same batch rows).
+    """
+
+    def __init__(self, cfg: SketchConfig, ngrams=(1, 2),
+                 use_phash: bool = True, drop_shingles: bool = False):
+        from .image import DecodeStage
+        from .shingle import ShingleStage
+
+        self.decode = DecodeStage()
+        self.shingle = ShingleStage(ngrams=ngrams, use_phash=use_phash)
+        self.sketch = SketchStage(cfg, drop_shingles=drop_shingles)
+        self._heavy = ("bytes", "w", "h", "fmt", "decode_ok")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.decode(batch)
+        drop = [c for c in self._heavy if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
+        t = self.shingle(t)
+        return self.sketch(t)

@@ -252,6 +252,21 @@ def test_hash_join_strategy_matches_broadcast(fixture_path, ray_session):
     assert pair_set("hash") == pair_set("broadcast")
 
 
+def test_fused_map_stage_bit_identical(fixture_path, ray_session):
+    """fuse_map=True (decode+shingle+sketch in one map stage — pixel and
+    shingle intermediates never cross the object store) must produce the
+    EXACT same cluster mapping as the unfused path."""
+    import ray.data as rd
+
+    def run(fuse):
+        ds = rd.read_parquet(fixture_path)
+        _, _, mapping = near_dup_pipeline(ds, DedupConfig(
+            decode=True, fuse_map=fuse, sketch_concurrency=2))
+        return mapping
+
+    assert run(False) == run(True)
+
+
 def test_representatives_by_quality(ray_session):
     """Quality-aware canonical selection: highest quality wins its cluster,
     ties go to the smallest id, singletons are their own representative."""
