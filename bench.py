@@ -135,6 +135,28 @@ def run_benchmarks() -> dict:
         best_map = dt if best_map is None else min(best_map, dt)
     timings["map_stage_only"] = best_map
 
+    # fused variant (decode+shingle+sketch in ONE stage, batch 4096):
+    # ~1/3 the object-store traffic — 2.3x the map throughput and the best
+    # single-box scaling figure (BASELINE.md); additive key so past BENCH
+    # rows stay comparable
+    from setsketch_ray.stages.sketch_stage import FusedDecodeShingleSketch
+
+    def _fused_map_run():
+        d = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
+        d = d.map_batches(FusedDecodeShingleSketch(SketchConfig()),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=max(2, NUM_CPUS // 2))
+        return d.count()
+
+    _fused_map_run()  # warm
+    best_fused = None
+    for _rep in range(repeats):
+        t0 = time.time()
+        _fused_map_run()
+        dt = time.time() - t0
+        best_fused = dt if best_fused is None else min(best_fused, dt)
+    timings["map_stage_fused"] = best_fused
+
     # --- near-dup over sf documents (text modality)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -358,6 +380,10 @@ def run_scaling() -> None:
     map_lo = r_lo["queries"]["map_stage_only"]
     map_hi = r_hi["queries"]["map_stage_only"]
     map_eff = (map_lo / map_hi) / (hi / lo)
+    fused_lo = r_lo["queries"].get("map_stage_fused")
+    fused_hi = r_hi["queries"].get("map_stage_fused")
+    fused_eff = round((fused_lo / fused_hi) / (hi / lo), 3) \
+        if fused_lo and fused_hi else None
     print(json.dumps({
         "metric": "scaling efficiency (images/s at 8 vs 32 cpus, fresh "
                   "ray.init each, same input)",
@@ -367,6 +393,7 @@ def run_scaling() -> None:
         "scaling_efficiency": round(eff, 3),
         "map_stage_sec_lo": map_lo, "map_stage_sec_hi": map_hi,
         "map_stage_scaling_efficiency": round(map_eff, 3),
+        "fused_map_scaling_efficiency": fused_eff,
         "note": "end-to-end efficiency on ONE box confounds cpu scaling "
                 "with shared DRAM/object-store bandwidth; map-stage "
                 "efficiency isolates cpu scaling (multi-node clusters add "
