@@ -2638,8 +2638,8 @@ def oracle_sql() -> dict[str, str]:
         "events_prev_24h":
             "SELECT a.event_id, a.ts, a.user_id, "
             "count(b.ts) AS n_prev, "
-            "coalesce(sum(CAST(round(b.value * 100) AS BIGINT)), 0) "
-            "AS prev_value_cents "
+            "CAST(coalesce(sum(CAST(round(b.value * 100) AS BIGINT)), 0) "
+            "AS BIGINT) AS prev_value_cents "
             "FROM events a LEFT JOIN events b ON a.user_id = b.user_id "
             "AND b.ts >= a.ts - INTERVAL 24 HOUR AND b.ts < a.ts "
             "GROUP BY a.event_id, a.ts, a.user_id",

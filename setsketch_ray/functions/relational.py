@@ -185,8 +185,9 @@ def bottom_k_sample(ds, key_col: str, k: int, num_partitions: int = 32):
         if t.num_rows == 0:
             return t.append_column("__h", pa.array([], pa.uint64()))
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        assert key.max(initial=0) < (1 << 63) // _KNUTH, \
-            "bottom_k_sample: key too large for the SQL-expressible hash"
+        if key.max(initial=0) >= (1 << 63) // _KNUTH:
+            raise ValueError(
+                "bottom_k_sample: key too large for the SQL-expressible hash")
         h = (key * np.uint64(_KNUTH)) % np.uint64(1 << 32)
         if t.num_rows > k:
             order = np.lexsort((key, h))[:k]
@@ -221,8 +222,10 @@ def stratified_sample(ds, group_col: str, key_col: str, k: int,
         if t.num_rows == 0:
             return t
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        assert key.max(initial=0) < (1 << 63) // _KNUTH, \
-            "stratified_sample: key too large for the SQL-expressible hash"
+        if key.max(initial=0) >= (1 << 63) // _KNUTH:
+            raise ValueError(
+                "stratified_sample: key too large for the SQL-expressible "
+                "hash")
         h = (key * np.uint64(_KNUTH)) % np.uint64(1 << 32)
         garr = t[group_col]
         garr = garr.combine_chunks() if isinstance(garr, pa.ChunkedArray) \

@@ -523,6 +523,10 @@ def representatives_by_quality(ds, mapping: dict, quality_col: str,
         key = ("repmap", mapping_ref.hex())
         m = _WORKER_CACHE.get(key)
         if m is None:
+            # evict prior mappings before caching (long-lived workers see
+            # many mapping_refs across calls; unbounded growth otherwise)
+            for k in [k for k in _WORKER_CACHE if k[0] == "repmap"]:
+                del _WORKER_CACHE[k]
             m = ray.get(mapping_ref)
             _WORKER_CACHE[key] = m
         ids = batch[id_col].to_pylist()

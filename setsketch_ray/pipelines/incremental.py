@@ -131,6 +131,11 @@ def incremental_near_dup(old_roots, delta_path: str,
             return delta_sk.map_batches(add_part, batch_format="pyarrow")
 
         delta_sk = sk_ckpt.run(compute)
+    else:
+        # no checkpoint root: the lazy plan is consumed twice below (band
+        # expansion + payload broadcast) — materialize once so the expensive
+        # decode+shingle+sketch of the delta doesn't re-execute
+        delta_sk = delta_sk.materialize()
 
     # ---- band rows from both sides, tagged; ONLY ~41 B rows shuffle
     def bandify(is_new: int):

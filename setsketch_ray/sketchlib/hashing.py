@@ -99,8 +99,13 @@ def hash_str_u64(values, seed: int = 0) -> np.ndarray:
         values = values.combine_chunks()
     if not isinstance(values, pa.Array):
         values = list(values)
-        is_bytes = bool(values) and isinstance(values[0], bytes)
-        values = pa.array(values, pa.binary() if is_bytes else pa.string())
+        has_bytes = any(isinstance(v, bytes) for v in values)
+        if has_bytes:
+            # mixed str/bytes lists hash by UTF-8 byte content: encode strs
+            # so pa.array gets a homogeneous binary list
+            values = [v.encode("utf-8") if isinstance(v, str) else v
+                      for v in values]
+        values = pa.array(values, pa.binary() if has_bytes else pa.string())
     n = len(values)
     fnv_offset = U64(0xCBF29CE484222325
                      ^ (seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
