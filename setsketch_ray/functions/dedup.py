@@ -640,10 +640,24 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              cosine_threshold: float = 0.95,
                              n_bits: int = 12, n_tables: int = 4,
                              seed: int = 7, num_partitions: int = 32,
-                             bucket_cap: int = 512):
+                             bucket_cap: int = 512,
+                             join_strategy: str = "broadcast"):
     """Embedding-cosine near-duplicates: ``n_tables`` independent random-
-    hyperplane (SimHash) bucketings generate candidates; exact cosine inside
-    the bucket group verifies.  Deterministic given the seed.
+    hyperplane (SimHash) bucketings generate candidates; exact cosine on the
+    deduped candidate pairs verifies.  Deterministic given the seed.
+
+    Shuffle discipline: band rows carry ONLY (band_key, part, id) — ~20 B
+    per row — never the embedding vector (which would be dim x 4 B x
+    n_tables through the exchange).  Candidates are deduped at the id-pair
+    level FIRST, then one verify stage attaches vectors:
+
+    * ``join_strategy="broadcast"`` (default): the (id, vector) pool is
+      ``ray.put`` once and gathered per worker — right for corpora whose
+      embedding table fits a worker heap (pairs are sparse, the pool is
+      read-only shared memory on each node).
+    * ``join_strategy="hash"``: two ``lookup_join`` co-partition passes
+      attach the vectors as packed float32 binary — the beyond-broadcast
+      regime; only the sparse pair set and one copy of each vector move.
 
     Buckets above ``bucket_cap`` switch from all-pairs to the star+chain
     topology (as in stages/lsh.py): emitted candidates stay O(n) per hot
@@ -658,6 +672,8 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
     planes = [r.standard_normal((n_bits, dim)) for r in rngs]
 
     def expand(t: pa.Table) -> pa.Table:
+        # hyperplane signs are computed HERE, from the input batch in place;
+        # the vector itself never enters the band table
         emb = _embedding_matrix(t[emb_col])
         n = len(emb)
         keys = np.empty((n_tables, n), dtype=np.uint64)
@@ -674,7 +690,6 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
             "part": pa.array((flat % num_partitions).astype(np.uint32),
                              pa.uint32()),
             id_col: t[id_col].take(idx),
-            emb_col: t[emb_col].take(idx),
         })
 
     bands = ds.select_columns([id_col, emb_col]).map_batches(
@@ -682,8 +697,7 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
 
     def emit(partition: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
+                          "id_b": pa.array([], pa.int64())})
         if partition.num_rows < 2:
             return empty
         order = pc.sort_indices(partition,
@@ -693,8 +707,6 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         keys = t["band_key"].to_numpy()
         starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
         sizes = np.diff(np.concatenate([starts, [len(keys)]]))
-        emb = _embedding_matrix(t[emb_col])
-        norms = np.linalg.norm(emb, axis=1)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         ii, jj = [], []
         for s, n in zip(starts, sizes):
@@ -714,26 +726,24 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
             return empty
         i = np.concatenate(ii)
         j = np.concatenate(jj)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = np.einsum("ij,ij->i", emb[i], emb[j]) / (norms[i] * norms[j])
-        cos = np.nan_to_num(cos, nan=-1.0)
-        keep = (cos >= cosine_threshold) & (ids[i] != ids[j])
+        keep = ids[i] != ids[j]
         return pa.table({
             "id_a": pa.array(np.minimum(ids[i][keep], ids[j][keep])),
             "id_b": pa.array(np.maximum(ids[i][keep], ids[j][keep])),
-            "cosine": pa.array(cos[keep], pa.float64()),
         })
 
-    pairs = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
+    cands = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
 
+    # dedup candidates BEFORE verification — duplicate (id_a, id_b) from
+    # different tables/bands would otherwise re-verify (and duplicate output)
     def dedup(partition: pa.Table) -> pa.Table:
         if partition.num_rows == 0:
             return partition
         a = partition["id_a"].to_numpy().astype(np.uint64)
         b = partition["id_b"].to_numpy().astype(np.uint64)
         key = mix2(a, b)
-        _, first = np.unique(key, return_index=True)
-        return partition.take(pa.array(np.sort(first)))
+        _, first_idx = np.unique(key, return_index=True)
+        return partition.take(pa.array(np.sort(first_idx)))
 
     def add_pp(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy().astype(np.uint64)
@@ -741,6 +751,147 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         return t.append_column("pp", pa.array(
             (mix2(a, b) % np.uint64(16)).astype(np.uint32), pa.uint32()))
 
-    pairs = pairs.map_batches(add_pp, batch_format="pyarrow")
-    return pairs.groupby("pp").map_groups(
+    cands = cands.map_batches(add_pp, batch_format="pyarrow")
+    cands = cands.groupby("pp").map_groups(
         lambda t: dedup(t.drop_columns(["pp"])), batch_format="pyarrow")
+
+    if join_strategy == "broadcast":
+        return _verify_cosine_broadcast(ds, cands, id_col, emb_col,
+                                        cosine_threshold)
+    if join_strategy == "hash":
+        return _verify_cosine_hash(ds, cands, id_col, emb_col,
+                                   cosine_threshold, num_partitions)
+    raise ValueError(f"unknown join_strategy {join_strategy!r}")
+
+
+def _verify_cosine_broadcast(ds, cands, id_col: str, emb_col: str,
+                             threshold: float):
+    """Exact-cosine verify of sparse (id_a, id_b) candidates against a
+    broadcast (sorted ids, float32 matrix) pool — ray.put once, fetched and
+    f64-converted once per worker (cached by object ref)."""
+    import ray
+
+    from .knn import _embedding_matrix
+
+    id_parts, mat_parts = [], []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=262144):
+        id_parts.append(b[id_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        mat_parts.append(_embedding_matrix(b[emb_col]).astype(np.float32))
+    if id_parts:
+        ids = np.concatenate(id_parts)
+        mat = np.concatenate(mat_parts)
+        order = np.argsort(ids)
+        ids, mat = ids[order], np.ascontiguousarray(mat[order])
+    else:
+        ids, mat = np.empty(0, np.int64), np.empty((0, 1), np.float32)
+    pool_ref = ray.put((ids, mat))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        key = ("embpool", pool_ref.hex())
+        cached = _EMB_WORKER_CACHE.get(key)
+        if cached is None:
+            pool_ids, pool_f32 = ray.get(pool_ref)
+            # f32 -> f64 is exact, so the per-pair dot reproduces the
+            # all-in-one-bucket arithmetic bit-for-bit
+            emb64 = pool_f32.astype(np.float64)
+            norms = np.linalg.norm(emb64, axis=1)
+            _EMB_WORKER_CACHE.clear()
+            cached = (pool_ids, emb64, norms)
+            _EMB_WORKER_CACHE[key] = cached
+        pool_ids, emb64, norms = cached
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        a = batch["id_a"].to_numpy()
+        b = batch["id_b"].to_numpy()
+        ia = np.searchsorted(pool_ids, a)
+        ib = np.searchsorted(pool_ids, b)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.einsum("ij,ij->i", emb64[ia], emb64[ib]) \
+                / (norms[ia] * norms[ib])
+        cos = np.nan_to_num(cos, nan=-1.0)
+        keep = cos >= threshold
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64()),
+                         "cosine": pa.array(cos[keep], pa.float64())})
+
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536)
+
+
+_EMB_WORKER_CACHE: dict = {}
+
+
+def _verify_cosine_hash(ds, cands, id_col: str, emb_col: str,
+                        threshold: float, num_partitions: int):
+    """Beyond-broadcast verify: attach packed-float32 vectors to both pair
+    sides via two lookup_join co-partition passes, then exact cosine."""
+    from .relational import lookup_join
+
+    def pack(suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            from .knn import _embedding_matrix
+
+            m = _embedding_matrix(t[emb_col]).astype(np.float32)
+            flat = m.reshape(-1).view(np.uint8)
+            row_bytes = m.shape[1] * 4 if m.size else 0
+            offs = np.arange(len(m) + 1, dtype=np.int32) * row_bytes
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), len(m),
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(flat.tobytes())])
+            return pa.table({id_col: t[id_col],
+                             f"emb{suffix}": bin_arr})
+        return fn
+
+    pairs_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    right_a = ds.select_columns([id_col, emb_col]).map_batches(
+        pack("_a"), batch_format="pyarrow")
+    right_b = ds.select_columns([id_col, emb_col]).map_batches(
+        pack("_b"), batch_format="pyarrow")
+    npart = max(num_partitions // 2, 8)
+    cands = cands.materialize()
+    out = lookup_join(cands, right_a, "id_a", id_col,
+                      num_partitions=npart, left_schema=pairs_schema,
+                      right_schema=pa.schema([(id_col, pa.int64()),
+                                              ("emb_a", pa.binary())]))
+    mid = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("emb_a", pa.binary())])
+    out = lookup_join(out, right_b, "id_b", id_col,
+                      num_partitions=npart, left_schema=mid,
+                      right_schema=pa.schema([(id_col, pa.int64()),
+                                              ("emb_b", pa.binary())]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+
+        def unpack(col) -> np.ndarray:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            buf = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+            offs = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset:arr.offset + len(arr) + 1]
+            row_bytes = offs[1] - offs[0]
+            flat = buf[offs[0]:offs[-1]].view(np.float32)
+            return flat.reshape(len(arr), row_bytes // 4) \
+                .astype(np.float64)
+
+        ea, eb = unpack(batch["emb_a"]), unpack(batch["emb_b"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.einsum("ij,ij->i", ea, eb) \
+                / (np.linalg.norm(ea, axis=1) * np.linalg.norm(eb, axis=1))
+        cos = np.nan_to_num(cos, nan=-1.0)
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(keep)),
+            "id_b": batch["id_b"].filter(pa.array(keep)),
+            "cosine": pa.array(cos[keep], pa.float64())})
+
+    return out.map_batches(verify, batch_format="pyarrow", batch_size=65536)

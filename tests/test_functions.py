@@ -1058,6 +1058,39 @@ def test_embedding_hot_bucket_stays_connected(rd):
     assert pairs.num_rows < 4 * (2 * n_hot)
 
 
+def test_embedding_near_dup_hash_matches_broadcast(rd):
+    """join_strategy='hash' (lookup_join vector attach) emits the identical
+    pair set + bit-exact cosines as the broadcast-pool default."""
+    from setsketch_ray.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((30, 24))
+    vecs, ids = [], []
+    for i in range(30):
+        vecs.append(base[i])
+        ids.append(2 * i)
+        vecs.append(base[i] + 0.04 * rng.standard_normal(24))
+        ids.append(2 * i + 1)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+
+    def run(strategy):
+        t = pa.concat_tables(list(
+            embedding_near_dup_pairs(ds, cosine_threshold=0.9, n_bits=6,
+                                     n_tables=6, join_strategy=strategy)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        return {(a, b): c for a, b, c in
+                zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(),
+                    t["cosine"].to_pylist())}
+
+    bc, hj = run("broadcast"), run("hash")
+    assert bc.keys() == hj.keys() and len(bc) > 0
+    for k in bc:
+        assert bc[k] == hj[k]  # bit-exact
+
+
 def test_asof_join_matches_pandas_merge_asof(rd):
     import pandas as pd
 
