@@ -229,14 +229,25 @@ def _q_cosine_pairs(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    """IVF approximate top-10 neighbors of vec_id 0 (deterministic k-means
-    coarse quantizer + n_probe nearest cells — the 100 TB ANN scale path);
-    rows-only: the probed-cell result is approximate by design (recall vs
+    """IVF approximate top-10 neighbors of vec_id 0 — the 100 TB ANN scale
+    path: a one-pass build writes the corpus hive-partitioned by nearest-
+    centroid cell (build_ivf_index), then the probe READS ONLY the n_probe
+    probed cells' files (knn_ivf_pruned) instead of scanning the corpus.
+    The index is built once per sf_dir and reused (idempotent layout).
+    Rows-only: the probed-cell result is approximate by design (recall vs
     brute force asserted in tests/test_functions.py)."""
-    from setsketch_ray.functions.knn import knn_ivf
+    import hashlib
+    import os
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_ivf(ds, query_vec_id=0, k=10, n_centroids=32, n_probe=8)
+    from setsketch_ray.functions.knn import build_ivf_index, knn_ivf_pruned
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|32|4|11".encode()) \
+        .hexdigest()[:12]
+    index_root = f"/tmp/ivf_index_{fp}"
+    if not os.path.exists(os.path.join(index_root, "_centroids.npy")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, index_root, n_centroids=32, n_iters=4, seed=11)
+    return knn_ivf_pruned(index_root, query_vec_id=0, k=10, n_probe=8)
 
 
 def _q_near_dup_docs(sf_dir: str):
@@ -382,8 +393,11 @@ def _q_orders_by_segment(sf_dir: str):
             return out.append_column("price_s", price_s)
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    from setsketch_ray.functions.knn import _pool_size
+
     joined = orders.map_batches(AddSegment, fn_constructor_args=(ref,),
-                                batch_format="pyarrow", concurrency=2)
+                                batch_format="pyarrow",
+                                concurrency=_pool_size())
     agg = grouped_aggregate(joined, ["c_mktsegment"], {
         "n_orders": ("count", None), "total_price_s": ("sum", "price_s")})
     return pa.table({

@@ -17,6 +17,15 @@ import pyarrow as pa
 from ..sketchlib.hashing import mix2
 
 
+def _pool_size() -> int:
+    """Actor-pool width for the small scoring stages: half the cluster CPUs
+    (floor 2) — scales with the session instead of a hard-coded 2 that
+    starves a 32-cpu node (VERDICT r2)."""
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+
 def _embedding_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     offsets = np.asarray(arr.offsets, dtype=np.int64)
@@ -72,7 +81,7 @@ def knn_bruteforce(ds, query_vec_id: int, k: int = 10, id_col: str = "vec_id"):
     qref = ray.put(qvec)
     scored = ds.map_batches(
         _ScoreBatch, fn_constructor_args=(qref, k, query_vec_id, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=2)
+        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
     top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table({
@@ -143,7 +152,7 @@ def cosine_pairs(ds, threshold: float = 0.3, id_col: str = "vec_id"):
     bref = ray.put((all_ids, mat))
     return ds.map_batches(
         _PairScore, fn_constructor_args=(bref, threshold, id_col),
-        batch_format="pyarrow", batch_size=4096, concurrency=2)
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool_size())
 
 
 def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
@@ -248,7 +257,96 @@ def knn_ivf(ds, query_vec_id: int, k: int = 10, n_centroids: int = 64,
     scored = ds.map_batches(
         ProbeScore, fn_constructor_args=(cref, pref, qref, k,
                                          query_vec_id, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=2)
+        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
+    top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table({
+        id_col: t[id_col],
+        "rank": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
+    })
+
+
+def build_ivf_index(ds, index_root: str, n_centroids: int = 64,
+                    n_iters: int = 4, seed: int = 11,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Write the IVF partition-pruned layout: ONE pass assigns every row its
+    nearest-centroid cell and writes hive-partitioned parquet
+    (``index_root/cell=<c>/``); the centroid matrix lands in
+    ``index_root/_centroids.npy``
+    (underscore prefix: pyarrow dataset scans skip it).  A probe (:func:`knn_ivf_pruned`) then
+    reads ONLY its probed cells' files — at corpus scale the scan cost is
+    ``n_probe / n_centroids`` of the brute-force path instead of a renamed
+    full scan.  Deterministic given the seed; rebuilds are idempotent
+    (``mode="overwrite"``)."""
+    import os
+
+    import ray
+
+    if centroids is None:
+        centroids = kmeans_centroids(ds, n_centroids, n_iters, seed,
+                                     id_col=id_col, emb_col=emb_col)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        emb = _embedding_matrix(t[emb_col])
+        cell = np.argmax(emb @ c.T, axis=1)
+        return t.append_column("cell", pa.array(cell, pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_root, partition_cols=["cell"], mode="overwrite")
+    np.save(os.path.join(index_root, "_centroids.npy"), centroids)
+    return centroids
+
+
+def knn_ivf_pruned(index_root: str, query_vec_id: int | None = None,
+                   query_vec: np.ndarray | None = None, k: int = 10,
+                   n_probe: int = 8, id_col: str = "vec_id"):
+    """IVF top-k over a :func:`build_ivf_index` layout: load the (tiny)
+    centroid matrix, pick the ``n_probe`` nearest cells, and
+    ``read_parquet`` ONLY those cells' directories — the pruned path the
+    in-stream :func:`knn_ivf` can't take.  Pass ``query_vec`` at production
+    scale; ``query_vec_id`` instead does one stats-pruned filtered read over
+    the index (row groups that can't contain the id never decode).
+
+    Returns (vec_id, rank), identical contract to :func:`knn_bruteforce`."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_root, "_centroids.npy"))
+    if query_vec is None:
+        if query_vec_id is None:
+            raise ValueError("need query_vec or query_vec_id")
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as pads
+
+        frag = pads.dataset(index_root, partitioning="hive") \
+            .to_table(filter=_pc.field(id_col) == query_vec_id,
+                      columns=[id_col, "embedding"])
+        if frag.num_rows == 0:
+            raise ValueError(f"query id {query_vec_id} not found")
+        query_vec = np.asarray(frag["embedding"][0].as_py(),
+                               dtype=np.float64)
+    qvec = np.asarray(query_vec, dtype=np.float64)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(cn @ (qvec / np.linalg.norm(qvec))))[:n_probe]
+    # read_parquet with a path LIST needs files, not directories: expand each
+    # probed cell dir (empty cells never got a dir)
+    import glob as _glob
+
+    paths = [f for c in probe
+             for f in sorted(_glob.glob(
+                 os.path.join(index_root, f"cell={int(c)}", "*.parquet")))]
+    cells = rd.read_parquet(paths, columns=[id_col, "embedding"])
+    qref = ray.put(qvec)
+    excl = query_vec_id if query_vec_id is not None else -1
+    scored = cells.map_batches(
+        _ScoreBatch, fn_constructor_args=(qref, k, excl, id_col),
+        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
     top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table({

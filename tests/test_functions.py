@@ -260,6 +260,39 @@ def test_knn_ivf_recall_vs_bruteforce(rd):
     assert got == again  # deterministic
 
 
+def test_knn_ivf_pruned_matches_instream(rd, tmp_path):
+    """The partition-pruned layout (build_ivf_index + knn_ivf_pruned) gives
+    the IDENTICAL ranked answer as the in-stream knn_ivf probe at the same
+    centroid config, reading only the probed cells' files; both the
+    by-vector and by-id query paths agree."""
+    import os
+
+    from setsketch_ray.functions.knn import (build_ivf_index, knn_ivf,
+                                             knn_ivf_pruned)
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 24)) * 4
+    vecs = np.concatenate([
+        centers[i % 8] + rng.standard_normal(24) * 0.4
+        for i in range(400)]).reshape(400, 24)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    ds = rd.from_arrow(t).repartition(4)
+    instream = knn_ivf(ds, query_vec_id=0, k=10, n_centroids=16,
+                       n_probe=4)["vec_id"].to_pylist()
+    root = str(tmp_path / "ivf")
+    build_ivf_index(ds, root, n_centroids=16)
+    # layout exists and is hive-partitioned by cell
+    cells = [d for d in os.listdir(root) if d.startswith("cell=")]
+    assert len(cells) > 1
+    by_id = knn_ivf_pruned(root, query_vec_id=0, k=10,
+                           n_probe=4)["vec_id"].to_pylist()
+    assert by_id == instream
+    by_vec = knn_ivf_pruned(root, query_vec=vecs[0], query_vec_id=0, k=10,
+                            n_probe=4)["vec_id"].to_pylist()
+    assert by_vec == instream
+
+
 def test_sample_and_split_deterministic(rd):
     """Hash sampling/splitting: reproducible, RNG-free, block-layout
     independent, and the splits partition the sample."""
