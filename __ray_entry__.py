@@ -1555,15 +1555,15 @@ def _q_revenue_by_nation(sf_dir: str):
                                ("rev_c", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("c_nationkey", pa.int32())]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    j2 = lookup_join(
-        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
-        left_schema=pa.schema([("l_orderkey", pa.int64()),
-                               ("l_suppkey", pa.int64()),
-                               ("rev_c", pa.int64()),
-                               ("c_nationkey", pa.int32())]),
-        right_schema=pa.schema([("s_suppkey", pa.int64()),
-                                ("s_nationkey", pa.int32())]))
+    # supplier is a dimension side: attach it MAP-SIDE (broadcast_join) so
+    # lineitem rows enter exactly ONE exchange (the l_orderkey co-partition)
+    # instead of re-shuffling for a second key; beyond broadcastable
+    # supplier sizes flip this back to lookup_join
+    from setsketch_ray.functions.relational import broadcast_join
+
+    supp_tbl = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    j2 = broadcast_join(j1, supp_tbl, "l_suppkey", "s_suppkey")
 
     def rev(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(
@@ -2218,18 +2218,15 @@ def _q_product_profit(sf_dir: str):
                                ("l_shipdate", pa.timestamp("us"))]),
         right_schema=pa.schema([("p_partkey", pa.int64()),
                                 ("p_retailprice", pa.float64())]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    j2 = lookup_join(
-        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
-        left_schema=pa.schema([("l_partkey", pa.int64()),
-                               ("l_suppkey", pa.int64()),
-                               ("l_quantity", pa.float64()),
-                               ("l_extendedprice", pa.float64()),
-                               ("l_discount", pa.float64()),
-                               ("l_shipdate", pa.timestamp("us")),
-                               ("p_retailprice", pa.float64())]),
-        right_schema=pa.schema([("s_suppkey", pa.int64()),
-                                ("s_nationkey", pa.int32())]))
+    # dimension side attaches map-side: lineitem enters ONE exchange (the
+    # l_partkey co-partition), not two (see broadcast_join)
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.functions.relational import broadcast_join
+
+    supp_tbl = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    j2 = broadcast_join(j1, supp_tbl, "l_suppkey", "s_suppkey")
 
     def amount(t: pa.Table) -> pa.Table:
         rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
@@ -2301,15 +2298,13 @@ def _q_market_share(sf_dir: str):
                                ("l_year", pa.int64()),
                                ("rev_c", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64())]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    j2 = lookup_join(
-        j1, supp, "l_suppkey", "s_suppkey", num_partitions=32,
-        left_schema=pa.schema([("l_orderkey", pa.int64()),
-                               ("l_suppkey", pa.int64()),
-                               ("l_year", pa.int64()),
-                               ("rev_c", pa.int64())]),
-        right_schema=pa.schema([("s_suppkey", pa.int64()),
-                                ("s_nationkey", pa.int32())]))
+    # dimension side attaches map-side: lineitem enters ONE exchange (the
+    # l_orderkey co-partition), not two (see broadcast_join)
+    from setsketch_ray.functions.relational import broadcast_join
+
+    supp_tbl = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    j2 = broadcast_join(j1, supp_tbl, "l_suppkey", "s_suppkey")
 
     def vol(t: pa.Table) -> pa.Table:
         c = t["rev_c"].to_numpy(zero_copy_only=False)

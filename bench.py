@@ -428,16 +428,18 @@ def run_stress(n_images: int | None = None) -> None:
     _ensure_bench_images(img_path)
     BENCH_IMAGES = old
 
+    scale_mode = os.environ.get("GRAFT_STRESS_MODE", "node")
     t0 = time.time()
     ds = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
     clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig(
         decode=True, sketch_concurrency=max(2, NUM_CPUS // 2),
-        num_partitions=NUM_CPUS * 8))
+        num_partitions=NUM_CPUS * 8, scale_mode=scale_mode))
     n_rows = clustered.count()
     dt = time.time() - t0
     rec = evaluate_recall(mapping, truth_pairs(n))
     print(json.dumps({
-        "metric": f"stress: {n} images end-to-end (decode+cluster)",
+        "metric": f"stress: {n} images end-to-end (decode+cluster, "
+                  f"scale_mode={scale_mode})",
         "value": round(dt, 1), "unit": "sec",
         "images_per_sec": round(n_rows / dt, 1),
         "recall": round(rec["recall"], 4),

@@ -329,6 +329,53 @@ def count_distinct(ds, column: str, num_partitions: int = 64) -> int:
     return total
 
 
+_BCJOIN_WORKER_CACHE: dict = {}
+
+
+def broadcast_join(left, right: pa.Table, left_key: str, right_key: str,
+                   how: str = "inner"):
+    """Map-side equi-join against a SMALL in-memory right table: the right
+    side is ``ray.put`` ONCE and each task gathers matches with a vectorized
+    ``pc.index_in`` — the big left never enters an exchange.  This is the
+    "share one exchange across chained joins" fix for the TPC-H chains
+    (Q5/Q8/Q9): the first join co-partitions the fact table once
+    (:func:`lookup_join`); every later dimension side (supplier, part,
+    nation) attaches map-side, so the fact rows are shuffled exactly once.
+
+    Use when ``right`` fits a worker heap (dimension tables; the object
+    store shares one copy per node).  :func:`lookup_join` is the
+    beyond-broadcast path.  Contract: ``right`` unique on ``right_key``, no
+    null keys.  Output: left columns + right columns minus ``right_key``
+    (``how="inner"`` drops unmatched left rows; ``how="left"`` null-pads).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: bad how {how!r}")
+    right = right.combine_chunks()
+    rref = ray.put(right)
+    out_cols = [c for c in right.column_names if c != right_key]
+
+    def join(t: pa.Table) -> pa.Table:
+        key = ("bcjoin", rref.hex())
+        r = _BCJOIN_WORKER_CACHE.get(key)
+        if r is None:
+            _BCJOIN_WORKER_CACHE.clear()
+            r = ray.get(rref)
+            _BCJOIN_WORKER_CACHE[key] = r
+        idx = pc.index_in(t[left_key], value_set=r[right_key])
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            t = t.filter(valid)
+            idx = idx.filter(valid)
+        for c in out_cols:
+            t = t.append_column(c, pc.take(r[c], idx))
+        return t
+
+    return left.map_batches(join, batch_format="pyarrow")
+
+
 def lookup_join(left, right, left_key: str, right_key: str,
                 num_partitions: int = 32,
                 left_schema: "pa.Schema | None" = None,

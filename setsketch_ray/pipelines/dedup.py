@@ -97,6 +97,13 @@ class DedupConfig:
     # edge dataset (the 10^12-row path: only edges shuffle, O(diameter)
     # join rounds) — results are identical (tested)
     cluster_strategy: str = "unionfind"
+    # ONE switch for the multi-node profile: "cluster" resolves (at
+    # near_dup_pipeline entry) to join_strategy="hash",
+    # cluster_strategy="labelprop", materialize_sketches=False — no
+    # driver-side pull bigger than the sparse edge list, no broadcast that
+    # assumes the corpus payload fits one heap.  "node" keeps the
+    # single-box defaults above.  Results are identical (tested).
+    scale_mode: str = "node"
 
 
 def _rename_payload(suffix: str, id_col: str, list_cols: tuple = ()):
@@ -419,6 +426,13 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
     ``mapping``           = {id: cluster_root} for evaluation.
     """
     import ray
+
+    if getattr(cfg, "scale_mode", "node") == "cluster":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, scale_mode="node", join_strategy="hash",
+            cluster_strategy="labelprop", materialize_sketches=False)
 
     member_rep = None
     lsh_input = ds

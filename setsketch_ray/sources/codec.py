@@ -193,6 +193,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "ljpg":
         return decode_ljpg(data)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except NotImplementedError:
+            pass  # progressive/arithmetic: PIL fallback below if present
     try:  # pragma: no cover - PIL not installed in this environment
         from PIL import Image
         import io
@@ -209,6 +216,10 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         return encode_png(pixels)
     if fmt == "ljpg":
         return encode_ljpg(pixels, quality)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality)
     raise NotImplementedError(f"format {fmt!r} not supported for encoding")
 
 

@@ -1,0 +1,572 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure NumPy — real-world codec
+coverage without PIL/libjpeg (neither exists in this environment).
+
+* :func:`encode_jpeg` — baseline sequential DCT, 4:4:4 sampling, standard
+  Annex-K quantization + Huffman tables, quality scaling per the IJG rule.
+  Output is a format-conformant JFIF file any real decoder reads.
+* :func:`decode_jpeg` — baseline sequential decoder: 4:4:4 / 4:2:2 / 4:2:0
+  and grayscale sampling, restart markers (DRI/RSTn), multiple DQT/DHT
+  segments.  Progressive (SOF2) and arithmetic coding raise
+  ``NotImplementedError`` (honestly gated, same contract as
+  sources/codec.py).
+
+Reference semantics: the reference repo has no image codecs (its inputs are
+synthetic element streams); this exists for the pipeline brief's image+
+caption corpus (BASELINE.json input_hint: decoded-pixel PSNR >= 40 dB for
+lossy formats — asserted in tests/test_image_ops.py).
+
+The DCT/IDCT, quantization and color transforms are vectorized over all
+8x8 blocks at once (einsum); only the entropy coder walks the bit-stream
+serially, which is inherent to Huffman decoding.  Decode cost is therefore
+O(pixels) NumPy + O(coefficients) Python — acceptable for the gated
+foreign-format path (the engine's own corpora use png/ljpg, which are fully
+vectorized).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+# Annex K.1 / K.2 base quantization tables (luminance, chrominance)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# zig-zag order: _ZZ[k] = raster index of the k-th zig-zag coefficient
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+_ZZ_INV = np.argsort(_ZZ)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# 8x8 type-II DCT basis: _DCTM @ block @ _DCTM.T = 2-D DCT coefficients
+_k = np.arange(8)
+_DCTM = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * 0.5
+_DCTM[0] *= 1 / np.sqrt(2)
+
+
+def _build_code_table(bits, huffval):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, huffval):
+    """(BITS, HUFFVAL) -> {(length, code): symbol} for MSB-first decoding."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _quality_scale(q_base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 -> base table, 100 -> all-ones."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (q_base * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 -> (n_blocks, 8, 8), raster order."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8)
+
+
+def _unblockify(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return blocks.reshape(h8 // 8, w8 // 8, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(h8, w8)
+
+
+def _fdct_quant(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantization over ALL blocks at once -> int32 zig-zag
+    coefficients (n_blocks, 64)."""
+    coef = np.einsum("ij,njk,lk->nil", _DCTM, blocks - 128.0, _DCTM)
+    quant = np.round(coef / q.reshape(8, 8)).astype(np.int32)
+    return quant.reshape(-1, 64)[:, _ZZ]
+
+
+def _dequant_idct(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Zig-zag int coefficients (n_blocks, 64) -> pixel blocks (n, 8, 8)."""
+    coef = (zz[:, _ZZ_INV] * q[_ZZ_INV]).reshape(-1, 8, 8).astype(np.float64)
+    pix = np.einsum("ji,njk,kl->nil", _DCTM, coef, _DCTM) + 128.0
+    return np.clip(np.round(pix), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81 F.1.2.3
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Value -> (size, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, blk, pred_ci, dc_tab, ac_tab):
+    """Entropy-code one 64-coef zig-zag block; returns the new DC pred."""
+    dc = int(blk[0])
+    size, bits = _magnitude(dc - pred_ci)
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = np.flatnonzero(blk[1:])
+    end = (last_nz[-1] + 2) if len(last_nz) else 1
+    for k in range(1, end):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_tab[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if end < 64:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline JFIF JPEG.
+
+    ``subsampling="444"`` (no chroma subsampling, 1-block MCUs) or
+    ``"420"`` (2x2-mean chroma downsampling, 16x16 MCUs — the layout that
+    dominates real-world JPEGs)."""
+    h, w = pixels.shape[:2]
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_jpeg needs (h, w, 3) uint8 RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r}: use '444' or '420'")
+    qy = _quality_scale(_QY, quality)
+    qc = _quality_scale(_QC, quality)
+    is420 = subsampling == "420"
+    mcu = 16 if is420 else 8
+
+    # pad to MCU multiples by edge replication
+    hp = (h + mcu - 1) // mcu * mcu
+    wp = (w + mcu - 1) // mcu * mcu
+    pad = np.pad(pixels, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(pad)
+    yplane = ycc[..., 0]
+    if is420:
+        # 2x2 mean chroma downsample
+        chroma = [ycc[..., ci].reshape(hp // 2, 2, wp // 2, 2)
+                  .mean(axis=(1, 3)) for ci in (1, 2)]
+    else:
+        chroma = [ycc[..., 1], ycc[..., 2]]
+    ycoef = _fdct_quant(_blockify(yplane), qy[_ZZ])
+    ccoef = [_fdct_quant(_blockify(c), qc[_ZZ]) for c in chroma]
+
+    dc_lum = _build_code_table(*_DC_LUM)
+    ac_lum = _build_code_table(*_AC_LUM)
+    dc_chr = _build_code_table(*_DC_CHR)
+    ac_chr = _build_code_table(*_AC_CHR)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_i = 0
+    rst_n = 0
+
+    def maybe_rst():
+        nonlocal mcu_i, rst_n, pred
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.flush()  # byte-align (1-padded)
+            bw.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            pred = [0, 0, 0]
+        mcu_i += 1
+
+    if is420:
+        ybx = wp // 8  # Y blocks per row
+        cbx = wp // 16
+        for my in range(hp // 16):
+            for mx in range(wp // 16):
+                maybe_rst()
+                for v in range(2):
+                    for hh in range(2):
+                        blk = ycoef[(2 * my + v) * ybx + 2 * mx + hh]
+                        pred[0] = _encode_block(bw, blk, pred[0],
+                                                dc_lum, ac_lum)
+                for ci in range(2):
+                    blk = ccoef[ci][my * cbx + mx]
+                    pred[ci + 1] = _encode_block(bw, blk, pred[ci + 1],
+                                                 dc_chr, ac_chr)
+    else:
+        for bi in range(ycoef.shape[0]):  # MCU = one block per component
+            maybe_rst()
+            pred[0] = _encode_block(bw, ycoef[bi], pred[0], dc_lum, ac_lum)
+            for ci in range(2):
+                pred[ci + 1] = _encode_block(bw, ccoef[ci][bi], pred[ci + 1],
+                                             dc_chr, ac_chr)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in q[_ZZ])
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    ysamp = 0x22 if is420 else 0x11
+    for cid, samp, tq in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, samp, tq])
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
+                                   (0, 1, _DC_CHR), (1, 1, _AC_CHR)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tabs])
+    out += b"\x00\x3F\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment (0xFF00 unstuffed,
+    RST markers surfaced via ``at_marker``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # marker: stop filling, pad with 1s
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def sync_to_rst(self):
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected RST marker")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 sign extension."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF JPEG to (h, w, 3) uint8 RGB
+    (grayscale files are replicated to 3 channels)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if prec == 0:
+                    q = np.frombuffer(seg[p:p + 64], np.uint8) \
+                        .astype(np.int32)
+                    p += 64
+                else:
+                    q = np.frombuffer(seg[p:p + 128], ">u2") \
+                        .astype(np.int32)
+                    p += 128
+                qtables[tid] = q  # zig-zag order as stored
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nval = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nval])
+                htables[(cls, tid)] = _build_decode_table(bits, vals)
+                p += 17 + nval
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+            prec, h, w, nc = seg[0], \
+                struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X} not supported (baseline "
+                "sequential only)")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            scomps = []
+            ns = seg[0]
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
+            pos += seglen
+            return _decode_scan(data, pos, frame, scomps, qtables, htables,
+                                restart_interval)
+        pos += seglen
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scomps, qtables, htables,
+                 restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    by_id = {c["id"]: c for c in comps}
+    for sc in scomps:
+        c = by_id[sc["id"]]
+        c["dc_tab"] = htables[(0, sc["dc"])]
+        c["ac_tab"] = htables[(1, sc["ac"])]
+        c["blocks_x"] = mcus_x * c["hs"]
+        c["blocks_y"] = mcus_y * c["vs"]
+        c["coef"] = np.zeros((c["blocks_y"] * c["blocks_x"], 64),
+                             dtype=np.int32)
+
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.sync_to_rst()
+                pred = {c["id"]: 0 for c in comps}
+            for sc in scomps:
+                c = by_id[sc["id"]]
+                for v in range(c["vs"]):
+                    for hh in range(c["hs"]):
+                        blk = np.zeros(64, dtype=np.int32)
+                        size = br.decode_huff(c["dc_tab"])
+                        diff = _extend(br.read_bits(size), size)
+                        pred[c["id"]] += diff
+                        blk[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(c["ac_tab"])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        bx = mx * c["hs"] + hh
+                        by = my * c["vs"] + v
+                        c["coef"][by * c["blocks_x"] + bx] = blk
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        q = qtables[c["tq"]]
+        pix = _dequant_idct(c["coef"], q)
+        plane = _unblockify(pix, c["blocks_y"] * 8, c["blocks_x"] * 8)
+        # upsample subsampled chroma to full MCU grid by pixel replication
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(np.stack(planes[:3], axis=-1))

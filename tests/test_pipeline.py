@@ -267,6 +267,21 @@ def test_fused_map_stage_bit_identical(fixture_path, ray_session):
     assert run(False) == run(True)
 
 
+def test_scale_mode_cluster_matches_node(fixture_path, ray_session):
+    """scale_mode="cluster" (hash join attach + labelprop clustering + no
+    sketch materialize) produces the IDENTICAL cluster mapping as the
+    single-box defaults — one switch, same answer."""
+    import ray.data as rd
+
+    def run(mode):
+        ds = rd.read_parquet(fixture_path)
+        _, _, mapping = near_dup_pipeline(ds, DedupConfig(
+            decode=True, sketch_concurrency=2, scale_mode=mode))
+        return mapping
+
+    assert run("cluster") == run("node")
+
+
 def test_representatives_by_quality(ray_session):
     """Quality-aware canonical selection: highest quality wins its cluster,
     ties go to the smallest id, singletons are their own representative."""
