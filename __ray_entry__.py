@@ -1288,11 +1288,17 @@ def _q_joint_eval(sf_dir: str):
     per-tuple Mean/MSE output over every estimator (new / corrected /
     incl-excl / deprecated / equal-register bounds); rows-only.  48 trials
     of this grid run in ~28 s at 32 cpus (BASELINE.md)."""
+    import ray
+
     from setsketch_ray.pipelines.evaluation import joint_error_pipeline
 
+    # size the trial pool to the session: each actor runs whole-grid trials,
+    # so concurrency == busy cores (at 6 this was the sweep's slowest query)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    conc = max(4, min(12, ncpu - 2))
     return joint_error_pipeline(family="ghll", m=1024, n_trials=12,
                                 union_cardinalities=(1_000_000, 1_000),
-                                parallelism=12, concurrency=6)
+                                parallelism=12, concurrency=conc)
 
 
 def _q_top_events_per_user(sf_dir: str):
