@@ -118,8 +118,24 @@ def _paraphrase(caption: str, variant: int) -> str:
     return " ".join(words)
 
 
-def _apply_variant(pixels: np.ndarray, variant: int):
-    """Near-dup edit + output format. Returns (pixels, fmt, quality)."""
+def _apply_variant(pixels: np.ndarray, variant: int, fmt_profile: str = "mixed"):
+    """Near-dup edit + output format. Returns (pixels, fmt, quality).
+
+    ``fmt_profile="mixed"`` is the light-decode default (png + LJP1);
+    ``fmt_profile="jpeg"`` stores every row as real baseline JPEG (T.81,
+    ``sources/jpeg.py``) — the decode-dominated profile of an actual web
+    corpus, used by ``bench.py --scaling`` for the compute-bound scaling
+    measurement (JPEG decode is ~30x the arithmetic of LJP1 per row, so the
+    map stage is cpu-bound, not DRAM-bound, at high core counts)."""
+    if fmt_profile == "jpeg":
+        if variant == 0:
+            return pixels, "jpg", 95
+        if variant == 1:
+            return pixels, "jpg", 90  # lossy re-encode near-dup
+        if variant == 2:
+            return np.roll(pixels, 1, axis=1), "jpg", 95
+        return (np.clip(pixels.astype(np.int16) + 3, 0, 255).astype(np.uint8),
+                "jpg", 95)
     if variant == 0:
         return pixels, "png", 0
     if variant == 1:
@@ -130,14 +146,15 @@ def _apply_variant(pixels: np.ndarray, variant: int):
     return np.clip(pixels.astype(np.int16) + 3, 0, 255).astype(np.uint8), "png", 0
 
 
-def generate_rows(indices: np.ndarray, seed: int = 42, size: int = 32) -> pa.Table:
+def generate_rows(indices: np.ndarray, seed: int = 42, size: int = 32,
+                  fmt_profile: str = "mixed") -> pa.Table:
     """Pure batch generator: row ``i`` of the corpus for each i in indices."""
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
     for idx in np.asarray(indices, dtype=np.int64):
         idx = int(idx)
         base_key, variant, _cluster = _row_role(seed, idx)
         pixels = _synth_pixels(base_key, size)
-        pixels, fmt, quality = _apply_variant(pixels, variant)
+        pixels, fmt, quality = _apply_variant(pixels, variant, fmt_profile)
         data = encode_image(pixels, fmt, quality)
         # phash from the *decoded stored bytes* so the column is consistent
         # with what a decode stage would recompute
@@ -180,9 +197,10 @@ def truth_pairs(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
-def images_table(n_rows: int, seed: int = 42, size: int = 32) -> pa.Table:
+def images_table(n_rows: int, seed: int = 42, size: int = 32,
+                 fmt_profile: str = "mixed") -> pa.Table:
     """Driver-side generation (small scales / tests)."""
-    return generate_rows(np.arange(n_rows), seed, size)
+    return generate_rows(np.arange(n_rows), seed, size, fmt_profile)
 
 
 class GenerateImagesBatch:
@@ -190,21 +208,25 @@ class GenerateImagesBatch:
     generation: each task generates only its own index range (pure function of
     (seed, index), FIXTURES.md F1)."""
 
-    def __init__(self, seed: int = 42, size: int = 32):
+    def __init__(self, seed: int = 42, size: int = 32,
+                 fmt_profile: str = "mixed"):
         self.seed = seed
         self.size = size
+        self.fmt_profile = fmt_profile
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return generate_rows(batch["id"].to_numpy(), self.seed, self.size)
+        return generate_rows(batch["id"].to_numpy(), self.seed, self.size,
+                             self.fmt_profile)
 
 
 def images_dataset(n_rows: int, seed: int = 42, size: int = 32,
-                   parallelism: int = 32):
+                   parallelism: int = 32, fmt_profile: str = "mixed"):
     """Distributed generation as a Ray Dataset."""
     import ray.data as rd
 
     return rd.range(n_rows, override_num_blocks=parallelism).map_batches(
-        GenerateImagesBatch(seed, size), batch_format="pyarrow", batch_size=1024)
+        GenerateImagesBatch(seed, size, fmt_profile), batch_format="pyarrow",
+        batch_size=1024)
 
 
 def cached_images_parquet(n_rows: int, seed: int = 42, size: int = 32,

@@ -116,18 +116,32 @@ def _build_code_table(bits, huffval):
     return codes
 
 
-def _build_decode_table(bits, huffval):
-    """(BITS, HUFFVAL) -> {(length, code): symbol} for MSB-first decoding."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+_DEC_LUT_CACHE: dict[bytes, list] = {}
+
+
+def _build_decode_lut(bits, huffval):
+    """(BITS, HUFFVAL) -> 65536-entry peek table: the next 16 bits of the
+    stream index straight to ``(code_length << 8) | symbol`` (0 = invalid
+    prefix).  One list lookup replaces the old bit-at-a-time tree walk
+    (~6.5k Huffman symbols per 64x64 image); cached by table bytes since a
+    corpus shares its DHT segments across files."""
+    key = bytes(bits) + bytes(huffval)
+    lut = _DEC_LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(65536, dtype=np.int32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            shift = 16 - length
+            for _ in range(bits[length - 1]):
+                arr[code << shift:(code + 1) << shift] = \
+                    (length << 8) | huffval[k]
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()  # plain-int list indexing beats ndarray scalars
+        _DEC_LUT_CACHE[key] = lut
+    return lut
 
 
 def _quality_scale(q_base: np.ndarray, quality: int) -> np.ndarray:
@@ -277,8 +291,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                   .mean(axis=(1, 3)) for ci in (1, 2)]
     else:
         chroma = [ycc[..., 1], ycc[..., 2]]
-    ycoef = _fdct_quant(_blockify(yplane), qy[_ZZ])
-    ccoef = [_fdct_quant(_blockify(c), qc[_ZZ]) for c in chroma]
+    # qy/qc are raster-order 8x8 tables (_QY is Annex K.1 as printed);
+    # _fdct_quant consumes raster order, the DQT writer zig-zags at emit
+    ycoef = _fdct_quant(_blockify(yplane), qy)
+    ccoef = [_fdct_quant(_blockify(c), qc) for c in chroma]
 
     dc_lum = _build_code_table(*_DC_LUM)
     ac_lum = _build_code_table(*_AC_LUM)
@@ -362,6 +378,8 @@ class _BitReader:
 
     def _fill(self):
         d = self.data
+        # trim consumed high bits so acc stays a machine-word-sized int
+        self.acc &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.pos >= len(d):
                 self.acc = (self.acc << 8) | 0xFF  # pad past end
@@ -388,19 +406,23 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()  # fill guarantees >= 25 bits; n <= 16
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def decode_huff(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+    def decode_huff(self, lut: list) -> int:
+        """Decode one symbol via the 16-bit peek LUT from
+        ``_build_decode_lut`` (entry = (length << 8) | symbol, 0 invalid)."""
+        if self.nbits < 16:
+            self._fill()
+        entry = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("invalid Huffman code")
+        self.nbits -= entry >> 8
+        return entry & 0xFF
 
     def sync_to_rst(self):
         """Byte-align and consume an RSTn marker."""
@@ -467,7 +489,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1:p + 17])
                 nval = sum(bits)
                 vals = list(seg[p + 17:p + 17 + nval])
-                htables[(cls, tid)] = _build_decode_table(bits, vals)
+                htables[(cls, tid)] = _build_decode_lut(bits, vals)
                 p += 17 + nval
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]

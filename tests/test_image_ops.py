@@ -51,6 +51,17 @@ def test_jpeg_codec_roundtrip_psnr():
     assert psnr(dec, img) >= 40.0
     assert psnr(decode_jpeg(encode_jpeg(img, 100)), img) >= 50.0
 
+    # quality must be monotone (regression: the encoder once quantized with
+    # a zig-zag-permuted table while DQT/decoder used raster order, which
+    # made q95 WORSE than q90 on smooth content; only q100's flat table hid
+    # the mismatch)
+    grad = np.stack([np.tile(np.linspace(0, 255, 32), (32, 1))] * 3,
+                    -1).astype(np.uint8)
+    p = {q: psnr(decode_jpeg(encode_jpeg(grad, q)), grad)
+         for q in (50, 75, 90, 95)}
+    assert p[50] <= p[75] + 0.5 and p[75] <= p[90] + 0.5 and p[90] < p[95]
+    assert p[90] >= 48.0
+
 
 def test_jpeg_codec_420_and_restart_markers():
     """4:2:0 subsampled streams decode (chroma upsample path), and restart
