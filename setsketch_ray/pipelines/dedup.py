@@ -68,6 +68,11 @@ class DedupConfig:
     multimodal_support: float | None = 0.05
     exact_caption_exempt: float = 0.999
     sketch_concurrency: int | None = None  # actor-pool size (None = tasks)
+    # batch size for the decode / fused map stages.  None = format-profile
+    # defaults (1024 unfused / 4096 fused — right for the cheap png/ljpg
+    # corpus).  Real-JPEG corpora decode at ~3 ms/row, so a 1024-row batch
+    # is a 3+ s task: set ~256 there to keep task granularity ~1 s.
+    map_batch_size: int | None = None
     # fuse decode+shingle+sketch into ONE map stage (pixel/shingle
     # intermediates never cross the object store; bit-identical results)
     fuse_map: bool = False
@@ -141,7 +146,8 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
 
         # 4096 beats 1024 here (sketch-kernel amortization dominates; the
         # decoded 4096x4KB pixel table is 16 MB heap — fine)
-        fused_kwargs = dict(batch_format="pyarrow", batch_size=4096)
+        fused_kwargs = dict(batch_format="pyarrow",
+                            batch_size=cfg.map_batch_size or 4096)
         if cfg.sketch_concurrency:
             fused_kwargs["concurrency"] = cfg.sketch_concurrency
         ds = ds.map_batches(
@@ -152,7 +158,8 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
         if cfg.decode:
             from ..stages.image import DecodeStage
 
-            decode_kwargs = dict(batch_format="pyarrow", batch_size=1024)
+            decode_kwargs = dict(batch_format="pyarrow",
+                                 batch_size=cfg.map_batch_size or 1024)
             if cfg.sketch_concurrency:
                 decode_kwargs["concurrency"] = cfg.sketch_concurrency
             ds = ds.map_batches(DecodeStage(), **decode_kwargs)

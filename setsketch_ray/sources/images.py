@@ -224,9 +224,13 @@ def images_dataset(n_rows: int, seed: int = 42, size: int = 32,
     """Distributed generation as a Ray Dataset."""
     import ray.data as rd
 
+    # batch_size=None keeps one batch per input block: a fixed batch_size
+    # BUNDLES small blocks (n_rows/parallelism rows each) into fewer output
+    # blocks, silently collapsing downstream parallelism (a 4000-row corpus
+    # at parallelism=16 wrote only 4 parquet files)
     return rd.range(n_rows, override_num_blocks=parallelism).map_batches(
         GenerateImagesBatch(seed, size, fmt_profile), batch_format="pyarrow",
-        batch_size=1024)
+        batch_size=None)
 
 
 def cached_images_parquet(n_rows: int, seed: int = 42, size: int = 32,
