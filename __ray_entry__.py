@@ -1301,6 +1301,26 @@ def _q_joint_eval(sf_dir: str):
                                 parallelism=12, concurrency=conc)
 
 
+def _q_charts(sf_dir: str):
+    """Regenerate the reference figure set (bias/RMSE panels, joint RMSE vs
+    Cramér-Rao, collision-probability bounds — python/joint_charts.py:124-135,
+    cardinality_error_charts.py:81-82, collision_probability.py:47-67) as
+    SVGs under /tmp via the Monte-Carlo evaluation pipelines; returns one
+    row per chart with its on-disk size.  rows-only: the artifact is a
+    figure, not a relation (underlying tables are golden-parity tested)."""
+    import os
+
+    import pandas as pd
+
+    from setsketch_ray.pipelines.charts import make_charts
+
+    out = make_charts("/tmp/setsketch_charts", m=256, n_trials=8,
+                      max_cardinality=5_000, union_size=500)
+    rows = [{"chart": k, "path": v, "bytes": os.path.getsize(v)}
+            for k, v in sorted(out.items())]
+    return pd.DataFrame(rows)
+
+
 def _q_top_events_per_user(sf_dir: str):
     """Top-3 events per user by value (hash-partitioned vectorized rank —
     no global sort); oracle via QUALIFY row_number()."""
@@ -2533,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "cardinality_eval": _q_cardinality_eval,
         "joint_eval": _q_joint_eval,
+        "charts": _q_charts,
         "approx_distinct_methods": _q_approx_distinct_methods,
         "substring_dup_docs": _q_substring_dup_docs,
         "suffix_dup_spans": _q_suffix_dup_spans,
