@@ -193,13 +193,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "ljpg":
         return decode_ljpg(data)
-    if fmt in ("jpg", "jpeg"):
+    if fmt in ("jpg", "jpeg", "pjpg"):
         from .jpeg import decode_jpeg
 
         try:
-            return decode_jpeg(data)
+            return decode_jpeg(data)  # sequential AND progressive (SOF2)
         except NotImplementedError:
-            pass  # progressive/arithmetic: PIL fallback below if present
+            pass  # arithmetic/hierarchical: PIL fallback below if present
     try:  # pragma: no cover - PIL not installed in this environment
         from PIL import Image
         import io
@@ -220,6 +220,10 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         from .jpeg import encode_jpeg
 
         return encode_jpeg(pixels, quality)
+    if fmt == "pjpg":  # progressive JPEG (SOF2, 10-scan libjpeg-style script)
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality, progressive=True)
     raise NotImplementedError(f"format {fmt!r} not supported for encoding")
 
 

@@ -127,11 +127,14 @@ def _apply_variant(pixels: np.ndarray, variant: int, fmt_profile: str = "mixed")
     corpus, used by ``bench.py --scaling`` for the compute-bound scaling
     measurement (JPEG decode is ~30x the arithmetic of LJP1 per row, so the
     map stage is cpu-bound, not DRAM-bound, at high core counts)."""
-    if fmt_profile == "jpeg":
+    if fmt_profile in ("jpeg", "jpeg_prog"):
+        # "jpeg_prog": variant 1 is stored PROGRESSIVE (SOF2) — a realistic
+        # web-corpus mix where ~1/4 of files take the multi-scan decode path
+        fmt1 = "pjpg" if fmt_profile == "jpeg_prog" else "jpg"
         if variant == 0:
             return pixels, "jpg", 95
         if variant == 1:
-            return pixels, "jpg", 90  # lossy re-encode near-dup
+            return pixels, fmt1, 90  # lossy re-encode near-dup
         if variant == 2:
             return np.roll(pixels, 1, axis=1), "jpg", 95
         return (np.clip(pixels.astype(np.int16) + 3, 0, 255).astype(np.uint8),

@@ -4,11 +4,20 @@ coverage without PIL/libjpeg (neither exists in this environment).
 * :func:`encode_jpeg` — baseline sequential DCT, 4:4:4 sampling, standard
   Annex-K quantization + Huffman tables, quality scaling per the IJG rule.
   Output is a format-conformant JFIF file any real decoder reads.
-* :func:`decode_jpeg` — baseline sequential decoder: 4:4:4 / 4:2:2 / 4:2:0
-  and grayscale sampling, restart markers (DRI/RSTn), multiple DQT/DHT
-  segments.  Progressive (SOF2) and arithmetic coding raise
-  ``NotImplementedError`` (honestly gated, same contract as
-  sources/codec.py).
+* :func:`decode_jpeg` — sequential (SOF0/SOF1) AND progressive (SOF2)
+  decoder: 4:4:4 / 4:2:2 / 4:2:0 and grayscale sampling, restart markers
+  (DRI/RSTn), multiple DQT/DHT segments.  Progressive covers the full
+  T.81 Annex G Huffman procedure: spectral selection, successive
+  approximation (DC + AC first and refinement scans), EOB runs, and
+  per-scan restart intervals — the layout libjpeg's standard progression
+  script emits, which dominates real-world progressive files.  Arithmetic
+  coding and hierarchical/lossless SOFs raise ``NotImplementedError``
+  (honestly gated, same contract as sources/codec.py).
+* ``encode_jpeg(..., progressive=True)`` writes a spectral-selection +
+  successive-approximation progressive file (libjpeg-style 10-scan
+  script); because successive approximation transmits the quantized
+  coefficients losslessly, its decode is asserted BIT-IDENTICAL to the
+  baseline encode/decode of the same pixels in tests.
 
 Reference semantics: the reference repo has no image codecs (its inputs are
 synthetic element streams); this exists for the pipeline brief's image+
@@ -95,6 +104,17 @@ _AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# Huffman table for ALL progressive AC scans (encoder side): every symbol a
+# progressive scan can emit — EOBn (r<<4, r 0..14), ZRL (0xF0), and
+# (run<<4)|size for size 1..10 — at a flat 8-bit code length (176 codes,
+# Kraft 176/256; canonical, so any conformant decoder reads it).  Flat codes
+# trade compression for simplicity; this encoder exists to produce
+# spec-conformant progressive fixtures/corpora, not to rival libjpeg's
+# optimized tables.
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+            [r << 4 for r in range(15)] + [0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 
 # 8x8 type-II DCT basis: _DCTM @ block @ _DCTM.T = 2-D DCT coefficients
 _k = np.arange(8)
@@ -263,12 +283,16 @@ def _encode_block(bw, blk, pred_ci, dc_tab, ac_tab):
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as a baseline JFIF JPEG.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline or progressive JFIF JPEG.
 
     ``subsampling="444"`` (no chroma subsampling, 1-block MCUs) or
     ``"420"`` (2x2-mean chroma downsampling, 16x16 MCUs — the layout that
-    dominates real-world JPEGs)."""
+    dominates real-world JPEGs).  ``progressive=True`` emits SOF2 with the
+    libjpeg-style 10-scan spectral-selection + successive-approximation
+    script; the quantized coefficients are transmitted losslessly, so the
+    decoded pixels are bit-identical to the baseline encoding's."""
     h, w = pixels.shape[:2]
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg needs (h, w, 3) uint8 RGB")
@@ -295,6 +319,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     # _fdct_quant consumes raster order, the DQT writer zig-zags at emit
     ycoef = _fdct_quant(_blockify(yplane), qy)
     ccoef = [_fdct_quant(_blockify(c), qc) for c in chroma]
+
+    if progressive:
+        return _encode_progressive(h, w, hp, wp, is420, qy, qc, ycoef,
+                                   ccoef, restart_interval)
 
     dc_lum = _build_code_table(*_DC_LUM)
     ac_lum = _build_code_table(*_AC_LUM)
@@ -363,6 +391,213 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     out += b"\x00\x3F\x00"  # Ss=0 Se=63 Ah/Al=0
     out += bw.out
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# libjpeg-style progression script: (component indices, Ss, Se, Ah, Al).
+# DC coarse (interleaved) -> coarse AC bands -> AC refinements -> DC refine.
+# Every coefficient bit is eventually transmitted (ends at Al=0 for all
+# bands), so the decode is exact w.r.t. the quantized coefficients.
+_PROG_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _enc_dc_scan(bw, comp_blocks, mcu_order, dc_tabs, ah, al,
+                 restart_interval):
+    """Interleaved DC scan: first pass (Ah=0) codes (dc >> Al) diffs, the
+    refinement pass sends bit Al of each DC coefficient.  ``mcu_order`` is a
+    list of MCUs, each a list of (comp_index, block_index)."""
+    pred = [0, 0, 0]
+    rst_n = 0
+    for unit, mcu in enumerate(mcu_order):
+        if restart_interval and unit and unit % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            pred = [0, 0, 0]
+        for ci, bi in mcu:
+            dc = int(comp_blocks[ci][bi][0]) >> al  # arithmetic shift (T.81)
+            if ah == 0:
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                size, bits = _magnitude(diff)
+                code, length = dc_tabs[ci][size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+            else:
+                bw.write(dc & 1, 1)
+
+
+def _enc_ac_scan(bw, blocks, ac_tab, ss, se, ah, al, restart_interval):
+    """Non-interleaved AC scan over one component's (non-padded) blocks.
+    Ah=0: spectral-selection first pass with point transform |v| >> Al and
+    EOB-run accumulation.  Ah>0: successive-approximation refinement with
+    positionally-buffered correction bits (T.81 G.1.2.3 flow)."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered across an EOB run
+    rst_n = 0
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_tab[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+
+    for unit, blk in enumerate(blocks):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+        if ah == 0:
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    r -= 16
+                size, bits = _magnitude(t if v > 0 else -t)
+                code, length = ac_tab[(r << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+        else:
+            # last newly-nonzero position; runs beyond it fold into the EOB
+            eobpos = ss - 1
+            for k in range(ss, se + 1):
+                if (abs(int(blk[k])) >> al) == 1:
+                    eobpos = k
+            br_bits: list[int] = []
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush_eob()
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    r -= 16
+                if t > 1:  # history-nonzero: emit its next magnitude bit
+                    br_bits.append(t & 1)
+                    continue
+                flush_eob()
+                code, length = ac_tab[(r << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if v > 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pend.extend(br_bits)
+                if eobrun == 32767:
+                    flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(h, w, hp, wp, is420, qy, qc, ycoef, ccoef,
+                        restart_interval) -> bytes:
+    """Assemble the SOF2 file: shared headers, then the _PROG_SCRIPT scans."""
+    comp_blocks = [ycoef, ccoef[0], ccoef[1]]
+    gw = [wp // 8, wp // 16 if is420 else wp // 8,
+          wp // 16 if is420 else wp // 8]
+    # non-padded per-component block grids (non-interleaved scan coverage)
+    dims = []
+    for ci in range(3):
+        cw = (w + 1) // 2 if (is420 and ci) else w
+        ch = (h + 1) // 2 if (is420 and ci) else h
+        dims.append(((cw + 7) // 8, (ch + 7) // 8))
+    mcu_order = []
+    if is420:
+        for my in range(hp // 16):
+            for mx in range(wp // 16):
+                mcu = [(0, (2 * my + v) * gw[0] + 2 * mx + hh)
+                       for v in range(2) for hh in range(2)]
+                mcu += [(1, my * gw[1] + mx), (2, my * gw[2] + mx)]
+                mcu_order.append(mcu)
+    else:
+        for bi in range(ycoef.shape[0]):
+            mcu_order.append([(0, bi), (1, bi), (2, bi)])
+
+    dc_tabs = [_build_code_table(*_DC_LUM), _build_code_table(*_DC_CHR),
+               _build_code_table(*_DC_CHR)]
+    ac_prog = _build_code_table(*_AC_PROG)
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in q[_ZZ])
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    ysamp = 0x22 if is420 else 0x11
+    for cid, samp, tq in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, samp, tq])
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (0, 1, _DC_CHR),
+                                   (1, 0, _AC_PROG)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid) \
+            + bytes(bits) + bytes(vals)
+
+    for comps, ss, se, ah, al in _PROG_SCRIPT:
+        ns = len(comps)
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comps:
+            # DC table id: 0 for Y, 1 for chroma; AC table id always 0
+            out += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(bw, comp_blocks, mcu_order, dc_tabs, ah, al,
+                         restart_interval)
+        else:
+            ci = comps[0]
+            nbx, nby = dims[ci]
+            blocks = [comp_blocks[ci][by * gw[ci] + bx]
+                      for by in range(nby) for bx in range(nbx)]
+            _enc_ac_scan(bw, blocks, ac_prog, ss, se, ah, al,
+                         restart_interval)
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -493,7 +728,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nval
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive SOF
             prec, h, w, nc = seg[0], \
                 struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
@@ -502,14 +737,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} not supported (baseline "
-                "sequential only)")
+                f"JPEG SOF marker 0x{marker:02X} not supported (sequential "
+                "and progressive Huffman only)")
         elif marker == 0xDA:  # SOS — entropy data follows
             scomps = []
             ns = seg[0]
@@ -517,29 +751,76 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scomps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
             pos += seglen
-            return _decode_scan(data, pos, frame, scomps, qtables, htables,
-                                restart_interval)
+            if not frame.get("progressive"):
+                return _decode_scan(data, pos, frame, scomps, qtables,
+                                    htables, restart_interval)
+            p = 1 + 2 * ns
+            ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
+            _scan_geometry(frame)
+            pos = _decode_scan_progressive(
+                data, pos, frame, scomps, htables, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and "hmax" in frame:
+        return _reconstruct(frame, qtables)
     raise ValueError("no scan data found")
+
+
+def _scan_geometry(frame):
+    """Compute (once) the MCU grid, per-component padded block grids and
+    coefficient storage, plus the NON-padded block counts (``nbx``/``nby``)
+    that non-interleaved progressive scans cover (T.81 A.2.2: a
+    non-interleaved scan codes ceil(component samples / 8) blocks, not the
+    MCU-padded grid)."""
+    if "hmax" in frame:
+        return
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"] = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mcus_y"] = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["blocks_x"] = frame["mcus_x"] * c["hs"]
+        c["blocks_y"] = frame["mcus_y"] * c["vs"]
+        cw = (w * c["hs"] + hmax - 1) // hmax
+        ch = (h * c["vs"] + vmax - 1) // vmax
+        c["nbx"] = (cw + 7) // 8
+        c["nby"] = (ch + 7) // 8
+        c["coef"] = np.zeros((c["blocks_y"] * c["blocks_x"], 64),
+                             dtype=np.int32)
+
+
+def _reconstruct(frame, qtables):
+    """Dequantize + IDCT every component and assemble RGB (shared by the
+    sequential and progressive paths)."""
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for c in frame["comps"]:
+        q = qtables[c["tq"]]
+        pix = _dequant_idct(c["coef"], q)
+        plane = _unblockify(pix, c["blocks_y"] * 8, c["blocks_x"] * 8)
+        ry, rx = frame["vmax"] // c["vs"], frame["hmax"] // c["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(np.stack(planes[:3], axis=-1))
 
 
 def _decode_scan(data, pos, frame, scomps, qtables, htables,
                  restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+    _scan_geometry(frame)
+    comps = frame["comps"]
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
     by_id = {c["id"]: c for c in comps}
     for sc in scomps:
         c = by_id[sc["id"]]
         c["dc_tab"] = htables[(0, sc["dc"])]
         c["ac_tab"] = htables[(1, sc["ac"])]
-        c["blocks_x"] = mcus_x * c["hs"]
-        c["blocks_y"] = mcus_y * c["vs"]
-        c["coef"] = np.zeros((c["blocks_y"] * c["blocks_x"], 64),
-                             dtype=np.int32)
 
     br = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
@@ -578,17 +859,156 @@ def _decode_scan(data, pos, frame, scomps, qtables, htables,
                         c["coef"][by * c["blocks_x"] + bx] = blk
             mcu_count += 1
 
-    planes = []
-    for c in comps:
-        q = qtables[c["tq"]]
-        pix = _dequant_idct(c["coef"], q)
-        plane = _unblockify(pix, c["blocks_y"] * 8, c["blocks_x"] * 8)
-        # upsample subsampled chroma to full MCU grid by pixel replication
-        ry, rx = vmax // c["vs"], hmax // c["hs"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:h, :w])
-    if len(planes) == 1:
-        g = planes[0]
-        return np.stack([g, g, g], axis=-1)
-    return _ycbcr_to_rgb(np.stack(planes[:3], axis=-1))
+    return _reconstruct(frame, qtables)
+
+
+# -------------------------------------------------- progressive scan decode
+def _dec_ac_first(br, lut, blk, ss, se, al, eobrun):
+    """AC spectral-selection first pass for one block (T.81 G.2.2 /
+    decode path of :func:`_enc_ac_scan`); returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(br, lut, blk, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block.  Every
+    nonzero-history coefficient traversed — by a run, a ZRL, or the EOB
+    tail — consumes one positional correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(lut)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:  # s == 1: a coefficient newly nonzero at this precision
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and not (v & p1):
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refine the band remainder, then count this block
+            v = int(blk[k])
+            if v != 0:
+                if br.read_bit() and not (v & p1):
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(data, pos, frame, scomps, htables,
+                             restart_interval, ss, se, ah, al):
+    """Decode one progressive scan into the frame's coefficient arrays and
+    return the stream position of the next marker."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    br = _BitReader(data, pos)
+    if ss == 0:  # DC scan (Se must be 0)
+        first = ah == 0
+        luts = {sc["id"]: htables[(0, sc["dc"])] if first else None
+                for sc in scomps}
+        pred = {sc["id"]: 0 for sc in scomps}
+
+        def dc_block(c, idx, cid):
+            row = c["coef"][idx]
+            if first:
+                size = br.decode_huff(luts[cid])
+                pred[cid] += _extend(br.read_bits(size), size)
+                row[0] = pred[cid] << al
+            elif br.read_bit():
+                row[0] = int(row[0]) | (1 << al)
+
+        if len(scomps) > 1:  # interleaved over MCUs
+            unit = 0
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        br.sync_to_rst()
+                        pred = {sc["id"]: 0 for sc in scomps}
+                    for sc in scomps:
+                        c = by_id[sc["id"]]
+                        for v in range(c["vs"]):
+                            for hh in range(c["hs"]):
+                                idx = (my * c["vs"] + v) * c["blocks_x"] \
+                                    + mx * c["hs"] + hh
+                                dc_block(c, idx, sc["id"])
+                    unit += 1
+        else:  # single-component: non-padded block raster
+            c = by_id[scomps[0]["id"]]
+            unit = 0
+            for by in range(c["nby"]):
+                for bx in range(c["nbx"]):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        br.sync_to_rst()
+                        pred = {sc["id"]: 0 for sc in scomps}
+                    dc_block(c, by * c["blocks_x"] + bx, scomps[0]["id"])
+                    unit += 1
+    else:  # AC scan: always exactly one component
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = by_id[scomps[0]["id"]]
+        lut = htables[(1, scomps[0]["ac"])]
+        eobrun = 0
+        unit = 0
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    br.sync_to_rst()
+                    eobrun = 0
+                blk = c["coef"][by * c["blocks_x"] + bx]
+                if ah == 0:
+                    eobrun = _dec_ac_first(br, lut, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _dec_ac_refine(br, lut, blk, ss, se, al, eobrun)
+                unit += 1
+
+    # advance to the next marker (skip stuffed 0xFF00 and stray RSTn)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p

@@ -83,14 +83,94 @@ def test_jpeg_codec_420_and_restart_markers():
             assert np.array_equal(got, ref)
 
 
-def test_jpeg_progressive_honestly_gated():
-    """A progressive SOF2 stream raises NotImplementedError (no silent
-    garbage) and decode_image falls through to the declared-stub contract."""
+def test_jpeg_progressive_bit_identical():
+    """Progressive (SOF2, spectral selection + successive approximation)
+    transmits the quantized coefficients losslessly, so its decode must be
+    BIT-IDENTICAL to the baseline encode/decode of the same pixels — the
+    strongest possible check on every scan type in the 10-scan script."""
+    from setsketch_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for shape in [(64, 64), (50, 61), (17, 23)]:
+        h, w = shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(yy * 3 + xx * 2) % 256, np.full((h, w), 128),
+                        (xx * 5) % 256], axis=-1).astype(np.uint8)
+        img[h // 2:, :w // 2] = rng.integers(0, 256, (h - h // 2, w // 2, 3))
+        for sub in ("444", "420"):
+            for q in (90, 75):
+                base = decode_jpeg(encode_jpeg(img, q, sub))
+                prog = decode_jpeg(encode_jpeg(img, q, sub,
+                                               progressive=True))
+                assert np.array_equal(base, prog), (shape, sub, q)
+
+
+def test_jpeg_progressive_restarts_and_eob_runs(monkeypatch):
+    """Restart markers inside progressive scans, multi-block EOB runs in
+    both AC-first and AC-refinement scans, and cross-block buffered
+    correction bits all decode exactly (instrumented to prove the paths
+    actually run, not just that they are unreachable)."""
+    import setsketch_ray.sources.jpeg as J
+
+    stats = {"first_max": 0, "refine_max": 0, "runs_with_history": 0}
+    orig_first, orig_refine = J._dec_ac_first, J._dec_ac_refine
+
+    def first(br, lut, blk, ss, se, al, eobrun):
+        r = orig_first(br, lut, blk, ss, se, al, eobrun)
+        stats["first_max"] = max(stats["first_max"], r)
+        return r
+
+    def refine(br, lut, blk, ss, se, al, eobrun):
+        if eobrun > 0 and np.any(blk[ss:se + 1]):
+            stats["runs_with_history"] += 1
+        r = orig_refine(br, lut, blk, ss, se, al, eobrun)
+        stats["refine_max"] = max(stats["refine_max"], r)
+        return r
+
+    monkeypatch.setattr(J, "_dec_ac_first", first)
+    monkeypatch.setattr(J, "_dec_ac_refine", refine)
+
+    rng = np.random.default_rng(11)
+    # strong stripes in scattered cells on a flat background: long EOB runs
+    # whose blocks still hold history coefficients needing correction bits
+    img = np.full((128, 128, 3), 120, np.uint8)
+    for _ in range(30):
+        by, bx = rng.integers(0, 16, 2)
+        cell = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+        cell[:, ::2] = 30
+        cell[:, 1::2] = 220
+    for sub in ("444", "420"):
+        for ri in (0, 4):
+            base = J.decode_jpeg(J.encode_jpeg(img, 92, sub,
+                                               restart_interval=ri))
+            prog = J.decode_jpeg(J.encode_jpeg(
+                img, 92, sub, restart_interval=ri, progressive=True))
+            assert np.array_equal(base, prog), (sub, ri)
+    assert stats["first_max"] > 1      # EOB runs spanning blocks (first)
+    assert stats["refine_max"] > 1     # EOB runs spanning blocks (refine)
+    assert stats["runs_with_history"] > 0  # buffered correction bits
+
+
+def test_decode_image_pjpg_seam(img_table):
+    """fmt='pjpg' rows decode through the DecodeStage seam with phash
+    equal to a near-lossless reference (same contract as real-JPEG rows)."""
+    from setsketch_ray.sources.codec import decode_image, encode_image
+    from setsketch_ray.sources.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    data = encode_image(px, "pjpg", 95)
+    assert np.array_equal(decode_image(data, "pjpg"), decode_jpeg(data))
+
+
+def test_jpeg_lossless_sof_still_gated():
+    """Non-Huffman-DCT SOFs (e.g. SOF3 lossless) still raise
+    NotImplementedError — no silent garbage."""
     from setsketch_ray.sources.jpeg import decode_jpeg, encode_jpeg
 
     data = bytearray(encode_jpeg(np.zeros((16, 16, 3), np.uint8), 90))
     sof = data.find(b"\xFF\xC0")
-    data[sof + 1] = 0xC2  # rewrite marker to SOF2 (progressive)
+    data[sof + 1] = 0xC3  # rewrite marker to SOF3 (lossless sequential)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
 
