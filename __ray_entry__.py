@@ -1270,6 +1270,66 @@ def _q_quality_scores(sf_dir: str):
         .map_batches(scale, batch_format="pyarrow")
 
 
+def _q_decontaminate(sf_dir: str):
+    """Test-set decontamination: flag documents sharing any word 8-gram
+    with the benchmark subset (doc_id % 13 == 0) — the GPT-3/Llama overlap
+    rule.  Benchmark gram hashes broadcast once (ray.put), corpus side is a
+    shuffle-free streaming filter; oracled exactly (the corpus is
+    single-spaced so string_split(text, ' ') is the tokenizer both sides)."""
+    from setsketch_ray.functions.text import ngram_contamination
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_contamination(ds, n=8, benchmark_mod=13)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table: k-means
+    clusters (broadcast Lloyd's), ONE (cluster, id, packed-f32) exchange,
+    greedy within-cluster cosine prune at 0.3 (the sf tables are
+    near-orthogonal — max cos ~0.51 — so only genuine near-pairs drop).
+    Rows-only: k-means is not SQL-expressible; planted-duplicate recall and
+    the keep-lowest-id rule are asserted in tests/test_dedup.py."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, n_centroids=16, threshold=0.3)
+
+
+def _q_corpus_curation(sf_dir: str):
+    """End-to-end training-corpus curation composite: exact-dedup winners
+    (one text-keyed shuffle, min doc_id), then LangId + QualityScore on the
+    survivors only, then the keep filter (lang 'en', quality >= 0.7,
+    100 <= n_chars <= 520).  Oracled by composing the SAME lang_id /
+    quality_scores SQL fragments those stages are individually verified
+    against, so the composite is exact by construction."""
+    from setsketch_ray.functions.relational import grouped_aggregate
+    from setsketch_ray.functions.text import LangId, QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    winners = grouped_aggregate(ds, ["text"],
+                                {"doc_id": ("min", "doc_id"),
+                                 "n_chars": ("min", "n_chars")},
+                                final="ray")
+    scored = winners.map_batches(LangId(), batch_format="pyarrow") \
+        .map_batches(QualityScore(), batch_format="pyarrow")
+
+    def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["quality_score"], 1000000.0), 0.5)), pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.equal(t["lang_pred"], "en"),
+                    pc.greater_equal(q, 700000)),
+            pc.and_(pc.greater_equal(t["n_chars"], 100),
+                    pc.less_equal(t["n_chars"], 520)))
+        out = pa.table({"doc_id": t["doc_id"], "lang_pred": t["lang_pred"],
+                        "quality_score_e6": q, "n_chars": t["n_chars"]})
+        return out.filter(mask)
+
+    return scored.map_batches(filt, batch_format="pyarrow")
+
+
 def _q_cardinality_eval(sf_dir: str):
     """Monte-Carlo cardinality-estimator evaluation (reduced
     cardinality_test); rows-only — checked against the closed-form RSD bound
@@ -2491,6 +2551,9 @@ def _q_value_quantiles_sampled(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "decontaminate": _q_decontaminate,
+        "semantic_dedup": _q_semantic_dedup,
+        "corpus_curation": _q_corpus_curation,
         "distinct_parts": _q_distinct_parts,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "lineitem_agg": _q_lineitem_agg,
@@ -2593,6 +2656,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    d["corpus_curation"] = _compose_curation_oracle(d)
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "exact_dedup_docs":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
@@ -3361,4 +3430,34 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1996-07-01' "
             "GROUP BY l_returnflag",
+        # test-set decontamination: word-8-gram overlap with the benchmark
+        # subset (doc_id % 13 == 0); single-spaced corpus contract makes
+        # string_split(text, ' ') the exact tokenizer on both sides
+        "decontaminate":
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g8 "
+            "FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+            "greatest(len(t) - 7, 0))) AS i) s), "
+            "bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 13 = 0), "
+            "gd AS (SELECT DISTINCT doc_id, g8 FROM g "
+            "WHERE doc_id % 13 <> 0) "
+            "SELECT doc_id, count(*) AS n_shared "
+            "FROM gd JOIN bench USING (g8) GROUP BY doc_id",
     }
+
+
+def _compose_curation_oracle(d: dict[str, str]) -> str:
+    """corpus_curation = lang_id + quality_scores + exact-dedup winners +
+    length band, composed from the SAME oracle fragments those queries are
+    verified against (so the composite stays exact by construction)."""
+    return (
+        "WITH lang AS (" + d["lang_id"] + "), "
+        "qual AS (" + d["quality_scores"] + "), "
+        "winners AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY text) "
+        "SELECT d.doc_id, l.lang_pred, q.quality_score_e6, d.n_chars "
+        "FROM documents d JOIN winners USING (doc_id) "
+        "JOIN lang l USING (doc_id) JOIN qual q USING (doc_id) "
+        "WHERE l.lang_pred = 'en' AND q.quality_score_e6 >= 700000 "
+        "AND d.n_chars BETWEEN 100 AND 520")

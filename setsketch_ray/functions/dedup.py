@@ -895,3 +895,81 @@ def _verify_cosine_hash(ds, cands, id_col: str, emb_col: str,
             "cosine": pa.array(cos[keep], pa.float64())})
 
     return out.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+
+
+# ------------------------------------------------------------ semantic dedup
+def semantic_dedup(ds, n_centroids: int = 16, threshold: float = 0.85,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   n_iters: int = 4, seed: int = 11):
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540 — semantics only): k-means cluster the embedding
+    space, then greedily prune near-duplicates WITHIN each cluster —
+    ascending-id order, drop any vector whose cosine to an already-kept
+    cluster member is >= ``threshold``.  Cross-cluster duplicates are out
+    of scope by design (that is the SemDeDup trade: the clustering bounds
+    the pairwise work to sum(cluster_size^2) instead of N^2).
+
+    100 TB shape: centroids come from the existing broadcast-Lloyd
+    :func:`~setsketch_ray.functions.knn.kmeans_centroids` (no shuffle);
+    vectors then make exactly ONE exchange — (cluster, id, packed-f32
+    vector) through groupby(cluster) — and the per-cluster prune is a
+    vectorized greedy matmul inside ``map_groups``.  Cluster skew bounds
+    the group size; pick n_centroids ~ N / desired_cluster_size.
+
+    Returns a Dataset of (id_col, cluster, kept, dup_of): ``dup_of`` is
+    the kept representative (max-cosine, first-wins on ties) for dropped
+    rows, -1 for kept rows.
+    """
+    from .knn import _embedding_matrix, kmeans_centroids
+
+    import ray
+
+    cents = kmeans_centroids(ds, n_centroids, n_iters, seed=seed,
+                             id_col=id_col, emb_col=emb_col)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-30)
+    cref = ray.put(np.ascontiguousarray(cn))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _embedding_matrix(t[emb_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cluster = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+        packed = m.astype("<f4").tobytes()
+        dim = m.shape[1]
+        vec = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4 * dim), len(m), [None, pa.py_buffer(packed)])
+        return pa.table({id_col: t[id_col], "cluster": pa.array(cluster),
+                         "__vec": vec})
+
+    def prune(t: pa.Table) -> pa.Table:
+        k = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        raw = b"".join(t["__vec"].to_pylist())
+        m = np.frombuffer(raw, "<f4").astype(np.float64).reshape(k, -1)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(ids, kind="stable")
+        kept = np.zeros(k, bool)
+        dup_of = np.full(k, -1, np.int64)
+        kept_rows = np.empty((k, m.shape[1]))
+        kept_ids = np.empty(k, np.int64)
+        nk = 0
+        for i in order:
+            if nk:
+                sims = kept_rows[:nk] @ mn[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[i] = kept_ids[j]
+                    continue
+            kept_rows[nk] = mn[i]
+            kept_ids[nk] = ids[i]
+            kept[i] = True
+            nk += 1
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": t["cluster"],
+            "kept": pa.array(kept),
+            "dup_of": pa.array(dup_of, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(prune, batch_format="pyarrow")

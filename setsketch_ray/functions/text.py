@@ -492,3 +492,93 @@ def distinctive_terms(ds, id_col: str, text_col: str,
         attach_df, batch_format="pyarrow")
     return with_df.groupby("__part2").map_groups(
         top1, batch_format="pyarrow")
+
+
+# -------------------------------------------------- test-set decontamination
+def _token_gram_hashes(texts, n: int):
+    """Rolling word n-gram hashes per row, fully vectorized.
+
+    Space-split tokens (matches SQL ``string_split(text, ' ')`` on the
+    single-spaced corpus contract), one vectorized token hash, then n
+    shifted multiply-adds with uint64 wraparound (polynomial combine) —
+    no window ever crosses a row boundary.  Returns (flat uint64 gram
+    hashes, row index per gram, n_rows).
+    """
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    arr = pc.fill_null(arr, "")
+    toks = pc.split_pattern(arr, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    n_rows = len(lens)
+    tokh = hash_str_u64(flat)
+    counts = np.maximum(lens - (n - 1), 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), n_rows)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    # window start offsets: offs[row] + within-row arange
+    cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    starts = np.repeat(offs[:-1], counts) + within
+    powers = np.array([pow(1099511628211, j, 1 << 64) for j in range(n)],
+                      dtype=np.uint64)
+    h = np.zeros(total, np.uint64)
+    for j in range(n):
+        h += tokh[starts + j] * powers[j]
+    return h, row_of, n_rows
+
+
+def ngram_contamination(ds, n: int = 8, benchmark_mod: int = 13,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Test-set decontamination: flag corpus documents sharing any word
+    ``n``-gram with the held-out benchmark subset (ids divisible by
+    ``benchmark_mod``) — the GPT-3/Llama-style overlap rule.
+
+    100 TB shape: the benchmark side is a test set (inherently small), so
+    its distinct gram hashes are collected once and broadcast via
+    ``ray.put``; the corpus side is an embarrassingly parallel streaming
+    filter (sorted-array membership per batch) — NO shuffle anywhere.
+    Gram identity is a 64-bit polynomial hash (collision odds ~1e-9 at
+    corpus scale; deterministic, so any run reproduces bit-identically).
+
+    Returns a Dataset of (id_col, n_shared) for contaminated non-benchmark
+    documents, n_shared = count of distinct shared n-grams.
+    """
+    import ray
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % benchmark_mod == 0))
+        h, _, _ = _token_gram_hashes(sub[text_col], n)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    parts = ds.map_batches(bench_grams, batch_format="pyarrow").take_all()
+    bench = np.unique(np.concatenate(
+        [np.asarray([r["h"] for r in parts], dtype=np.uint64)])) \
+        if parts else np.empty(0, np.uint64)
+    bench_ref = ray.put(bench)
+
+    def mark(t: pa.Table) -> pa.Table:
+        bh = ray.get(bench_ref)
+        h, row_of, n_rows = _token_gram_hashes(t[text_col], n)
+        idx = np.searchsorted(bh, h)
+        member = np.zeros(len(h), bool)
+        if len(bh):
+            ok = idx < len(bh)
+            member[ok] = bh[idx[ok]] == h[ok]
+        sel_r, sel_h = row_of[member], h[member]
+        order = np.lexsort((sel_h, sel_r))
+        sr, sh = sel_r[order], sel_h[order]
+        first = np.ones(len(sr), bool)
+        first[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+        cnt = np.bincount(sr[first], minlength=n_rows)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = (cnt > 0) & (ids % benchmark_mod != 0)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "n_shared": pa.array(cnt[keep], pa.int64())})
+
+    return ds.map_batches(mark, batch_format="pyarrow")

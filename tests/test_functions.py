@@ -1724,3 +1724,100 @@ def test_approx_key_overlap_accuracy(rd):
     res2 = approx_key_overlap(rd.from_arrow(ta).repartition(2), "k",
                               rd.from_arrow(tb).repartition(7), "k")
     assert res2 == res
+
+
+def test_semantic_dedup_planted(rd):
+    """Planted near-duplicates drop to their base (keep-lowest-id rule);
+    orthogonal-ish bases survive.  Clusters come from deterministic k-means,
+    so the whole output is reproducible bit-for-bit."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 24))
+    vecs, ids = [], []
+    for i in range(30):
+        vecs.append(base[i])
+        ids.append(2 * i)
+        vecs.append(base[i] + 0.02 * rng.standard_normal(24))  # near-dup
+        ids.append(2 * i + 1)
+    emb = pa.array([list(map(float, v)) for v in vecs],
+                   pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                                 "embedding": emb}))
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, n_centroids=8, threshold=0.95)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    by_id = {v: (k, d) for v, k, d in zip(out["vec_id"].to_pylist(),
+                                          out["kept"].to_pylist(),
+                                          out["dup_of"].to_pylist())}
+    assert len(by_id) == 60
+    # the duplicate lands in the base's cluster (same direction), so every
+    # odd id must be dropped onto its even base
+    dropped = [i for i in ids if not by_id[i][0]]
+    assert len(dropped) == 30
+    for i in dropped:
+        assert i % 2 == 1, "keep-lowest-id rule violated"
+        assert by_id[i][1] == i - 1
+    for i in range(30):
+        assert by_id[2 * i][0] and by_id[2 * i][1] == -1
+
+
+def test_ngram_contamination_planted(rd):
+    from setsketch_ray.functions.text import ngram_contamination
+
+    gram = "one two three four five six seven eight"
+    docs = {
+        0: "prefix words " + gram + " trailing tail",      # benchmark (0%13)
+        1: "alpha " + gram + " beta gamma",                # contaminated
+        2: "totally unrelated words with no overlap here at all",
+        3: "short doc",                                    # < 8 tokens
+        13: gram + " another benchmark entry",             # benchmark too
+        14: gram,                                          # exactly 8 tokens
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    out = pa.concat_tables(list(
+        ngram_contamination(rd.from_arrow(t), n=8, benchmark_mod=13)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = dict(zip(out["doc_id"].to_pylist(), out["n_shared"].to_pylist()))
+    # benchmark docs never appear; doc 1 and 14 share exactly the one gram
+    assert got == {1: 1, 14: 1}
+
+
+def test_ngram_contamination_matches_duckdb(rd):
+    """Random small corpus vs the exact SQL oracle the driver runs."""
+    import duckdb
+
+    from setsketch_ray.functions.text import ngram_contamination
+
+    rng = np.random.default_rng(11)
+    words = ["w%d" % i for i in range(40)]
+    phrase = "p0 p1 p2 p3 p4 p5 p6 p7"  # planted shared 8-gram
+    texts, ids = [], []
+    for i in range(120):
+        k = int(rng.integers(3, 30))
+        body = " ".join(rng.choice(words, k))
+        if i % 9 == 0:  # hits benchmark ids (i%13==0) and corpus ids alike
+            body = body + " " + phrase
+        texts.append(body)
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = pa.concat_tables(list(
+        ngram_contamination(rd.from_arrow(t), n=8, benchmark_mod=13)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = sorted(zip(out["doc_id"].to_pylist(), out["n_shared"].to_pylist()))
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.sql(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g8 "
+        "FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(t) - 7, 0))) AS i) s), "
+        "bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 13 = 0), "
+        "gd AS (SELECT DISTINCT doc_id, g8 FROM g WHERE doc_id % 13 <> 0) "
+        "SELECT doc_id, count(*) AS n_shared FROM gd JOIN bench USING (g8) "
+        "GROUP BY doc_id ORDER BY doc_id").fetchall()
+    assert got == [(int(a), int(b)) for a, b in exp]
