@@ -313,6 +313,18 @@ def run_benchmarks() -> dict:
         entrymod._q_urgent_lineitem_revenue(SF_DIR)
         timings["urgent_lineitem_revenue"] = time.time() - t0
 
+        # --- training-corpus curation family (r3: decontamination,
+        # dedup+lang+quality composite, SemDeDup semantic prune)
+        t0 = time.time()
+        entrymod._q_decontaminate(SF_DIR).count()
+        timings["decontaminate"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_corpus_curation(SF_DIR).count()
+        timings["corpus_curation"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_semantic_dedup(SF_DIR).count()
+        timings["semantic_dedup"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
