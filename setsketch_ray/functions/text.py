@@ -533,10 +533,15 @@ def _token_gram_hashes(texts, n: int):
 
 
 def ngram_contamination(ds, n: int = 8, benchmark_mod: int = 13,
-                        id_col: str = "doc_id", text_col: str = "text"):
+                        id_col: str = "doc_id", text_col: str = "text",
+                        benchmark_ds=None):
     """Test-set decontamination: flag corpus documents sharing any word
-    ``n``-gram with the held-out benchmark subset (ids divisible by
-    ``benchmark_mod``) — the GPT-3/Llama-style overlap rule.
+    ``n``-gram with a held-out benchmark — the GPT-3/Llama-style overlap
+    rule.  The benchmark is either ``benchmark_ds`` (a separate small
+    Dataset with the same text column — the production shape: real test
+    sets live in their own table, so the big corpus is scanned exactly
+    once) or, when None, the in-corpus subset with ids divisible by
+    ``benchmark_mod`` (the oracled sf-table demo shape).
 
     100 TB shape: the benchmark side is a test set (inherently small), so
     its distinct gram hashes are collected once and broadcast via
@@ -551,12 +556,15 @@ def ngram_contamination(ds, n: int = 8, benchmark_mod: int = 13,
     import ray
 
     def bench_grams(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sub = t.filter(pa.array(ids % benchmark_mod == 0))
-        h, _, _ = _token_gram_hashes(sub[text_col], n)
+        if benchmark_ds is None:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % benchmark_mod == 0))
+        h, _, _ = _token_gram_hashes(t[text_col], n)
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
-    parts = ds.map_batches(bench_grams, batch_format="pyarrow").take_all()
+    bench_src = benchmark_ds if benchmark_ds is not None else ds
+    parts = bench_src.map_batches(bench_grams,
+                                  batch_format="pyarrow").take_all()
     bench = np.unique(np.concatenate(
         [np.asarray([r["h"] for r in parts], dtype=np.uint64)])) \
         if parts else np.empty(0, np.uint64)
@@ -577,7 +585,9 @@ def ngram_contamination(ds, n: int = 8, benchmark_mod: int = 13,
         first[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
         cnt = np.bincount(sr[first], minlength=n_rows)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        keep = (cnt > 0) & (ids % benchmark_mod != 0)
+        keep = cnt > 0
+        if benchmark_ds is None:  # in-corpus mode: benchmark rows excluded
+            keep &= ids % benchmark_mod != 0
         return pa.table({id_col: pa.array(ids[keep], pa.int64()),
                          "n_shared": pa.array(cnt[keep], pa.int64())})
 

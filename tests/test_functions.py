@@ -1821,3 +1821,25 @@ def test_ngram_contamination_matches_duckdb(rd):
         "SELECT doc_id, count(*) AS n_shared FROM gd JOIN bench USING (g8) "
         "GROUP BY doc_id ORDER BY doc_id").fetchall()
     assert got == [(int(a), int(b)) for a, b in exp]
+
+
+def test_ngram_contamination_separate_benchmark_table(rd):
+    """Production shape: benchmark grams from a SEPARATE small dataset —
+    the big corpus is scanned once and corpus ids are never excluded."""
+    from setsketch_ray.functions.text import ngram_contamination
+
+    gram = "one two three four five six seven eight"
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),  # 0 would be excluded
+        "text": pa.array(["x " + gram + " y",       # in in-corpus mode
+                          "clean words only here with nothing shared at all",
+                          gram], pa.string())})
+    bench = pa.table({"doc_id": pa.array([100], pa.int64()),
+                      "text": pa.array(["pre " + gram + " post"],
+                                       pa.string())})
+    out = pa.concat_tables(list(
+        ngram_contamination(rd.from_arrow(corpus), n=8,
+                            benchmark_ds=rd.from_arrow(bench))
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = dict(zip(out["doc_id"].to_pylist(), out["n_shared"].to_pylist()))
+    assert got == {0: 1, 2: 1}
