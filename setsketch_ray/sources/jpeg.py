@@ -292,10 +292,18 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     dominates real-world JPEGs).  ``progressive=True`` emits SOF2 with the
     libjpeg-style 10-scan spectral-selection + successive-approximation
     script; the quantized coefficients are transmitted losslessly, so the
-    decoded pixels are bit-identical to the baseline encoding's."""
+    decoded pixels are bit-identical to the baseline encoding's.
+
+    A 2-D array (or (h, w, 1)) encodes as single-component grayscale —
+    progressive grayscale uses non-interleaved DC scans (ns=1), the layout
+    real grayscale progressive files carry."""
+    if pixels.ndim == 3 and pixels.shape[2] == 1:
+        pixels = pixels[..., 0]
+    if pixels.ndim == 2:
+        return _encode_gray(pixels, quality, restart_interval, progressive)
     h, w = pixels.shape[:2]
     if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("encode_jpeg needs (h, w, 3) uint8 RGB")
+        raise ValueError("encode_jpeg needs (h, w, 3) RGB or (h, w) gray")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling {subsampling!r}: use '444' or '420'")
     qy = _quality_scale(_QY, quality)
@@ -595,6 +603,79 @@ def _encode_progressive(h, w, hp, wp, is420, qy, qc, ycoef, ccoef,
                       for by in range(nby) for bx in range(nbx)]
             _enc_ac_scan(bw, blocks, ac_prog, ss, se, ah, al,
                          restart_interval)
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _encode_gray(pixels: np.ndarray, quality: int, restart_interval: int,
+                 progressive: bool) -> bytes:
+    """Single-component (grayscale) JFIF encode, baseline or progressive.
+    Progressive grayscale emits non-interleaved ns=1 DC scans — the layout
+    real grayscale progressive files carry (and the decoder path nothing
+    else exercises)."""
+    h, w = pixels.shape
+    q = _quality_scale(_QY, quality)
+    hp = (h + 7) // 8 * 8
+    wp = (w + 7) // 8 * 8
+    pad = np.pad(pixels.astype(np.float64), ((0, hp - h), (0, wp - w)),
+                 mode="edge")
+    coef = _fdct_quant(_blockify(pad), q)
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) \
+        + bytes(int(x) for x in q[_ZZ])
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])
+    if progressive:
+        for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_PROG)):
+            out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                             (cls << 4) | tid) \
+                + bytes(bits) + bytes(vals)
+        dc_tabs = [_build_code_table(*_DC_LUM)]
+        ac_prog = _build_code_table(*_AC_PROG)
+        blocks = [coef[i] for i in range(coef.shape[0])]
+        mcu_order = [[(0, i)] for i in range(coef.shape[0])]
+        script = [(0, 0, 0, 1), (1, 5, 0, 2), (6, 63, 0, 2),
+                  (1, 63, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0)]
+        for ss, se, ah, al in script:
+            out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) \
+                + bytes([1, 0x00, ss, se, (ah << 4) | al])
+            bw = _BitWriter()
+            if ss == 0:
+                _enc_dc_scan(bw, [coef], mcu_order, dc_tabs, ah, al,
+                             restart_interval)
+            else:
+                _enc_ac_scan(bw, blocks, ac_prog, ss, se, ah, al,
+                             restart_interval)
+            bw.flush()
+            out += bw.out
+    else:
+        for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM)):
+            out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                             (cls << 4) | tid) \
+                + bytes(bits) + bytes(vals)
+        out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) \
+            + bytes([1, 0x00]) + b"\x00\x3F\x00"
+        bw = _BitWriter()
+        dc_t = _build_code_table(*_DC_LUM)
+        ac_t = _build_code_table(*_AC_LUM)
+        pred = 0
+        rst_n = 0
+        for i in range(coef.shape[0]):
+            if restart_interval and i and i % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred = 0
+            pred = _encode_block(bw, coef[i], pred, dc_t, ac_t)
         bw.flush()
         out += bw.out
     out += b"\xFF\xD9"

@@ -313,3 +313,28 @@ def test_audio_wav_features_real_decode(ray_session):
     out2 = rd.from_arrow(t).map_batches(
         AudioFeatureStage, batch_format="pyarrow", concurrency=1).take_all()
     assert out2[0]["audio_features"] == out[0]["audio_features"]
+
+
+def test_jpeg_grayscale_baseline_and_progressive():
+    """Single-component encode (2-D input): baseline and progressive
+    (non-interleaved ns=1 DC scans — the path color files never take)
+    decode bit-identically; output is gray replicated to 3 channels."""
+    from setsketch_ray.sources.codec import psnr
+    from setsketch_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    for shape in [(64, 64), (41, 53)]:
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+        for img in (rng.integers(0, 256, shape).astype(np.uint8),
+                    ((yy * 2 + xx * 3) % 256).astype(np.uint8)):
+            for ri in (0, 5):
+                base = decode_jpeg(encode_jpeg(img, 90, restart_interval=ri))
+                prog = decode_jpeg(encode_jpeg(img, 90, restart_interval=ri,
+                                               progressive=True))
+                assert np.array_equal(base, prog)
+                assert base.shape == shape + (3,)
+                assert np.array_equal(base[..., 0], base[..., 1])
+                assert psnr(base[..., 0], img) >= 33.0
+    # (h, w, 1) routes to grayscale too
+    one = rng.integers(0, 256, (24, 24, 1)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(one, 90)).shape == (24, 24, 3)
