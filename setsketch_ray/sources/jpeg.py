@@ -287,8 +287,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 progressive: bool = False) -> bytes:
     """Encode (h, w, 3) uint8 RGB as a baseline or progressive JFIF JPEG.
 
-    ``subsampling="444"`` (no chroma subsampling, 1-block MCUs) or
-    ``"420"`` (2x2-mean chroma downsampling, 16x16 MCUs — the layout that
+    ``subsampling``: ``"444"`` (no chroma subsampling, 1-block MCUs),
+    ``"422"`` (horizontal 2x1 chroma downsampling, 16x8 MCUs — the digital-
+    camera layout) or ``"420"`` (2x2, 16x16 MCUs — the layout that
     dominates real-world JPEGs).  ``progressive=True`` emits SOF2 with the
     libjpeg-style 10-scan spectral-selection + successive-approximation
     script; the quantized coefficients are transmitted losslessly, so the
@@ -304,32 +305,32 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     h, w = pixels.shape[:2]
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg needs (h, w, 3) RGB or (h, w) gray")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r}: use '444' or '420'")
+    samp = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}.get(subsampling)
+    if samp is None:
+        raise ValueError(
+            f"subsampling {subsampling!r}: use '444', '422' or '420'")
+    yh, yv = samp
     qy = _quality_scale(_QY, quality)
     qc = _quality_scale(_QC, quality)
-    is420 = subsampling == "420"
-    mcu = 16 if is420 else 8
 
     # pad to MCU multiples by edge replication
-    hp = (h + mcu - 1) // mcu * mcu
-    wp = (w + mcu - 1) // mcu * mcu
+    hp = (h + 8 * yv - 1) // (8 * yv) * (8 * yv)
+    wp = (w + 8 * yh - 1) // (8 * yh) * (8 * yh)
     pad = np.pad(pixels, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(pad)
     yplane = ycc[..., 0]
-    if is420:
-        # 2x2 mean chroma downsample
-        chroma = [ycc[..., ci].reshape(hp // 2, 2, wp // 2, 2)
-                  .mean(axis=(1, 3)) for ci in (1, 2)]
-    else:
+    if yh == 1 and yv == 1:
         chroma = [ycc[..., 1], ycc[..., 2]]
+    else:  # box-mean chroma downsample (yv x yh)
+        chroma = [ycc[..., ci].reshape(hp // yv, yv, wp // yh, yh)
+                  .mean(axis=(1, 3)) for ci in (1, 2)]
     # qy/qc are raster-order 8x8 tables (_QY is Annex K.1 as printed);
     # _fdct_quant consumes raster order, the DQT writer zig-zags at emit
     ycoef = _fdct_quant(_blockify(yplane), qy)
     ccoef = [_fdct_quant(_blockify(c), qc) for c in chroma]
 
     if progressive:
-        return _encode_progressive(h, w, hp, wp, is420, qy, qc, ycoef,
+        return _encode_progressive(h, w, hp, wp, yh, yv, qy, qc, ycoef,
                                    ccoef, restart_interval)
 
     dc_lum = _build_code_table(*_DC_LUM)
@@ -351,27 +352,19 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             pred = [0, 0, 0]
         mcu_i += 1
 
-    if is420:
-        ybx = wp // 8  # Y blocks per row
-        cbx = wp // 16
-        for my in range(hp // 16):
-            for mx in range(wp // 16):
-                maybe_rst()
-                for v in range(2):
-                    for hh in range(2):
-                        blk = ycoef[(2 * my + v) * ybx + 2 * mx + hh]
-                        pred[0] = _encode_block(bw, blk, pred[0],
-                                                dc_lum, ac_lum)
-                for ci in range(2):
-                    blk = ccoef[ci][my * cbx + mx]
-                    pred[ci + 1] = _encode_block(bw, blk, pred[ci + 1],
-                                                 dc_chr, ac_chr)
-    else:
-        for bi in range(ycoef.shape[0]):  # MCU = one block per component
+    ybx = wp // 8  # Y blocks per row
+    cbx = wp // (8 * yh)
+    for my in range(hp // (8 * yv)):
+        for mx in range(wp // (8 * yh)):
             maybe_rst()
-            pred[0] = _encode_block(bw, ycoef[bi], pred[0], dc_lum, ac_lum)
+            for v in range(yv):
+                for hh in range(yh):
+                    blk = ycoef[(yv * my + v) * ybx + yh * mx + hh]
+                    pred[0] = _encode_block(bw, blk, pred[0],
+                                            dc_lum, ac_lum)
             for ci in range(2):
-                pred[ci + 1] = _encode_block(bw, ccoef[ci][bi], pred[ci + 1],
+                blk = ccoef[ci][my * cbx + mx]
+                pred[ci + 1] = _encode_block(bw, blk, pred[ci + 1],
                                              dc_chr, ac_chr)
     bw.flush()
 
@@ -385,9 +378,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    ysamp = 0x22 if is420 else 0x11
-    for cid, samp, tq in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += bytes([cid, samp, tq])
+    ysamp = (yh << 4) | yv
+    for cid, cs, tq in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, cs, tq])
     for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
                                    (0, 1, _DC_CHR), (1, 1, _AC_CHR)):
         out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
@@ -538,29 +531,25 @@ def _enc_ac_scan(bw, blocks, ac_tab, ss, se, ah, al, restart_interval):
     flush_eob()
 
 
-def _encode_progressive(h, w, hp, wp, is420, qy, qc, ycoef, ccoef,
+def _encode_progressive(h, w, hp, wp, yh, yv, qy, qc, ycoef, ccoef,
                         restart_interval) -> bytes:
     """Assemble the SOF2 file: shared headers, then the _PROG_SCRIPT scans."""
     comp_blocks = [ycoef, ccoef[0], ccoef[1]]
-    gw = [wp // 8, wp // 16 if is420 else wp // 8,
-          wp // 16 if is420 else wp // 8]
+    cgw = wp // (8 * yh)
+    gw = [wp // 8, cgw, cgw]
     # non-padded per-component block grids (non-interleaved scan coverage)
     dims = []
     for ci in range(3):
-        cw = (w + 1) // 2 if (is420 and ci) else w
-        ch = (h + 1) // 2 if (is420 and ci) else h
+        cw = (w + yh - 1) // yh if ci else w
+        ch = (h + yv - 1) // yv if ci else h
         dims.append(((cw + 7) // 8, (ch + 7) // 8))
     mcu_order = []
-    if is420:
-        for my in range(hp // 16):
-            for mx in range(wp // 16):
-                mcu = [(0, (2 * my + v) * gw[0] + 2 * mx + hh)
-                       for v in range(2) for hh in range(2)]
-                mcu += [(1, my * gw[1] + mx), (2, my * gw[2] + mx)]
-                mcu_order.append(mcu)
-    else:
-        for bi in range(ycoef.shape[0]):
-            mcu_order.append([(0, bi), (1, bi), (2, bi)])
+    for my in range(hp // (8 * yv)):
+        for mx in range(wp // (8 * yh)):
+            mcu = [(0, (yv * my + v) * gw[0] + yh * mx + hh)
+                   for v in range(yv) for hh in range(yh)]
+            mcu += [(1, my * gw[1] + mx), (2, my * gw[2] + mx)]
+            mcu_order.append(mcu)
 
     dc_tabs = [_build_code_table(*_DC_LUM), _build_code_table(*_DC_CHR),
                _build_code_table(*_DC_CHR)]
@@ -576,9 +565,9 @@ def _encode_progressive(h, w, hp, wp, is420, qy, qc, ycoef, ccoef,
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
-    ysamp = 0x22 if is420 else 0x11
-    for cid, samp, tq in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += bytes([cid, samp, tq])
+    ysamp = (yh << 4) | yv
+    for cid, cs, tq in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, cs, tq])
     for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (0, 1, _DC_CHR),
                                    (1, 0, _AC_PROG)):
         out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),

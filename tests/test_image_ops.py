@@ -338,3 +338,24 @@ def test_jpeg_grayscale_baseline_and_progressive():
     # (h, w, 1) routes to grayscale too
     one = rng.integers(0, 256, (24, 24, 1)).astype(np.uint8)
     assert decode_jpeg(encode_jpeg(one, 90)).shape == (24, 24, 3)
+
+
+def test_jpeg_422_baseline_and_progressive():
+    """4:2:2 (horizontal-only chroma subsampling, hs=2/vs=1 — the layout
+    the decoder claimed but nothing exercised): round-trips at sane PSNR,
+    restart markers bit-stable, progressive bit-identical to baseline."""
+    from setsketch_ray.sources.codec import psnr
+    from setsketch_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(80), np.arange(72))
+    img = np.stack([x * 2 % 256, (y + 40) % 256, (x + y) % 256],
+                   -1).astype(np.uint8)
+    ref = decode_jpeg(encode_jpeg(img, 90, "422"))
+    assert ref.shape == img.shape
+    assert psnr(ref, img) >= 40.0
+    for ri in (0, 3):
+        base = decode_jpeg(encode_jpeg(img, 90, "422", restart_interval=ri))
+        prog = decode_jpeg(encode_jpeg(img, 90, "422", restart_interval=ri,
+                                       progressive=True))
+        assert np.array_equal(base, ref)
+        assert np.array_equal(base, prog)
