@@ -931,14 +931,21 @@ def semantic_dedup(ds, n_centroids: int = 16, threshold: float = 0.85,
     cref = ray.put(np.ascontiguousarray(cn))
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks keep a stable schema
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32()),
+                             "__vec": pa.array([], pa.binary())})
         c = ray.get(cref)
         m = _embedding_matrix(t[emb_col])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         cluster = np.argmax(mn @ c.T, axis=1).astype(np.int32)
         packed = m.astype("<f4").tobytes()
-        dim = m.shape[1]
-        vec = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(4 * dim), len(m), [None, pa.py_buffer(packed)])
+        row_bytes = 4 * m.shape[1]
+        offs = np.arange(0, (len(m) + 1) * row_bytes, row_bytes,
+                         dtype=np.int32)
+        vec = pa.BinaryArray.from_buffers(
+            pa.binary(), len(m),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(packed)])
         return pa.table({id_col: t[id_col], "cluster": pa.array(cluster),
                          "__vec": vec})
 

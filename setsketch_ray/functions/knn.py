@@ -28,6 +28,8 @@ def _pool_size() -> int:
 
 def _embedding_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:  # empty block (filters/splits can produce them)
+        return np.zeros((0, 0), np.float64)
     offsets = np.asarray(arr.offsets, dtype=np.int64)
     values = np.asarray(arr.values, dtype=np.float32)
     if offsets[0] != 0:
@@ -51,6 +53,9 @@ class _ScoreBatch:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         emb = _embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(emb, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -102,6 +107,9 @@ class _PairScore:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         emb = _embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(emb, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):

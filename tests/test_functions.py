@@ -1843,3 +1843,26 @@ def test_ngram_contamination_separate_benchmark_table(rd):
         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
     got = dict(zip(out["doc_id"].to_pylist(), out["n_shared"].to_pylist()))
     assert got == {0: 1, 2: 1}
+
+
+def test_knn_stages_tolerate_empty_blocks(rd):
+    """Filters/splits can hand map_batches an EMPTY block; the embedding
+    scorers and semantic_dedup must pass it through instead of crashing
+    (regression: _embedding_matrix indexed offsets[1] on empty input)."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+    from setsketch_ray.functions.knn import knn_bruteforce
+
+    rng = np.random.default_rng(2)
+    emb = pa.array([list(map(float, rng.standard_normal(16)))
+                    for _ in range(20)], pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(list(range(20)), pa.int64()),
+                  "embedding": emb})
+    # a filter that empties some blocks entirely
+    ds = rd.from_arrow(t).repartition(8) \
+        .filter(lambda r: r["vec_id"] < 5)
+    top = knn_bruteforce(ds, query_vec_id=0, k=3)
+    assert len(top) == 3
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, n_centroids=2, threshold=0.99)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    assert out.num_rows == 5
