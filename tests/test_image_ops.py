@@ -359,3 +359,36 @@ def test_jpeg_422_baseline_and_progressive():
                                        progressive=True))
         assert np.array_equal(base, ref)
         assert np.array_equal(base, prog)
+
+
+def test_jpeg_property_random_roundtrips():
+    """Property sweep (hypothesis): random small images x quality x
+    subsampling x restart interval — decode(encode) keeps shape/dtype and
+    progressive stays bit-identical to baseline."""
+    from hypothesis import given, settings, strategies as st
+
+    from setsketch_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(9, 40), w=st.integers(9, 40),
+        seed=st.integers(0, 2**31 - 1),
+        quality=st.sampled_from([50, 75, 90, 100]),
+        sub=st.sampled_from(["444", "422", "420"]),
+        ri=st.sampled_from([0, 2, 7]),
+        gray=st.booleans(),
+    )
+    def check(h, w, seed, quality, sub, ri, gray):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality, sub,
+                                       restart_interval=ri))
+        prog = decode_jpeg(encode_jpeg(img, quality, sub,
+                                       restart_interval=ri,
+                                       progressive=True))
+        assert base.shape == (h, w, 3)
+        assert base.dtype == np.uint8
+        assert np.array_equal(base, prog)
+
+    check()
