@@ -2492,6 +2492,77 @@ def _q_events_stratified_sample(sf_dir: str):
     return stratified_sample(ds, "event_type", "event_id", 256)
 
 
+def _q_video_frame_phash(sf_dir: str):
+    """Video frame sampling + perceptual hashing over a deterministic
+    MJPEG-in-AVI corpus: the REAL container path (sources/video.py) slices
+    sampled frames out of the RIFF index as standalone baseline-JPEG blobs
+    WITHOUT decoding unsampled frames; sampled frames are then pixel-decoded
+    with the engine's own T.81 codec and phashed.  Rows-only: binary
+    container/codec work is not SQL-expressible; codec fidelity
+    (PSNR >= 40 dB at q90) and sampling semantics are asserted in
+    tests/test_av_codecs.py."""
+    from setsketch_ray.functions.knn import _pool_size
+    from setsketch_ray.sources.av import videos_dataset
+    from setsketch_ray.sources.codec import decode_image, phash64_batch
+    from setsketch_ray.stages.image import VideoFrameSampleStage
+
+    ds = videos_dataset(96, parallelism=8).map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"every_n_seconds": 1.0},
+        batch_format="pyarrow", concurrency=_pool_size())
+
+    def explode(t: pa.Table) -> pa.Table:
+        vids, tss, hashes = [], [], []
+        for vid, frames, ts in zip(t["video_id"].to_pylist(),
+                                   t["frames"].to_pylist(),
+                                   t["frame_ts"].to_pylist()):
+            pix = np.stack([decode_image(b, "jpg") for b in frames])
+            vids.extend([vid] * len(frames))
+            tss.extend(ts)
+            hashes.extend(phash64_batch(pix).astype(np.int64).tolist())
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "frame_ts": pa.array(tss, pa.float64()),
+            "phash": pa.array(hashes, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .sort(["video_id", "frame_ts"])
+
+
+def _q_audio_fingerprint(sf_dir: str):
+    """Audio feature extraction over a 4-codec WAV corpus — PCM16, G.711
+    mu-law, G.711 A-law and IMA ADPCM rows all REALLY decoded by the
+    engine's own parsers (sources/audio.py; ADPCM advances every block's
+    state machine in lockstep).  Emits integer-scaled scalar features plus
+    the dominant spectral band per clip.  Rows-only: waveform decode is not
+    SQL-expressible; codec round-trip fidelity (SNR bands, G.711 code
+    involution) is asserted in tests/test_av_codecs.py."""
+    from setsketch_ray.functions.knn import _pool_size
+    from setsketch_ray.sources.av import audio_dataset
+    from setsketch_ray.stages.image import AudioFeatureStage
+
+    ds = audio_dataset(256, parallelism=8).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=_pool_size())
+
+    def project(t: pa.Table) -> pa.Table:
+        f = np.asarray(t["audio_features"].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "audio_id": t["audio_id"],
+            "fmt": t["fmt"],
+            "duration_ms": pa.array(
+                np.floor(f[:, 0] * 1000 + 0.5).astype(np.int64)),
+            "rms_milli": pa.array(
+                np.floor(f[:, 1] * 1000 + 0.5).astype(np.int64)),
+            "zcr_milli": pa.array(
+                np.floor(f[:, 2] * 1000 + 0.5).astype(np.int64)),
+            "dominant_band": pa.array(
+                np.argmax(f[:, 3:], axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("audio_id")
+
+
 def _q_image_cluster_representatives(sf_dir: str):
     """Quality-aware canonical selection over the flagship's dup clusters:
     keep the highest-resolution (w*h) member of each near-dup image cluster,
@@ -2609,6 +2680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": _q_dedup_keep_longest,
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
+        "video_frame_phash": _q_video_frame_phash,
+        "audio_fingerprint": _q_audio_fingerprint,
         "approx_distinct_parts": _q_approx_distinct_parts,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "embedding_near_dup": _q_embedding_near_dup,

@@ -1,0 +1,293 @@
+"""Real compressed-audio decode for RIFF/WAVE, pure NumPy.
+
+Round 2 shipped PCM WAV only (stdlib ``wave``) and honestly stubbed every
+compressed format.  This module replaces the parser with our own RIFF walk
+and adds the compressed encodings that actually live inside WAV containers,
+all from public specs (ITU-T G.711; IMA/DVI ADPCM as in the Microsoft
+multimedia registration / classic Sun ``g711.c`` reference code):
+
+* fmt 0x0001 — integer PCM (8/16/24/32-bit)
+* fmt 0x0003 — IEEE float (32/64-bit)
+* fmt 0x0006 — G.711 A-law (vectorized segment companding)
+* fmt 0x0007 — G.711 mu-law
+* fmt 0x0011 — IMA/DVI ADPCM, 4-bit, any channel count.  Decode is
+  vectorized ACROSS blocks: every block's state machine advances in
+  lockstep (one NumPy step per intra-block sample position), so cost is
+  O(samples_per_block) sequential steps regardless of clip length.
+* fmt 0xFFFE — WAVE_FORMAT_EXTENSIBLE (sub-format GUID unwrapped)
+
+Truly foreign codecs (mp3/ogg/flac/aac) stay honestly stubbed at the stage
+level — there is no container seam inside WAV for them.
+
+Encoders for mu-law / A-law / IMA ADPCM / PCM16 exist so round-trip tests
+are self-contained.  The ADPCM encoder resets the step index at each block
+boundary (the per-block header re-seeds the decoder, so this is
+spec-compliant) which makes encoding vectorizable across blocks too.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------ G.711
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm16: np.ndarray) -> np.ndarray:
+    x = np.asarray(pcm16, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exact floor(log2) via frexp (x < 2^15, exact in f64)
+    exp = np.frexp(x.astype(np.float64))[1] - 8  # msb position - 7 - 1 + 1
+    exp = np.clip(exp, 0, 7)
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    u = (~np.asarray(codes, dtype=np.int32)) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+_ALAW_SEG = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
+                     dtype=np.int32)
+
+
+def alaw_encode(pcm16: np.ndarray) -> np.ndarray:
+    x = np.asarray(pcm16, dtype=np.int32) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    x = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG, x)  # first segment end >= x
+    full = seg >= 8
+    seg_c = np.minimum(seg, 7)
+    shift = np.where(seg_c < 2, 1, seg_c)
+    aval = (seg_c << 4) | ((x >> shift) & 0x0F)
+    return (np.where(full, 0x7F, aval) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    a = (np.asarray(codes, dtype=np.int32) ^ 0x55)
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+# -------------------------------------------------------------- IMA ADPCM
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred, index, nib):
+    """One lockstep ADPCM update over arbitrary lane shape (in place-free)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 4, step, 0)
+    pred = np.where(nib & 8, pred - diff, pred + diff)
+    pred = np.clip(pred, -32768, 32767)
+    index = np.clip(index + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, index
+
+
+def ima_adpcm_decode(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM payload to (n_samples, nch) int16."""
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros((0, nch), dtype=np.int16)
+    raw = np.frombuffer(data[:nblocks * block_align], dtype=np.uint8) \
+        .reshape(nblocks, block_align)
+    hdr = raw[:, :4 * nch].reshape(nblocks, nch, 4)
+    pred = (hdr[:, :, 0].astype(np.int32)
+            | (hdr[:, :, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = raw[:, 4 * nch:]
+    nwords = body.shape[1] // (4 * nch)
+    spb = nwords * 8 + 1  # samples per block per channel
+    # (nblocks, nwords, nch, 4) -> nibbles (low first) per channel word
+    words = body[:, :nwords * 4 * nch].reshape(nblocks, nwords, nch, 4)
+    nibs = np.empty((nblocks, nwords, nch, 8), dtype=np.int32)
+    nibs[..., 0::2] = words & 0x0F
+    nibs[..., 1::2] = words >> 4
+    # sample-major: (spb-1, nblocks, nch)
+    nibs = nibs.transpose(1, 3, 0, 2).reshape(nwords * 8, nblocks, nch)
+    out = np.empty((spb, nblocks, nch), dtype=np.int16)
+    out[0] = pred
+    for s in range(spb - 1):
+        pred, index = _ima_step(pred, index, nibs[s])
+        out[s + 1] = pred
+    return out.transpose(1, 0, 2).reshape(nblocks * spb, nch)
+
+
+def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 1024) -> bytes:
+    """Encode (n, nch) int16 to IMA ADPCM blocks (index reset per block)."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, nch = pcm.shape
+    nwords = (block_align - 4 * nch) // (4 * nch)
+    spb = nwords * 8 + 1
+    nblocks = (n + spb - 1) // spb
+    padded = np.zeros((nblocks * spb, nch), dtype=np.int16)
+    padded[:n] = pcm
+    if n:  # pad with the last sample, not zeros (avoids a step transient)
+        padded[n:] = pcm[-1]
+    samp = padded.reshape(nblocks, spb, nch).transpose(1, 0, 2) \
+        .astype(np.int32)
+    pred = samp[0].copy()
+    index = np.zeros((nblocks, nch), dtype=np.int32)
+    nibs = np.empty((spb - 1, nblocks, nch), dtype=np.int32)
+    for s in range(spb - 1):
+        target = samp[s + 1]
+        step = _IMA_STEPS[index]
+        diff = target - pred
+        sign = np.where(diff < 0, 8, 0)
+        diff = np.abs(diff)
+        nib = np.zeros_like(diff)
+        ge = diff >= step
+        nib |= np.where(ge, 4, 0)
+        diff = diff - np.where(ge, step, 0)
+        step2 = step >> 1
+        ge = diff >= step2
+        nib |= np.where(ge, 2, 0)
+        diff = diff - np.where(ge, step2, 0)
+        nib |= (diff >= (step >> 2)).astype(np.int32)
+        nib |= sign
+        nibs[s] = nib
+        pred, index = _ima_step(pred, index, nib)
+    # headers: predictor = first sample, index = 0
+    first = samp[0].astype(np.int32) & 0xFFFF
+    hdr = np.zeros((nblocks, nch, 4), dtype=np.uint8)
+    hdr[:, :, 0] = first & 0xFF
+    hdr[:, :, 1] = (first >> 8) & 0xFF
+    # pack nibbles back: (spb-1, nblocks, nch) -> (nblocks, nwords, nch, 8)
+    nb = nibs.reshape(nwords, 8, nblocks, nch).transpose(2, 0, 3, 1)
+    body = (nb[..., 0::2] | (nb[..., 1::2] << 4)).astype(np.uint8)
+    blocks = np.concatenate(
+        [hdr.reshape(nblocks, -1), body.reshape(nblocks, -1)], axis=1)
+    return blocks.tobytes()
+
+
+# ---------------------------------------------------------------- container
+_WAV_TAGS = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 0x11: "ima_adpcm"}
+
+
+def parse_wav(blob: bytes):
+    """Walk RIFF/WAVE chunks.  Returns
+    (fmt_tag, nch, rate, bits, block_align, data_bytes)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos = 12
+    fmt_tag = nch = rate = bits = block_align = None
+    data = b""
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_tag, nch, rate, _bps, block_align, bits = \
+                struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag == 0xFFFE and size >= 26:  # EXTENSIBLE: sub-format
+                (fmt_tag,) = struct.unpack("<H", body[24:26])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_tag is None:
+        raise ValueError("WAV without fmt chunk")
+    return fmt_tag, nch, rate, bits, block_align, data
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode any supported WAV to (mono float64 in [-1, 1], sample_rate)."""
+    fmt_tag, nch, rate, bits, block_align, data = parse_wav(blob)
+    if fmt_tag == 1:  # integer PCM
+        if bits == 8:
+            sig = np.frombuffer(data, np.uint8).astype(np.float64) \
+                / 128.0 - 1.0
+        elif bits == 16:
+            sig = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data[:len(data) - len(data) % 3], np.uint8) \
+                .reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            sig = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            sig = np.frombuffer(data, "<i4").astype(np.float64) \
+                / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits}")
+    elif fmt_tag == 3:  # IEEE float
+        sig = np.frombuffer(data, "<f4" if bits == 32 else "<f8") \
+            .astype(np.float64)
+    elif fmt_tag == 6:
+        sig = alaw_decode(np.frombuffer(data, np.uint8)) \
+            .astype(np.float64) / 32768.0
+    elif fmt_tag == 7:
+        sig = ulaw_decode(np.frombuffer(data, np.uint8)) \
+            .astype(np.float64) / 32768.0
+    elif fmt_tag == 0x11:
+        pcm = ima_adpcm_decode(data, nch, block_align)
+        sig = (pcm.astype(np.float64) / 32768.0).ravel()
+    else:
+        raise NotImplementedError(
+            f"WAV codec tag 0x{fmt_tag:04x} "
+            f"({_WAV_TAGS.get(fmt_tag, 'unknown')}) not supported")
+    if nch and nch > 1:
+        sig = sig[:len(sig) - len(sig) % nch].reshape(-1, nch).mean(axis=1)
+    return sig, rate
+
+
+def _riff_wav(fmt_tag: int, nch: int, rate: int, bits: int,
+              block_align: int, data: bytes, spb: int | None = None) -> bytes:
+    avg = rate * block_align // max(spb, 1) if spb else \
+        rate * block_align
+    fmt = struct.pack("<HHIIHH", fmt_tag, nch, rate, avg, block_align, bits)
+    if fmt_tag == 0x11 and spb is not None:
+        fmt += struct.pack("<HH", 2, spb)  # cbSize=2, samplesPerBlock
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_pcm16(pcm: np.ndarray, rate: int) -> bytes:
+    pcm = np.asarray(pcm, dtype=np.int16)
+    nch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    return _riff_wav(1, nch, rate, 16, 2 * nch, pcm.tobytes())
+
+
+def encode_wav_ulaw(pcm16: np.ndarray, rate: int) -> bytes:
+    codes = ulaw_encode(np.asarray(pcm16, dtype=np.int16).ravel())
+    return _riff_wav(7, 1, rate, 8, 1, codes.tobytes())
+
+
+def encode_wav_alaw(pcm16: np.ndarray, rate: int) -> bytes:
+    codes = alaw_encode(np.asarray(pcm16, dtype=np.int16).ravel())
+    return _riff_wav(6, 1, rate, 8, 1, codes.tobytes())
+
+
+def encode_wav_ima(pcm: np.ndarray, rate: int,
+                   block_align: int = 1024) -> bytes:
+    pcm = np.asarray(pcm, dtype=np.int16)
+    nch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    spb = (block_align - 4 * nch) // (4 * nch) * 8 + 1
+    payload = ima_adpcm_encode(pcm, block_align)
+    return _riff_wav(0x11, nch, rate, 4, block_align, payload, spb)

@@ -152,29 +152,41 @@ class ImageFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """STUB (clearly marked): video frame sampling.
+    """Video frame sampling (``map_batches`` actor stage).
 
-    No video codec exists in this environment; this stage defines the REAL
-    Ray-side contract — schema in (``bytes: binary, fmt: string``), schema
-    out (``frames: list<binary>, frame_ts: list<float>``), actor-pool
-    signature, batch size — and raises ``NotImplementedError`` at decode
-    time.  ``tests/test_image_ops.py`` verifies the plumbing end-to-end with
-    the deterministic fake decoder below.
+    REAL path — MJPEG-in-AVI (``sources/video.py``: RIFF container + the
+    engine's own T.81 JPEG codec): sampled frames are extracted as raw JPEG
+    byte slices from the container index WITHOUT decoding unsampled frames,
+    so cost scales with frames *kept*, not clip length.  Output schema:
+    ``frames: list<binary>`` (each element a standalone baseline-JPEG blob
+    that downstream image stages decode as ``fmt="jpg"``) and
+    ``frame_ts: list<float>`` (presentation seconds).
+
+    Non-AVI containers (mp4/mkv/webm — inter-frame codecs) remain a
+    clearly-marked stub: ``NotImplementedError`` at decode time, or a
+    deterministic fake with ``fake=True`` for plumbing tests.
     """
 
-    def __init__(self, every_n_seconds: float = 1.0, fake: bool = False):
+    def __init__(self, every_n_seconds: float = 1.0, fake: bool = False,
+                 max_frames: int | None = None):
         self.every = every_n_seconds
         self.fake = fake
+        self.max_frames = max_frames
 
     def _decode_frames(self, blob: bytes, fmt: str):
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            from ..sources.video import sample_frames
+
+            return sample_frames(blob, self.every, self.max_frames)
         if self.fake:
             # deterministic fake: derive 3 "frames" (byte slices) per blob
             k = max(len(blob) // 3, 1)
             return [blob[i * k:(i + 1) * k] or b"\0" for i in range(3)], \
                 [i * self.every for i in range(3)]
         raise NotImplementedError(
-            f"video format {fmt!r}: no video codec in this environment "
-            "(stubbed; pass fake=True for plumbing tests)")
+            f"video format {fmt!r}: only MJPEG/AVI decodes in this "
+            "environment (inter-frame codecs stubbed; fake=True for "
+            "plumbing tests)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         frames, tss = [], []
@@ -193,13 +205,15 @@ class AudioFeatureStage:
     """Audio feature extraction over raw audio bytes (actor-pool
     ``map_batches`` stage).
 
-    REAL path — RIFF/WAVE PCM (8/16/32-bit, any channel count), parsed with
-    the stdlib ``wave`` module + NumPy (no external codec needed): the
-    signal is downmixed to mono and summarized as DIM=16 features —
-    ``[duration_s, rms, zero_crossing_rate, 13 log-magnitude spectral band
-    energies]`` from the mean rfft magnitude over 2048-sample frames.
+    REAL path — RIFF/WAVE via the engine's own parser+codecs
+    (``sources/audio.py``): integer PCM 8/16/24/32-bit, IEEE float, G.711
+    mu-law / A-law, and IMA/DVI ADPCM (4-bit, any channel count, decoded in
+    lockstep across blocks).  The signal is downmixed to mono and
+    summarized as DIM=16 features — ``[duration_s, rms,
+    zero_crossing_rate, 13 log-magnitude spectral band energies]`` from the
+    mean rfft magnitude over 2048-sample frames.
 
-    COMPRESSED formats (mp3/ogg/flac/aac) remain a clearly-marked stub: no
+    Non-RIFF formats (mp3/ogg/flac/aac) remain a clearly-marked stub: no
     codec exists in this environment, so they raise ``NotImplementedError``
     (or, with ``fake=True``, produce a deterministic pseudo-feature for
     plumbing tests — never silently wrong output).
@@ -214,24 +228,9 @@ class AudioFeatureStage:
         self.fmt_col = fmt_col
 
     def _wav_features(self, blob: bytes) -> list[float]:
-        import io
-        import wave
+        from ..sources.audio import decode_wav
 
-        with wave.open(io.BytesIO(blob)) as w:
-            rate = w.getframerate()
-            width = w.getsampwidth()
-            nch = w.getnchannels()
-            raw = w.readframes(w.getnframes())
-        if width == 1:  # unsigned 8-bit
-            sig = np.frombuffer(raw, np.uint8).astype(np.float64) / 128.0 - 1.0
-        elif width == 2:
-            sig = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
-        elif width == 4:
-            sig = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
-        else:
-            raise NotImplementedError(f"PCM sample width {width}")
-        if nch > 1:
-            sig = sig[:len(sig) - len(sig) % nch].reshape(-1, nch).mean(axis=1)
+        sig, rate = decode_wav(blob)
         n = len(sig)
         if n == 0:
             return [0.0] * self.DIM
@@ -262,8 +261,9 @@ class AudioFeatureStage:
             spec = np.abs(np.fft.rfft(arr.astype(np.float64)))[:self.DIM]
             return [float(x) for x in spec / (spec.max() or 1.0)]
         raise NotImplementedError(
-            f"audio format {fmt or blob[:4]!r}: only PCM WAV decodes in this "
-            "environment (compressed codecs stubbed; fake=True for plumbing)")
+            f"audio format {fmt or blob[:4]!r}: only RIFF/WAVE decodes in "
+            "this environment (PCM/float/G.711/IMA-ADPCM; non-RIFF codecs "
+            "stubbed; fake=True for plumbing)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch[self.fmt_col].to_pylist() if self.fmt_col and \

@@ -1,0 +1,206 @@
+"""Real video (MJPEG/AVI) and compressed-audio (G.711, IMA ADPCM) codecs.
+
+These replace the round-2 declared stubs: frames/samples decode for real
+through the engine's own T.81 JPEG codec and RIFF parsers.  Per-row
+invariant (BASELINE.json input_hint): decoded pixels PSNR >= 40 dB for
+lossy codecs on smooth content.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from setsketch_ray.sources.audio import (alaw_decode, alaw_encode,
+                                         decode_wav, encode_wav_alaw,
+                                         encode_wav_ima, encode_wav_pcm16,
+                                         encode_wav_ulaw, ima_adpcm_decode,
+                                         ima_adpcm_encode, ulaw_decode,
+                                         ulaw_encode)
+from setsketch_ray.sources.codec import decode_image, psnr
+from setsketch_ray.sources.video import (decode_avi_frames, encode_avi_mjpeg,
+                                         parse_avi, sample_frames)
+from setsketch_ray.stages.image import AudioFeatureStage, VideoFrameSampleStage
+
+
+def _smooth_frames(n=9, h=48, w=64):
+    """Gradient frames with a moving bright square (smooth content — the
+    regime where the JPEG codec must hold >= 40 dB at q90)."""
+    base = (np.linspace(0, 200, w)[None, :, None]
+            + np.linspace(0, 55, h)[:, None, None]
+            + np.array([0.0, 10.0, 20.0])[None, None, :])
+    frames = []
+    for i in range(n):
+        f = base.copy()
+        x = 4 + 5 * i
+        f[10:26, x:x + 12] = 240.0
+        frames.append(np.clip(np.round(f), 0, 255).astype(np.uint8))
+    return frames
+
+
+def _snr(ref, got):
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    n = min(len(ref), len(got))
+    ref, got = ref[:n], got[:n]
+    return 10 * np.log10((ref ** 2).mean() /
+                         max(((ref - got) ** 2).mean(), 1e-300))
+
+
+def _tone_pcm(rate=8000, seconds=1.0, freqs=(440.0,), amp=24000):
+    t = np.arange(int(rate * seconds)) / rate
+    sig = sum(np.sin(2 * np.pi * f * t + i) for i, f in enumerate(freqs))
+    return np.round(amp * sig / len(freqs)).astype(np.int16)
+
+
+# ----------------------------------------------------------------- video
+def test_avi_mjpeg_roundtrip_psnr40():
+    frames = _smooth_frames()
+    blob = encode_avi_mjpeg(frames, fps=3.0, quality=90)
+    info = parse_avi(blob)
+    assert (info.width, info.height, info.fps, info.n_frames) == (64, 48, 3.0, 9)
+    pix, ts = decode_avi_frames(blob, every_n_seconds=0.0)  # every frame
+    assert len(pix) == 9 and ts == [i / 3.0 for i in range(9)]
+    for p, f in zip(pix, frames):
+        assert p.shape == f.shape
+        assert psnr(p, f) >= 40.0
+
+
+def test_avi_sample_frames_are_raw_jpeg_slices():
+    frames = _smooth_frames(n=12)
+    blob = encode_avi_mjpeg(frames, fps=4.0, quality=85)
+    fb, ts = sample_frames(blob, every_n_seconds=1.0)
+    assert ts == [0.0, 1.0, 2.0]  # frames 0, 4, 8
+    for b in fb:
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"  # SOI..EOI
+    # each sampled blob is a standalone JPEG the image stages can decode
+    for b, i in zip(fb, (0, 4, 8)):
+        assert psnr(decode_image(b, "jpg"), frames[i]) >= 38.0
+    # max_frames caps the sample
+    fb2, ts2 = sample_frames(blob, 1.0, max_frames=2)
+    assert len(fb2) == 2 and ts2 == [0.0, 1.0]
+    # sub-frame-interval periods degrade to every-frame, never duplicates
+    fb3, _ = sample_frames(blob, 0.01)
+    assert len(fb3) == 12
+
+
+def test_video_stage_real_avi(ray_session):
+    import ray.data as rd
+
+    frames = _smooth_frames()
+    clips = [encode_avi_mjpeg(frames[:6], fps=2.0, quality=90),
+             encode_avi_mjpeg(frames[3:], fps=3.0, quality=90)]
+    t = pa.table({"video_id": ["a", "b"],
+                  "bytes": pa.array(clips, pa.binary()),
+                  "fmt": ["avi", "avi"]})
+    out = rd.from_arrow(t).map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"every_n_seconds": 1.0},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert out[0]["frame_ts"] == [0.0, 1.0, 2.0]
+    assert out[1]["frame_ts"] == [0.0, 1.0]
+    # sampled frames flow through the image decode path as fmt="jpg"
+    got = decode_image(out[0]["frames"][1], "jpg")
+    assert psnr(got, frames[2]) >= 40.0
+    # non-AVI formats still fail loudly
+    t2 = pa.table({"bytes": pa.array([b"\x00\x00\x00 ftypmp42"], pa.binary()),
+                   "fmt": ["mp4"]})
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage()(t2)
+
+
+# ----------------------------------------------------------------- G.711
+def test_g711_roundtrip_snr():
+    pcm = _tone_pcm(freqs=(440.0, 1200.0))
+    assert _snr(pcm, ulaw_decode(ulaw_encode(pcm))) >= 33.0
+    assert _snr(pcm, alaw_decode(alaw_encode(pcm))) >= 33.0
+
+
+def test_g711_code_involution():
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    re = ulaw_encode(ulaw_decode(codes))
+    bad = np.nonzero(re != codes)[0]
+    # the one canonical exception: -0 (0x7F) re-encodes as +0 (0xFF),
+    # exactly as the reference Sun g711.c tables collapse it
+    assert list(bad) == [0x7F] and re[0x7F] == 0xFF
+    assert ulaw_decode(np.array([0x7F, 0xFF], np.uint8)).tolist() == [0, 0]
+
+
+def test_g711_monotone_decode():
+    # decoded magnitudes are monotone within each sign half
+    dec = ulaw_decode(np.arange(128, dtype=np.uint8))  # negative half
+    assert np.all(np.diff(dec) > 0)
+    dec_a = alaw_decode(np.array([0x55 ^ i for i in range(128)], np.uint8))
+    assert np.all(dec_a < 0)
+
+
+# ------------------------------------------------------------- IMA ADPCM
+@pytest.mark.parametrize("nch", [1, 2])
+def test_ima_adpcm_roundtrip(nch):
+    pcm = _tone_pcm(freqs=(330.0,), amp=16000)
+    if nch == 2:
+        pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
+    blob = ima_adpcm_encode(pcm, block_align=512)
+    dec = ima_adpcm_decode(blob, nch, 512)
+    ref = pcm if nch > 1 else pcm[:, None]
+    # ~17-25 dB is the expected fidelity band for 4-bit IMA ADPCM
+    assert _snr(ref.ravel()[:dec.size], dec.ravel()[:ref.size]) >= 15.0
+
+
+def test_ima_adpcm_blocks_self_seeding():
+    """Each block header re-seeds the decoder: decoding any block suffix
+    alone matches the same span of the full decode (resumable streams)."""
+    pcm = _tone_pcm(freqs=(250.0,), seconds=2.0, amp=12000)
+    blob = ima_adpcm_encode(pcm, block_align=256)
+    full = ima_adpcm_decode(blob, 1, 256)
+    spb = (256 - 4) // 4 * 8 + 1
+    tail = ima_adpcm_decode(blob[3 * 256:], 1, 256)
+    assert np.array_equal(full[3 * spb:], tail)
+
+
+# ----------------------------------------------------------- WAV container
+def test_decode_wav_pcm_depths_and_float():
+    pcm = _tone_pcm(freqs=(500.0,))
+    ref = pcm.astype(np.float64) / 32768.0
+    mono, rate = decode_wav(encode_wav_pcm16(pcm, 8000))
+    assert rate == 8000 and _snr(ref, mono) >= 90.0
+    # hand-rolled float32 container
+    import struct
+    f32 = ref.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(f32)) + f32)
+    mono_f, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert _snr(ref, mono_f) >= 90.0
+    # 24-bit PCM container
+    v24 = (ref * (1 << 23)).astype(np.int32)
+    b24 = np.zeros((len(v24), 3), np.uint8)
+    b24[:, 0] = v24 & 0xFF
+    b24[:, 1] = (v24 >> 8) & 0xFF
+    b24[:, 2] = (v24 >> 16) & 0xFF
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    d = b24.tobytes()
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(d)) + d)
+    mono24, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert _snr(ref, mono24) >= 90.0
+
+
+def test_audio_stage_decodes_compressed_wavs(ray_session):
+    """mu-law / A-law / IMA-ADPCM WAVs produce features that agree with the
+    PCM16 features of the same signal (same duration, same dominant band)."""
+    import ray.data as rd
+
+    pcm = _tone_pcm(rate=16000, freqs=(3000.0,), amp=20000)
+    blobs = [encode_wav_pcm16(pcm, 16000), encode_wav_ulaw(pcm, 16000),
+             encode_wav_alaw(pcm, 16000), encode_wav_ima(pcm, 16000)]
+    t = pa.table({"bytes": pa.array(blobs, pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=1).take_all()
+    ref = out[0]["audio_features"]
+    band_ref = int(np.argmax(ref[3:]))
+    for row in out[1:]:
+        f = row["audio_features"]
+        assert len(f) == AudioFeatureStage.DIM
+        assert abs(f[0] - ref[0]) < 0.1          # duration (ADPCM pads)
+        assert abs(f[1] - ref[1]) < 0.05         # rms
+        assert int(np.argmax(f[3:])) == band_ref  # dominant spectral band
