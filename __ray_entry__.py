@@ -2494,12 +2494,13 @@ def _q_events_stratified_sample(sf_dir: str):
 
 def _q_video_frame_phash(sf_dir: str):
     """Video frame sampling + perceptual hashing over a deterministic
-    MJPEG-in-AVI corpus: the REAL container path (sources/video.py) slices
-    sampled frames out of the RIFF index as standalone baseline-JPEG blobs
-    WITHOUT decoding unsampled frames; sampled frames are then pixel-decoded
-    with the engine's own T.81 codec and phashed.  Rows-only: binary
-    container/codec work is not SQL-expressible; codec fidelity
-    (PSNR >= 40 dB at q90) and sampling semantics are asserted in
+    mixed-container corpus (~3/4 MJPEG-in-AVI, ~1/4 animated GIF): the REAL
+    container paths (sources/video.py RIFF index slicing — unsampled frames
+    are never decoded — and sources/gif.py LZW timeline compositing)
+    produce standalone image blobs which are then pixel-decoded with the
+    engine's own codecs and phashed.  Rows-only: binary container/codec
+    work is not SQL-expressible; codec fidelity (PSNR >= 40 dB at q90 /
+    lossless GIF) and sampling semantics are asserted in
     tests/test_av_codecs.py."""
     from setsketch_ray.functions.knn import _pool_size
     from setsketch_ray.sources.av import videos_dataset
@@ -2516,6 +2517,8 @@ def _q_video_frame_phash(sf_dir: str):
         for vid, frames, ts in zip(t["video_id"].to_pylist(),
                                    t["frames"].to_pylist(),
                                    t["frame_ts"].to_pylist()):
+            # decode_image sniffs magic: AVI frames are JPEG slices, GIF
+            # frames are PNG re-encodes
             pix = np.stack([decode_image(b, "jpg") for b in frames])
             vids.extend([vid] * len(frames))
             tss.extend(ts)

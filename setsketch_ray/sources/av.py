@@ -7,7 +7,8 @@ worker-local RNG state (CLAUDE.md determinism rule).
 
 Videos: each clip is a smooth gradient scene with a bright square moving
 one step per frame (content the JPEG codec holds >= 40 dB on at q90),
-encoded as real MJPEG-in-AVI (``sources/video.py``).  Audio: 2-tone
+encoded as real MJPEG-in-AVI (``sources/video.py``) or, for ~1/4 of
+clips, as a posterized animated GIF (``sources/gif.py``).  Audio: 2-tone
 signals stored across the four real WAV codecs (PCM16 / G.711 mu-law /
 A-law / IMA ADPCM, ``sources/audio.py``) — a corpus whose decode path
 exercises every compressed branch.
@@ -21,6 +22,7 @@ import pyarrow as pa
 from ..sketchlib.hashing import mix2
 from .audio import (encode_wav_alaw, encode_wav_ima, encode_wav_pcm16,
                     encode_wav_ulaw)
+from .gif import encode_gif
 from .video import encode_avi_mjpeg
 
 
@@ -30,10 +32,14 @@ def _u(seed: int, idx, tag: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ video
 def video_frames(seed: int, idx: int, size: int = 32):
-    """The clip's frames + fps, derived purely from (seed, idx)."""
+    """The clip's frames + fps + container, derived purely from (seed, idx).
+
+    ~1/4 of clips are animated GIFs (posterized so the exact-palette
+    encoder applies), the rest MJPEG/AVI — both real decode paths."""
     h0 = int(_u(seed, idx, 11))
     n_frames = 4 + h0 % 5                      # 4..8
     fps = float(2 + (h0 >> 8) % 3)             # 2/3/4 fps
+    fmt = "gif" if (h0 >> 56) % 4 == 0 else "avi"
     gx = 80 + (h0 >> 16) % 120
     gy = 20 + (h0 >> 24) % 60
     tint = np.array([(h0 >> 32) % 40, (h0 >> 40) % 40, (h0 >> 48) % 40],
@@ -47,19 +53,26 @@ def video_frames(seed: int, idx: int, size: int = 32):
         x = (2 + (side // 2) * i) % max(size - side, 1)
         y = (size - side) // 2
         f[y:y + side, x:x + side] = 235.0
-        frames.append(np.clip(np.round(f), 0, 255).astype(np.uint8))
-    return frames, fps
+        f = np.clip(np.round(f), 0, 255).astype(np.uint8)
+        if fmt == "gif":
+            f = (f >> 5) << 5  # posterize: <= 256 distinct colors
+        frames.append(f)
+    return frames, fps, fmt
 
 
 def generate_video_rows(indices, seed: int = 42, size: int = 32) -> pa.Table:
-    ids, blobs, ws, hs, nfs, fpss = [], [], [], [], [], []
+    ids, blobs, ws, hs, fmts, nfs, fpss = [], [], [], [], [], [], []
     for idx in np.asarray(indices, dtype=np.int64):
         idx = int(idx)
-        frames, fps = video_frames(seed, idx, size)
-        blobs.append(encode_avi_mjpeg(frames, fps=fps, quality=90))
+        frames, fps, fmt = video_frames(seed, idx, size)
+        if fmt == "gif":
+            blobs.append(encode_gif(frames, delays_s=[1.0 / fps] * len(frames)))
+        else:
+            blobs.append(encode_avi_mjpeg(frames, fps=fps, quality=90))
         ids.append(f"vid{idx:010d}")
         ws.append(size)
         hs.append(size)
+        fmts.append(fmt)
         nfs.append(len(frames))
         fpss.append(fps)
     return pa.table({
@@ -67,7 +80,7 @@ def generate_video_rows(indices, seed: int = 42, size: int = 32) -> pa.Table:
         "bytes": pa.array(blobs, pa.binary()),
         "w": pa.array(ws, pa.int32()),
         "h": pa.array(hs, pa.int32()),
-        "fmt": pa.array(["avi"] * len(ids), pa.string()),
+        "fmt": pa.array(fmts, pa.string()),
         "n_frames": pa.array(nfs, pa.int32()),
         "fps": pa.array(fpss, pa.float64()),
     })

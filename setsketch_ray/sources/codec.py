@@ -189,11 +189,17 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     libjpeg JPEG, WebP, ...) are STUBBED — no codec libraries exist in this
     environment.
     """
-    if fmt == "png":
+    # magic-byte sniff first: containers (video frame extraction, foreign
+    # tables) routinely carry blobs whose fmt tag is stale or generic
+    if fmt == "png" or data[:8] == _PNG_SIG:
         return decode_png(data)
-    if fmt == "ljpg":
+    if fmt == "ljpg" or data[:4] == _LJP_MAGIC:
         return decode_ljpg(data)
-    if fmt in ("jpg", "jpeg", "pjpg"):
+    if fmt == "gif" or data[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(data)  # first composited frame
+    if fmt in ("jpg", "jpeg", "pjpg") or data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         try:
@@ -224,6 +230,10 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         from .jpeg import encode_jpeg
 
         return encode_jpeg(pixels, quality, progressive=True)
+    if fmt == "gif":  # lossless exact-palette LZW (<= 256 distinct colors)
+        from .gif import encode_gif
+
+        return encode_gif(pixels)
     raise NotImplementedError(f"format {fmt!r} not supported for encoding")
 
 

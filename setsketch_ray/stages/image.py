@@ -154,15 +154,20 @@ class ImageFeatureStage:
 class VideoFrameSampleStage:
     """Video frame sampling (``map_batches`` actor stage).
 
-    REAL path — MJPEG-in-AVI (``sources/video.py``: RIFF container + the
-    engine's own T.81 JPEG codec): sampled frames are extracted as raw JPEG
-    byte slices from the container index WITHOUT decoding unsampled frames,
-    so cost scales with frames *kept*, not clip length.  Output schema:
-    ``frames: list<binary>`` (each element a standalone baseline-JPEG blob
-    that downstream image stages decode as ``fmt="jpg"``) and
+    REAL paths —
+
+    * MJPEG-in-AVI (``sources/video.py``: RIFF container + the engine's own
+      T.81 JPEG codec): sampled frames are extracted as raw JPEG byte
+      slices from the container index WITHOUT decoding unsampled frames, so
+      cost scales with frames *kept*, not clip length.
+    * animated GIF (``sources/gif.py``): composited canvases sampled along
+      the GCE delay timeline, re-encoded as standalone PNG blobs.
+
+    Output schema: ``frames: list<binary>`` (each element a standalone
+    image blob downstream stages decode as jpg/png) and
     ``frame_ts: list<float>`` (presentation seconds).
 
-    Non-AVI containers (mp4/mkv/webm — inter-frame codecs) remain a
+    Other containers (mp4/mkv/webm — inter-frame codecs) remain a
     clearly-marked stub: ``NotImplementedError`` at decode time, or a
     deterministic fake with ``fake=True`` for plumbing tests.
     """
@@ -178,6 +183,24 @@ class VideoFrameSampleStage:
             from ..sources.video import sample_frames
 
             return sample_frames(blob, self.every, self.max_frames)
+        if blob[:4] == b"GIF8":
+            # animated GIF (sources/gif.py): composited canvases sampled by
+            # their GCE delay timeline, re-encoded as standalone PNG blobs
+            # (GIF frames are palette patches, not self-contained images)
+            from ..sources.codec import encode_png
+            from ..sources.gif import decode_gif_frames
+
+            frames, delays = decode_gif_frames(blob)
+            starts = np.concatenate([[0.0], np.cumsum(delays)[:-1]])
+            total = float(np.sum(delays))
+            targets = np.arange(0.0, max(total, 1e-9),
+                                max(self.every, 1e-9))
+            idxs = np.unique(np.searchsorted(starts, targets,
+                                             side="right") - 1)
+            if self.max_frames is not None:
+                idxs = idxs[:self.max_frames]
+            return ([encode_png(frames[i]) for i in idxs],
+                    [float(starts[i]) for i in idxs])
         if self.fake:
             # deterministic fake: derive 3 "frames" (byte slices) per blob
             k = max(len(blob) // 3, 1)

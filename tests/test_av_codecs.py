@@ -16,7 +16,7 @@ from setsketch_ray.sources.audio import (alaw_decode, alaw_encode,
                                          encode_wav_ulaw, ima_adpcm_decode,
                                          ima_adpcm_encode, ulaw_decode,
                                          ulaw_encode)
-from setsketch_ray.sources.codec import decode_image, psnr
+from setsketch_ray.sources.codec import decode_image, encode_image, psnr
 from setsketch_ray.sources.video import (decode_avi_frames, encode_avi_mjpeg,
                                          parse_avi, sample_frames)
 from setsketch_ray.stages.image import AudioFeatureStage, VideoFrameSampleStage
@@ -204,3 +204,108 @@ def test_audio_stage_decodes_compressed_wavs(ray_session):
         assert abs(f[0] - ref[0]) < 0.1          # duration (ADPCM pads)
         assert abs(f[1] - ref[1]) < 0.05         # rms
         assert int(np.argmax(f[3:])) == band_ref  # dominant spectral band
+
+
+# ------------------------------------------------------------------- GIF
+def _paletted(shape, n_colors, seed=5):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    return pal, pal[rng.integers(0, n_colors, shape)]
+
+
+def test_gif_static_lossless_roundtrip():
+    from setsketch_ray.sources.gif import decode_gif, encode_gif
+
+    _, img = _paletted((37, 53), 40)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # through the codec dispatch (fmt tag AND magic sniff)
+    blob = encode_image(img, "gif")
+    assert np.array_equal(decode_image(blob, "gif"), img)
+    assert np.array_equal(decode_image(blob, "unknown"), img)  # GIF8 sniff
+    # degenerate single-color palette
+    one = np.full((8, 8, 3), 7, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(one)), one)
+    # >256 distinct colors: loud, never silently lossy
+    rng = np.random.default_rng(0)
+    with pytest.raises(NotImplementedError):
+        encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_animation_roundtrip_and_delays():
+    from setsketch_ray.sources.gif import decode_gif_frames, encode_gif
+
+    pal, _ = _paletted((1, 1), 16)
+    rng = np.random.default_rng(9)
+    frames = [pal[rng.integers(0, 16, (24, 24))] for _ in range(5)]
+    blob = encode_gif(frames, delays_s=[0.2, 0.1, 0.3, 0.2, 0.2])
+    dec, delays = decode_gif_frames(blob)
+    assert delays == [0.2, 0.1, 0.3, 0.2, 0.2]
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced frame (encoder writes sequential only):
+    rows permuted into pass order + interlace flag set must decode back to
+    the original raster order."""
+    import struct
+
+    from setsketch_ray.sources.gif import _lzw_encode, decode_gif
+
+    pal, img = _paletted((16, 8), 4, seed=11)
+    _, inverse = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    palette = np.unique(img.reshape(-1, 3), axis=0)
+    idx = inverse.reshape(16, 8)
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(start, 16, step)]
+    interlaced = idx[order]
+    table = np.zeros((4, 3), np.uint8)
+    table[:len(palette)] = palette
+    blob = (b"GIF89a" + struct.pack("<HHBBB", 8, 16, 0x80 | 1, 0, 0)
+            + table.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 16, 0x40)
+            + bytes([2]) + _lzw_encode(interlaced, 2) + b"\x3b")
+    assert np.array_equal(decode_gif(blob), img)
+
+
+def test_gif_transparency_composes_over_previous_frame():
+    import struct
+
+    from setsketch_ray.sources.gif import _lzw_encode, decode_gif_frames
+
+    # palette: 0=red 1=green 2=blue(transparent marker)
+    table = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0]],
+                     np.uint8)
+    f0 = np.zeros((4, 4), np.uint8)          # all red
+    f1 = np.full((4, 4), 2, np.uint8)        # transparent everywhere...
+    f1[1, 1] = 1                             # ...except one green pixel
+    gce = b"\x21\xf9\x04" + struct.pack("<BHB", (1 << 2) | 1, 10, 2) + b"\x00"
+    img = lambda idx: (b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+                       + bytes([2]) + _lzw_encode(idx, 2))
+    blob = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+            + table.tobytes() + img(f0) + gce + img(f1) + b"\x3b")
+    frames, delays = decode_gif_frames(blob)
+    assert len(frames) == 2 and delays == [0.0, 0.1]
+    assert np.array_equal(frames[0], np.tile([255, 0, 0], (4, 4, 1)))
+    expect = np.tile([255, 0, 0], (4, 4, 1)).astype(np.uint8)
+    expect[1, 1] = [0, 255, 0]               # only the green pixel lands
+    assert np.array_equal(frames[1], expect)
+
+
+def test_video_stage_animated_gif(ray_session):
+    import ray.data as rd
+
+    from setsketch_ray.sources.gif import encode_gif
+
+    pal, _ = _paletted((1, 1), 12, seed=3)
+    rng = np.random.default_rng(4)
+    frames = [pal[rng.integers(0, 12, (16, 16))] for _ in range(6)]
+    blob = encode_gif(frames, delays_s=[0.5] * 6)  # 3 s clip
+    t = pa.table({"bytes": pa.array([blob], pa.binary()),
+                  "fmt": ["gif"]})
+    out = rd.from_arrow(t).map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"every_n_seconds": 1.0},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert out[0]["frame_ts"] == [0.0, 1.0, 2.0]  # frames 0, 2, 4
+    for b, i in zip(out[0]["frames"], (0, 2, 4)):
+        got = decode_image(b, "png")              # PNG re-encode, lossless
+        assert np.array_equal(got, frames[i])
