@@ -2533,6 +2533,23 @@ def _q_video_frame_phash(sf_dir: str):
         .sort(["video_id", "frame_ts"])
 
 
+def _q_near_dup_videos(sf_dir: str):
+    """Near-duplicate video detection (pipelines/videodedup.py): frame
+    sampling through the real AVI/GIF container codecs -> per-frame phash
+    -> octet-pair Hamming LSH over frame hashes (only (band_key, part, id)
+    rows shuffle) -> symmetric frame-set containment verify via the
+    broadcast worker-cache pool.  Catches lossy re-encodes, container swaps
+    and temporal trims.  Rows-only: codec + LSH are not SQL-expressible;
+    recall/precision 1.0/1.0 vs the planted truth is asserted in
+    tests/test_videodedup.py."""
+    from setsketch_ray.pipelines.videodedup import near_dup_videos
+    from setsketch_ray.sources.av import videos_dataset
+
+    pairs = near_dup_videos(videos_dataset(160, parallelism=8),
+                            every_n_seconds=0.25)
+    return pairs.sort(["id_a", "id_b"])
+
+
 def _q_audio_fingerprint(sf_dir: str):
     """Audio feature extraction over a 4-codec WAV corpus — PCM16, G.711
     mu-law, G.711 A-law and IMA ADPCM rows all REALLY decoded by the
@@ -2684,6 +2701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_docs": _q_near_dup_docs,
         "near_dup_images": _q_near_dup_images,
         "video_frame_phash": _q_video_frame_phash,
+        "near_dup_videos": _q_near_dup_videos,
         "audio_fingerprint": _q_audio_fingerprint,
         "approx_distinct_parts": _q_approx_distinct_parts,
         "simhash_dup_docs": _q_simhash_dup_docs,

@@ -31,33 +31,60 @@ def _u(seed: int, idx, tag: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ video
-def video_frames(seed: int, idx: int, size: int = 32):
-    """The clip's frames + fps + container, derived purely from (seed, idx).
+_VBLOCK = 8
 
-    ~1/4 of clips are animated GIFs (posterized so the exact-palette
-    encoder applies), the rest MJPEG/AVI — both real decode paths."""
-    h0 = int(_u(seed, idx, 11))
-    n_frames = 4 + h0 % 5                      # 4..8
-    fps = float(2 + (h0 >> 8) % 3)             # 2/3/4 fps
-    fmt = "gif" if (h0 >> 56) % 4 == 0 else "avi"
-    gx = 80 + (h0 >> 16) % 120
-    gy = 20 + (h0 >> 24) % 60
-    tint = np.array([(h0 >> 32) % 40, (h0 >> 40) % 40, (h0 >> 48) % 40],
-                    dtype=np.float64)
-    base = (np.linspace(0, gx, size)[None, :, None]
-            + np.linspace(0, gy, size)[:, None, None] + tint[None, None, :])
-    frames = []
-    side = max(size // 4, 2)
-    for i in range(n_frames):
-        f = base.copy()
-        x = (2 + (side // 2) * i) % max(size - side, 1)
-        y = (size - side) // 2
-        f[y:y + side, x:x + side] = 235.0
-        f = np.clip(np.round(f), 0, 255).astype(np.uint8)
-        if fmt == "gif":
-            f = (f >> 5) << 5  # posterize: <= 256 distinct colors
-        frames.append(f)
-    return frames, fps, fmt
+
+def _vcluster_size(seed: int, block: int) -> int:
+    h = int(_u(seed, block, 111))
+    return 1 if h % 100 < 65 else 2 + (h // 100) % 3  # 2..4
+
+
+def _video_role(seed: int, idx: int):
+    """-> (base_key, variant, cluster_id or -1) — images.py block scheme."""
+    block = idx // _VBLOCK
+    pos = idx % _VBLOCK
+    s = _vcluster_size(seed, block)
+    if s >= 2 and pos < s:
+        return int(_u(seed, block, 222)), pos, block
+    return int(_u(seed, idx, 333)), 0, -1
+
+
+def video_frames(seed: int, idx: int, size: int = 32):
+    """The clip's frames + fps + container, purely from (seed, idx).
+
+    Scenes are the images corpus's blocky-noise generator panned 3 px/frame
+    (phash-separable across clips; cross-clip min Hamming >= ~14).  Planted
+    near-dup variants per cluster: v0 original AVI q90, v1 lossy AVI q75
+    re-encode, v2 posterized animated GIF (container swap), v3 first-frame
+    trim.  Singletons mix ~1/4 GIF for container diversity."""
+    from .images import _synth_pixels
+
+    base_key, variant, cluster = _video_role(seed, idx)
+    n_frames = 4 + base_key % 5                      # 4..8
+    fps = float(2 + (base_key >> 8) % 3)             # 2/3/4 fps
+    scene = _synth_pixels(base_key, size)
+    frames = [np.roll(scene, 3 * i, axis=1) for i in range(n_frames)]
+    if variant == 1:
+        return frames, fps, "avi75"
+    if variant == 2:
+        return frames, fps, "gif"
+    if variant == 3:
+        return frames[1:], fps, "avi"
+    if cluster < 0 and int(_u(seed, idx, 444)) % 4 == 0:
+        return frames, fps, "gif"
+    return frames, fps, "avi"
+
+
+def _encode_clip(frames, fps: float, fmt: str) -> tuple[bytes, str]:
+    if fmt == "gif":
+        post = [(f >> 4) << 4 for f in frames]
+        try:
+            return encode_gif(post, delays_s=[1.0 / fps] * len(post)), "gif"
+        except NotImplementedError:  # > 256 colors: posterize harder
+            post = [(f >> 5) << 5 for f in frames]
+            return encode_gif(post, delays_s=[1.0 / fps] * len(post)), "gif"
+    q = 75 if fmt == "avi75" else 90
+    return encode_avi_mjpeg(frames, fps=fps, quality=q), "avi"
 
 
 def generate_video_rows(indices, seed: int = 42, size: int = 32) -> pa.Table:
@@ -65,14 +92,12 @@ def generate_video_rows(indices, seed: int = 42, size: int = 32) -> pa.Table:
     for idx in np.asarray(indices, dtype=np.int64):
         idx = int(idx)
         frames, fps, fmt = video_frames(seed, idx, size)
-        if fmt == "gif":
-            blobs.append(encode_gif(frames, delays_s=[1.0 / fps] * len(frames)))
-        else:
-            blobs.append(encode_avi_mjpeg(frames, fps=fps, quality=90))
+        blob, stored_fmt = _encode_clip(frames, fps, fmt)
+        blobs.append(blob)
         ids.append(f"vid{idx:010d}")
         ws.append(size)
         hs.append(size)
-        fmts.append(fmt)
+        fmts.append(stored_fmt)
         nfs.append(len(frames))
         fpss.append(fps)
     return pa.table({
@@ -83,6 +108,27 @@ def generate_video_rows(indices, seed: int = 42, size: int = 32) -> pa.Table:
         "fmt": pa.array(fmts, pa.string()),
         "n_frames": pa.array(nfs, pa.int32()),
         "fps": pa.array(fpss, pa.float64()),
+    })
+
+
+def truth_video_pairs(n_rows: int, seed: int = 42) -> pa.Table:
+    """All intra-cluster (id_a < id_b) pairs — analytic, no video synthesis."""
+    id_a, id_b, cid = [], [], []
+    for block in range((n_rows + _VBLOCK - 1) // _VBLOCK):
+        s = _vcluster_size(seed, block)
+        if s < 2:
+            continue
+        members = [block * _VBLOCK + p for p in range(s)
+                   if block * _VBLOCK + p < n_rows]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                id_a.append(f"vid{members[i]:010d}")
+                id_b.append(f"vid{members[j]:010d}")
+                cid.append(block)
+    return pa.table({
+        "id_a": pa.array(id_a, pa.string()),
+        "id_b": pa.array(id_b, pa.string()),
+        "cluster_id": pa.array(cid, pa.int64()),
     })
 
 
