@@ -325,6 +325,18 @@ def run_benchmarks() -> dict:
         entrymod._q_semantic_dedup(SF_DIR).count()
         timings["semantic_dedup"] = time.time() - t0
 
+        # --- multimodal codec family (r3: MJPEG/AVI + animated GIF frame
+        # sampling, 4-codec WAV decode, near-dup video detection)
+        t0 = time.time()
+        entrymod._q_video_frame_phash(SF_DIR).count()
+        timings["video_frame_phash"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_audio_fingerprint(SF_DIR).count()
+        timings["audio_fingerprint"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_near_dup_videos(SF_DIR).count()
+        timings["near_dup_videos"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
