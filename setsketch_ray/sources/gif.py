@@ -22,14 +22,17 @@ import numpy as np
 
 # ------------------------------------------------------------------- LZW
 def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> np.ndarray:
-    """GIF LZW: variable code width from min_code+1 up to 12 bits."""
+    """GIF LZW: variable code width from min_code+1 up to 12 bits.
+
+    Codes are pulled LSB-first from an integer accumulator refilled a byte
+    at a time (no per-bit indexing — the accumulator never exceeds 19 bits,
+    so this stays small-int arithmetic)."""
     clear = 1 << min_code
     end = clear + 1
-    # bit reader over the whole payload, LSB-first
-    bits = np.unpackbits(np.frombuffer(data, np.uint8)[:, None],
-                         axis=1, bitorder="little").ravel()
-    pos = 0
-    nbits = len(bits)
+    acc = 0
+    accbits = 0
+    bytepos = 0
+    nbytes = len(data)
     out = np.empty(n_expected, dtype=np.uint16)
     n_out = 0
 
@@ -44,11 +47,18 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> np.ndarray:
         prev = None
 
     reset()
-    while pos + code_size <= nbits and n_out < n_expected:
-        code = 0
-        for b in range(code_size):  # <= 12 bits; cheap
-            code |= int(bits[pos + b]) << b
-        pos += code_size
+    while n_out < n_expected:
+        while accbits < code_size:
+            if bytepos >= nbytes:
+                break
+            acc |= data[bytepos] << accbits
+            accbits += 8
+            bytepos += 1
+        if accbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        accbits -= code_size
         if code == clear:
             reset()
             continue

