@@ -98,9 +98,15 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
                     fmt_col: str = "fmt", every_n_seconds: float = 0.5,
                     max_hamming: int = 8, min_overlap: float = 0.5,
                     num_partitions: int = 64, bucket_cap: int = 256,
-                    concurrency=None):
+                    concurrency=None, join_strategy: str = "broadcast"):
     """Near-dup clip pairs.  Returns (id_a, id_b, overlap_milli) with
-    ``overlap_milli = floor(overlap * 1000 + 0.5) >= min_overlap * 1000``."""
+    ``overlap_milli = floor(overlap * 1000 + 0.5) >= min_overlap * 1000``.
+
+    ``join_strategy="broadcast"`` (default) attaches frame hashes to pairs
+    from a broadcast worker-cache pool; ``"hash"`` runs two ``lookup_join``
+    co-partition passes with the hashes packed as int64-LE binary — the
+    beyond-broadcast-memory catalog path (bit-identical output, parity
+    tested)."""
     import ray
 
     ph = frame_phashes(ds, id_col, bytes_col, fmt_col, every_n_seconds,
@@ -205,6 +211,12 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
     pairs = pairs.map_batches(add_pp, batch_format="pyarrow") \
         .groupby("pp").map_groups(dedup, batch_format="pyarrow")
 
+    if join_strategy == "hash":
+        return _verify_overlap_hash(ph, pairs, id_col, max_hamming,
+                                    min_overlap, num_partitions)
+    if join_strategy != "broadcast":
+        raise ValueError(f"unknown join_strategy {join_strategy!r}")
+
     # broadcast the slim (id -> frame hashes) table once; verify per pair
     lookup_ref = ray.put(pa.concat_tables(
         ph.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
@@ -246,3 +258,72 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
         })
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _unpack_binary_u64(col) -> list:
+    """Binary column of packed int64-LE hash sets -> list of uint64 arrays."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    out = []
+    for v in arr:
+        b = v.as_py()
+        out.append(np.frombuffer(b or b"", "<i8").astype(np.uint64))
+    return out
+
+
+def _verify_overlap_hash(ph, pairs, id_col: str, max_hamming: int,
+                         min_overlap: float, num_partitions: int):
+    """Beyond-broadcast verify: frame-hash sets attach to both pair sides
+    via two lookup_join co-partition passes (packed int64-LE binary), then
+    the same symmetric containment score as the broadcast path."""
+    from ..functions.relational import lookup_join
+
+    def pack(suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            parts = [np.asarray(x, np.int64).astype("<i8").tobytes()
+                     for x in t["frame_phashes"].to_pylist()]
+            offs = np.zeros(len(parts) + 1, np.int32)
+            np.cumsum([len(p) for p in parts], out=offs[1:])
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), len(parts),
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(b"".join(parts))])
+            return pa.table({id_col: t[id_col], f"ph{suffix}": bin_arr})
+        return fn
+
+    pairs_schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
+    right_a = ph.map_batches(pack("_a"), batch_format="pyarrow")
+    right_b = ph.map_batches(pack("_b"), batch_format="pyarrow")
+    npart = max(num_partitions // 4, 8)
+    pairs = pairs.materialize()  # sparse edge list; consumed by two joins
+    out = lookup_join(pairs, right_a, "id_a", id_col,
+                      num_partitions=npart, left_schema=pairs_schema,
+                      right_schema=pa.schema([(id_col, pa.string()),
+                                              ("ph_a", pa.binary())]))
+    mid = pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                     ("ph_a", pa.binary())])
+    out = lookup_join(out, right_b, "id_b", id_col,
+                      num_partitions=npart, left_schema=mid,
+                      right_schema=pa.schema([(id_col, pa.string()),
+                                              ("ph_b", pa.binary())]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.string()),
+                          "id_b": pa.array([], pa.string()),
+                          "overlap_milli": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ha = _unpack_binary_u64(batch["ph_a"])
+        hb = _unpack_binary_u64(batch["ph_b"])
+        scores = np.fromiter(
+            (int(np.floor(_overlap_fraction(a, b, max_hamming) * 1000
+                          + 0.5)) for a, b in zip(ha, hb)),
+            np.int64, count=batch.num_rows)
+        keep = scores >= int(np.floor(min_overlap * 1000 + 0.5))
+        kept = batch.filter(pa.array(keep))
+        return pa.table({
+            "id_a": kept["id_a"],
+            "id_b": kept["id_b"],
+            "overlap_milli": pa.array(scores[keep], pa.int64()),
+        })
+
+    return out.map_batches(verify, batch_format="pyarrow")

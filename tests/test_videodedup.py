@@ -35,3 +35,16 @@ def test_near_dup_videos_planted_clusters(ray_session):
     again = near_dup_videos(videos_dataset(n, parallelism=4),
                             every_n_seconds=0.25).to_pandas()
     assert set(zip(again.id_a, again.id_b)) == gs
+
+
+def test_hash_join_strategy_matches_broadcast(ray_session):
+    n = 96
+    a = near_dup_videos(videos_dataset(n, parallelism=4),
+                        every_n_seconds=0.25).to_pandas()
+    b = near_dup_videos(videos_dataset(n, parallelism=4),
+                        every_n_seconds=0.25,
+                        join_strategy="hash").to_pandas()
+    key = ["id_a", "id_b", "overlap_milli"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+    assert len(a) > 0
