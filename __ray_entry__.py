@@ -2583,6 +2583,50 @@ def _q_audio_fingerprint(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow").sort("audio_id")
 
 
+def _q_media_probe(sf_dir: str):
+    """Container-metadata probe over a mixed media corpus (AVI + animated
+    GIF + 4-codec WAV + ISO-BMFF mp4 metadata stubs): typed metadata —
+    container, kind, codec fourcc, dims, duration, frame count,
+    decodability — WITHOUT decoding any payload (sources/video.probe_media
+    walks the RIFF / GIF block / ISO box structures only).  The
+    filter-before-decode curation op.  Rows-only: binary container parsing
+    is not SQL-expressible; parser exactness is asserted in
+    tests/test_av_codecs.py."""
+    import ray.data as rd
+
+    from setsketch_ray.sketchlib.hashing import mix2
+    from setsketch_ray.sources.av import audio_dataset, videos_dataset
+    from setsketch_ray.stages.image import MediaProbeStage
+
+    vids = videos_dataset(64, parallelism=8).select_columns(
+        ["video_id", "bytes"]).rename_columns(["media_id", "bytes"])
+    auds = audio_dataset(64, parallelism=8).select_columns(
+        ["audio_id", "bytes"]).rename_columns(["media_id", "bytes"])
+
+    def gen_mp4(batch: pa.Table) -> pa.Table:
+        from setsketch_ray.sources.mp4 import build_mp4_stub
+
+        ids, blobs = [], []
+        for i in batch["id"].to_pylist():
+            h = int(mix2(np.uint64(i), 77))
+            blobs.append(build_mp4_stub(
+                320 + 16 * (h % 60), 240 + 16 * ((h >> 8) % 40),
+                duration_s=round(1 + (h >> 16) % 300, 1),
+                codec=b"avc1" if h % 2 else b"hev1",
+                with_audio=bool((h >> 24) % 2)))
+            ids.append(f"mp4{i:010d}")
+        return pa.table({"media_id": pa.array(ids, pa.string()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    mp4s = rd.range(32, override_num_blocks=4).map_batches(
+        gen_mp4, batch_format="pyarrow", batch_size=None)
+    probed = vids.union(auds).union(mp4s).map_batches(
+        MediaProbeStage, batch_format="pyarrow", concurrency=2)
+    return probed.select_columns(
+        ["media_id", "container", "kind", "codec", "w", "h",
+         "duration_ms", "n_frames", "decodable"]).sort("media_id")
+
+
 def _q_image_cluster_representatives(sf_dir: str):
     """Quality-aware canonical selection over the flagship's dup clusters:
     keep the highest-resolution (w*h) member of each near-dup image cluster,
@@ -2702,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_images": _q_near_dup_images,
         "video_frame_phash": _q_video_frame_phash,
         "near_dup_videos": _q_near_dup_videos,
+        "media_probe": _q_media_probe,
         "audio_fingerprint": _q_audio_fingerprint,
         "approx_distinct_parts": _q_approx_distinct_parts,
         "simhash_dup_docs": _q_simhash_dup_docs,

@@ -291,3 +291,18 @@ def encode_wav_ima(pcm: np.ndarray, rate: int,
     spb = (block_align - 4 * nch) // (4 * nch) * 8 + 1
     payload = ima_adpcm_encode(pcm, block_align)
     return _riff_wav(0x11, nch, rate, 4, block_align, payload, spb)
+
+
+def wav_info(blob: bytes) -> dict:
+    """Container metadata without decoding samples: codec name, channels,
+    rate, bit depth, duration (exact from the data-chunk geometry)."""
+    fmt_tag, nch, rate, bits, block_align, data = parse_wav(blob)
+    if fmt_tag == 0x11:
+        nwords = (block_align - 4 * nch) // (4 * nch)
+        spb = nwords * 8 + 1
+        n_samples = (len(data) // block_align) * spb
+    else:
+        n_samples = len(data) // max(block_align, 1)
+    return {"codec": _WAV_TAGS.get(fmt_tag, f"0x{fmt_tag:04x}"),
+            "channels": nch, "rate": rate, "bits": bits,
+            "duration_s": n_samples / rate if rate else 0.0}

@@ -281,3 +281,38 @@ def encode_gif(frames, delays_s=None, loop: bool = True) -> bytes:
         out.append(_lzw_encode(idx, min_code))
     out.append(b"\x3b")
     return b"".join(out)
+
+
+def gif_info(data: bytes):
+    """Container metadata WITHOUT pixel work: walks the block structure
+    skipping LZW payloads.  Returns (w, h, n_frames, duration_s)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    n_frames = 0
+    duration = 0.0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = data[pos]
+            pos += 1
+            body, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:
+                duration += struct.unpack("<H", body[1:3])[0] / 100.0
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        fpk = data[pos + 8]
+        pos += 9
+        if fpk & 0x80:
+            pos += 3 * (2 << (fpk & 7))
+        pos += 1  # LZW min code size
+        _, pos = _sub_blocks(data, pos)  # skip compressed payload
+        n_frames += 1
+    return w, h, n_frames, duration

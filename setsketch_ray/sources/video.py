@@ -178,3 +178,51 @@ def decode_avi_frames(data: bytes, every_n_seconds: float = 1.0,
     """Sample + pixel-decode: returns ``(list[(h,w,3) uint8], timestamps)``."""
     blobs, ts = sample_frames(data, every_n_seconds, max_frames)
     return [decode_jpeg(b) for b in blobs], ts
+
+
+def probe_media(blob: bytes) -> dict:
+    """ffprobe-lite over every container this engine understands: typed
+    metadata WITHOUT decoding payloads.  Keys: container, kind, codec, w,
+    h, duration_s, n_frames (0 if unknown), decodable (whether this
+    engine's codecs can produce pixels/samples for it).
+
+    AVI/GIF/WAV metadata AND payloads are fully real; ISO-BMFF (mp4/mov)
+    is metadata-only (``sources/mp4.py`` — AVC/HEVC/AAC payload decode has
+    no codec in this environment), letting a curation pipeline filter by
+    resolution/duration/codec before any decode attempt.
+    """
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        info = parse_avi(blob)
+        return {"container": "avi", "kind": "video", "codec": "mjpeg",
+                "w": info.width, "h": info.height,
+                "duration_s": info.n_frames / info.fps if info.fps else 0.0,
+                "n_frames": info.n_frames, "decodable": True}
+    if blob[:4] == b"GIF8":
+        from .gif import gif_info
+
+        w, h, n, dur = gif_info(blob)
+        return {"container": "gif", "kind": "video" if n > 1 else "image",
+                "codec": "lzw", "w": w, "h": h, "duration_s": dur,
+                "n_frames": n, "decodable": True}
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        from .audio import _WAV_TAGS, wav_info
+
+        wi = wav_info(blob)
+        return {"container": "wav", "kind": "audio", "codec": wi["codec"],
+                "w": 0, "h": 0, "duration_s": wi["duration_s"],
+                "n_frames": 0,
+                "decodable": wi["codec"] in set(_WAV_TAGS.values())}
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        from .mp4 import parse_mp4
+
+        info = parse_mp4(blob)
+        vid = next((t for t in info["tracks"] if t["kind"] == "video"),
+                   None)
+        first = vid or (info["tracks"][0] if info["tracks"] else None)
+        return {"container": "mp4",
+                "kind": first["kind"] if first else "unknown",
+                "codec": first["codec"] if first else "",
+                "w": vid["w"] if vid else 0, "h": vid["h"] if vid else 0,
+                "duration_s": info["duration_s"], "n_frames": 0,
+                "decodable": False}  # honest: no AVC/HEVC/AAC codec here
+    raise ValueError("unrecognized media container")

@@ -295,3 +295,47 @@ class AudioFeatureStage:
                  for blob, fmt in zip(batch["bytes"].to_pylist(), fmts)]
         return batch.append_column(
             "audio_features", pa.array(feats, pa.list_(pa.float32())))
+
+
+class MediaProbeStage:
+    """Typed container metadata per blob WITHOUT decoding payloads
+    (``sources/video.probe_media``): the filter-before-decode curation op —
+    route/drop clips by resolution, duration or codec before any pixel or
+    sample work.  Handles AVI / GIF / WAV (fully decodable here) and
+    ISO-BMFF mp4/mov (metadata real, payload codecs honestly absent).
+    Unknown containers probe as ``container="unknown"`` instead of raising:
+    probing IS the classification step."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.video import probe_media
+
+        rows = {"container": [], "kind": [], "codec": [], "w": [], "h": [],
+                "duration_ms": [], "n_frames": [], "decodable": []}
+        for blob in batch[self.bytes_col].to_pylist():
+            try:
+                m = probe_media(blob)
+            except (ValueError, NotImplementedError):
+                m = {"container": "unknown", "kind": "unknown", "codec": "",
+                     "w": 0, "h": 0, "duration_s": 0.0, "n_frames": 0,
+                     "decodable": False}
+            rows["container"].append(m["container"])
+            rows["kind"].append(m["kind"])
+            rows["codec"].append(m["codec"])
+            rows["w"].append(m["w"])
+            rows["h"].append(m["h"])
+            rows["duration_ms"].append(
+                int(np.floor(m["duration_s"] * 1000 + 0.5)))
+            rows["n_frames"].append(m["n_frames"])
+            rows["decodable"].append(m["decodable"])
+        out = batch
+        for name, typ in (("container", pa.string()), ("kind", pa.string()),
+                          ("codec", pa.string()), ("w", pa.int32()),
+                          ("h", pa.int32()), ("duration_ms", pa.int64()),
+                          ("n_frames", pa.int32()),
+                          ("decodable", pa.bool_())):
+            col = f"media_{name}" if name in out.column_names else name
+            out = out.append_column(col, pa.array(rows[name], typ))
+        return out

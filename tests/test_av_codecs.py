@@ -377,3 +377,64 @@ def test_audio_property_roundtrip():
             assert _snr(ref, mono[:len(ref)]) >= floor[codec]
 
     check()
+
+
+# ----------------------------------------------------------- media probe
+def test_mp4_metadata_parse():
+    from setsketch_ray.sources.mp4 import build_mp4_stub, parse_mp4
+
+    blob = build_mp4_stub(1920, 1080, 42.5, codec=b"hev1", with_audio=True)
+    info = parse_mp4(blob)
+    assert info["brand"] == "isom"
+    assert info["duration_s"] == pytest.approx(42.5)
+    v = [t for t in info["tracks"] if t["kind"] == "video"][0]
+    a = [t for t in info["tracks"] if t["kind"] == "audio"][0]
+    assert (v["codec"], v["w"], v["h"]) == ("hev1", 1920, 1080)
+    assert a["codec"] == "mp4a"
+    assert v["duration_s"] == pytest.approx(42.5)
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 32)
+
+
+def test_probe_media_all_containers():
+    from setsketch_ray.sources.gif import encode_gif
+    from setsketch_ray.sources.mp4 import build_mp4_stub
+    from setsketch_ray.sources.video import probe_media
+
+    frames = _smooth_frames(n=6, h=16, w=16)
+    p = probe_media(encode_avi_mjpeg(frames, fps=3.0))
+    assert (p["container"], p["codec"], p["n_frames"],
+            p["duration_s"], p["decodable"]) == ("avi", "mjpeg", 6, 2.0,
+                                                 True)
+    post = [(f >> 5) << 5 for f in frames]
+    g = probe_media(encode_gif(post, delays_s=[0.5] * 6))
+    assert (g["container"], g["kind"], g["n_frames"], g["duration_s"]) == \
+        ("gif", "video", 6, 3.0)
+    m = probe_media(build_mp4_stub(640, 480, 10.0))
+    assert (m["container"], m["codec"], m["w"], m["h"],
+            m["decodable"]) == ("mp4", "avc1", 640, 480, False)
+    w = probe_media(encode_wav_ulaw(_tone_pcm(seconds=0.5), 8000))
+    assert (w["container"], w["codec"], w["decodable"]) == \
+        ("wav", "ulaw", True)
+    assert w["duration_s"] == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        probe_media(b"\x00\x00\x00 ftXpmp42")
+
+
+def test_media_probe_stage(ray_session):
+    import ray.data as rd
+
+    from setsketch_ray.sources.mp4 import build_mp4_stub
+    from setsketch_ray.stages.image import MediaProbeStage
+
+    frames = _smooth_frames(n=4, h=16, w=16)
+    t = pa.table({"media_id": ["a", "b", "c"],
+                  "bytes": pa.array([encode_avi_mjpeg(frames, 2.0),
+                                     build_mp4_stub(320, 240, 5.0),
+                                     b"not media at all"], pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        MediaProbeStage, batch_format="pyarrow", concurrency=1) \
+        .sort("media_id").take_all()
+    assert [r["container"] for r in out] == ["avi", "mp4", "unknown"]
+    assert [r["decodable"] for r in out] == [True, False, False]
+    assert out[0]["duration_ms"] == 2000 and out[1]["duration_ms"] == 5000
