@@ -2551,13 +2551,14 @@ def _q_near_dup_videos(sf_dir: str):
 
 
 def _q_audio_fingerprint(sf_dir: str):
-    """Audio feature extraction over a 4-codec WAV corpus — PCM16, G.711
-    mu-law, G.711 A-law and IMA ADPCM rows all REALLY decoded by the
-    engine's own parsers (sources/audio.py; ADPCM advances every block's
-    state machine in lockstep).  Emits integer-scaled scalar features plus
-    the dominant spectral band per clip.  Rows-only: waveform decode is not
-    SQL-expressible; codec round-trip fidelity (SNR bands, G.711 code
-    involution) is asserted in tests/test_av_codecs.py."""
+    """Audio feature extraction over a 5-codec corpus — PCM16, G.711
+    mu-law, G.711 A-law, IMA ADPCM (sources/audio.py; ADPCM advances every
+    block's state machine in lockstep) and FLAC (sources/flac.py — full
+    lossless decode, CRC+MD5 verified) rows all REALLY decoded by the
+    engine's own parsers.  Emits integer-scaled scalar features plus the
+    dominant spectral band per clip.  Rows-only: waveform decode is not
+    SQL-expressible; codec round-trip fidelity (bit-exact FLAC, SNR bands,
+    G.711 code involution) is asserted in tests/test_av_codecs.py."""
     from setsketch_ray.functions.knn import _pool_size
     from setsketch_ray.sources.av import audio_dataset
     from setsketch_ray.stages.image import AudioFeatureStage

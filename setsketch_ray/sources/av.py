@@ -22,6 +22,7 @@ import pyarrow as pa
 from ..sketchlib.hashing import mix2
 from .audio import (encode_wav_alaw, encode_wav_ima, encode_wav_pcm16,
                     encode_wav_ulaw)
+from .flac import encode_flac
 from .gif import encode_gif
 from .video import encode_avi_mjpeg
 
@@ -146,13 +147,14 @@ def videos_dataset(n_rows: int, seed: int = 42, size: int = 32,
 
 
 # ------------------------------------------------------------------ audio
-_AUDIO_FMTS = ("pcm16", "ulaw", "alaw", "ima")
+_AUDIO_FMTS = ("pcm16", "ulaw", "alaw", "ima", "flac")
 # block_align 256 keeps the ADPCM state machine's sequential span short
 # (505 lockstep steps/block instead of 2041): encode AND decode cost per
 # clip drops ~4x with identical audio semantics
 _AUDIO_ENC = {"pcm16": encode_wav_pcm16, "ulaw": encode_wav_ulaw,
               "alaw": encode_wav_alaw,
-              "ima": lambda pcm, rate: encode_wav_ima(pcm, rate, 256)}
+              "ima": lambda pcm, rate: encode_wav_ima(pcm, rate, 256),
+              "flac": encode_flac}
 
 
 def audio_signal(seed: int, idx: int, rate: int = 8000,

@@ -212,6 +212,13 @@ def probe_media(blob: bytes) -> dict:
                 "w": 0, "h": 0, "duration_s": wi["duration_s"],
                 "n_frames": 0,
                 "decodable": wi["codec"] in set(_WAV_TAGS.values())}
+    if blob[:4] == b"fLaC":
+        from .flac import flac_info
+
+        fi = flac_info(blob)
+        return {"container": "flac", "kind": "audio", "codec": "flac",
+                "w": 0, "h": 0, "duration_s": fi["duration_s"],
+                "n_frames": 0, "decodable": True}
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         from .mp4 import parse_mp4
 

@@ -228,15 +228,16 @@ class AudioFeatureStage:
     """Audio feature extraction over raw audio bytes (actor-pool
     ``map_batches`` stage).
 
-    REAL path — RIFF/WAVE via the engine's own parser+codecs
+    REAL paths — RIFF/WAVE via the engine's own parser+codecs
     (``sources/audio.py``): integer PCM 8/16/24/32-bit, IEEE float, G.711
-    mu-law / A-law, and IMA/DVI ADPCM (4-bit, any channel count, decoded in
-    lockstep across blocks).  The signal is downmixed to mono and
-    summarized as DIM=16 features — ``[duration_s, rms,
+    mu-law / A-law, IMA/DVI ADPCM (4-bit, any channel count, decoded in
+    lockstep across blocks); and FLAC (``sources/flac.py`` — full lossless
+    decode incl. LPC, CRC + MD5 verified).  The signal is downmixed to
+    mono and summarized as DIM=16 features — ``[duration_s, rms,
     zero_crossing_rate, 13 log-magnitude spectral band energies]`` from the
     mean rfft magnitude over 2048-sample frames.
 
-    Non-RIFF formats (mp3/ogg/flac/aac) remain a clearly-marked stub: no
+    Remaining foreign formats (mp3/ogg/aac) are a clearly-marked stub: no
     codec exists in this environment, so they raise ``NotImplementedError``
     (or, with ``fake=True``, produce a deterministic pseudo-feature for
     plumbing tests — never silently wrong output).
@@ -254,6 +255,9 @@ class AudioFeatureStage:
         from ..sources.audio import decode_wav
 
         sig, rate = decode_wav(blob)
+        return self._signal_features(sig, rate)
+
+    def _signal_features(self, sig: np.ndarray, rate: int) -> list[float]:
         n = len(sig)
         if n == 0:
             return [0.0] * self.DIM
@@ -279,14 +283,20 @@ class AudioFeatureStage:
     def _features(self, blob: bytes, fmt: str | None) -> list[float]:
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return self._wav_features(blob)
+        if blob[:4] == b"fLaC":
+            from ..sources.flac import decode_flac
+
+            pcm, rate, bps = decode_flac(blob)
+            sig = pcm.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
+            return self._signal_features(sig, rate)
         if self.fake:
             arr = np.frombuffer(blob[:1024].ljust(1024, b"\0"), dtype=np.uint8)
             spec = np.abs(np.fft.rfft(arr.astype(np.float64)))[:self.DIM]
             return [float(x) for x in spec / (spec.max() or 1.0)]
         raise NotImplementedError(
-            f"audio format {fmt or blob[:4]!r}: only RIFF/WAVE decodes in "
-            "this environment (PCM/float/G.711/IMA-ADPCM; non-RIFF codecs "
-            "stubbed; fake=True for plumbing)")
+            f"audio format {fmt or blob[:4]!r}: RIFF/WAVE "
+            "(PCM/float/G.711/IMA-ADPCM) and FLAC decode in this "
+            "environment (mp3/ogg/aac stubbed; fake=True for plumbing)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch[self.fmt_col].to_pylist() if self.fmt_col and \
