@@ -68,12 +68,16 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode the PNG subset written by :func:`encode_png` (plus any 8-bit RGB
-    PNG using only filter types 0-2)."""
+    """Decode 8-bit PNGs: color types 0 (grayscale), 2 (RGB), 4 (gray+A)
+    and 6 (RGBA), ALL five filter types (None/Sub/Up/Average/Paeth).
+    Alpha is dropped, grayscale broadcast to RGB — output is always
+    (h, w, 3) uint8.  Interlaced (Adam7) and 16-bit PNGs raise
+    ``NotImplementedError`` loudly."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
+    color = 2
     idat = b""
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -81,15 +85,22 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8:pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, color, *_ = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color != 2:
-                raise NotImplementedError("only 8-bit RGB PNGs supported")
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color not in (0, 2, 4, 6):
+                raise NotImplementedError(f"PNG color type {color} "
+                                          "(palette) not supported")
+            if interlace:
+                raise NotImplementedError("Adam7 interlaced PNG")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     raw = zlib.decompress(idat)
-    stride = w * 3
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * nch
     a = np.frombuffer(raw, dtype=np.uint8)
     if len(a) != h * (stride + 1):
         raise ValueError("corrupt PNG stream")
@@ -98,23 +109,49 @@ def decode_png(data: bytes) -> np.ndarray:
     body = a[:, 1:]
     if not filters.any():
         # all filter 0 (what encode_png writes): zero reconstruction work
-        return body.reshape(h, w, 3).copy()
-    # uint8 arithmetic wraps mod 256, exactly the PNG reconstruction rule
-    out = body.copy()
-    for y in range(h):
-        f = filters[y]
-        if f == 0:
-            continue
-        if f == 2:  # Up: one vectorized row add against the decoded row above
-            if y:
-                out[y] += out[y - 1]
-        elif f == 1:  # Sub (rare here): per-pixel carry chain
+        out = body.reshape(h, w, nch)
+    else:
+        # uint8 arithmetic wraps mod 256, exactly the PNG reconstruction
+        # rule; Sub/Average/Paeth have an in-row carry -> per-pixel loop,
+        # None/Up stay vectorized (the common big-image cases)
+        out = body.copy()
+        bpp = nch
+        for y in range(h):
+            f = filters[y]
             row = out[y]
-            for i in range(3, stride):
-                row[i] = (int(row[i]) + int(row[i - 3])) & 0xFF
-        else:
-            raise NotImplementedError(f"PNG filter {f} not supported")
-    return out.reshape(h, w, 3)
+            up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            if f == 0:
+                continue
+            if f == 2:  # Up
+                row += up
+            elif f == 1:  # Sub
+                for i in range(bpp, stride):
+                    row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    left = int(row[i - bpp]) if i >= bpp else 0
+                    row[i] = (int(row[i]) + ((left + int(up[i])) >> 1)) \
+                        & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    left = int(row[i - bpp]) if i >= bpp else 0
+                    above = int(up[i])
+                    ul = int(up[i - bpp]) if i >= bpp else 0
+                    p = left + above - ul
+                    pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else \
+                        (above if pb <= pc else ul)
+                    row[i] = (int(row[i]) + pred) & 0xFF
+            else:
+                raise ValueError(f"invalid PNG filter {f}")
+        out = out.reshape(h, w, nch)
+    if color == 0:
+        return np.repeat(out, 3, axis=2).copy()
+    if color == 4:
+        return np.repeat(out[:, :, :1], 3, axis=2).copy()
+    if color == 6:
+        return out[:, :, :3].copy()
+    return out.copy()
 
 
 # ------------------------------------------------------- LJP1 (lossy, real DCT)

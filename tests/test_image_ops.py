@@ -392,3 +392,73 @@ def test_jpeg_property_random_roundtrips():
         assert np.array_equal(base, prog)
 
     check()
+
+
+def test_png_all_filters_and_color_types():
+    """Decoder handles every PNG filter (None/Sub/Up/Average/Paeth) and
+    color types 0/2/4/6 — hand-filtered streams must reconstruct exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from setsketch_ray.sources.codec import _PNG_SIG, decode_png
+
+    def build_png(pixels, color_type, filter_of_row):
+        h, w = pixels.shape[:2]
+        nch = pixels.shape[2] if pixels.ndim == 3 else 1
+        flat = pixels.reshape(h, w * nch).astype(np.int32)
+        bpp = nch
+        lines = []
+        prev = np.zeros(w * nch, dtype=np.int32)
+        for y in range(h):
+            row = flat[y]
+            f = filter_of_row(y)
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if f == 0:
+                enc = row
+            elif f == 1:
+                enc = row - left
+            elif f == 2:
+                enc = row - prev
+            elif f == 3:
+                enc = row - ((left + prev) >> 1)
+            else:  # Paeth
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), \
+                    np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = row - pred
+            lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8)
+                         .tobytes())
+            prev = row
+
+        def chunk(tag, payload):
+            body = tag + payload
+            return (struct.pack(">I", len(payload)) + body
+                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    # every filter type cycles through the rows
+    blob = build_png(rgb, 2, lambda y: y % 5)
+    assert np.array_equal(decode_png(blob), rgb)
+    # grayscale (type 0) broadcasts to RGB
+    gray = rng.integers(0, 256, (7, 11, 1), dtype=np.uint8)
+    got = decode_png(build_png(gray, 0, lambda y: 4))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    # RGBA (type 6) drops alpha
+    rgba = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    got = decode_png(build_png(rgba, 6, lambda y: 3))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # gray+alpha (type 4)
+    ga = rng.integers(0, 256, (5, 8, 2), dtype=np.uint8)
+    got = decode_png(build_png(ga, 4, lambda y: (y % 4) + 1))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
