@@ -1,19 +1,23 @@
-"""Minimal pure-NumPy image codecs + DCT perceptual hash.
+"""Pure-NumPy image codecs + DCT perceptual hash.
 
 The engine treats images as opaque ``binary`` columns with typed metadata
 (``image_id, bytes, w, h, fmt, caption, phash`` — BASELINE.json input_hint).
-No image libraries exist in this environment, so we implement:
+No image libraries exist in this environment, so the codecs are our own:
 
-* ``png``  — a real, lossless PNG subset (8-bit RGB, filter 0) over zlib;
-* ``ljpg`` — a JPEG-like lossy codec ("LJP1"): 8×8 block DCT-II, quality-
-  scaled quantization, zlib-compressed coefficients.  Genuine lossy behavior
-  (PSNR tracks quality) without libjpeg;
+* ``png``  — real PNG: encoder (8-bit RGB, filter 0), decoder for all five
+  filter types and color types 0/2/4/6 (Adam7/16-bit loud-stubbed);
+* ``jpg``/``pjpg`` — real ITU T.81 JPEG, baseline AND progressive, all
+  common subsamplings (``sources/jpeg.py``);
+* ``gif``  — real GIF87a/89a LZW incl. animation (``sources/gif.py``);
+* ``bmp``  — uncompressed 24/32-bit BI_RGB;
+* ``ljpg`` — this engine's own lossy codec ("LJP1"): 8×8 block DCT-II,
+  quality-scaled quantization, zlib-compressed coefficients;
 * ``phash`` — 64-bit DCT perceptual hash (32×32 grayscale → 8×8 low-band →
   median threshold).
 
-Real-world JPEG bytes would require PIL; :func:`decode_image` raises
-``NotImplementedError`` for formats we cannot parse, keeping the Ray-side
-plumbing (schema, batch shapes, actor stages) fully real and tested.
+:func:`decode_image` sniffs magic bytes ahead of the ``fmt`` tag and raises
+``NotImplementedError`` for formats with no codec here (WebP/AVIF/...),
+keeping the Ray-side plumbing fully real and honestly bounded.
 """
 
 from __future__ import annotations
@@ -236,6 +240,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(data)  # first composited frame
+    if fmt == "bmp" or (data[:2] == b"BM" and len(data) >= 26):
+        return decode_bmp(data)
     if fmt in ("jpg", "jpeg", "pjpg") or data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -271,6 +277,8 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         from .gif import encode_gif
 
         return encode_gif(pixels)
+    if fmt == "bmp":  # uncompressed 24-bit, lossless
+        return encode_bmp(pixels)
     raise NotImplementedError(f"format {fmt!r} not supported for encoding")
 
 
@@ -352,3 +360,42 @@ def phash_to_int64(h: int) -> int:
 def int64_to_phash(v) -> np.ndarray:
     """Vectorized inverse bit-cast (column helper)."""
     return np.asarray(v, dtype=np.int64).astype(np.uint64)
+
+
+# ------------------------------------------------------------------ BMP
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 as an uncompressed 24-bit bottom-up BMP."""
+    h, w, _ = pixels.shape
+    pad = (-(w * 3)) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(pixels[y, :, ::-1].tobytes() + b"\x00" * pad)
+    body = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode uncompressed (BI_RGB) 24/32-bit BMPs, bottom-up or top-down."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    dib_size, w, h = struct.unpack("<Iii", data[14:26])
+    if dib_size < 40:
+        raise NotImplementedError("BMP core-header variant")
+    bitcount, compression = struct.unpack("<HI", data[28:34])
+    if compression != 0 or bitcount not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bitcount={bitcount} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    nch = bitcount // 8
+    stride = (w * nch + 3) // 4 * 4
+    a = np.frombuffer(data, np.uint8, count=stride * h, offset=offset)
+    rows = a.reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)

@@ -462,3 +462,27 @@ def test_png_all_filters_and_color_types():
     ga = rng.integers(0, 256, (5, 8, 2), dtype=np.uint8)
     got = decode_png(build_png(ga, 4, lambda y: (y % 4) + 1))
     assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_bmp_roundtrip_and_dispatch():
+    import numpy as np
+
+    from setsketch_ray.sources.codec import (decode_bmp, decode_image,
+                                             encode_bmp, encode_image)
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)  # odd stride pad
+    blob = encode_bmp(img)
+    assert np.array_equal(decode_bmp(blob), img)
+    assert np.array_equal(decode_image(encode_image(img, "bmp"), "bmp"), img)
+    # magic sniff (wrong fmt tag)
+    assert np.array_equal(decode_image(blob, "unknown"), img)
+    # top-down 32-bit variant (hand-built)
+    import struct
+    bgra = np.dstack([img[:, :, ::-1],
+                      np.full(img.shape[:2], 255, np.uint8)])
+    body = bgra.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, 7, -13, 1, 32, 0, len(body),
+                      0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    assert np.array_equal(decode_bmp(hdr + dib + body), img)
