@@ -4,8 +4,9 @@ The engine treats images as opaque ``binary`` columns with typed metadata
 (``image_id, bytes, w, h, fmt, caption, phash`` — BASELINE.json input_hint).
 No image libraries exist in this environment, so the codecs are our own:
 
-* ``png``  — real PNG: encoder (8-bit RGB, filter 0), decoder for all five
-  filter types and color types 0/2/4/6 (Adam7/16-bit loud-stubbed);
+* ``png``  — real PNG: encoder (8-bit RGB, filter 0), COMPLETE decoder —
+  all five color types (incl. palette), bit depths 1/2/4/8/16, all five
+  filter types, non-interlaced and Adam7 interlaced;
 * ``jpg``/``pjpg`` — real ITU T.81 JPEG, baseline AND progressive, all
   common subsamplings (``sources/jpeg.py``);
 * ``gif``  — real GIF87a/89a LZW incl. animation (``sources/gif.py``);
@@ -71,17 +72,115 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+# Adam7 pass geometry: (x_origin, y_origin, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+# legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: bytes, n_rows: int, stride: int, bpp: int,
+                  offset: int = 0) -> np.ndarray:
+    """Reconstruct ``n_rows`` filtered scanlines of ``stride`` data bytes
+    each (one leading filter byte per line) starting at ``offset`` in the
+    inflated stream.  ``bpp`` is the filter unit in BYTES (``max(1,
+    channels*depth//8)`` per spec).  Returns an (n_rows, stride) uint8
+    array."""
+    a = np.frombuffer(raw, dtype=np.uint8, count=n_rows * (stride + 1),
+                      offset=offset).reshape(n_rows, stride + 1)
+    filters = a[:, 0]
+    body = a[:, 1:]
+    if not filters.any():
+        # all filter 0 (what encode_png writes): zero reconstruction work
+        return body
+    # uint8 arithmetic wraps mod 256, exactly the PNG reconstruction
+    # rule; Sub/Average/Paeth have an in-row carry -> per-pixel loop,
+    # None/Up stay vectorized (the common big-image cases)
+    out = body.copy()
+    for y in range(n_rows):
+        f = filters[y]
+        row = out[y]
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            continue
+        if f == 2:  # Up
+            row += up
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(up[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                above = int(up[i])
+                ul = int(up[i - bpp]) if i >= bpp else 0
+                p = left + above - ul
+                pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else \
+                    (above if pb <= pc else ul)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+    return out
+
+
+def _png_expand(rows: np.ndarray, width: int, nch: int,
+                depth: int) -> np.ndarray:
+    """Unpack reconstructed scanline bytes to (n_rows, width, nch) uint8
+    samples.  16-bit samples reduce to their high byte (the standard
+    16→8 strip); 1/2/4-bit samples (single-channel only per spec) unpack
+    MSB-first."""
+    n_rows = rows.shape[0]
+    if depth == 8:
+        return rows[:, :width * nch].reshape(n_rows, width, nch)
+    if depth == 16:
+        return rows[:, :width * nch * 2].reshape(
+            n_rows, width, nch, 2)[..., 0]
+    bits = np.unpackbits(np.ascontiguousarray(rows), axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(n_rows, -1, depth) * weights).sum(
+        axis=2, dtype=np.uint8)
+    return vals[:, :width].reshape(n_rows, width, 1)
+
+
+def _png_to_rgb(samples: np.ndarray, color: int, depth: int,
+                plte: np.ndarray | None) -> np.ndarray:
+    """Samples -> (n, w, 3) uint8 RGB.  Alpha dropped, grayscale broadcast,
+    sub-8-bit gray rescaled to full range, palette indices looked up."""
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[samples[:, :, 0]]
+    if color == 0:
+        g = samples[:, :, 0]
+        if depth < 8:
+            # 255/(2^d - 1) is exactly an integer for d in {1,2,4}
+            g = g * np.uint8({1: 255, 2: 85, 4: 17}[depth])
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if color == 4:
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    if color == 6:
+        return samples[:, :, :3]
+    return samples  # color 2 (RGB)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode 8-bit PNGs: color types 0 (grayscale), 2 (RGB), 4 (gray+A)
-    and 6 (RGBA), ALL five filter types (None/Sub/Up/Average/Paeth).
-    Alpha is dropped, grayscale broadcast to RGB — output is always
-    (h, w, 3) uint8.  Interlaced (Adam7) and 16-bit PNGs raise
-    ``NotImplementedError`` loudly."""
+    """Decode PNG: all five color types (grayscale / RGB / palette /
+    gray+alpha / RGBA), all legal bit depths (1/2/4/8/16), ALL five filter
+    types (None/Sub/Up/Average/Paeth), and both interlace methods (none /
+    Adam7).  Alpha is dropped, grayscale broadcast to RGB, 16-bit samples
+    stripped to their high byte — output is always (h, w, 3) uint8."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
-    color = 2
+    color, depth, interlace = 2, 8, 0
+    plte = None
     idat = b""
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -91,71 +190,43 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth}")
-            if color not in (0, 2, 4, 6):
-                raise NotImplementedError(f"PNG color type {color} "
-                                          "(palette) not supported")
-            if interlace:
-                raise NotImplementedError("Adam7 interlaced PNG")
+            if depth not in _PNG_DEPTHS.get(color, ()):
+                raise ValueError(
+                    f"illegal PNG depth {depth} for color type {color}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     raw = zlib.decompress(idat)
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    stride = w * nch
-    a = np.frombuffer(raw, dtype=np.uint8)
-    if len(a) != h * (stride + 1):
-        raise ValueError("corrupt PNG stream")
-    a = a.reshape(h, stride + 1)
-    filters = a[:, 0]
-    body = a[:, 1:]
-    if not filters.any():
-        # all filter 0 (what encode_png writes): zero reconstruction work
-        out = body.reshape(h, w, nch)
-    else:
-        # uint8 arithmetic wraps mod 256, exactly the PNG reconstruction
-        # rule; Sub/Average/Paeth have an in-row carry -> per-pixel loop,
-        # None/Up stay vectorized (the common big-image cases)
-        out = body.copy()
-        bpp = nch
-        for y in range(h):
-            f = filters[y]
-            row = out[y]
-            up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-            if f == 0:
-                continue
-            if f == 2:  # Up
-                row += up
-            elif f == 1:  # Sub
-                for i in range(bpp, stride):
-                    row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
-            elif f == 3:  # Average
-                for i in range(stride):
-                    left = int(row[i - bpp]) if i >= bpp else 0
-                    row[i] = (int(row[i]) + ((left + int(up[i])) >> 1)) \
-                        & 0xFF
-            elif f == 4:  # Paeth
-                for i in range(stride):
-                    left = int(row[i - bpp]) if i >= bpp else 0
-                    above = int(up[i])
-                    ul = int(up[i - bpp]) if i >= bpp else 0
-                    p = left + above - ul
-                    pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else \
-                        (above if pb <= pc else ul)
-                    row[i] = (int(row[i]) + pred) & 0xFF
-            else:
-                raise ValueError(f"invalid PNG filter {f}")
-        out = out.reshape(h, w, nch)
-    if color == 0:
-        return np.repeat(out, 3, axis=2).copy()
-    if color == 4:
-        return np.repeat(out[:, :, :1], 3, axis=2).copy()
-    if color == 6:
-        return out[:, :, :3].copy()
-    return out.copy()
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, nch * depth // 8)
+    if not interlace:
+        stride = (w * nch * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("corrupt PNG stream")
+        rows = _png_unfilter(raw, h, stride, bpp)
+        return np.ascontiguousarray(
+            _png_to_rgb(_png_expand(rows, w, nch, depth), color, depth,
+                        plte))
+    # Adam7: seven independently-filtered sub-images, scattered back onto
+    # the output grid by each pass's (origin, step) lattice
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass is empty for small images
+        stride = (pw * nch * depth + 7) // 8
+        if off + ph * (stride + 1) > len(raw):
+            raise ValueError("corrupt interlaced PNG stream")
+        rows = _png_unfilter(raw, ph, stride, bpp, offset=off)
+        off += ph * (stride + 1)
+        out[y0::dy, x0::dx] = _png_to_rgb(
+            _png_expand(rows, pw, nch, depth), color, depth, plte)
+    return out
 
 
 # ------------------------------------------------------- LJP1 (lossy, real DCT)

@@ -464,6 +464,199 @@ def test_png_all_filters_and_color_types():
     assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
 
 
+def _build_png_general(samples, color_type, depth, interlace,
+                       filter_of_row, palette=None):
+    """Hand-build a PNG at any legal (color_type, depth, interlace):
+    samples is (h, w, nch) ints (palette indices for type 3).  Filtering
+    is byte-wise per spec (bpp = max(1, nch*depth//8)); each scanline's
+    filter comes from filter_of_row(pass_idx, y)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from setsketch_ray.sources.codec import _ADAM7, _PNG_SIG
+
+    h, w, nch = samples.shape
+
+    def row_bytes(sub):
+        ph, pw = sub.shape[:2]
+        if depth == 8:
+            return sub.reshape(ph, pw * nch).astype(np.uint8)
+        if depth == 16:
+            flat = sub.reshape(ph, pw * nch).astype(np.uint16)
+            out = np.empty((ph, pw * nch * 2), np.uint8)
+            out[:, 0::2] = flat >> 8
+            out[:, 1::2] = flat & 0xFF
+            return out
+        # 1/2/4-bit single channel, MSB-first, rows padded to a byte
+        flat = sub.reshape(ph, pw).astype(np.uint8)
+        per_byte = 8 // depth
+        padded_w = -(-pw // per_byte) * per_byte
+        padded = np.zeros((ph, padded_w), np.uint8)
+        padded[:, :pw] = flat
+        bits = ((padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+        return np.packbits(bits.reshape(ph, -1), axis=1)
+
+    def filter_pass(sub, pidx):
+        ph = sub.shape[0]
+        rb = row_bytes(sub).astype(np.int32)
+        stride = rb.shape[1]
+        bpp = max(1, nch * depth // 8)
+        prev = np.zeros(stride, np.int32)
+        lines = []
+        for y in range(ph):
+            row = rb[y]
+            f = filter_of_row(pidx, y)
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]]) \
+                if stride > bpp else np.zeros(stride, np.int32)
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) \
+                if stride > bpp else np.zeros(stride, np.int32)
+            if f == 0:
+                enc = row
+            elif f == 1:
+                enc = row - left
+            elif f == 2:
+                enc = row - prev
+            elif f == 3:
+                enc = row - ((left + prev) >> 1)
+            else:
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), \
+                    np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = row - pred
+            lines.append(bytes([f])
+                         + (enc & 0xFF).astype(np.uint8).tobytes())
+            prev = row
+        return b"".join(lines)
+
+    if interlace:
+        payload = b""
+        for pidx, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                payload += filter_pass(sub, pidx)
+    else:
+        payload = filter_pass(samples, 0)
+
+    def chunk(tag, body):
+        full = tag + body
+        return (struct.pack(">I", len(body)) + full
+                + struct.pack(">I", zlib.crc32(full) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
+    blob = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        blob += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return blob + chunk(b"IDAT", zlib.compress(payload)) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_palette_and_low_depths():
+    """Palette (type 3) at depths 8/4/2/1 and grayscale at 4/2/1 —
+    exact reconstruction incl. the sub-8-bit rescale (17/85/255)."""
+    import numpy as np
+
+    from setsketch_ray.sources.codec import decode_png
+
+    rng = np.random.default_rng(23)
+    for depth in (8, 4, 2, 1):
+        ncol = min(256, 1 << depth)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (11, 7, 1), dtype=np.uint8)
+        blob = _build_png_general(idx, 3, depth, False,
+                                  lambda p, y: y % 5, palette=pal)
+        assert np.array_equal(decode_png(blob), pal[idx[:, :, 0]])
+    for depth, scale in ((4, 17), (2, 85), (1, 255)):
+        g = rng.integers(0, 1 << depth, (9, 13, 1), dtype=np.uint8)
+        blob = _build_png_general(g, 0, depth, False, lambda p, y: y % 3)
+        want = np.repeat(g * np.uint8(scale), 3, axis=2)
+        assert np.array_equal(decode_png(blob), want)
+
+
+def test_png_16bit():
+    """16-bit RGB / grayscale / RGBA decode to the high byte; the filter
+    unit is 2 bytes per channel (bpp=6 for RGB16)."""
+    import numpy as np
+
+    from setsketch_ray.sources.codec import decode_png
+
+    rng = np.random.default_rng(29)
+    rgb16 = rng.integers(0, 1 << 16, (10, 6, 3), dtype=np.uint16)
+    blob = _build_png_general(rgb16, 2, 16, False, lambda p, y: y % 5)
+    assert np.array_equal(decode_png(blob), (rgb16 >> 8).astype(np.uint8))
+    g16 = rng.integers(0, 1 << 16, (7, 9, 1), dtype=np.uint16)
+    blob = _build_png_general(g16, 0, 16, False, lambda p, y: 4)
+    want = np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
+    assert np.array_equal(decode_png(blob), want)
+    rgba16 = rng.integers(0, 1 << 16, (5, 8, 4), dtype=np.uint16)
+    blob = _build_png_general(rgba16, 6, 16, False, lambda p, y: 3)
+    want = (rgba16[:, :, :3] >> 8).astype(np.uint8)
+    assert np.array_equal(decode_png(blob), want)
+
+
+def test_png_adam7_interlaced():
+    """Adam7: per-pass filtered sub-images scatter back exactly — RGB8
+    with every filter type, palette-4bit, 16-bit gray, and images smaller
+    than one 8x8 tile (empty passes)."""
+    import numpy as np
+
+    from setsketch_ray.sources.codec import decode_png
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    blob = _build_png_general(rgb, 2, 8, True, lambda p, y: (p + y) % 5)
+    assert np.array_equal(decode_png(blob), rgb)
+    # palette 4-bit interlaced (odd pass widths exercise bit padding)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (17, 11, 1), dtype=np.uint8)
+    blob = _build_png_general(idx, 3, 4, True, lambda p, y: y % 3,
+                              palette=pal)
+    assert np.array_equal(decode_png(blob), pal[idx[:, :, 0]])
+    # 16-bit grayscale interlaced
+    g16 = rng.integers(0, 1 << 16, (12, 19, 1), dtype=np.uint16)
+    blob = _build_png_general(g16, 0, 16, True, lambda p, y: (p * y) % 5)
+    want = np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
+    assert np.array_equal(decode_png(blob), want)
+    # tiny images: passes with zero rows/cols must be skipped, not read
+    for shape in ((1, 1), (3, 2), (5, 5), (8, 1), (2, 9)):
+        tiny = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        blob = _build_png_general(tiny, 2, 8, True, lambda p, y: 4)
+        assert np.array_equal(decode_png(blob), tiny)
+
+
+def test_png_illegal_depth_rejected():
+    import struct
+    import zlib
+
+    import pytest
+
+    from setsketch_ray.sources.codec import _PNG_SIG, decode_png
+
+    def chunk(tag, body):
+        full = tag + body
+        return (struct.pack(">I", len(body)) + full
+                + struct.pack(">I", zlib.crc32(full) & 0xFFFFFFFF))
+
+    # depth 4 RGB is illegal per spec
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    blob = (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 40))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        decode_png(blob)
+    # palette PNG without PLTE
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 0, 0, 0, 0, 0]))
+    blob = (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(blob)
+
+
 def test_bmp_roundtrip_and_dispatch():
     import numpy as np
 
