@@ -2586,10 +2586,11 @@ def _q_audio_fingerprint(sf_dir: str):
 
 def _q_media_probe(sf_dir: str):
     """Container-metadata probe over a mixed media corpus (AVI + animated
-    GIF + 4-codec WAV + ISO-BMFF mp4 metadata stubs): typed metadata —
-    container, kind, codec fourcc, dims, duration, frame count,
-    decodability — WITHOUT decoding any payload (sources/video.probe_media
-    walks the RIFF / GIF block / ISO box structures only).  The
+    GIF + 4-codec WAV + ISO-BMFF mp4 metadata stubs + Ogg Vorbis/Opus/
+    Theora + Matroska/WebM + ID3-tagged MP3): typed metadata — container,
+    kind, codec, dims, duration, frame count, decodability — WITHOUT
+    decoding any payload (sources/video.probe_media walks the RIFF / GIF
+    block / ISO box / Ogg page / EBML / MPEG-frame structures only).  The
     filter-before-decode curation op.  Rows-only: binary container parsing
     is not SQL-expressible; parser exactness is asserted in
     tests/test_av_codecs.py."""
@@ -2621,7 +2622,47 @@ def _q_media_probe(sf_dir: str):
 
     mp4s = rd.range(32, override_num_blocks=4).map_batches(
         gen_mp4, batch_format="pyarrow", batch_size=None)
-    probed = vids.union(auds).union(mp4s).map_batches(
+
+    def gen_web(batch: pa.Table) -> pa.Table:
+        from setsketch_ray.sources.containers import (
+            build_mkv_stub,
+            build_mp3_stub,
+            build_ogg_stub,
+        )
+
+        ids, blobs = [], []
+        for i in batch["id"].to_pylist():
+            h = int(mix2(np.uint64(i), 78))
+            kind = h % 3
+            dur = round(1 + (h >> 8) % 200, 1)
+            if kind == 0:
+                codec = ("vorbis", "opus", "theora")[(h >> 16) % 3]
+                blobs.append(build_ogg_stub(
+                    codec, dur, rate=44100 if codec == "vorbis" else 48000,
+                    channels=1 + (h >> 20) % 2,
+                    w=320 + 16 * ((h >> 24) % 40),
+                    h=240 + 16 * ((h >> 28) % 20), fps=24.0))
+                ids.append(f"ogg{i:010d}")
+            elif kind == 1:
+                blobs.append(build_mkv_stub(
+                    320 + 16 * ((h >> 16) % 60), 240 + 16 * ((h >> 22) % 40),
+                    dur, codec=("V_VP9", "V_AV1")[(h >> 28) % 2],
+                    webm=bool((h >> 30) % 2),
+                    with_audio=bool((h >> 31) % 2)))
+                ids.append(f"mkv{i:010d}")
+            else:
+                blobs.append(build_mp3_stub(
+                    min(dur, 30.0), kbps=(96, 128, 192, 320)[(h >> 16) % 4],
+                    rate=(44100, 48000, 32000)[(h >> 20) % 3],
+                    channels=1 + (h >> 24) % 2,
+                    with_id3=bool((h >> 28) % 2)))
+                ids.append(f"mp3{i:010d}")
+        return pa.table({"media_id": pa.array(ids, pa.string()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    webs = rd.range(48, override_num_blocks=4).map_batches(
+        gen_web, batch_format="pyarrow", batch_size=None)
+    probed = vids.union(auds).union(mp4s).union(webs).map_batches(
         MediaProbeStage, batch_format="pyarrow", concurrency=2)
     return probed.select_columns(
         ["media_id", "container", "kind", "codec", "w", "h",

@@ -186,9 +186,11 @@ def probe_media(blob: bytes) -> dict:
     h, duration_s, n_frames (0 if unknown), decodable (whether this
     engine's codecs can produce pixels/samples for it).
 
-    AVI/GIF/WAV metadata AND payloads are fully real; ISO-BMFF (mp4/mov)
-    is metadata-only (``sources/mp4.py`` — AVC/HEVC/AAC payload decode has
-    no codec in this environment), letting a curation pipeline filter by
+    AVI/GIF/WAV/FLAC metadata AND payloads are fully real; ISO-BMFF
+    (mp4/mov), Ogg (Vorbis/Opus/Theora/FLAC/Speex), Matroska/WebM and
+    MPEG audio (mp3) are metadata-only (``sources/mp4.py`` /
+    ``sources/containers.py`` — their payload codecs have no decoder in
+    this environment), letting a curation pipeline filter by
     resolution/duration/codec before any decode attempt.
     """
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
@@ -219,6 +221,27 @@ def probe_media(blob: bytes) -> dict:
         return {"container": "flac", "kind": "audio", "codec": "flac",
                 "w": 0, "h": 0, "duration_s": fi["duration_s"],
                 "n_frames": 0, "decodable": True}
+    if blob[:4] == b"OggS":
+        from .containers import ogg_info
+
+        oi = ogg_info(blob)
+        return {"container": "ogg", "kind": oi["kind"],
+                "codec": oi["codec"], "w": oi["w"], "h": oi["h"],
+                "duration_s": oi["duration_s"], "n_frames": 0,
+                "decodable": False}  # no Vorbis/Opus/Theora codec here
+    if blob[:4] == b"\x1aE\xdf\xa3":
+        from .containers import mkv_info
+
+        mi = mkv_info(blob)
+        vid = next((t for t in mi["tracks"] if t["kind"] == "video"),
+                   None)
+        first = vid or (mi["tracks"][0] if mi["tracks"] else None)
+        return {"container": mi["container"],
+                "kind": first["kind"] if first else "unknown",
+                "codec": first["codec"] if first else "",
+                "w": vid["w"] if vid else 0, "h": vid["h"] if vid else 0,
+                "duration_s": mi["duration_s"], "n_frames": 0,
+                "decodable": False}  # no VP8/VP9/AV1/Opus codec here
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         from .mp4 import parse_mp4
 
@@ -232,4 +255,17 @@ def probe_media(blob: bytes) -> dict:
                 "w": vid["w"] if vid else 0, "h": vid["h"] if vid else 0,
                 "duration_s": info["duration_s"], "n_frames": 0,
                 "decodable": False}  # honest: no AVC/HEVC/AAC codec here
+    # MPEG audio LAST: the sync-word test is permissive (0xFF 0xEx-0xFx
+    # prefixes collide with other binary formats), so only blobs no other
+    # container claimed get the frame walk.  ID3-tagged files are
+    # unambiguous.
+    if blob[:3] == b"ID3" or (len(blob) >= 4 and blob[0] == 0xFF
+                              and (blob[1] & 0xE0) == 0xE0):
+        from .containers import mp3_info
+
+        ai = mp3_info(blob)  # raises ValueError if no frames parse
+        return {"container": "mp3", "kind": "audio", "codec": ai["codec"],
+                "w": 0, "h": 0, "duration_s": ai["duration_s"],
+                "n_frames": ai["n_frames"],
+                "decodable": False}  # no MPEG audio decoder here
     raise ValueError("unrecognized media container")

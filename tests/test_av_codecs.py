@@ -438,3 +438,130 @@ def test_media_probe_stage(ray_session):
     assert [r["container"] for r in out] == ["avi", "mp4", "unknown"]
     assert [r["decodable"] for r in out] == [True, False, False]
     assert out[0]["duration_ms"] == 2000 and out[1]["duration_ms"] == 5000
+
+
+def test_ogg_info_vorbis_opus_theora():
+    from setsketch_ray.sources.containers import build_ogg_stub, ogg_info
+
+    v = ogg_info(build_ogg_stub("vorbis", 12.5, rate=44100, channels=2))
+    assert (v["kind"], v["codec"]) == ("audio", "vorbis")
+    assert v["streams"][0]["rate"] == 44100
+    assert v["streams"][0]["channels"] == 2
+    assert v["duration_s"] == pytest.approx(12.5, abs=1e-4)
+
+    o = ogg_info(build_ogg_stub("opus", 3.25, rate=48000, channels=1))
+    assert o["codec"] == "opus"
+    assert o["duration_s"] == pytest.approx(3.25, abs=1e-4)
+
+    t = ogg_info(build_ogg_stub("theora", 8.0, w=640, h=360, fps=25.0))
+    assert (t["kind"], t["codec"], t["w"], t["h"]) == \
+        ("video", "theora", 640, 360)
+    assert t["duration_s"] == pytest.approx(8.0, abs=0.05)
+    assert t["streams"][0]["fps"] == pytest.approx(25.0)
+
+    # multiplexed A+V: video stream is primary, duration is the max
+    blob = build_ogg_stub("theora", 6.0, w=320, h=240, fps=24.0,
+                          serial=7) \
+        + build_ogg_stub("vorbis", 6.5, rate=48000, serial=9)
+    m = ogg_info(blob)
+    assert (m["kind"], m["codec"]) == ("video", "theora")
+    assert m["duration_s"] == pytest.approx(6.5, abs=0.05)
+    assert len(m["streams"]) == 2
+
+    with pytest.raises(ValueError):
+        ogg_info(b"not an ogg")
+
+
+def test_ogg_page_crc_is_spec_exact():
+    """CRC over a known page must match an independent bit-by-bit
+    computation of the RFC 3533 polynomial (0x04C11DB7, init/xorout 0)."""
+    from setsketch_ray.sources.containers import _ogg_crc
+
+    def crc_ref(data):
+        r = 0
+        for byte in data:
+            r ^= byte << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 \
+                    else (r << 1)
+                r &= 0xFFFFFFFF
+        return r
+
+    for blob in (b"", b"OggS\x00\x02" + bytes(range(40)),
+                 bytes(255) + b"\xff" * 33):
+        assert _ogg_crc(blob) == crc_ref(blob)
+
+
+def test_mp3_info_walk():
+    from setsketch_ray.sources.containers import build_mp3_stub, mp3_info
+
+    i = mp3_info(build_mp3_stub(30.0, kbps=128, rate=44100, channels=2))
+    assert (i["codec"], i["rate"], i["channels"],
+            i["bitrate_kbps"]) == ("mp3", 44100, 2, 128)
+    assert i["duration_s"] == pytest.approx(30.0, abs=0.05)
+    assert i["n_frames"] == round(30.0 * 44100 / 1152)
+
+    # ID3v2-tagged + mono + different bitrate/rate
+    i = mp3_info(build_mp3_stub(5.0, kbps=320, rate=48000, channels=1,
+                                with_id3=True))
+    assert (i["rate"], i["channels"], i["bitrate_kbps"]) == (48000, 1, 320)
+    assert i["duration_s"] == pytest.approx(5.0, abs=0.05)
+
+    # garbage between tag and first frame: the walk resyncs
+    blob = build_mp3_stub(2.0)
+    assert mp3_info(b"\x00\x12\x34" + blob)["n_frames"] == \
+        mp3_info(blob)["n_frames"]
+
+    with pytest.raises(ValueError):
+        mp3_info(b"ID3\x04\x00\x00\x00\x00\x00\x00no frames here")
+
+
+def test_mkv_info_tree():
+    from setsketch_ray.sources.containers import build_mkv_stub, mkv_info
+
+    m = mkv_info(build_mkv_stub(1280, 720, 95.5, codec="V_VP9",
+                                webm=True, with_audio=True))
+    assert (m["container"], m["doctype"]) == ("webm", "webm")
+    assert m["duration_s"] == pytest.approx(95.5)
+    v = [t for t in m["tracks"] if t["kind"] == "video"][0]
+    a = [t for t in m["tracks"] if t["kind"] == "audio"][0]
+    assert (v["codec"], v["w"], v["h"]) == ("V_VP9", 1280, 720)
+    assert (a["codec"], a["channels"]) == ("A_OPUS", 2)
+    assert a["rate"] == pytest.approx(48000.0)
+
+    m = mkv_info(build_mkv_stub(720, 576, 1.0, codec="V_MPEG4/ISO/AVC",
+                                webm=False))
+    assert (m["container"], m["tracks"][0]["codec"]) == \
+        ("mkv", "V_MPEG4/ISO/AVC")
+
+    with pytest.raises(ValueError):
+        mkv_info(b"\x00" * 16)
+
+
+def test_probe_media_new_containers():
+    from setsketch_ray.sources.containers import (
+        build_mkv_stub,
+        build_mp3_stub,
+        build_ogg_stub,
+    )
+    from setsketch_ray.sources.video import probe_media
+
+    o = probe_media(build_ogg_stub("opus", 7.0))
+    assert (o["container"], o["kind"], o["codec"],
+            o["decodable"]) == ("ogg", "audio", "opus", False)
+    assert o["duration_s"] == pytest.approx(7.0, abs=1e-4)
+
+    k = probe_media(build_mkv_stub(1920, 1080, 33.0, codec="V_AV1"))
+    assert (k["container"], k["codec"], k["w"], k["h"],
+            k["decodable"]) == ("webm", "V_AV1", 1920, 1080, False)
+    assert k["duration_s"] == pytest.approx(33.0)
+
+    a = probe_media(build_mp3_stub(4.0, with_id3=True))
+    assert (a["container"], a["codec"], a["decodable"]) == \
+        ("mp3", "mp3", False)
+    assert a["duration_s"] == pytest.approx(4.0, abs=0.05)
+
+    # a JPEG's 0xFF 0xD8 prefix must NOT probe as mp3 (sync test is
+    # 0xFF 0xEx/0xFx) — it stays unrecognized
+    with pytest.raises(ValueError):
+        probe_media(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
