@@ -2584,6 +2584,48 @@ def _q_audio_fingerprint(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow").sort("audio_id")
 
 
+def _q_wds_roundtrip(sf_dir: str):
+    """Documents round-tripped through WebDataset tar shards (the standard
+    layout for web-scale multimodal training corpora): write_wds_shards
+    hash-assigns every doc to one of 16 deterministic tar shards (one
+    groupby exchange, one writer task per shard, bit-reproducible bytes),
+    read_wds_shards reads them back one-shard-per-task.  ORACLED: the
+    round trip is lossless, so per-doc utf-8 byte counts and lang must
+    match octet_length(text) straight off the parquet — any tar framing,
+    key-grouping or encoding bug breaks the hash.  Shards are built once
+    per sf_dir under /tmp and reused (idempotent layout, sources/
+    webdataset.py)."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sources.webdataset import (
+        read_wds_shards,
+        write_wds_shards,
+    )
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|wds16".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/wds_shards_{fp}"
+    if not (os.path.isdir(root)
+            and any(n.endswith(".tar") for n in os.listdir(root))):
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_wds_shards(ds, root, key_col="doc_id",
+                         components={"text": "txt", "lang": "lang"},
+                         num_shards=16, key_format="{:012d}")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["__key__"], pa.int64()),
+            "lang": t["lang"],
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(t["txt"], pa.binary())), pa.int64())})
+
+    return read_wds_shards(root).map_batches(
+        summarize, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_media_probe(sf_dir: str):
     """Container-metadata probe over a mixed media corpus (AVI + animated
     GIF + 4-codec WAV + ISO-BMFF mp4 metadata stubs + Ogg Vorbis/Opus/
@@ -2789,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_phash": _q_video_frame_phash,
         "near_dup_videos": _q_near_dup_videos,
         "media_probe": _q_media_probe,
+        "wds_roundtrip": _q_wds_roundtrip,
         "audio_fingerprint": _q_audio_fingerprint,
         "approx_distinct_parts": _q_approx_distinct_parts,
         "simhash_dup_docs": _q_simhash_dup_docs,
@@ -2846,6 +2889,10 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "exact_dedup_docs":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # lossless tar round trip: byte counts straight off the base table
+        "wds_roundtrip":
+            "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "  # bytes
+            "AS n_bytes FROM documents ORDER BY doc_id",
         "distinct_parts":
             "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
         "doc_stats_by_lang":

@@ -1,0 +1,103 @@
+"""WebDataset tar-shard source/sink: round trips, determinism, nulls."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from setsketch_ray.sources.webdataset import (
+    _split_member,
+    read_wds_shards,
+    write_wds_shards,
+)
+
+
+def _corpus_table(n=40, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = [f"img{i:06d}" for i in range(n)]
+    blobs = [rng.integers(0, 256, int(rng.integers(5, 200)),
+                          dtype=np.uint8).tobytes() for _ in range(n)]
+    caps = [f"caption {i} with text" for i in range(n)]
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(blobs, pa.binary()),
+                     "caption": pa.array(caps, pa.string())})
+
+
+def test_split_member_convention():
+    assert _split_member("00042.jpg") == ("00042", "jpg")
+    assert _split_member("a/b/00042.seg.png") == ("a/b/00042", "seg.png")
+    assert _split_member("noext") == ("noext", "")
+
+
+def test_wds_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = _corpus_table()
+    out = str(tmp_path / "shards")
+    manifest = write_wds_shards(
+        rd.from_arrow(t), out, key_col="image_id",
+        components={"bytes": "bin", "caption": "txt"}, num_shards=5)
+    assert sum(m["n_samples"] for m in manifest) == t.num_rows
+    assert all(m["n_bytes"] > 0 for m in manifest)
+    assert sorted(os.listdir(out)) == [m["shard"] for m in manifest]
+
+    back = read_wds_shards(out).sort("__key__").take_all()
+    assert len(back) == t.num_rows
+    want = {t["image_id"][i].as_py():
+            (t["bytes"][i].as_py(), t["caption"][i].as_py())
+            for i in range(t.num_rows)}
+    for r in back:
+        b, c = want[r["__key__"]]
+        assert r["bin"] == b and r["txt"] == c
+
+
+def test_wds_write_is_deterministic(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = _corpus_table(seed=9)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        write_wds_shards(rd.from_arrow(t), out, key_col="image_id",
+                         components={"bytes": "bin", "caption": "txt"},
+                         num_shards=4)
+        outs.append(out)
+    for shard in sorted(os.listdir(outs[0])):
+        with open(os.path.join(outs[0], shard), "rb") as f0, \
+                open(os.path.join(outs[1], shard), "rb") as f1:
+            assert f0.read() == f1.read(), shard
+
+
+def test_wds_missing_components_are_null(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table({"k": ["a", "b", "c"],
+                  "payload": pa.array([b"x", None, b"z"], pa.binary()),
+                  "caption": pa.array(["ca", "cb", None], pa.string())})
+    out = str(tmp_path / "s")
+    write_wds_shards(rd.from_arrow(t), out, key_col="k",
+                     components={"payload": "bin", "caption": "txt"},
+                     num_shards=2)
+    back = {r["__key__"]: r for r in read_wds_shards(out).take_all()}
+    assert back["b"]["bin"] is None and back["b"]["txt"] == "cb"
+    assert back["c"]["txt"] is None and back["c"]["bin"] == b"z"
+
+
+def test_wds_component_selection_and_rename(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = _corpus_table(n=10)
+    out = str(tmp_path / "s")
+    write_wds_shards(rd.from_arrow(t), out, key_col="image_id",
+                     components={"bytes": "bin", "caption": "txt"},
+                     num_shards=2)
+    back = read_wds_shards(out, components={"txt": "caption"}) \
+        .sort("__key__").take_all()
+    assert set(back[0].keys()) == {"__key__", "caption"}
+    assert back[0]["caption"].startswith("caption ")
+
+
+def test_wds_empty_dir_raises(tmp_path):
+    with pytest.raises(ValueError, match="no .tar shards"):
+        read_wds_shards(str(tmp_path))
