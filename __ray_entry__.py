@@ -22,10 +22,19 @@ import pyarrow as pa
 _READ_SCHEMA_CACHE: dict = {}
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, predicate=None):
     """Column-pruned parquet read.  Block count defaults to the session's CPU
     count: Ray's auto-split makes ~tiny blocks at test scale and per-task
-    overhead dominates (at 100 TB the file/row-group layout governs instead)."""
+    overhead dominates (at 100 TB the file/row-group layout governs instead).
+
+    ``predicate``: optional ``pyarrow.dataset`` expression pushed into the
+    fragment scan (``read_parquet(filter=...)``) — row groups whose column
+    statistics exclude the predicate are skipped entirely and surviving
+    pages filter before block materialization.  At 100 TB this is the
+    difference between scanning a table and scanning the ~selectivity
+    fraction of it; the local testdata is a single row group, so here it
+    only exercises the code path (verified value-identical to the post-read
+    filter on every migrated query)."""
     import os
 
     import ray
@@ -49,8 +58,9 @@ def _read(sf_dir: str, table: str, columns=None):
         sch = pa.schema([full.field(n) for n in columns]) if columns \
             else full
         _READ_SCHEMA_CACHE[key] = sch
+    kwargs = {"filter": predicate} if predicate is not None else {}
     return rd.read_parquet(path, columns=columns, schema=sch,
-                           override_num_blocks=nb)
+                           override_num_blocks=nb, **kwargs)
 
 
 def _strip_schema_metadata(t: pa.Table) -> pa.Table:
@@ -414,8 +424,10 @@ def _q_lineitem_orders_join(sf_dir: str):
     from setsketch_ray.functions.relational import grouped_aggregate, \
         lookup_join
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    li = li.filter(expr="l_quantity > 45")
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+               predicate=pads.field("l_quantity") > 45)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = lookup_join(
         li, orders, "l_orderkey", "o_orderkey", num_partitions=32,
@@ -545,8 +557,11 @@ def _q_parts_never_ordered(sf_dir: str):
     from setsketch_ray.functions.relational import semi_anti_join
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
-        .filter(expr="l_quantity > 48").select_columns(["l_partkey"])
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"],
+               predicate=pads.field("l_quantity") > 48) \
+        .select_columns(["l_partkey"])
     return semi_anti_join(
         part, li, "p_partkey", "l_partkey", mode="anti",
         left_schema=pa.schema([("p_partkey", pa.int64()),
@@ -559,8 +574,11 @@ def _q_parts_hot_ordered(sf_dir: str):
     from setsketch_ray.functions.relational import semi_anti_join
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
-        .filter(expr="l_quantity > 48").select_columns(["l_partkey"])
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"],
+               predicate=pads.field("l_quantity") > 48) \
+        .select_columns(["l_partkey"])
     return semi_anti_join(
         part, li, "p_partkey", "l_partkey", mode="semi",
         left_schema=pa.schema([("p_partkey", pa.int64()),
@@ -595,13 +613,16 @@ def _q_shipping_priority(sf_dir: str):
 
     from datetime import datetime
 
+    import pyarrow.dataset as pads
+
     cutoff = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .filter(expr="c_mktsegment == 'BUILDING'")
+    # predicates pushed into the parquet fragment scan (row-group pruning
+    # at 100 TB); value-identical to the former post-read filters
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 predicate=pads.field("c_mktsegment") == "BUILDING")
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
-                     batch_format="pyarrow")
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   predicate=pads.field("o_orderdate") < cutoff)
     orders_b = semi_anti_join(
         orders, cust, "o_custkey", "c_custkey", mode="semi",
         left_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -609,9 +630,8 @@ def _q_shipping_priority(sf_dir: str):
                                ("o_orderdate", pa.timestamp("us"))]))
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
-                "l_shipdate"]) \
-        .map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], cutoff)),
-                     batch_format="pyarrow")
+                "l_shipdate"],
+               predicate=pads.field("l_shipdate") > cutoff)
     joined = lookup_join(
         li, orders_b, "l_orderkey", "o_orderkey", num_partitions=32,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
@@ -646,12 +666,15 @@ def _q_orders_customers_full(sf_dir: str):
     per partition with null left columns, right key kept)."""
     from setsketch_ray.functions.relational import lookup_join
 
+    import pyarrow.dataset as pads
+
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
-        .filter(expr="o_totalprice > 250000") \
+                   ["o_orderkey", "o_custkey", "o_totalprice"],
+                   predicate=pads.field("o_totalprice") > 250000) \
         .select_columns(["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
-        .filter(expr="c_acctbal > 5000").select_columns(["c_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"],
+                 predicate=pads.field("c_acctbal") > 5000) \
+        .select_columns(["c_custkey"])
     return lookup_join(
         orders, cust, "o_custkey", "c_custkey", how="full",
         left_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -715,9 +738,11 @@ def _q_lineitem_left_join(sf_dir: str):
     from setsketch_ray.functions.relational import lookup_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    import pyarrow.dataset as pads
+
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_totalprice", "o_orderpriority"]) \
-        .filter(expr="o_totalprice > 250000") \
+                   ["o_orderkey", "o_totalprice", "o_orderpriority"],
+                   predicate=pads.field("o_totalprice") > 250000) \
         .select_columns(["o_orderkey", "o_orderpriority"])
     return lookup_join(
         li, orders, "l_orderkey", "o_orderkey", how="left",
@@ -736,8 +761,11 @@ def _q_parts_never_ordered_bloom(sf_dir: str):
     from setsketch_ray.functions.relational import bloom_anti_join
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
-        .filter(expr="l_quantity > 48").select_columns(["l_partkey"])
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"],
+               predicate=pads.field("l_quantity") > 48) \
+        .select_columns(["l_partkey"])
     return bloom_anti_join(
         part, li, "p_partkey", "l_partkey", n_bits=1 << 18,
         left_schema=pa.schema([("p_partkey", pa.int64()),
@@ -1604,12 +1632,14 @@ def _q_revenue_by_nation(sf_dir: str):
     nat_names = nat["n_name"].combine_chunks()
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    import pyarrow.dataset as pads
+
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(lambda t: t.filter(pc.and_(
-            pc.greater_equal(t["o_orderdate"], lo),
-            pc.less(t["o_orderdate"], hi))).drop_columns(["o_orderdate"]),
-            batch_format="pyarrow")
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   predicate=(pads.field("o_orderdate") >= lo)
+                   & (pads.field("o_orderdate") < hi)) \
+        .map_batches(lambda t: t.drop_columns(["o_orderdate"]),
+                     batch_format="pyarrow")
     orders_c = lookup_join(
         orders, cust, "o_custkey", "c_custkey", num_partitions=32,
         left_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -1673,15 +1703,17 @@ def _q_order_priority_counts(sf_dir: str):
     from setsketch_ray.functions.relational import (grouped_aggregate,
                                                     semi_anti_join)
 
+    import pyarrow.dataset as pads
+
     lo, hi = _ts(1996, 1, 1), _ts(1997, 1, 1)
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
-        .map_batches(lambda t: t.filter(pc.and_(
-            pc.greater_equal(t["o_orderdate"], lo),
-            pc.less(t["o_orderdate"], hi))).drop_columns(["o_orderdate"]),
-            batch_format="pyarrow")
-    li_r = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
-        .filter(expr="l_returnflag == 'R'")
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   predicate=(pads.field("o_orderdate") >= lo)
+                   & (pads.field("o_orderdate") < hi)) \
+        .map_batches(lambda t: t.drop_columns(["o_orderdate"]),
+                     batch_format="pyarrow")
+    li_r = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+                 predicate=pads.field("l_returnflag") == "R")
     hit = semi_anti_join(
         orders, li_r, "o_orderkey", "l_orderkey", mode="semi",
         left_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -1701,8 +1733,10 @@ def _q_custdist(sf_dir: str):
     from setsketch_ray.functions.relational import (grouped_aggregate,
                                                     lookup_join)
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
-        .filter(expr="o_orderpriority != '1-URGENT'") \
+    import pyarrow.dataset as pads
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   predicate=pads.field("o_orderpriority") != "1-URGENT") \
         .select_columns(["o_custkey"])
     counts = grouped_aggregate(orders, ["o_custkey"],
                                {"c_count": ("count", None)}, final="ray")
@@ -1838,12 +1872,14 @@ def _q_promo_revenue(sf_dir: str):
     from setsketch_ray.functions.relational import lookup_join
 
     lo, hi = _ts(1997, 1, 1), _ts(1997, 7, 1)
+    import pyarrow.dataset as pads
+
     li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
-        .map_batches(lambda t: t.filter(pc.and_(
-            pc.greater_equal(t["l_shipdate"], lo),
-            pc.less(t["l_shipdate"], hi))).drop_columns(["l_shipdate"]),
-            batch_format="pyarrow")
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               predicate=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi)) \
+        .map_batches(lambda t: t.drop_columns(["l_shipdate"]),
+                     batch_format="pyarrow")
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     joined = lookup_join(
         li, part, "l_partkey", "p_partkey", num_partitions=32,
@@ -1880,15 +1916,17 @@ def _q_returned_revenue_customers(sf_dir: str):
                                                     lookup_join)
 
     lo, hi = _ts(1996, 1, 1), _ts(1997, 1, 1)
+    import pyarrow.dataset as pads
+
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
-                "l_returnflag", "l_shipdate"]) \
-        .map_batches(lambda t: t.filter(pc.and_(
-            pc.equal(t["l_returnflag"], "R"), pc.and_(
-                pc.greater_equal(t["l_shipdate"], lo),
-                pc.less(t["l_shipdate"], hi)))) \
-            .drop_columns(["l_returnflag", "l_shipdate"]),
-            batch_format="pyarrow")
+                "l_returnflag", "l_shipdate"],
+               predicate=(pads.field("l_returnflag") == "R")
+               & (pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi)) \
+        .map_batches(lambda t: t.drop_columns(["l_returnflag",
+                                               "l_shipdate"]),
+                     batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = lookup_join(
         li, orders, "l_orderkey", "o_orderkey", num_partitions=32,
