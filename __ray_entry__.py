@@ -1271,6 +1271,20 @@ def _q_lang_id(sf_dir: str):
         ["doc_id", "lang_pred"])
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher/MassiveText repetition filters over documents
+    (functions/text.repetition_scores): per doc the word count, the
+    most-frequent-word occupancy and the duplicate-bigram occupancy, both
+    as floor(x*1e6+0.5) ints.  ORACLED: word identity via the exact
+    single-space split contract; the oracle rebuilds bigrams with a
+    positional self-join and runs the IDENTICAL one-multiply-one-divide
+    float expression."""
+    from setsketch_ray.functions.text import repetition_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_scores(ds).sort("doc_id")
+
+
 def _q_quality_scores(sf_dir: str):
     """Document quality features + score, integer-scaled to 1e-6 so the
     DuckDB oracle hash-matches: every feature is per-row rational arithmetic
@@ -2876,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
+        "gopher_repetition": _q_gopher_repetition,
         "cardinality_eval": _q_cardinality_eval,
         "joint_eval": _q_joint_eval,
         "charts": _q_charts,
@@ -2927,6 +2942,34 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "exact_dedup_docs":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # Gopher repetition signals: exact word split + positional bigram
+        # self-join; the fraction is ONE double multiply+divide of exactly
+        # representable ints, identical on both engines
+        "gopher_repetition":
+            "WITH words AS ("
+            "  SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+            "         unnest(range(1, len(string_split(text, ' ')) + 1))"
+            "         AS pos FROM documents), "
+            "per_word AS (SELECT doc_id, w, count(*) AS cnt FROM words "
+            "             GROUP BY doc_id, w), "
+            "wstats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,"
+            "           max(cnt) AS top_cnt FROM per_word GROUP BY doc_id),"
+            "bigrams AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg "
+            "            FROM words a JOIN words b ON a.doc_id = b.doc_id "
+            "            AND b.pos = a.pos + 1), "
+            "per_bg AS (SELECT doc_id, bg, count(*) AS cnt FROM bigrams "
+            "           GROUP BY doc_id, bg), "
+            "bstats AS (SELECT doc_id, sum(cnt) AS n_bg, "
+            "           sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) "
+            "           AS dup_occ FROM per_bg GROUP BY doc_id) "
+            "SELECT w.doc_id, w.n_words, "
+            "CAST(floor(1000000.0 * w.top_cnt / w.n_words + 0.5) AS BIGINT)"
+            " AS top_word_frac_e6, "
+            "CAST(CASE WHEN coalesce(b.n_bg, 0) > 0 THEN "
+            "floor(1000000.0 * b.dup_occ / b.n_bg + 0.5) ELSE 0 END "
+            "AS BIGINT) AS dup_bigram_frac_e6 "
+            "FROM wstats w LEFT JOIN bstats b USING (doc_id) "
+            "ORDER BY doc_id",
         # lossless tar round trip: byte counts straight off the base table
         "wds_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "  # bytes

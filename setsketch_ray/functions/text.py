@@ -592,3 +592,93 @@ def ngram_contamination(ds, n: int = 8, benchmark_mod: int = 13,
                          "n_shared": pa.array(cnt[keep], pa.int64())})
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    the MassiveText repetition filters, adapted to this single-line
+    corpus): per document,
+
+    * ``n_words`` — token count (exact single-space split, the same
+      corpus contract ``decontaminate`` rides);
+    * ``top_word_frac_e6`` — fraction of word occurrences taken by the
+      single most frequent word;
+    * ``dup_bigram_frac_e6`` — fraction of word-bigram occurrences whose
+      bigram appears more than once in the document (0 when the doc has
+      no bigrams).
+
+    Both fractions are emitted as ``floor(x*1e6 + 0.5)`` int64 so the
+    DuckDB oracle (string_split + zipped unnest + positional self-join)
+    matches bit-exactly: the only float op is ONE IEEE multiply+divide of
+    exactly-representable integers, identical on both engines.
+
+    Fully vectorized, shuffle-free: one ``split_pattern`` +
+    ``dictionary_encode`` per batch (word identity by dictionary code, no
+    hash-collision risk), run-length counting over a single sorted
+    (row, code) key, bigram identity as code pairs in original order.
+    Repetition-heavy documents are exactly what the Gopher rules drop
+    before training; downstream keep-filters compose on these columns.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        if n == 0:
+            return pa.table({id_col: t[id_col],
+                             "n_words": pa.array([], pa.int64()),
+                             "top_word_frac_e6": pa.array([], pa.int64()),
+                             "dup_bigram_frac_e6": pa.array([], pa.int64())})
+        toks = pc.split_pattern(arr, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n_words = np.diff(offs).astype(np.int64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = np.int64(len(enc.dictionary) + 1)
+        if int(K) * int(K) * n >= (1 << 62):  # (row, bigram) key headroom
+            raise ValueError("batch too large for the packed bigram key; "
+                             "lower map_batch_size")
+
+        def run_stats(keys, rows_of_keys):
+            """Sorted-run lengths of ``keys``; returns per-ROW max run and
+            per-ROW sum of runs with length >= 2."""
+            sk = np.sort(keys)
+            if sk.size == 0:
+                return (np.zeros(n, np.int64), np.zeros(n, np.int64))
+            new = np.r_[True, sk[1:] != sk[:-1]]
+            run_id = np.cumsum(new) - 1
+            run_len = np.bincount(run_id).astype(np.int64)
+            run_row = rows_of_keys(sk[new])
+            top = np.zeros(n, np.int64)
+            np.maximum.at(top, run_row, run_len)
+            dup = np.bincount(run_row,
+                              weights=run_len * (run_len >= 2),
+                              minlength=n).astype(np.int64)
+            return top, dup
+
+        top_w, _ = run_stats(row_of * K + codes, lambda k: k // K)
+        valid = row_of[1:] == row_of[:-1] if len(row_of) > 1 \
+            else np.zeros(0, bool)
+        bg_key = (row_of[:-1][valid] * (K * K)
+                  + codes[:-1][valid] * K + codes[1:][valid])
+        _, dup_bg = run_stats(bg_key, lambda k: k // (K * K))
+        n_bg = np.maximum(n_words - 1, 0)
+        top_frac = np.floor(1e6 * top_w / n_words + 0.5).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bg_frac = np.floor(1e6 * dup_bg / n_bg + 0.5)
+        bg_frac = np.where(n_bg > 0, bg_frac, 0.0).astype(np.int64)
+        return pa.table({id_col: t[id_col],
+                         "n_words": pa.array(n_words, pa.int64()),
+                         "top_word_frac_e6": pa.array(top_frac, pa.int64()),
+                         "dup_bigram_frac_e6": pa.array(bg_frac,
+                                                        pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

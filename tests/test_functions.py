@@ -1866,3 +1866,37 @@ def test_knn_stages_tolerate_empty_blocks(rd):
         semantic_dedup(ds, n_centroids=2, threshold=0.99)
         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
     assert out.num_rows == 5
+
+
+def test_repetition_scores_gopher(rd):
+    from setsketch_ray.functions.text import repetition_scores
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([
+                      # 6 words, top word 'a' x3; bigrams: "a a","a b",
+                      # "b a","a c","c a" -> "a a" unique... none repeat
+                      "a a b a c a",
+                      # heavy bigram repetition: "x y" x3 of 5 bigrams
+                      "x y x y x y",
+                      "unique words only here",
+                      "solo"])})
+    out = repetition_scores(rd.from_arrow(t)).sort("doc_id").take_all()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["n_words"] == 6
+    # doc 1: 'a' appears 4 times (positions 0,1,3,5) -> floor(4e6/6+.5)
+    assert got[1]["top_word_frac_e6"] == 666667
+    # bigrams of doc1: aa ab ba ac ca -> all distinct except none
+    assert got[1]["dup_bigram_frac_e6"] == 0
+    assert got[2]["n_words"] == 6
+    # 'x' and 'y' each x3 -> top 3/6
+    assert got[2]["top_word_frac_e6"] == 500000
+    # bigrams: xy yx xy yx xy -> xy x3 + yx x2, all 5 occurrences dup
+    assert got[2]["dup_bigram_frac_e6"] == 1000000
+    assert got[3]["top_word_frac_e6"] == 250000
+    assert got[3]["dup_bigram_frac_e6"] == 0
+    assert got[4]["n_words"] == 1
+    assert got[4]["dup_bigram_frac_e6"] == 0  # no bigrams
+
+    # empty batch passes through with a stable schema
+    empty = rd.from_arrow(t.slice(0, 0))
+    assert repetition_scores(empty).count() == 0
