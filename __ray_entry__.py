@@ -2603,11 +2603,12 @@ def _q_near_dup_videos(sf_dir: str):
 
 
 def _q_audio_fingerprint(sf_dir: str):
-    """Audio feature extraction over a 5-codec corpus — PCM16, G.711
+    """Audio feature extraction over a 6-codec corpus — PCM16, G.711
     mu-law, G.711 A-law, IMA ADPCM (sources/audio.py; ADPCM advances every
-    block's state machine in lockstep) and FLAC (sources/flac.py — full
-    lossless decode, CRC+MD5 verified) rows all REALLY decoded by the
-    engine's own parsers.  Emits integer-scaled scalar features plus the
+    block's state machine in lockstep), FLAC (sources/flac.py — full
+    lossless decode, CRC+MD5 verified) and FLAC-in-Ogg
+    (sources/containers.py — page/packet reassembly into the native
+    decoder) rows all REALLY decoded by the engine's own parsers.  Emits integer-scaled scalar features plus the
     dominant spectral band per clip.  Rows-only: waveform decode is not
     SQL-expressible; codec round-trip fidelity (bit-exact FLAC, SNR bands,
     G.711 code involution) is asserted in tests/test_av_codecs.py."""

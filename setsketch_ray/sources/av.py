@@ -9,9 +9,10 @@ Videos: each clip is a smooth gradient scene with a bright square moving
 one step per frame (content the JPEG codec holds >= 40 dB on at q90),
 encoded as real MJPEG-in-AVI (``sources/video.py``) or, for ~1/4 of
 clips, as a posterized animated GIF (``sources/gif.py``).  Audio: 2-tone
-signals stored across the four real WAV codecs (PCM16 / G.711 mu-law /
-A-law / IMA ADPCM, ``sources/audio.py``) — a corpus whose decode path
-exercises every compressed branch.
+signals stored across six real codecs — the four WAV codecs (PCM16 /
+G.711 mu-law / A-law / IMA ADPCM, ``sources/audio.py``), native FLAC
+(``sources/flac.py``) and FLAC-in-Ogg (``sources/containers.py``) — a
+corpus whose decode path exercises every compressed branch.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import pyarrow as pa
 from ..sketchlib.hashing import mix2
 from .audio import (encode_wav_alaw, encode_wav_ima, encode_wav_pcm16,
                     encode_wav_ulaw)
+from .containers import encode_ogg_flac
 from .flac import encode_flac
 from .gif import encode_gif
 from .video import encode_avi_mjpeg
@@ -147,14 +149,14 @@ def videos_dataset(n_rows: int, seed: int = 42, size: int = 32,
 
 
 # ------------------------------------------------------------------ audio
-_AUDIO_FMTS = ("pcm16", "ulaw", "alaw", "ima", "flac")
+_AUDIO_FMTS = ("pcm16", "ulaw", "alaw", "ima", "flac", "oggflac")
 # block_align 256 keeps the ADPCM state machine's sequential span short
 # (505 lockstep steps/block instead of 2041): encode AND decode cost per
 # clip drops ~4x with identical audio semantics
 _AUDIO_ENC = {"pcm16": encode_wav_pcm16, "ulaw": encode_wav_ulaw,
               "alaw": encode_wav_alaw,
               "ima": lambda pcm, rate: encode_wav_ima(pcm, rate, 256),
-              "flac": encode_flac}
+              "flac": encode_flac, "oggflac": encode_ogg_flac}
 
 
 def audio_signal(seed: int, idx: int, rate: int = 8000,

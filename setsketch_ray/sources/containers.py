@@ -8,6 +8,10 @@ or duration BEFORE any decode attempt — especially for payload codecs this
 environment cannot decode (Vorbis/Opus/Theora/VP9/AAC...).  Each probe
 walks headers only and never touches payload bits.
 
+Exception: **FLAC-in-Ogg decodes for real** — ``decode_ogg_flac`` /
+``encode_ogg_flac`` wrap the engine's own lossless FLAC codec
+(``sources/flac.py``) in the spec Ogg mapping via full packet reassembly.
+
 ``build_ogg_stub`` / ``build_mp3_stub`` / ``build_mkv_stub`` write
 minimal-but-valid files (real page CRCs, real frame headers, real EBML
 trees) so tests and corpora exercise the parsers without encoded media.
@@ -34,20 +38,152 @@ def _ogg_crc(data: bytes) -> int:
     return r
 
 
-def _ogg_page(serial: int, seq: int, granule: int, body: bytes,
-              header_type: int = 0) -> bytes:
-    segs = []
-    rem = len(body)
-    while rem >= 255:
-        segs.append(255)
-        rem -= 255
-    segs.append(rem)  # final lacing value < 255 terminates the packet
+def _ogg_page_raw(serial: int, seq: int, granule: int, segs: list[int],
+                  body: bytes, header_type: int = 0) -> bytes:
     hdr = (b"OggS\x00" + bytes([header_type])
            + struct.pack("<q", granule) + struct.pack("<III", serial, seq, 0)
            + bytes([len(segs)]) + bytes(segs))
     page = hdr + body
     crc = _ogg_crc(page)
     return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def _ogg_page(serial: int, seq: int, granule: int, body: bytes,
+              header_type: int = 0) -> bytes:
+    segs = [255] * (len(body) // 255)
+    segs.append(len(body) % 255)  # final lacing < 255 terminates the packet
+    return _ogg_page_raw(serial, seq, granule, segs, body, header_type)
+
+
+def _ogg_pages_for_packet(serial: int, seq: int, packet: bytes,
+                          granule: int, first_header_type: int = 0,
+                          eos: bool = False) -> tuple[bytes, int]:
+    """Page out ONE (possibly large) packet: 255-byte lacing, up to 255
+    segments per page, continuation flag on follow-on pages, granule -1 on
+    pages where the packet has not ended.  Returns (bytes, next_seq)."""
+    segs = [255] * (len(packet) // 255) + [len(packet) % 255]
+    out = []
+    off = 0
+    i = 0
+    while i < len(segs):
+        chunk = segs[i:i + 255]
+        size = sum(chunk)
+        last = i + 255 >= len(segs)
+        ht = first_header_type if i == 0 else 0x01
+        if last and eos:
+            ht |= 0x04
+        out.append(_ogg_page_raw(serial, seq, granule if last else -1,
+                                 chunk, packet[off:off + size], ht))
+        off += size
+        seq += 1
+        i += 255
+    return b"".join(out), seq
+
+
+def _ogg_packets(data: bytes, serial: int) -> list[bytes]:
+    """Reassemble the logical packet stream of ONE serial from the page
+    sequence (255-lacing continuation, cross-page continued packets)."""
+    packets: list[bytes] = []
+    cur = b""
+    pos = 0
+    n = len(data)
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != b"OggS":
+            nxt = data.find(b"OggS", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        (ser,) = struct.unpack("<I", data[pos + 14:pos + 18])
+        nseg = data[pos + 26]
+        segs = data[pos + 27:pos + 27 + nseg]
+        body_start = pos + 27 + nseg
+        body_len = sum(segs)
+        body = data[body_start:body_start + body_len]
+        pos = body_start + body_len
+        if ser != serial:
+            continue
+        off = 0
+        for s in segs:
+            cur += body[off:off + s]
+            off += s
+            if s < 255:
+                packets.append(cur)
+                cur = b""
+    if cur:
+        packets.append(cur)  # truncated final packet: surface as-is
+    return packets
+
+
+def decode_ogg_flac(data: bytes):
+    """REAL payload decode for FLAC-in-Ogg (the one Ogg mapping whose codec
+    this engine owns): find the FLAC logical stream (BOS packet
+    ``\\x7fFLAC``), reassemble its packets, rebuild a native ``fLaC``
+    stream (STREAMINFO from the mapping header, last-metadata flag set,
+    frame packets concatenated — FLAC frames are self-delimiting) and hand
+    it to ``sources/flac.decode_flac`` (CRC-8/16 + MD5 verified there).
+    Returns ``(pcm (n, nch) int32, rate, bps)``."""
+    from .flac import decode_flac
+
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    # find the FLAC stream's serial from its BOS page
+    serial = None
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            break
+        header_type = data[pos + 5]
+        (ser,) = struct.unpack("<I", data[pos + 14:pos + 18])
+        nseg = data[pos + 26]
+        segs = data[pos + 27:pos + 27 + nseg]
+        body_start = pos + 27 + nseg
+        if header_type & 0x02 and \
+                data[body_start:body_start + 5] == b"\x7fFLAC":
+            serial = ser
+            break
+        pos = body_start + sum(segs)
+    if serial is None:
+        raise NotImplementedError("Ogg stream carries no FLAC mapping")
+    packets = _ogg_packets(data, serial)
+    first = packets[0]
+    if first[:5] != b"\x7fFLAC" or first[9:13] != b"fLaC":
+        raise ValueError("corrupt Ogg-FLAC mapping header")
+    (nheaders,) = struct.unpack(">H", first[7:9])
+    streaminfo = first[13 + 4:13 + 4 + 34]
+    native = (b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:]
+              + streaminfo + b"".join(packets[1 + nheaders:]))
+    return decode_flac(native)
+
+
+def encode_ogg_flac(pcm, rate: int, serial: int = 1) -> bytes:
+    """Encode PCM as FLAC-in-Ogg: the engine's own lossless FLAC encoder
+    wrapped in the spec Ogg mapping (``\\x7fFLAC`` first packet with the
+    native STREAMINFO, one VORBIS_COMMENT header packet, frame payload
+    paged with proper lacing/continuation, EOS granule = total samples)."""
+    from .flac import encode_flac
+
+    native = encode_flac(pcm, rate)
+    # native layout: "fLaC" + 0x80-flagged 34-byte STREAMINFO block + frames
+    streaminfo = native[8:8 + 34]
+    frames = native[8 + 34:]
+    n_samples = _streaminfo_total_samples(streaminfo)
+    first = (b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1)
+             + b"fLaC" + bytes([0x00]) + struct.pack(">I", 34)[1:]
+             + streaminfo)
+    vendor = b"setsketch-ray"
+    vc_body = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+    vc = bytes([0x84]) + struct.pack(">I", len(vc_body))[1:] + vc_body
+    out = _ogg_page(serial, 0, 0, first, header_type=0x02)
+    out += _ogg_page(serial, 1, 0, vc)
+    pages, _ = _ogg_pages_for_packet(serial, 2, frames, n_samples, eos=True)
+    return out + pages
+
+
+def _streaminfo_total_samples(streaminfo: bytes) -> int:
+    """Total-samples field (36 bits at offset 13.5 bytes of STREAMINFO)."""
+    hi = streaminfo[13] & 0x0F
+    return (hi << 32) | int.from_bytes(streaminfo[14:18], "big")
 
 
 def ogg_info(data: bytes) -> dict:

@@ -228,7 +228,10 @@ def probe_media(blob: bytes) -> dict:
         return {"container": "ogg", "kind": oi["kind"],
                 "codec": oi["codec"], "w": oi["w"], "h": oi["h"],
                 "duration_s": oi["duration_s"], "n_frames": 0,
-                "decodable": False}  # no Vorbis/Opus/Theora codec here
+                # FLAC-in-Ogg decodes for real (containers.decode_ogg_flac
+                # -> our native FLAC decoder); Vorbis/Opus/Theora have no
+                # codec in this environment
+                "decodable": oi["codec"] == "flac"}
     if blob[:4] == b"\x1aE\xdf\xa3":
         from .containers import mkv_info
 

@@ -283,10 +283,18 @@ class AudioFeatureStage:
     def _features(self, blob: bytes, fmt: str | None) -> list[float]:
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return self._wav_features(blob)
-        if blob[:4] == b"fLaC":
-            from ..sources.flac import decode_flac
+        if blob[:4] == b"fLaC" or blob[:4] == b"OggS":
+            # native FLAC, or FLAC-in-Ogg (the one Ogg mapping whose codec
+            # we own — containers.decode_ogg_flac raises
+            # NotImplementedError for Vorbis/Opus streams)
+            if blob[:4] == b"fLaC":
+                from ..sources.flac import decode_flac
 
-            pcm, rate, bps = decode_flac(blob)
+                pcm, rate, bps = decode_flac(blob)
+            else:
+                from ..sources.containers import decode_ogg_flac
+
+                pcm, rate, bps = decode_ogg_flac(blob)
             sig = pcm.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
             return self._signal_features(sig, rate)
         if self.fake:
@@ -295,8 +303,9 @@ class AudioFeatureStage:
             return [float(x) for x in spec / (spec.max() or 1.0)]
         raise NotImplementedError(
             f"audio format {fmt or blob[:4]!r}: RIFF/WAVE "
-            "(PCM/float/G.711/IMA-ADPCM) and FLAC decode in this "
-            "environment (mp3/ogg/aac stubbed; fake=True for plumbing)")
+            "(PCM/float/G.711/IMA-ADPCM), FLAC and Ogg-FLAC decode in this "
+            "environment (mp3/ogg-vorbis/aac stubbed; fake=True for "
+            "plumbing)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch[self.fmt_col].to_pylist() if self.fmt_col and \

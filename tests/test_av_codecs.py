@@ -565,3 +565,58 @@ def test_probe_media_new_containers():
     # 0xFF 0xEx/0xFx) — it stays unrecognized
     with pytest.raises(ValueError):
         probe_media(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_ogg_flac_roundtrip_bit_exact():
+    """FLAC-in-Ogg: our FLAC encoder wrapped in spec Ogg pages decodes
+    back bit-exactly through packet reassembly (incl. a payload large
+    enough to span multiple pages / 255-lacing continuation)."""
+    import numpy as np
+
+    from setsketch_ray.sources.containers import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+        ogg_info,
+    )
+
+    rng = np.random.default_rng(41)
+    # > 65 KB of frames so the frame packet spans several pages
+    n = 48000 * 3
+    t = np.arange(n)
+    sig = (3000 * np.sin(2 * np.pi * 440 * t / 48000)
+           + rng.integers(-200, 200, n)).astype(np.int16)
+    stereo = np.stack([sig, (sig >> 1).astype(np.int16)], axis=1)
+    blob = encode_ogg_flac(stereo, 48000)
+    pcm, rate, bps = decode_ogg_flac(blob)
+    assert (rate, bps) == (48000, 16)
+    assert np.array_equal(pcm, stereo.astype(np.int32))
+    # and the metadata probe agrees
+    oi = ogg_info(blob)
+    assert oi["codec"] == "flac"
+    assert oi["streams"][0]["rate"] == 48000
+    assert oi["streams"][0]["channels"] == 2
+    assert oi["duration_s"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_ogg_flac_probe_and_stage():
+    import numpy as np
+
+    from setsketch_ray.sources.containers import (
+        build_ogg_stub,
+        encode_ogg_flac,
+    )
+    from setsketch_ray.sources.video import probe_media
+    from setsketch_ray.stages.image import AudioFeatureStage
+
+    sig = (2000 * np.sin(np.linspace(0, 300, 8000))).astype(np.int16)
+    blob = encode_ogg_flac(sig, 16000)
+    p = probe_media(blob)
+    assert (p["container"], p["codec"], p["decodable"]) == \
+        ("ogg", "flac", True)
+    st = AudioFeatureStage()
+    feats = st._features(blob, "ogg")
+    assert feats[0] == pytest.approx(0.5, abs=1e-6)  # duration
+    assert feats[1] > 0  # rms
+    # a vorbis stream still refuses loudly
+    with pytest.raises(NotImplementedError):
+        st._features(build_ogg_stub("vorbis", 2.0), "ogg")
