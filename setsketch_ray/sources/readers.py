@@ -17,6 +17,10 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
       (requires the ``lance`` package; production path);
     * ``*.csv`` -> ``ray.data.read_csv``;
     * ``*.jsonl`` / ``*.json`` -> ``ray.data.read_json`` (newline-delimited);
+    * ``*.tar`` file or a directory of tar shards -> WebDataset samples
+      (``sources/webdataset.read_wds_shards``; one shard per task);
+    * ``*.arrow`` / ``*.feather`` -> Arrow IPC via ``read_binary_files`` +
+      a zero-copy in-task ``RecordBatchFileReader`` (one file per task);
     * parquet file or directory -> ``ray.data.read_parquet``.
     """
     import ray.data as rd
@@ -58,6 +62,35 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    if path.endswith(".tar") or (
+            os.path.isdir(path) and any(n.endswith(".tar")
+                                        for n in os.listdir(path))):
+        from .webdataset import read_wds_shards
+
+        ds = read_wds_shards(path, override_num_blocks=override_num_blocks)
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
+        return ds
+    if path.endswith((".arrow", ".feather")):
+        # Arrow IPC file (= Feather v2); one file per read task
+        def parse_ipc(t):
+            import io as _io
+
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+
+            tables = []
+            for blob in t["bytes"].to_pylist():
+                rb = ipc.open_file(_io.BytesIO(blob)).read_all()
+                rb = rb.replace_schema_metadata(None)
+                if columns is not None:
+                    rb = rb.select(list(columns))
+                tables.append(rb)
+            return pa.concat_tables(tables, promote_options="default")
+
+        blobs = rd.read_binary_files([path])
+        return blobs.map_batches(parse_ipc, batch_format="pyarrow",
+                                 batch_size=None)
     # parquet: pass an explicit metadata-stripped schema so blocks come out
     # of ReadParquet already clean — a post-read strip map cannot reach the
     # warnings raised inside the fused ReadParquet->SplitBlocks operator

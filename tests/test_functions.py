@@ -1900,3 +1900,47 @@ def test_repetition_scores_gopher(rd):
     # empty batch passes through with a stable schema
     empty = rd.from_arrow(t.slice(0, 0))
     assert repetition_scores(empty).count() == 0
+
+
+def test_read_corpus_wds_and_arrow_ipc(rd, tmp_path):
+    """read_corpus dispatches .tar shard dirs to the WebDataset reader and
+    .arrow/.feather files to a zero-copy IPC parse, values identical to
+    the source table."""
+    import pyarrow.ipc as ipc
+
+    from setsketch_ray.sources.readers import read_corpus
+    from setsketch_ray.sources.webdataset import write_wds_shards
+
+    t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(30)]),
+                  "text": pa.array([f"text number {i}" for i in range(30)]),
+                  "payload": pa.array([bytes([i]) * i for i in range(30)],
+                                      pa.binary())})
+    # WebDataset shards
+    shard_dir = str(tmp_path / "shards")
+    write_wds_shards(rd.from_arrow(t), shard_dir, key_col="doc_id",
+                     components={"text": "txt", "payload": "bin"},
+                     num_shards=3)
+    back = read_corpus(shard_dir).sort("__key__").take_all()
+    assert len(back) == 30
+    want = {t["doc_id"][i].as_py(): (t["text"][i].as_py(),
+                                     t["payload"][i].as_py())
+            for i in range(30)}
+    for r in back:
+        txt, pl = want[r["__key__"]]
+        assert r["txt"] == txt and r["bin"] == pl
+    # column pruning through the dispatch
+    only = read_corpus(shard_dir, columns=["__key__", "txt"]).take(1)[0]
+    assert set(only.keys()) == {"__key__", "txt"}
+
+    # Arrow IPC file (Feather v2)
+    ipc_path = str(tmp_path / "corpus.arrow")
+    with ipc.new_file(ipc_path, t.schema) as w:
+        w.write_table(t)
+    got = read_corpus(ipc_path).sort("doc_id").take_all()
+    assert [r["doc_id"] for r in got] == \
+        sorted(f"d{i}" for i in range(30))  # lexicographic
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id["d7"]["payload"] == bytes([7]) * 7
+    assert by_id["d9"]["text"] == "text number 9"
+    pruned = read_corpus(ipc_path, columns=["doc_id"]).take(1)[0]
+    assert set(pruned.keys()) == {"doc_id"}
