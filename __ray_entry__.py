@@ -218,6 +218,23 @@ def _q_token_counts(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens"])
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing over documents: virtual concatenation in
+    doc_id order chunked every 2048 tokens (functions/streaming.
+    pack_sequences — a distributed two-pass global prefix sum, no global
+    sort, no driver-side data pull).  ORACLED: start_tok is exactly the
+    SQL exclusive running sum over doc_id order; chunk_id = start_tok //
+    2048, all-integer on both sides."""
+    from setsketch_ray.functions.streaming import pack_sequences
+    from setsketch_ray.functions.text import AddTokenStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(AddTokenStats(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"]).materialize()
+    return pack_sequences(ds, "doc_id", "n_tokens", budget=2048) \
+        .sort("doc_id")
+
+
 def _q_knn_bruteforce(sf_dir: str):
     """Brute-force cosine top-10 neighbors of vec_id 0 (numpy matmul per
     batch against a broadcast query vector; global top-k via sort+limit)."""
@@ -2831,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "top_users": _q_top_users,
         "token_counts": _q_token_counts,
+        "pack_sequences": _q_pack_sequences,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "cosine_pairs": _q_cosine_pairs,
@@ -3005,6 +3023,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "token_counts":
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
             "FROM documents",
+        # GPT-style packing: exclusive running token sum over doc_id order
+        "pack_sequences":
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, CAST(coalesce(SUM(n_tokens) "
+            "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t) "
+            "SELECT doc_id, n_tokens, start_tok, "
+            "CAST(start_tok // 2048 AS BIGINT) AS chunk_id "
+            "FROM c ORDER BY doc_id",
         "knn_bruteforce":
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, rank() OVER (ORDER BY "

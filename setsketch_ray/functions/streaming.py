@@ -724,3 +724,122 @@ def dense_rank_first_value(ds, key_col: str, ts_col: str,
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("__part").map_groups(per_partition,
                                            batch_format="pyarrow")
+
+
+def global_prefix_sum(ds, order_col: str, value_col: str,
+                      out_col: str = "cum", exclusive: bool = False,
+                      num_partitions: int = 32):
+    """Distributed prefix sum over a GLOBAL total order (the SQL
+    ``SUM(v) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)`` with a
+    unique integer order column) — the classic two-pass scan, no global
+    sort of the data:
+
+    1. two cheap metadata passes over the two columns only: per-block
+       (min, max) of ``order_col`` → uniform range boundaries; then
+       per-block per-range value sums → the driver's EXCLUSIVE
+       per-partition offsets (a ``num_partitions``-element scan — tiny by
+       construction; feed a materialized/cheap ``ds``, the plan executes
+       once per pass);
+    2. one ``groupby(range_partition)`` pass: each partition sorts its own
+       rows by ``order_col``, cumsums, and adds its broadcast offset.
+
+    Values must already be integers (scale upstream); ``order_col`` must
+    be unique (ties would make the order — and therefore the scan —
+    ambiguous).  ``exclusive=True`` emits the sum of strictly-preceding
+    rows (the "start offset" form sequence packing needs).
+    """
+    import ray
+
+    # ---- pass 1: range bounds + per-partition totals (metadata only)
+    def block_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lo": pa.array([int(k.min())], pa.int64()),
+                         "hi": pa.array([int(k.max())], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([int(v.sum())], pa.int64())})
+
+    stats = ds.select_columns([order_col, value_col]).map_batches(
+        block_stats, batch_format="pyarrow").take_all()
+    stats = [r for r in stats if r["n"] > 0]
+    if not stats:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    lo = min(r["lo"] for r in stats)
+    hi = max(r["hi"] for r in stats)
+    span = hi - lo + 1
+
+    def part_of(k: np.ndarray) -> np.ndarray:
+        return ((k - lo) * num_partitions // span).astype(np.int64)
+
+    # per-partition totals: one more cheap pass (value sums per range)
+    def part_sums(t: pa.Table) -> pa.Table:
+        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact int64 per-partition sums (bincount weights= would go
+        # through float64 and lose exactness past 2^53)
+        exact = np.zeros(num_partitions, np.int64)
+        np.add.at(exact, part_of(k), v)
+        return pa.table({"p": pa.array(np.arange(num_partitions),
+                                       pa.int64()),
+                         "s": pa.array(exact, pa.int64())})
+
+    partials = ds.select_columns([order_col, value_col]).map_batches(
+        part_sums, batch_format="pyarrow").take_all()
+    totals = np.zeros(num_partitions, np.int64)
+    for r in partials:
+        totals[r["p"]] += r["s"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    # ---- pass 2: per-partition sort + cumsum + broadcast offset
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__part", pa.array(part_of(k), pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        p = int(t["__part"][0].as_py())
+        t = t.drop_columns(["__part"])
+        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(np.unique(k)) != len(k):
+            raise ValueError("global_prefix_sum: order_col must be unique")
+        order = np.argsort(k)
+        t = t.take(pa.array(order, pa.int64()))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(v) + offs[p]
+        if exclusive:
+            cum = cum - v
+        return t.append_column(out_col, pa.array(cum, pa.int64()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def pack_sequences(ds, order_col: str, token_col: str, budget: int,
+                   num_partitions: int = 32):
+    """GPT-style sequence packing: documents are virtually concatenated in
+    ``order_col`` order and the token stream is chunked every ``budget``
+    tokens; each document reports its start offset in the stream and the
+    chunk its first token lands in (training shard assignment).  One
+    :func:`global_prefix_sum` (exclusive) — no driver-side data pull, no
+    global sort.  Emits (order_col, token_col, ``start_tok``,
+    ``chunk_id``)."""
+    out = global_prefix_sum(ds, order_col, token_col, out_col="start_tok",
+                            exclusive=True, num_partitions=num_partitions)
+
+    def chunk(t: pa.Table) -> pa.Table:
+        start = t["start_tok"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            order_col: t[order_col],
+            token_col: t[token_col],
+            "start_tok": t["start_tok"],
+            "chunk_id": pa.array(start // budget, pa.int64())})
+
+    return out.map_batches(chunk, batch_format="pyarrow")

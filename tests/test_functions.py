@@ -1944,3 +1944,46 @@ def test_read_corpus_wds_and_arrow_ipc(rd, tmp_path):
     assert by_id["d9"]["text"] == "text number 9"
     pruned = read_corpus(ipc_path, columns=["doc_id"]).take(1)[0]
     assert set(pruned.keys()) == {"doc_id"}
+
+
+def test_global_prefix_sum_and_pack_sequences(rd):
+    from setsketch_ray.functions.streaming import (
+        global_prefix_sum,
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(13)
+    # non-contiguous, shuffled keys across many blocks
+    keys = rng.permutation(np.arange(0, 3000, 3))
+    vals = rng.integers(1, 500, len(keys))
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    out = global_prefix_sum(ds, "k", "v", out_col="cum",
+                            num_partitions=16).sort("k").take_all()
+    order = np.argsort(keys)
+    want = np.cumsum(vals[order])
+    got = np.array([r["cum"] for r in out])
+    assert np.array_equal(got, want)
+    # exclusive form
+    out = global_prefix_sum(ds, "k", "v", out_col="cum", exclusive=True,
+                            num_partitions=16).sort("k").take_all()
+    assert np.array_equal(np.array([r["cum"] for r in out]), want - vals[order])
+
+    # duplicate order keys refuse loudly
+    bad = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                                  "v": pa.array([5, 5, 5], pa.int64())}))
+    import pytest as _pt
+    import ray.exceptions
+    with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
+        global_prefix_sum(bad, "k", "v").take_all()
+
+    # packing: chunk boundaries at the budget
+    packed = pack_sequences(rd.from_arrow(t).repartition(4), "k", "v",
+                            budget=1000, num_partitions=8) \
+        .sort("k").take_all()
+    starts = np.array([r["start_tok"] for r in packed])
+    chunks = np.array([r["chunk_id"] for r in packed])
+    assert np.array_equal(starts, want - vals[order])
+    assert np.array_equal(chunks, starts // 1000)
+    assert chunks[0] == 0 and chunks[-1] == starts[-1] // 1000
