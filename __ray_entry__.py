@@ -2810,6 +2810,28 @@ def _q_image_cluster_representatives(sf_dir: str):
                                       only_dup_clusters=True)
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Cluster-aware train/val/test split over the flagship's near-dup
+    clusters (pipelines/dedup.leakage_safe_split): the split key is the
+    CLUSTER ROOT, so near-duplicate images can never straddle train and
+    eval — the dedup-aware counterpart of sample_split_docs.  Returns one
+    row per image with its split.  Rows-only: the clusters come from the
+    non-SQL LSH pipeline; the co-assignment invariant (every cluster's
+    members share one split) is asserted in tests/test_pipeline.py."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import (DedupConfig,
+                                               leakage_safe_split,
+                                               near_dup_pipeline)
+    from setsketch_ray.sources import cached_images_parquet
+
+    ds = rd.read_parquet(cached_images_parquet(1000))
+    _, _, mapping = near_dup_pipeline(ds, DedupConfig())
+    base = rd.read_parquet(cached_images_parquet(1000),
+                           columns=["image_id"])
+    return leakage_safe_split(base, mapping).sort("image_id")
+
+
 def _q_events_sample_bottomk(sf_dir: str):
     """Exact-size uniform row sample as a mergeable bottom-k sketch over the
     SQL-expressible Knuth hash (functions/relational.bottom_k_sample): the
@@ -2918,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_dup_spans": _q_suffix_dup_spans,
         "doc_fingerprints": _q_doc_fingerprints,
         "sample_split_docs": _q_sample_split_docs,
+        "leakage_safe_split": _q_leakage_safe_split,
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
         "value_quantiles_by_type": _q_value_quantiles_by_type,

@@ -581,3 +581,46 @@ def evaluate_recall(mapping: dict, truth: pa.Table) -> dict:
     return {"recall": recall, "precision": precision,
             "true_pairs": len(truth_set), "predicted_pairs": len(predicted),
             "matched_pairs": tp}
+
+
+def leakage_safe_split(ds, mapping: dict, id_col: str = "image_id",
+                       val_fraction: float = 0.05,
+                       test_fraction: float = 0.05,
+                       seed: int = 97):
+    """Cluster-aware train/val/test split: the split key is the row's
+    near-dup CLUSTER ROOT (the ``near_dup_pipeline`` mapping), so
+    near-duplicates can NEVER straddle train and eval — the contamination
+    channel a plain per-row split leaves open (a test item whose near-copy
+    sits in train is a leaked label).  Rows outside any dup cluster key by
+    their own id, making the split identical in distribution to
+    ``relational.train_val_test_split`` for them.
+
+    ``mapping`` ({member -> cluster root}) is broadcast once via
+    ``ray.put`` and cached per worker; the split fraction is the
+    counter-mode string hash of the root — deterministic across reruns
+    and cluster sizes.  Appends a ``split`` column.
+    """
+    import ray
+
+    from ..sketchlib.hashing import hash_str_u64
+
+    mapping_ref = ray.put(mapping)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = ("splitmap", mapping_ref.hex())
+        m = _WORKER_CACHE.get(key)
+        if m is None:
+            for k in [k for k in _WORKER_CACHE if k[0] == "splitmap"]:
+                del _WORKER_CACHE[k]
+            m = ray.get(mapping_ref)
+            _WORKER_CACHE[key] = m
+        ids = batch[id_col].to_pylist()
+        roots = [m.get(i, i) for i in ids]
+        h = hash_str_u64(roots, seed=seed)
+        f = h.astype(np.float64) / float(1 << 64)
+        split = np.where(f < test_fraction, "test",
+                         np.where(f < test_fraction + val_fraction,
+                                  "val", "train"))
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

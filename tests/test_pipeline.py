@@ -309,3 +309,36 @@ def test_representatives_by_quality(ray_session):
         rd.from_arrow(t).repartition(2), mapping, "q",
         only_dup_clusters=True).to_pandas()
     assert sorted(dup_only["image_id"]) == ["i1", "i4"]
+
+
+def test_leakage_safe_split_coassigns_clusters(ray_session):
+    """Every near-dup cluster's members land in ONE split; non-clustered
+    rows split like the plain per-id split distribution."""
+    import collections
+
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import leakage_safe_split
+
+    ids = [f"img{i:05d}" for i in range(400)]
+    # plant clusters: every 10th id roots a 3-member cluster
+    mapping = {}
+    for i in range(0, 400, 10):
+        root = f"img{i:05d}"
+        for j in (i, i + 1, i + 2):
+            mapping[f"img{j:05d}"] = root
+    t = pa.table({"image_id": pa.array(ids, pa.string())})
+    out = leakage_safe_split(rd.from_arrow(t), mapping,
+                             val_fraction=0.2, test_fraction=0.2) \
+        .take_all()
+    split_of = {r["image_id"]: r["split"] for r in out}
+    for member, root in mapping.items():
+        assert split_of[member] == split_of[root], (member, root)
+    counts = collections.Counter(split_of.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+    # determinism across calls
+    out2 = leakage_safe_split(rd.from_arrow(t), mapping,
+                              val_fraction=0.2, test_fraction=0.2) \
+        .take_all()
+    assert {r["image_id"]: r["split"] for r in out2} == split_of
