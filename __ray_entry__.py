@@ -1288,6 +1288,32 @@ def _q_lang_id(sf_dir: str):
         ["doc_id", "lang_pred"])
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII scrubbing (functions/text.scrub_pii): URLs -> <URL>, emails ->
+    <EMAIL>, >=6-digit runs -> <NUM>, plus per-doc match counts.  The
+    plain-word corpus carries no PII, so the query plants deterministic
+    synthetic PII (doc_id-derived email/URL/number appended to the text)
+    with the IDENTICAL concat in the SQL oracle.  ORACLED exactly: Arrow
+    and DuckDB regex kernels are both RE2 (non-overlapping leftmost), so
+    scrubbed strings and counts match bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.text import scrub_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        aug = pc.binary_join_element_wise(
+            t["text"], pc.binary_join_element_wise(
+                "contact u", did, "@example.com via https://ex.org/d/",
+                did, " ref 12345678", ""), " ")
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    return scrub_pii(ds.map_batches(plant, batch_format="pyarrow")) \
+        .sort("doc_id")
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher/MassiveText repetition filters over documents
     (functions/text.repetition_scores): per doc the word count, the
@@ -2932,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
         "gopher_repetition": _q_gopher_repetition,
+        "scrub_pii": _q_scrub_pii,
         "cardinality_eval": _q_cardinality_eval,
         "joint_eval": _q_joint_eval,
         "charts": _q_charts,
@@ -2984,6 +3011,24 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "exact_dedup_docs":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # RE2 on both sides: identical patterns -> identical strings/counts
+        "scrub_pii":
+            "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id "
+            "|| '@example.com via https://ex.org/d/' || doc_id "
+            "|| ' ref 12345678' AS t FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) "
+            "AS n_urls, "
+            "CAST(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) "
+            "AS n_nums, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'https?://[^ ]+', '<URL>', 'g'), "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed "
+            "FROM aug ORDER BY doc_id",
         # Gopher repetition signals: exact word split + positional bigram
         # self-join; the fraction is ONE double multiply+divide of exactly
         # representable ints, identical on both engines

@@ -682,3 +682,45 @@ def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
                                                         pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_PII_URL = r"https?://[^ ]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM = r"[0-9]{6,}"
+
+
+def scrub_pii(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """PII scrubbing (web-corpus curation): redact URLs, email addresses
+    and long digit runs to typed placeholders, and report per-doc match
+    counts.  Replacement order matters and is pinned — URLs first (so an
+    address inside a URL is never double-counted as residue), then
+    emails, then >=6-digit numbers.
+
+    Exactly oracle-able: Arrow's ``replace_substring_regex`` /
+    ``count_substring_regex`` and DuckDB's ``regexp_replace(..., 'g')`` /
+    ``regexp_extract_all`` are BOTH RE2 with non-overlapping leftmost
+    semantics, so identical patterns give identical strings and counts.
+    Fully vectorized, shuffle-free.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        n_urls = pc.count_substring_regex(txt, _PII_URL)
+        n_emails = pc.count_substring_regex(txt, _PII_EMAIL)
+        n_nums = pc.count_substring_regex(txt, _PII_NUM)
+        s = pc.replace_substring_regex(txt, pattern=_PII_URL,
+                                       replacement="<URL>")
+        s = pc.replace_substring_regex(s, pattern=_PII_EMAIL,
+                                       replacement="<EMAIL>")
+        s = pc.replace_substring_regex(s, pattern=_PII_NUM,
+                                       replacement="<NUM>")
+        return pa.table({id_col: t[id_col],
+                         "n_urls": pc.cast(n_urls, pa.int64()),
+                         "n_emails": pc.cast(n_emails, pa.int64()),
+                         "n_nums": pc.cast(n_nums, pa.int64()),
+                         "scrubbed": s})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

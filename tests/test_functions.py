@@ -1987,3 +1987,25 @@ def test_global_prefix_sum_and_pack_sequences(rd):
     assert np.array_equal(starts, want - vals[order])
     assert np.array_equal(chunks, starts // 1000)
     assert chunks[0] == 0 and chunks[-1] == starts[-1] // 1000
+
+
+def test_scrub_pii(rd):
+    from setsketch_ray.functions.text import scrub_pii
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([
+                      "mail a.b+c@ex-1.org and see https://x.y/z?q=1 now",
+                      "digits 123456789 and 12345 stay short",
+                      "no pii at all",
+                      None])})
+    out = {r["doc_id"]: r
+           for r in scrub_pii(rd.from_arrow(t)).take_all()}
+    assert out[1]["scrubbed"] == "mail <EMAIL> and see <URL> now"
+    assert (out[1]["n_emails"], out[1]["n_urls"]) == (1, 1)
+    # >=6 digits redact, 5 digits survive
+    assert out[2]["scrubbed"] == "digits <NUM> and 12345 stay short"
+    assert out[2]["n_nums"] == 1
+    assert out[3]["scrubbed"] == "no pii at all"
+    assert (out[3]["n_urls"], out[3]["n_emails"], out[3]["n_nums"]) == \
+        (0, 0, 0)
+    assert out[4]["scrubbed"] == ""  # null -> empty, stable schema
