@@ -342,3 +342,40 @@ def test_leakage_safe_split_coassigns_clusters(ray_session):
                               val_fraction=0.2, test_fraction=0.2) \
         .take_all()
     assert {r["image_id"]: r["split"] for r in out2} == split_of
+
+
+def test_flagship_from_wds_shards(fixture_path, ray_session, tmp_path):
+    """The flagship pipeline is source-agnostic: the same corpus packed
+    into WebDataset tar shards (bytes/caption/fmt components — no
+    precomputed phash, like any raw-image shard corpus) clusters at full
+    quality through the decode=True path."""
+    import ray.data as rd
+
+    from setsketch_ray.sources.webdataset import (
+        read_wds_shards,
+        write_wds_shards,
+    )
+
+    src = rd.read_parquet(fixture_path,
+                          columns=["image_id", "bytes", "fmt", "caption"])
+    out = str(tmp_path / "shards")
+    write_wds_shards(src, out, key_col="image_id",
+                     components={"bytes": "bin", "caption": "txt",
+                                 "fmt": "cls"}, num_shards=6)
+    wds = read_wds_shards(out, components={"bin": "bytes",
+                                           "txt": "caption",
+                                           "cls": "fmt"})
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["image_id" if c == "__key__" else c for c in t.column_names])
+
+    wds = wds.map_batches(ren, batch_format="pyarrow")
+    # a raw-image tar corpus has no precomputed phash column: decode=True
+    # recomputes it from bytes (the production path for shard corpora)
+    clustered, _, mapping_wds = near_dup_pipeline(
+        wds, DedupConfig(decode=True))
+    assert clustered.count() == N
+    rec = evaluate_recall(mapping_wds, truth_pairs(N))
+    assert rec["recall"] >= 0.99, rec
+    assert rec["precision"] >= 0.95, rec
