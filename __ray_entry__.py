@@ -218,6 +218,22 @@ def _q_token_counts(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens"])
 
 
+def _q_value_quantiles_kll(sf_dir: str):
+    """Approximate quantiles of events.value via the mergeable KLL
+    compactor sketch (sketchlib/quantiles.py + relational.approx_quantiles)
+    — the unbounded-float-domain scale path beside the exact
+    value_quantiles (whose distinct-value shuffle needs a fixed-point
+    domain).  One sketch partial per block (~1.8 KB each), deterministic
+    bytewise-sorted driver merge.  Rows-only BY NATURE: the result is
+    approximate (rank error ~1% at k=200, asserted vs exact quantiles in
+    tests/test_sketches.py); n is exact."""
+    from setsketch_ray.functions.relational import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    return approx_quantiles(ds, "value",
+                            [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing over documents: virtual concatenation in
     doc_id order chunked every 2048 tokens (functions/streaming.
@@ -2970,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
+        "value_quantiles_kll": _q_value_quantiles_kll,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "top_events_per_user": _q_top_events_per_user,

@@ -1660,3 +1660,38 @@ def grouped_mode(ds, key_col: str, value_col: str,
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby("__part").map_groups(per_partition,
                                               batch_format="pyarrow")
+
+
+def approx_quantiles(ds, column: str, phis, k: int = 200) -> pa.Table:
+    """Approximate quantiles of an UNBOUNDED float column via the
+    mergeable KLL compactor sketch (``sketchlib/quantiles.py``) — the
+    scale path where :func:`quantiles_fixedpoint`'s exact distinct-value
+    shuffle does not apply (arbitrary float domains: embedding norms,
+    scores, latencies).
+
+    One ``map_batches`` pass emits a ~k-item sketch per block; the driver
+    merges the tiny partials in a deterministic (bytewise-sorted) order —
+    no shuffle, no distinct-value blowup, rank error ~1%/k=200 (asserted
+    in tests).  Returns (phi, value, n) — n is exact (weights preserve
+    counts)."""
+    import numpy as np
+
+    from ..sketchlib.quantiles import KllSketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        col = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        col = col[~np.isnan(col)]
+        sk.add_flat(col)
+        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    sk = KllSketch(k)
+    for blob in sorted(r["blob"] for r in parts):
+        sk = sk.merge(KllSketch.from_bytes(blob))
+    phis = list(phis)
+    vals = sk.quantiles(phis) if sk.n else np.full(len(phis), np.nan)
+    return pa.table({"phi": pa.array(phis, pa.float64()),
+                     "value": pa.array(vals, pa.float64()),
+                     "n": pa.array([sk.n] * len(phis), pa.int64())})

@@ -173,3 +173,57 @@ def test_bulk_first_attempt_success_probability(cls):
     success = (attempts == 1).mean()
     assert success >= 0.85, f"first-attempt success {success}"
     assert attempts.max() <= 5
+
+
+def test_kll_quantile_sketch():
+    """Mergeable KLL compactor stack: rank error <= 1.5% at k=200 over
+    10^6 heavy-tailed values, exact n, merge parity, bit-stable serde,
+    deterministic across identical reruns."""
+    import numpy as np
+
+    from setsketch_ray.sketchlib.quantiles import KllSketch
+
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(0, 2, 1_000_000)
+    xs = np.sort(x)
+
+    def build(chunks):
+        sk = KllSketch(200)
+        for c in chunks:
+            sk.add_flat(c)
+        return sk
+
+    sk = build(x[lo:lo + 65536] for lo in range(0, x.size, 65536))
+    assert sk.n == x.size
+    for phi in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.quantile(phi)
+        r = np.searchsorted(xs, est, side="right")
+        assert abs(r - phi * x.size) / x.size <= 0.015, (phi, r)
+    # sketch stays tiny
+    assert sum(b.size for b in sk.levels) < 3 * 200
+
+    # merge of 8 disjoint partials agrees within the bound; n exact
+    parts = [KllSketch(200) for _ in range(8)]
+    for i, p in enumerate(parts):
+        p.add_flat(x[i::8])
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.merge(p)
+    assert m.n == x.size
+    for phi in (0.1, 0.5, 0.9):
+        r = np.searchsorted(xs, m.quantile(phi), side="right")
+        assert abs(r - phi * x.size) / x.size <= 0.02, phi
+
+    # serde is bit-exact; rebuild of the same stream is bit-identical
+    blob = sk.to_bytes()
+    back = KllSketch.from_bytes(blob)
+    assert back.to_bytes() == blob and back.quantile(0.5) == sk.quantile(0.5)
+    sk2 = build(x[lo:lo + 65536] for lo in range(0, x.size, 65536))
+    assert sk2.to_bytes() == blob  # no RNG state anywhere
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        KllSketch(200).add_flat(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError):
+        KllSketch(200).merge(KllSketch(100))
