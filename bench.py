@@ -337,6 +337,24 @@ def run_benchmarks() -> dict:
         entrymod._q_near_dup_videos(SF_DIR).count()
         timings["near_dup_videos"] = time.time() - t0
 
+        # --- closing-session additions (wds source round trip, repetition
+        # + PII curation signals, sequence packing, KLL quantiles)
+        t0 = time.time()
+        entrymod._q_wds_roundtrip(SF_DIR).count()
+        timings["wds_roundtrip"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_gopher_repetition(SF_DIR).count()
+        timings["gopher_repetition"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_scrub_pii(SF_DIR).count()
+        timings["scrub_pii"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_pack_sequences(SF_DIR).count()
+        timings["pack_sequences"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_value_quantiles_kll(SF_DIR)
+        timings["value_quantiles_kll"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
