@@ -1492,6 +1492,23 @@ def _q_top_events_per_user(sf_dir: str):
                            tiebreak_col="event_id")
 
 
+def _q_mix_corpus(sf_dir: str):
+    """Deterministic corpus mixing (relational.mix_corpus): resample
+    documents to a 50% en / 12.5%-each de-es-fr-zh language mix at a
+    budget of half the corpus.  ORACLED: the acceptance rate
+    least(1.0, total*w/count) and the Knuth-hash keep test are the
+    identical float expressions in SQL, so the sample itself hashes
+    exactly."""
+    from setsketch_ray.functions.relational import mix_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    total = ds.count() // 2
+    out = mix_corpus(ds, "doc_id", "lang",
+                     {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125,
+                      "zh": 0.125}, total)
+    return out.sort("doc_id")
+
+
 def _q_sample_split_docs(sf_dir: str):
     """Deterministic 20% Bernoulli sample of documents + leakage-safe
     train/val/test split column — Knuth multiplicative hash on doc_id, the
@@ -2982,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_docs": _q_substring_dup_docs,
         "suffix_dup_spans": _q_suffix_dup_spans,
         "doc_fingerprints": _q_doc_fingerprints,
+        "mix_corpus": _q_mix_corpus,
         "sample_split_docs": _q_sample_split_docs,
         "leakage_safe_split": _q_leakage_safe_split,
         "sessionize": _q_sessionize,
@@ -3046,6 +3064,17 @@ def _oracle_sql_base() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
             "'<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed "
             "FROM aug ORDER BY doc_id",
+        # mixing sampler: identical rate + hash-fraction expressions
+        "mix_corpus":
+            "WITH tot AS (SELECT count(*) // 2 AS t FROM documents), "
+            "cnt AS (SELECT lang, count(*) AS c FROM documents "
+            "        GROUP BY lang), "
+            "r AS (SELECT lang, least(1.0, (SELECT t FROM tot) * "
+            "(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END) / c) AS rate "
+            "FROM cnt) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE (d.doc_id * 2654435761 % 4294967296) / 4294967296.0 "
+            "< r.rate ORDER BY d.doc_id",
         # Gopher repetition signals: exact word split + positional bigram
         # self-join; the fraction is ONE double multiply+divide of exactly
         # representable ints, identical on both engines

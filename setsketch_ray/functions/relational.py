@@ -1695,3 +1695,54 @@ def approx_quantiles(ds, column: str, phis, k: int = 200) -> pa.Table:
     return pa.table({"phi": pa.array(phis, pa.float64()),
                      "value": pa.array(vals, pa.float64()),
                      "n": pa.array([sk.n] * len(phis), pa.int64())})
+
+
+def mix_corpus(ds, key_col: str, group_col: str, weights: dict,
+               total: int):
+    """Deterministic corpus mixing (The Pile / Dolma style source
+    weighting): choose per-group acceptance rates so the EXPECTED output
+    is ``total`` rows distributed as ``weights`` (each rate capped at 1.0
+    — a group can't contribute more rows than it has), then keep exactly
+    the rows whose SQL-expressible Knuth hash fraction of ``key_col``
+    falls under the group's rate.
+
+    Fully oracled: the rate is ``least(1.0, total * weight / group_count)``
+    and the keep test is ``(key*2654435761 % 2^32)/2^32 < rate`` — both
+    computable in ANSI SQL with the identical float expression, so the
+    SAMPLE ITSELF is exact (same convention as ``sample_by_key`` /
+    ``bottom_k_sample``).  Deterministic across reruns and cluster sizes;
+    groups missing from ``weights`` get rate 0.  One cheap metadata pass
+    for group counts (few groups by construction), then one shuffle-free
+    filter pass.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def cnt(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[group_col])
+        return pa.table({"g": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts: dict = {}
+    for r in ds.select_columns([group_col]).map_batches(
+            cnt, batch_format="pyarrow").take_all():
+        counts[r["g"]] = counts.get(r["g"], 0) + r["n"]
+    rates = {g: min(1.0, total * float(weights.get(g, 0.0)) / c)
+             for g, c in counts.items()}
+
+    def filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        f = hash_fraction_column(t, key_col)
+        col = t[group_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        lut = np.array([rates.get(x, 0.0)
+                        for x in enc.dictionary.to_pylist()], np.float64)
+        rate = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(f < rate))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -2009,3 +2009,38 @@ def test_scrub_pii(rd):
     assert (out[3]["n_urls"], out[3]["n_emails"], out[3]["n_nums"]) == \
         (0, 0, 0)
     assert out[4]["scrubbed"] == ""  # null -> empty, stable schema
+
+
+def test_mix_corpus_rates_and_caps(rd):
+    from setsketch_ray.functions.relational import mix_corpus
+
+    # 3 groups: a=600, b=300, c=100 rows; budget 400 at weights
+    # a:0.25, b:0.25, c:0.5 -> target 100/100/200 but c caps at 100
+    rows_g = [("a", 600), ("b", 300), ("c", 100)]
+    keys, groups = [], []
+    k = 0
+    for g, n in rows_g:
+        for _ in range(n):
+            keys.append(k)
+            groups.append(g)
+            k += 1
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "g": pa.array(groups, pa.string())})
+    out = mix_corpus(rd.from_arrow(t).repartition(4), "k", "g",
+                     {"a": 0.25, "b": 0.25, "c": 0.5}, total=400) \
+        .take_all()
+    import collections
+    got = collections.Counter(r["g"] for r in out)
+    # c's rate caps at 1.0 -> ALL 100 rows kept deterministically
+    assert got["c"] == 100
+    # a,b expected 100 each (rate 1/6 and 1/3); Knuth hash is uniform
+    assert 70 <= got["a"] <= 130 and 70 <= got["b"] <= 130, got
+    # unknown group -> rate 0
+    out2 = mix_corpus(rd.from_arrow(t), "k", "g", {"zzz": 1.0}, 100) \
+        .take_all()
+    assert out2 == []
+    # deterministic across reruns
+    out3 = mix_corpus(rd.from_arrow(t).repartition(4), "k", "g",
+                      {"a": 0.25, "b": 0.25, "c": 0.5}, total=400) \
+        .take_all()
+    assert sorted(r["k"] for r in out3) == sorted(r["k"] for r in out)
