@@ -46,7 +46,8 @@ def _split_member(name: str):
 
 
 def read_wds_shards(path, components=None,
-                    override_num_blocks: int | None = None):
+                    override_num_blocks: int | None = None,
+                    on_error: str = "raise"):
     """Read tar shards into a Dataset of samples.
 
     ``path``: a ``.tar`` file, a directory of them, or a list of paths.
@@ -58,7 +59,14 @@ def read_wds_shards(path, components=None,
 
     One shard -> one task -> one output block; shards never concatenate
     driver-side.
+
+    ``on_error``: ``"raise"`` (default) propagates a corrupt/truncated
+    shard; ``"skip"`` drops it with a logged warning — at 100 TB one bad
+    shard must not kill the job, and the shard-level granularity makes the
+    skip auditable (re-run the logged path alone after repair).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     import ray.data as rd
 
     if isinstance(path, str) and os.path.isdir(path):
@@ -79,7 +87,16 @@ def read_wds_shards(path, components=None,
     def parse_shard(batch: pa.Table) -> pa.Table:
         tables = []
         for blob in batch["bytes"].to_pylist():
-            tables.append(_parse_tar(blob, components))
+            try:
+                tables.append(_parse_tar(blob, components))
+            except (tarfile.TarError, EOFError, OSError):
+                if on_error == "raise":
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "read_wds_shards: skipping corrupt shard "
+                    "(%d bytes)", len(blob))
         if not tables:
             return _empty_samples(components)
         return pa.concat_tables(tables, promote_options="default")

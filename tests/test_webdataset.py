@@ -101,3 +101,28 @@ def test_wds_component_selection_and_rename(ray_session, tmp_path):
 def test_wds_empty_dir_raises(tmp_path):
     with pytest.raises(ValueError, match="no .tar shards"):
         read_wds_shards(str(tmp_path))
+
+
+def test_wds_corrupt_shard_skip(ray_session, tmp_path):
+    """on_error='skip' drops a truncated tar instead of killing the job;
+    the default still raises."""
+    import ray.data as rd
+
+    t = _corpus_table(n=20)
+    out = str(tmp_path / "s")
+    write_wds_shards(rd.from_arrow(t), out, key_col="image_id",
+                     components={"bytes": "bin", "caption": "txt"},
+                     num_shards=3)
+    shards = sorted(os.listdir(out))
+    victim = os.path.join(out, shards[0])
+    good_rows = 20 - sum(
+        1 for r in read_wds_shards(victim).take_all())
+    with open(victim, "r+b") as f:
+        f.truncate(100)  # torn mid-header: tarfile raises
+
+    kept = read_wds_shards(out, on_error="skip").take_all()
+    assert len(kept) == good_rows
+    with pytest.raises((Exception,)):
+        read_wds_shards(out).take_all()  # default: propagate
+    with pytest.raises(ValueError, match="on_error"):
+        read_wds_shards(out, on_error="ignore")
