@@ -218,6 +218,20 @@ def _q_token_counts(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens"])
 
 
+def _q_knn_batch(sf_dir: str):
+    """Batched brute-force kNN (functions/knn.knn_bruteforce_batch): the
+    evaluation-set shape — 4 query vectors broadcast as ONE normalized
+    matrix, every corpus batch scores all queries in one matmul, the
+    corpus streams once regardless of query count; per-batch m*k partials
+    feed a distributed top_k_per_group.  ORACLED: rank-only output (ties
+    by vec_id, float scores internal), DOUBLE-cast cosine in SQL."""
+    from setsketch_ray.functions.knn import knn_bruteforce_batch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce_batch(ds, [0, 7, 23, 41], k=10)
+    return out.sort(["query_id", "rank"])
+
+
 def _q_value_quantiles_kll(sf_dir: str):
     """Approximate quantiles of events.value via the mergeable KLL
     compactor sketch (sketchlib/quantiles.py + relational.approx_quantiles)
@@ -2931,6 +2945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_batch": _q_knn_batch,
         "knn_ivf": _q_knn_ivf,
         "cosine_pairs": _q_cosine_pairs,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
@@ -3147,6 +3162,16 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT doc_id, n_tokens, start_tok, "
             "CAST(start_tok // 2048 AS BIGINT) AS chunk_id "
             "FROM c ORDER BY doc_id",
+        "knn_batch":
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+            "WHERE vec_id IN (0, 7, 23, 41)), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
+            "AS c FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, vec_id, CAST(row_number() OVER "
+            "(PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) "
+            "AS rank FROM s QUALIFY rank <= 10 ORDER BY query_id, rank",
         "knn_bruteforce":
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, rank() OVER (ORDER BY "

@@ -387,3 +387,98 @@ def embedding_buckets(ds, dim: int, n_bits: int = 16, seed: int = 7):
     return ds.map_batches(_HyperplaneBucket,
                           fn_constructor_args=(dim, n_bits, seed),
                           batch_format="pyarrow", concurrency=2)
+
+
+class _ScoreBatchMulti:
+    """Per-batch top-k against a BROADCAST QUERY MATRIX: one (n, d) x
+    (d, m) matmul scores every query at once; per (batch, query) top-k
+    partials keep the emitted rows at m*k per batch."""
+
+    def __init__(self, qref, k: int, id_col: str):
+        import ray
+
+        self.qids, self.qmat = ray.get(qref)  # (m,), (m, d) L2-normalized
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          self.id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        emb = _embedding_matrix(batch["embedding"])
+        if emb.size == 0:
+            return empty
+        norms = np.linalg.norm(emb, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = (emb @ self.qmat.T) / norms[:, None]   # (n, m)
+        scores = np.nan_to_num(scores, nan=-1.0)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_c = [], [], []
+        for col, qid in enumerate(self.qids):
+            c = scores[:, col]
+            keep = ids != qid  # a query never ranks itself
+            ck, ik = c[keep], ids[keep]
+            if len(ik) > self.k:
+                sel = np.argpartition(-ck, self.k)[:self.k]
+                ck, ik = ck[sel], ik[sel]
+            out_q.append(np.full(len(ik), qid, np.int64))
+            out_i.append(ik)
+            out_c.append(ck)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            self.id_col: pa.array(np.concatenate(out_i)),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64())})
+
+
+def knn_bruteforce_batch(ds, query_vec_ids, k: int = 10,
+                         id_col: str = "vec_id"):
+    """Exact top-k cosine neighbors for a BATCH of query rows — the
+    evaluation-set shape (thousands of queries against the corpus): the
+    normalized query matrix broadcasts once (``ray.put``), every data
+    batch scores all queries in ONE matmul, per-batch per-query top-k
+    partials (m*k rows each) feed a final distributed
+    :func:`~..functions.relational.top_k_per_group` — the corpus streams
+    exactly once regardless of query count.
+
+    Returns (query_id, vec_id, rank), rank 1..k per query, ties by vec_id
+    (float scores stay internal, same contract as :func:`knn_bruteforce`).
+    """
+    import ray
+
+    from .relational import top_k_per_group
+
+    qset = sorted(int(q) for q in query_vec_ids)
+    expr = " or ".join(f"{id_col} == {q}" for q in qset)
+    qrows = ds.filter(expr=expr).take_all()
+    if len(qrows) != len(qset):
+        raise ValueError("some query ids not found")
+    qrows.sort(key=lambda r: r[id_col])
+    qmat = np.stack([np.asarray(r["embedding"], np.float64)
+                     for r in qrows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1)[:, None]
+    qref = ray.put((np.array(qset, np.int64), qmat))
+    partials = ds.map_batches(
+        _ScoreBatchMulti, fn_constructor_args=(qref, k, id_col),
+        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
+    top = top_k_per_group(partials, "query_id", "cosine", k,
+                          tiebreak_col=id_col)
+
+    def rank(t: pa.Table) -> pa.Table:
+        # top_k_per_group returns each group's rows; re-rank 1..k
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        c = t["cosine"].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -c, q))
+        q, i = q[order], i[order]
+        new = np.r_[True, q[1:] != q[:-1]]
+        idx = np.arange(len(q))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        return pa.table({"query_id": pa.array(q, pa.int64()),
+                         id_col: pa.array(i),
+                         "rank": pa.array(idx - start + 1, pa.int64())})
+
+    # batch_size=None: one batch per partition BLOCK, so every group's k
+    # rows re-rank together (top_k_per_group keeps groups whole per block)
+    return top.map_batches(rank, batch_format="pyarrow", batch_size=None)

@@ -2044,3 +2044,34 @@ def test_mix_corpus_rates_and_caps(rd):
                       {"a": 0.25, "b": 0.25, "c": 0.5}, total=400) \
         .take_all()
     assert sorted(r["k"] for r in out3) == sorted(r["k"] for r in out)
+
+
+def test_knn_bruteforce_batch_matches_single(rd):
+    """The batched multi-query kNN agrees with knn_bruteforce per query
+    and survives a group split across partitions."""
+    from setsketch_ray.functions.knn import (
+        knn_bruteforce,
+        knn_bruteforce_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb),
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(6)
+    qids = [0, 13, 250]
+    batch = knn_bruteforce_batch(ds, qids, k=7).take_all()
+    assert len(batch) == len(qids) * 7
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in qids:
+        single = knn_bruteforce(rd.from_arrow(t), q, k=7)  # pa.Table
+        want = list(zip(single["rank"].to_pylist(),
+                        single["vec_id"].to_pylist()))
+        assert sorted(by_q[q]) == sorted(want), q
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not found"):
+        knn_bruteforce_batch(ds, [0, 99999], k=3).take_all()
