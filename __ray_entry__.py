@@ -307,6 +307,32 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf_pruned(index_root, query_vec_id=0, k=10, n_probe=8)
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ compressed ANN (functions/knn.build_ivfpq_index +
+    knn_ivfpq_pruned): probed cells hold 8-byte PQ codes instead of 256-
+    byte vectors (asymmetric-distance LUT scoring, vectors never load),
+    then the top k*8 shortlist exact-re-ranks against the true embeddings.
+    The compressed scale path beside knn_ivf.  Rows-only: approximate by
+    design (recall vs brute force asserted in tests/test_functions.py);
+    index built once per sf_dir under /tmp."""
+    import hashlib
+    import os
+
+    from setsketch_ray.functions.knn import (build_ivfpq_index,
+                                             knn_ivfpq_pruned)
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|ivfpq".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/ivfpq_index_{fp}"
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if not os.path.exists(os.path.join(root, "_codebooks.npy")):
+        build_ivfpq_index(ds, root, n_centroids=32, m_sub=8, n_codes=64,
+                          seed=11)
+    q = np.asarray(
+        ds.filter(expr="vec_id == 0").take(1)[0]["embedding"], np.float64)
+    return knn_ivfpq_pruned(root, ds, q, k=10, n_probe=8, exclude_id=0)
+
+
 def _q_near_dup_docs(sf_dir: str):
     """Near-dup candidate pairs over documents (MinHash-LSH + exact verify) —
     deterministic but not SQL-expressible (rows-only check)."""
@@ -2947,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_batch": _q_knn_batch,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivfpq": _q_knn_ivfpq,
         "cosine_pairs": _q_cosine_pairs,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "events_hourly": _q_events_hourly,

@@ -482,3 +482,196 @@ def knn_bruteforce_batch(ds, query_vec_ids, k: int = 10,
     # batch_size=None: one batch per partition BLOCK, so every group's k
     # rows re-rank together (top_k_per_group keeps groups whole per block)
     return top.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+# ----------------------------------------------------------------- IVF-PQ
+def train_pq(mat: np.ndarray, m_sub: int = 8, n_codes: int = 256,
+             n_iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Product-quantization codebooks (the FAISS-style recipe, public:
+    Jegou-Douze-Schmid, TPAMI 2011): split the (L2-normalized) vector into
+    ``m_sub`` subvectors and run an independent Lloyd k-means per
+    subspace.  Trains on a driver-side SAMPLE by design (codebooks are
+    global model state, ~m_sub*n_codes*d_sub floats).  Deterministic init
+    via counter-mode hashing — no RNG state.  Returns
+    (m_sub, n_codes_eff, d_sub)."""
+    n, d = mat.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    d_sub = d // m_sub
+    n_codes = min(n_codes, n)
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 does not fit uint8 codes")
+    books = np.empty((m_sub, n_codes, d_sub), np.float64)
+    for s in range(m_sub):
+        x = mat[:, s * d_sub:(s + 1) * d_sub]
+        h = mix2(np.arange(n, dtype=np.uint64), seed * 1009 + s)
+        c = x[np.argsort(h)[:n_codes]].copy()
+        for _ in range(n_iters):
+            d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=n_codes).astype(np.float64)
+            nonzero = cnt > 0
+            c[nonzero] = sums[nonzero] / cnt[nonzero, None]
+        books[s] = c
+    return books
+
+
+def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode (n, d) vectors to (n, m_sub) uint8 codes (nearest codeword
+    per subspace)."""
+    m_sub, _, d_sub = codebooks.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m_sub), np.uint8)
+    for s in range(m_sub):
+        x = mat[:, s * d_sub:(s + 1) * d_sub]
+        c = codebooks[s]
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def build_ivfpq_index(ds, index_root: str, n_centroids: int = 64,
+                      m_sub: int = 8, n_codes: int = 256,
+                      n_iters: int = 4, pq_iters: int = 10,
+                      seed: int = 11, sample_cap: int = 65536,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> None:
+    """Write the IVF-PQ layout: hive ``cell=<c>/`` parquet holding ONLY
+    (id, m_sub-byte PQ code) per row — the compressed ANN index (a
+    64-dim f32 vector shrinks 256 B -> 8 B at m_sub=8), with
+    ``_centroids.npy`` + ``_codebooks.npy`` beside it.  Codebooks train on
+    a deterministic bottom-hash sample (``sample_cap`` rows); codes are
+    computed from L2-NORMALIZED vectors so the ADC score approximates
+    cosine directly."""
+    import os
+
+    import ray
+
+    centroids = kmeans_centroids(ds, n_centroids, n_iters, seed,
+                                 id_col=id_col, emb_col=emb_col)
+    # deterministic training sample: bottom-hash rows per batch, cap total
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix2(ids, seed + 77)
+        cap = max(1, sample_cap // 16)
+        sel = np.argpartition(h, cap - 1)[:cap] if len(h) > cap \
+            else np.arange(len(h))
+        return pa.table({"h": pa.array(h[sel], pa.uint64()),
+                         emb_col: t[emb_col].take(pa.array(sel))})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    order = np.argsort(parts["h"].to_numpy())[:sample_cap]
+    sample = _embedding_matrix(parts[emb_col])[order]
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    books = train_pq(sample, m_sub, n_codes, pq_iters, seed)
+    cref = ray.put((centroids, books))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents, bks = ray.get(cref)
+        emb = _embedding_matrix(t[emb_col])
+        cell = np.argmax(emb @ cents.T, axis=1)
+        norm = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+        codes = pq_encode(norm, bks)
+        msub = codes.shape[1]
+        bts = codes.tobytes()
+        return pa.table({
+            id_col: t[id_col],
+            "code": pa.array([bts[i * msub:(i + 1) * msub]
+                              for i in range(len(codes))],
+                             pa.binary(msub)),
+            "cell": pa.array(cell, pa.int64())})
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_root, partition_cols=["cell"], mode="overwrite")
+    np.save(os.path.join(index_root, "_centroids.npy"), centroids)
+    np.save(os.path.join(index_root, "_codebooks.npy"), books)
+
+
+def knn_ivfpq_pruned(index_root: str, corpus_ds, query_vec: np.ndarray,
+                     k: int = 10, n_probe: int = 8,
+                     refine_factor: int = 8, id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     exclude_id: int | None = None) -> pa.Table:
+    """IVF-PQ probe: read ONLY the probed cells' (id, code) files, score
+    every code with one asymmetric-distance LUT pass (m_sub table lookups
+    per vector — the vectors themselves never load), shortlist the top
+    ``k*refine_factor`` ids, then EXACT-re-rank the shortlist against the
+    true vectors (one pruned point-lookup read over ``corpus_ds``).  The
+    standard compressed-ANN shape: scan cost ~ n_probe/n_centroids of the
+    corpus at ~3% of the bytes, exactness restored for the final k by the
+    refinement read."""
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(index_root, "_centroids.npy"))
+    books = np.load(os.path.join(index_root, "_codebooks.npy"))
+    m_sub, n_codes, d_sub = books.shape
+    q = np.asarray(query_vec, np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(cn @ qn))[:n_probe]
+    lut = np.stack([books[s] @ qn[s * d_sub:(s + 1) * d_sub]
+                    for s in range(m_sub)])          # (m_sub, n_codes)
+    paths = [f for c in probe
+             for f in sorted(glob.glob(
+                 os.path.join(index_root, f"cell={int(c)}", "*.parquet")))]
+    import ray
+    import ray.data as rd
+
+    shortlist_n = k * refine_factor
+    lref = ray.put(lut)
+
+    def adc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        table_lut = ray.get(lref)
+        arr = t["code"].combine_chunks() if isinstance(
+            t["code"], pa.ChunkedArray) else t["code"]
+        raw = np.frombuffer(arr.buffers()[1], np.uint8)
+        lo = arr.offset * m_sub
+        codes = raw[lo:lo + len(arr) * m_sub].reshape(len(arr), m_sub)
+        score = np.zeros(len(arr), np.float64)
+        for s in range(m_sub):
+            score += table_lut[s, codes[:, s]]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, score = ids[keep], score[keep]
+        if len(ids) > shortlist_n:
+            sel = np.argpartition(-score, shortlist_n)[:shortlist_n]
+            ids, score = ids[sel], score[sel]
+        return pa.table({id_col: pa.array(ids),
+                         "score": pa.array(score, pa.float64())})
+
+    partials = pa.concat_tables(list(
+        rd.read_parquet(paths, columns=[id_col, "code"])
+        .map_batches(adc, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    order = np.lexsort((partials[id_col].to_numpy(),
+                        -partials["score"].to_numpy()))[:shortlist_n]
+    short_ids = partials[id_col].to_numpy()[order]
+    # exact refinement: point-lookup read of the shortlist's true vectors
+    import pyarrow.compute as pc
+
+    want = pa.array(np.sort(short_ids), pa.int64())
+
+    def pick_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=want))
+
+    rows = corpus_ds.map_batches(pick_rows,
+                                 batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in rows], np.int64)
+    emb = np.stack([np.asarray(r[emb_col], np.float64) for r in rows])
+    cos = (emb @ qn) / np.maximum(np.linalg.norm(emb, axis=1), 1e-30)
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table({
+        id_col: pa.array(ids[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())})

@@ -2075,3 +2075,44 @@ def test_knn_bruteforce_batch_matches_single(rd):
     import pytest as _pt
     with _pt.raises(ValueError, match="not found"):
         knn_bruteforce_batch(ds, [0, 99999], k=3).take_all()
+
+
+def test_knn_ivfpq_recall(rd, tmp_path):
+    """IVF-PQ compressed probe (8-byte codes instead of 96-byte vectors)
+    recovers the exact top-k on clustered vectors after the exact
+    refinement pass, and is deterministic."""
+    from setsketch_ray.functions.knn import (
+        build_ivfpq_index,
+        knn_bruteforce,
+        knn_ivfpq_pruned,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 24)) * 4
+    vecs = np.concatenate([
+        centers[i % 8] + rng.standard_normal(24) * 0.4
+        for i in range(400)]).reshape(400, 24)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    ds = rd.from_arrow(t).repartition(4)
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds, root, n_centroids=16, m_sub=8, n_codes=32,
+                      sample_cap=400)
+    q = vecs[0]
+    exact = knn_bruteforce(ds, query_vec_id=0, k=10)["vec_id"].to_pylist()
+    got = knn_ivfpq_pruned(root, ds, q, k=10, n_probe=6, refine_factor=8,
+                           exclude_id=0)
+    ids = got["vec_id"].to_pylist()
+    recall = len(set(exact) & set(ids)) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ recall {recall}"
+    again = knn_ivfpq_pruned(root, ds, q, k=10, n_probe=6,
+                             refine_factor=8, exclude_id=0)
+    assert ids == again["vec_id"].to_pylist()
+    # index really is compressed: codes are 8 bytes vs 96-byte f32 vectors
+    import glob as _g
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    f = _g.glob(_os.path.join(root, "cell=*", "*.parquet"))[0]
+    sch = _pq.ParquetFile(f).schema_arrow
+    assert "embedding" not in sch.names and "code" in sch.names
