@@ -248,6 +248,19 @@ def _q_value_quantiles_kll(sf_dir: str):
                             [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_value_quantiles_kll_by_type(sf_dir: str):
+    """Per-group approximate quantiles of events.value by event_type
+    (relational.approx_quantiles_by): one ~1.8 KB KLL sketch per (block,
+    key) through the shuffle — never the data.  Rows-only BY NATURE
+    (approximate; per-group rank error asserted vs exact in
+    tests/test_functions.py); per-group n is exact."""
+    from setsketch_ray.functions.relational import approx_quantiles_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles_by(ds, "event_type", "value",
+                               [0.1, 0.5, 0.9]).sort(["event_type", "phi"])
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing over documents: virtual concatenation in
     doc_id order chunked every 2048 tokens (functions/streaming.
@@ -3047,6 +3060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
         "value_quantiles_kll": _q_value_quantiles_kll,
+        "value_quantiles_kll_by_type": _q_value_quantiles_kll_by_type,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "top_events_per_user": _q_top_events_per_user,

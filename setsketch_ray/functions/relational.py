@@ -1746,3 +1746,100 @@ def mix_corpus(ds, key_col: str, group_col: str, weights: dict,
         return t.filter(pa.array(f < rate))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def approx_quantiles_by(ds, key_col: str, column: str, phis,
+                        k: int = 200, num_partitions: int = 32):
+    """Per-group approximate quantiles via mergeable KLL sketches: each
+    batch folds its rows into ONE ~k-item sketch PER KEY present (values
+    group-sorted, one pass), the tiny binary partials hash-partition by
+    key, and each partition merges its blobs in deterministic bytewise
+    order and emits the group's quantiles.  The shuffle carries
+    (#blocks x #keys-per-block) ~1.8 KB sketch rows — never the data;
+    the scale shape for unbounded float domains where
+    :func:`grouped_quantiles`-style exact plans would shuffle every
+    distinct value.  Returns (key, phi, value, n); n per group is exact.
+    """
+    import numpy as np
+
+    from ..sketchlib.hashing import hash_str_u64, mix64
+    from ..sketchlib.quantiles import KllSketch
+
+    key_type = ds.schema().base_schema.field(key_col).type
+    phis = list(phis)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             "__sk": pa.array([], pa.binary())})
+        karr = t[key_col].combine_chunks() if isinstance(
+            t[key_col], pa.ChunkedArray) else t[key_col]
+        kn = karr.to_numpy(zero_copy_only=False)
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        kn, v = kn[ok], v[ok]
+        karr = karr.filter(pa.array(ok))
+        order = np.argsort(kn, kind="stable")
+        ks, vs = kn[order], v[order]
+        new = np.empty(len(ks), bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ks))
+        blobs = []
+        for s, e in zip(starts, ends):
+            sk = KllSketch(k)
+            sk.add_flat(vs[s:e])
+            blobs.append(sk.to_bytes())
+        return pa.table({
+            key_col: karr.take(pa.array(order[starts], pa.int64())),
+            "__sk": pa.array(blobs, pa.binary())})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        karr = t[key_col]
+        karr = karr.combine_chunks() if isinstance(
+            karr, pa.ChunkedArray) else karr
+        if pa.types.is_string(karr.type) or \
+                pa.types.is_large_string(karr.type):
+            h = hash_str_u64(karr)
+        else:
+            h = mix64(karr.to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32),
+            pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema([(key_col, key_type),
+                                ("phi", pa.float64()),
+                                ("value", pa.float64()),
+                                ("n", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_pylist()
+        blobs = t["__sk"].to_pylist()
+        by_key: dict = {}
+        for kk, b in zip(keys, blobs):
+            by_key.setdefault(kk, []).append(b)
+        out_k, out_phi, out_v, out_n = [], [], [], []
+        for kk in sorted(by_key):
+            sk = KllSketch(k)
+            for b in sorted(by_key[kk]):  # deterministic merge order
+                sk = sk.merge(KllSketch.from_bytes(b))
+            q = sk.quantiles(phis)
+            out_k += [kk] * len(phis)
+            out_phi += phis
+            out_v += [float(x) for x in q]
+            out_n += [sk.n] * len(phis)
+        return pa.table({key_col: pa.array(out_k, key_type),
+                         "phi": pa.array(out_phi, pa.float64()),
+                         "value": pa.array(out_v, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    partials = ds.select_columns([key_col, column]).map_batches(
+        partial, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow")
+    return partials.groupby("__part").map_groups(per_partition,
+                                                 batch_format="pyarrow")

@@ -2116,3 +2116,29 @@ def test_knn_ivfpq_recall(rd, tmp_path):
     f = _g.glob(_os.path.join(root, "cell=*", "*.parquet"))[0]
     sch = _pq.ParquetFile(f).schema_arrow
     assert "embedding" not in sch.names and "code" in sch.names
+
+
+def test_approx_quantiles_by_group(rd):
+    """Per-group KLL quantiles: rank error within bound per group,
+    exact per-group n, deterministic across reruns."""
+    from setsketch_ray.functions.relational import approx_quantiles_by
+
+    rng = np.random.default_rng(11)
+    groups = np.repeat(np.array(["a", "b", "c"]), [40000, 25000, 8000])
+    vals = np.concatenate([rng.lognormal(0, 1, 40000),
+                           rng.normal(100, 5, 25000),
+                           rng.uniform(-1, 1, 8000)])
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(8)
+    out = approx_quantiles_by(ds, "g", "v", [0.1, 0.5, 0.9]) \
+        .sort(["g", "phi"]).take_all()
+    assert len(out) == 9
+    per_g = {"a": vals[:40000], "b": vals[40000:65000], "c": vals[65000:]}
+    for r in out:
+        xs = np.sort(per_g[r["g"]])
+        assert r["n"] == len(xs)
+        rank = np.searchsorted(xs, r["value"], side="right")
+        assert abs(rank - r["phi"] * len(xs)) / len(xs) <= 0.02, r
+    again = approx_quantiles_by(ds, "g", "v", [0.1, 0.5, 0.9]) \
+        .sort(["g", "phi"]).take_all()
+    assert again == out
