@@ -2857,7 +2857,7 @@ def _q_media_probe(sf_dir: str):
         ids, blobs = [], []
         for i in batch["id"].to_pylist():
             h = int(mix2(np.uint64(i), 78))
-            kind = h % 3
+            kind = h % 4
             dur = round(1 + (h >> 8) % 200, 1)
             if kind == 0:
                 codec = ("vorbis", "opus", "theora")[(h >> 16) % 3]
@@ -2874,13 +2874,24 @@ def _q_media_probe(sf_dir: str):
                     webm=bool((h >> 30) % 2),
                     with_audio=bool((h >> 31) % 2)))
                 ids.append(f"mkv{i:010d}")
-            else:
+            elif kind == 2:
                 blobs.append(build_mp3_stub(
                     min(dur, 30.0), kbps=(96, 128, 192, 320)[(h >> 16) % 4],
                     rate=(44100, 48000, 32000)[(h >> 20) % 3],
                     channels=1 + (h >> 24) % 2,
                     with_id3=bool((h >> 28) % 2)))
                 ids.append(f"mp3{i:010d}")
+            else:
+                from setsketch_ray.sources.webp import (
+                    encode_webp_lossless,
+                )
+
+                rng = np.random.default_rng((h >> 16) & 0xFFFF)
+                img = rng.integers(0, 256, (8 + (h >> 33) % 24,
+                                            8 + (h >> 38) % 24, 3),
+                                   dtype=np.uint8)
+                blobs.append(encode_webp_lossless(img))
+                ids.append(f"web{i:010d}")
         return pa.table({"media_id": pa.array(ids, pa.string()),
                          "bytes": pa.array(blobs, pa.binary())})
 

@@ -16,8 +16,12 @@ No image libraries exist in this environment, so the codecs are our own:
 * ``phash`` — 64-bit DCT perceptual hash (32×32 grayscale → 8×8 low-band →
   median threshold).
 
+* ``webp`` — real WebP lossless (VP8L, ``sources/webp.py``): full decoder
+  (all transforms, color cache, LZ77, meta prefix codes) + a minimal
+  all-literal encoder; lossy VP8 stays honestly stubbed.
+
 :func:`decode_image` sniffs magic bytes ahead of the ``fmt`` tag and raises
-``NotImplementedError`` for formats with no codec here (WebP/AVIF/...),
+``NotImplementedError`` for formats with no codec here (AVIF/HEIC/...),
 keeping the Ray-side plumbing fully real and honestly bounded.
 """
 
@@ -313,6 +317,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_gif(data)  # first composited frame
     if fmt == "bmp" or (data[:2] == b"BM" and len(data) >= 26):
         return decode_bmp(data)
+    if fmt == "webp" or (data[:4] == b"RIFF" and data[8:12] == b"WEBP"):
+        from .webp import decode_webp
+
+        return decode_webp(data)  # VP8L real; VP8 lossy raises
     if fmt in ("jpg", "jpeg", "pjpg") or data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -350,6 +358,10 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         return encode_gif(pixels)
     if fmt == "bmp":  # uncompressed 24-bit, lossless
         return encode_bmp(pixels)
+    if fmt == "webp":  # VP8L lossless (minimal all-literal stream)
+        from .webp import encode_webp_lossless
+
+        return encode_webp_lossless(pixels)
     raise NotImplementedError(f"format {fmt!r} not supported for encoding")
 
 

@@ -221,6 +221,16 @@ def probe_media(blob: bytes) -> dict:
         return {"container": "flac", "kind": "audio", "codec": "flac",
                 "w": 0, "h": 0, "duration_s": fi["duration_s"],
                 "n_frames": 0, "decodable": True}
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from .webp import webp_info
+
+        wi = webp_info(blob)
+        return {"container": "webp", "kind": wi["kind"],
+                "codec": wi["codec"], "w": wi["w"], "h": wi["h"],
+                "duration_s": 0.0, "n_frames": 0,
+                # VP8L decodes for real (sources/webp.py); lossy VP8 and
+                # animations have no codec here
+                "decodable": wi["decodable"]}
     if blob[:4] == b"OggS":
         from .containers import ogg_info
 

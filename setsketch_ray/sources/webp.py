@@ -1,0 +1,714 @@
+"""WebP lossless (VP8L) codec, pure Python/NumPy.
+
+Decoder implements the public VP8L bitstream spec (the WebP Lossless
+Bitstream Specification): LSB-first bit reading, simple + normal prefix
+codes (code-length codes with 16/17/18 repeats, canonical assignment),
+color cache, LZ77 backward references with the 120-entry 2D distance map,
+meta prefix codes, and all four transforms (predictor ×14 modes, color
+transform, subtract-green, color-indexing incl. sub-byte pixel packing).
+Alpha is decoded then dropped (engine-wide (h, w, 3) contract).
+
+Encoder writes a minimal-but-valid VP8L stream: no transforms, no color
+cache, single prefix group, flat two-level canonical codes, every pixel a
+literal — bit-exact lossless at ~4 B/px (fine for corpora/tests; the
+point is the DECODER, which must read anyone's files).
+
+``webp_info`` probes the RIFF container (VP8L lossless, VP8 lossy key
+frames, VP8X extended) without payload decode; lossy VP8 payloads remain
+honestly undecodable here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ------------------------------------------------------------- bit reader
+class _BitReader:
+    """LSB-first bit reader over bytes (VP8L convention)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("VP8L: bitstream truncated")
+            b = (self.data[self.byte] >> self.bit) & 1
+            v |= b << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+# --------------------------------------------------------- canonical codes
+class _PrefixCode:
+    """Canonical prefix code: decode one symbol per bit-walk.  Built from
+    code lengths exactly as the spec's canonical rule (numerically
+    increasing codes, symbol order within a length)."""
+
+    __slots__ = ("fast", "single")
+
+    def __init__(self, lengths):
+        lengths = np.asarray(lengths, np.int32)
+        syms = np.flatnonzero(lengths > 0)
+        if len(syms) == 0:
+            raise ValueError("VP8L: empty prefix code")
+        if len(syms) == 1:
+            self.single = int(syms[0])
+            self.fast = None
+            return
+        self.single = None
+        max_len = int(lengths.max())
+        # canonical code assignment
+        bl_count = np.bincount(lengths[syms], minlength=max_len + 1)
+        next_code = np.zeros(max_len + 1, np.int64)
+        code = 0
+        for ln in range(1, max_len + 1):
+            code = (code + int(bl_count[ln - 1])) << 1
+            next_code[ln] = code
+        # decode map: (length, code) -> symbol
+        table: dict = {}
+        for s in syms:
+            ln = int(lengths[s])
+            table[(ln, int(next_code[ln]))] = int(s)
+            next_code[ln] += 1
+        self.fast = table
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        ln = 0
+        t = self.fast
+        while True:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            hit = t.get((ln, code))
+            if hit is not None:
+                return hit
+            if ln > 15:
+                raise ValueError("VP8L: invalid prefix code stream")
+
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15)
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        s0 = br.read(8 if first_8bit else 1)
+        lengths = np.zeros(alphabet_size, np.int32)
+        if num_symbols == 1:
+            lengths[s0] = 1  # 0-bit code; _PrefixCode single path
+            return _PrefixCode(lengths)
+        s1 = br.read(8)
+        lengths[s0] = 1
+        lengths[s1] = 1
+        pc = _PrefixCode(lengths)
+        return pc
+    num_cl = 4 + br.read(4)
+    cl_lengths = np.zeros(19, np.int32)
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    lengths = np.zeros(alphabet_size, np.int32)
+    if br.read(1):  # length-limited stream
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    sym = 0
+    prev_len = 8
+    while sym < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            lengths[sym:sym + rep] = prev_len
+            sym += rep
+        elif s == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return _PrefixCode(lengths)
+
+
+# --------------------------------------------------- LZ77 value mappings
+def _prefix_value(code: int, br: _BitReader) -> int:
+    """Length/distance prefix decoding: code -> value (1-based)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# the spec's 120-entry close-neighborhood (x, y) offsets for dist codes 1..120
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+
+def _plane_code_to_distance(xsize: int, dist_code: int) -> int:
+    """Distance-code -> scan-order pixel distance: codes 1..120 are the
+    close-neighborhood 2D map; larger codes are literal distances + 120."""
+    if dist_code > 120:
+        return dist_code - 120
+    x, y = _DIST_MAP[dist_code - 1]
+    dist = y * xsize + x
+    return dist if dist >= 1 else 1
+
+
+# ------------------------------------------------------------ color cache
+class _ColorCache:
+    def __init__(self, bits: int):
+        self.bits = bits
+        self.table = np.zeros(1 << bits, np.uint32)
+
+    def insert(self, argb: int):
+        key = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - self.bits)
+        self.table[key] = argb
+
+    def get(self, idx: int) -> int:
+        return int(self.table[idx])
+
+
+# ------------------------------------------------- entropy-coded image
+_GREEN_BASE = 256 + 24
+
+
+def _read_groups(br: _BitReader, cache_bits: int, n_groups: int):
+    groups = []
+    green_alpha = _GREEN_BASE + ((1 << cache_bits) if cache_bits else 0)
+    for _ in range(n_groups):
+        g = _read_prefix_code(br, green_alpha)
+        r = _read_prefix_code(br, 256)
+        b = _read_prefix_code(br, 256)
+        a = _read_prefix_code(br, 256)
+        d = _read_prefix_code(br, 40)
+        groups.append((g, r, b, a, d))
+    return groups
+
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int,
+                          is_level0: bool) -> np.ndarray:
+    """Decode one entropy-coded ARGB image to a flat uint32 array of
+    length w*h (scan order).  is_level0 enables meta prefix codes (main
+    image only, per spec)."""
+    use_cache = br.read(1)
+    cache_bits = br.read(4) if use_cache else 0
+    if cache_bits and not (1 <= cache_bits <= 11):
+        raise ValueError("VP8L: invalid color cache size")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_level0 and br.read(1):  # meta prefix codes
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+        meta_w = mw
+    groups = _read_groups(br, cache_bits, n_groups)
+    cache = _ColorCache(cache_bits) if cache_bits else None
+    out = np.zeros(w * h, np.uint32)
+    pos = 0
+    total = w * h
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            gi = int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
+        else:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        s = g_code.read(br)
+        if s < 256:
+            red = r_code.read(br)
+            blue = b_code.read(br)
+            alpha = a_code.read(br)
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = argb
+            if cache:
+                cache.insert(argb)
+            pos += 1
+        elif s < _GREEN_BASE:
+            length = _prefix_value(s - 256, br)
+            # distance: prefix_value over the 40-symbol code FIRST, then
+            # the 2D plane mapping
+            dcode = d_code.read(br)
+            dist = _plane_code_to_distance(w, _prefix_value(dcode, br))
+            if dist > pos or pos + length > total:
+                raise ValueError("VP8L: invalid backward reference")
+            for i in range(length):
+                v = out[pos - dist]
+                out[pos] = v
+                if cache:
+                    cache.insert(int(v))
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L: cache symbol without cache")
+            argb = cache.get(s - _GREEN_BASE)
+            out[pos] = argb
+            pos += 1
+    return out
+
+
+# ---------------------------------------------------------- transforms
+def _avg2(a, b):
+    return ((a.astype(np.uint16) + b.astype(np.uint16)) >> 1).astype(
+        np.uint8)
+
+
+def _apply_predictor_inverse(res: np.ndarray, w: int, h: int,
+                             size_bits: int,
+                             pred_img: np.ndarray) -> np.ndarray:
+    """Inverse predictor transform on (h*w,) uint32 residuals (in place
+    per pixel — inherently sequential, per spec)."""
+    out = res.copy()
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+
+    def chans(v):
+        return np.array([(v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                         (v >> 8) & 0xFF, v & 0xFF], np.int32)
+
+    def pack(c):
+        c = c & 0xFF
+        return (int(c[0]) << 24) | (int(c[1]) << 16) | (int(c[2]) << 8) \
+            | int(c[3])
+
+    def clamp(v):
+        return np.clip(v, 0, 255)
+
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if x == 0 and y == 0:
+            pred = np.array([0xFF, 0, 0, 0], np.int32)
+        elif y == 0:
+            pred = chans(out[pos - 1])           # L
+        elif x == 0:
+            pred = chans(out[pos - w])           # T
+        else:
+            mode = int((pred_img[(y >> size_bits) * bw
+                                 + (x >> size_bits)] >> 8) & 0xFF)
+            left = chans(out[pos - 1])
+            top = chans(out[pos - w])
+            tl = chans(out[pos - w - 1])
+            tr = chans(out[pos - w + 1])  # wraps per flat-array semantics
+            if mode == 0:
+                pred = np.array([0xFF, 0, 0, 0], np.int32)
+            elif mode == 1:
+                pred = left
+            elif mode == 2:
+                pred = top
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _avg2(_avg2(left, tr), top).astype(np.int32)
+            elif mode == 6:
+                pred = _avg2(left, tl).astype(np.int32)
+            elif mode == 7:
+                pred = _avg2(left, top).astype(np.int32)
+            elif mode == 8:
+                pred = _avg2(tl, top).astype(np.int32)
+            elif mode == 9:
+                pred = _avg2(top, tr).astype(np.int32)
+            elif mode == 10:
+                pred = _avg2(_avg2(left, tl), _avg2(top, tr)) \
+                    .astype(np.int32)
+            elif mode == 11:  # Select
+                p = left + top - tl
+                pl = np.abs(p - left).sum()
+                pt = np.abs(p - top).sum()
+                pred = left if pl <= pt else top
+            elif mode == 12:  # ClampAddSubtractFull
+                pred = clamp(left + top - tl)
+            elif mode == 13:  # ClampAddSubtractHalf
+                ave = _avg2(left, top).astype(np.int32)
+                pred = clamp(ave + ((ave - tl) >> 1))
+            else:
+                raise ValueError(f"VP8L: predictor mode {mode}")
+        cur = chans(out[pos]) + pred
+        out[pos] = pack(cur)
+    return out
+
+
+def _apply_color_inverse(res: np.ndarray, w: int, h: int, size_bits: int,
+                         ct_img: np.ndarray) -> np.ndarray:
+    out = res.copy()
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+
+    def s8(v):
+        v &= 0xFF
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        # (signed t * signed c) >> 5, per spec
+        cs = c - 256 if c >= 128 else c
+        return (t * cs) >> 5
+
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        ct = int(ct_img[(y >> size_bits) * bw + (x >> size_bits)])
+        # ColorTransformElement packing (spec/libwebp): blue byte =
+        # green_to_red, green byte = green_to_blue, red byte = red_to_blue
+        g2r = s8(ct)
+        g2b = s8(ct >> 8)
+        r2b = s8(ct >> 16)
+        v = int(out[pos])
+        a = (v >> 24) & 0xFF
+        r = (v >> 16) & 0xFF
+        g = (v >> 8) & 0xFF
+        b = v & 0xFF
+        r = (r + delta(g2r, g)) & 0xFF
+        b = (b + delta(g2b, g)) & 0xFF
+        b = (b + delta(r2b, r)) & 0xFF
+        out[pos] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _apply_subtract_green_inverse(res: np.ndarray) -> np.ndarray:
+    a = (res >> 24) & 0xFF
+    r = (res >> 16) & 0xFF
+    g = (res >> 8) & 0xFF
+    b = res & 0xFF
+    r = (r + g) & 0xFF
+    b = (b + g) & 0xFF
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _apply_color_indexing(res: np.ndarray, w: int, h: int,
+                          palette: np.ndarray,
+                          packed_w: int) -> np.ndarray:
+    n = len(palette)
+    if n <= 2:
+        width_bits = 3
+    elif n <= 4:
+        width_bits = 2
+    elif n <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    if width_bits == 0:
+        idx = (res >> 8) & 0xFF
+        bad = idx >= n
+        if bad.any():
+            raise ValueError("VP8L: palette index out of range")
+        return palette[idx]
+    px_per = 1 << width_bits
+    bits = 8 >> width_bits
+    mask = (1 << bits) - 1
+    out = np.zeros(w * h, np.uint32)
+    greens = (res >> 8) & 0xFF
+    for y in range(h):
+        for x in range(w):
+            packed = int(greens[y * packed_w + (x >> width_bits)])
+            i = (packed >> (bits * (x & (px_per - 1)))) & mask
+            if i >= n:
+                raise ValueError("VP8L: palette index out of range")
+            out[y * w + x] = palette[i]
+    return out
+
+
+# --------------------------------------------------------------- decoder
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a raw VP8L chunk payload to (h, w, 3) uint8 (alpha dropped)."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("not a VP8L stream")
+    br = _BitReader(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unknown version")
+    # transforms (each at most once, applied inverse in reverse read order)
+    transforms = []
+    seen = set()
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("VP8L: duplicate transform")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            size_bits = br.read(3) + 2
+            bw = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, bw, bh, False)
+            transforms.append(("pred", size_bits, sub))
+        elif ttype == 1:  # color transform
+            size_bits = br.read(3) + 2
+            bw = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, bw, bh, False)
+            transforms.append(("color", size_bits, sub))
+        elif ttype == 2:
+            transforms.append(("subgreen",))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_res = _decode_entropy_image(br, n_colors, 1, False)
+            # palette entries are component-wise delta-coded
+            pal = np.zeros(n_colors, np.uint32)
+            prev = 0
+            for i in range(n_colors):
+                v = int(pal_res[i])
+                a = (((prev >> 24) + (v >> 24)) & 0xFF) << 24
+                r = ((((prev >> 16) & 0xFF) + ((v >> 16) & 0xFF))
+                     & 0xFF) << 16
+                g = ((((prev >> 8) & 0xFF) + ((v >> 8) & 0xFF))
+                     & 0xFF) << 8
+                b = ((prev & 0xFF) + (v & 0xFF)) & 0xFF
+                prev = a | r | g | b
+                pal[i] = prev
+            if n_colors <= 2:
+                wb = 3
+            elif n_colors <= 4:
+                wb = 2
+            elif n_colors <= 16:
+                wb = 1
+            else:
+                wb = 0
+            packed_w = (xsize + (1 << wb) - 1) >> wb if wb else xsize
+            transforms.append(("palette", pal, xsize))
+            xsize = packed_w
+        if len(seen) == 4:
+            break
+    argb = _decode_entropy_image(br, xsize, h, True)
+    # inverse transforms, reverse order
+    for tr in reversed(transforms):
+        if tr[0] == "palette":
+            _, pal, real_w = tr
+            argb = _apply_color_indexing(argb, real_w, h, pal, xsize)
+            xsize = real_w
+        elif tr[0] == "subgreen":
+            argb = _apply_subtract_green_inverse(argb)
+        elif tr[0] == "color":
+            argb = _apply_color_inverse(argb, xsize, h, tr[1], tr[2])
+        elif tr[0] == "pred":
+            argb = _apply_predictor_inverse(argb, xsize, h, tr[1], tr[2])
+    img = argb.reshape(h, xsize)
+    rgb = np.stack([(img >> 16) & 0xFF, (img >> 8) & 0xFF, img & 0xFF],
+                   axis=2).astype(np.uint8)
+    return rgb
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a RIFF/WEBP container: VP8L (lossless) for real; VP8 (lossy)
+    and VP8X-wrapped lossy raise NotImplementedError (no VP8 intra codec
+    in this environment)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l(body)
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "WebP lossy (VP8) payload: no VP8 intra decoder here")
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP container without VP8/VP8L chunk")
+
+
+# --------------------------------------------------------------- encoder
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int):
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def bytes_(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _flat_lengths(n: int) -> np.ndarray:
+    """Complete canonical code lengths for n symbols: k = ceil(log2 n);
+    the first (2^k - n) symbols get length k-1, the rest k (Kraft = 1)."""
+    if n == 1:
+        return np.array([1], np.int32)
+    k = int(np.ceil(np.log2(n)))
+    short = (1 << k) - n
+    lengths = np.full(n, k, np.int32)
+    lengths[:short] = k - 1
+    return lengths
+
+
+def _write_code_lengths(bw: _BitWriter, lengths: np.ndarray):
+    """Emit a normal (non-simple) prefix code: code-length code covering
+    the two lengths used by _flat_lengths."""
+    bw.write(0, 1)  # not simple
+    used = sorted(set(int(x) for x in lengths if x > 0))
+    # code-length alphabet code: give each used length a 1-bit (or single
+    # 0-bit) code; order constraint: emit num_cl entries of _CL_ORDER
+    cl_len = {u: (1 if len(used) > 1 else 1) for u in used}
+    # find how many leading _CL_ORDER entries we must emit to cover `used`
+    need = max(_CL_ORDER.index(u) for u in used) + 1
+    num_cl = max(4, need)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        sym = _CL_ORDER[i]
+        bw.write(cl_len.get(sym, 0), 3)
+    # canonical 1-bit codes over `used` (or 0-bit single)
+    if len(used) == 1:
+        codes = {used[0]: (0, 0)}  # 0-bit code
+    else:
+        codes = {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.write(0, 1)  # no length limit
+    for ln in lengths:
+        c, nb = codes[int(ln)]
+        # prefix codes are read MSB-first via tree walk: write bits of the
+        # canonical code from MSB to LSB
+        for i in range(nb - 1, -1, -1):
+            bw.write((c >> i) & 1, 1)
+
+
+class _Encoder:
+    """Symbol emitter for one flat canonical code."""
+
+    def __init__(self, lengths: np.ndarray):
+        self.lengths = lengths
+        max_len = int(lengths.max())
+        bl_count = np.bincount(lengths[lengths > 0], minlength=max_len + 1)
+        next_code = np.zeros(max_len + 1, np.int64)
+        code = 0
+        for ln in range(1, max_len + 1):
+            code = (code + int(bl_count[ln - 1])) << 1
+            next_code[ln] = code
+        self.codes = {}
+        for s in range(len(lengths)):
+            ln = int(lengths[s])
+            if ln:
+                self.codes[s] = (int(next_code[ln]), ln)
+                next_code[ln] += 1
+
+    def emit(self, bw: _BitWriter, sym: int):
+        c, nb = self.codes[sym]
+        for i in range(nb - 1, -1, -1):
+            bw.write((c >> i) & 1, 1)
+
+
+def encode_webp_lossless(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> minimal valid VP8L-in-RIFF (all-literal)."""
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L: dimensions out of range")
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transform
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    g_len = _flat_lengths(_GREEN_BASE)
+    c_len = _flat_lengths(256)
+    d_len = _flat_lengths(40)
+    _write_code_lengths(bw, g_len)
+    for _ in range(3):
+        _write_code_lengths(bw, c_len)
+    _write_code_lengths(bw, d_len)
+    genc = _Encoder(g_len)
+    cenc = _Encoder(c_len)
+    flat = pixels.reshape(-1, 3)
+    for r, g, b in flat:
+        genc.emit(bw, int(g))
+        cenc.emit(bw, int(r))
+        cenc.emit(bw, int(b))
+        cenc.emit(bw, 255)  # alpha
+    payload = bw.bytes_()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ----------------------------------------------------------------- probe
+def webp_info(data: bytes) -> dict:
+    """RIFF/WEBP metadata without payload decode: kind (lossless/lossy/
+    extended), dims, alpha/animation flags."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos = 12
+    info = {"container": "webp", "kind": "image", "codec": "",
+            "w": 0, "h": 0, "animation": False, "alpha": False,
+            "decodable": False}
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8L" and body and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            info.update(codec="vp8l", w=(bits & 0x3FFF) + 1,
+                        h=((bits >> 14) & 0x3FFF) + 1,
+                        alpha=bool((bits >> 28) & 1), decodable=True)
+            return info
+        if tag == b"VP8 " and len(body) >= 10:
+            # lossy key frame: sync 9D 01 2A then 14-bit dims
+            if body[3:6] == b"\x9d\x01\x2a":
+                wd = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+                ht = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+                info.update(codec="vp8", w=wd, h=ht, decodable=False)
+            else:
+                info.update(codec="vp8")
+            return info
+        if tag == b"VP8X" and len(body) >= 10:
+            flags = body[0]
+            info["alpha"] = bool(flags & 0x10)
+            info["animation"] = bool(flags & 0x02)
+            info["w"] = int.from_bytes(body[4:7], "little") + 1
+            info["h"] = int.from_bytes(body[7:10], "little") + 1
+            info["codec"] = "vp8x"
+            if info["animation"]:
+                info["kind"] = "video"
+            # keep walking: an inner VP8/VP8L chunk refines the codec
+        pos += 8 + size + (size & 1)
+    return info
