@@ -1597,6 +1597,38 @@ def _q_value_quantiles(sf_dir: str):
         ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
 
 
+def _q_value_equidepth_histogram(sf_dir: str):
+    """Equi-depth histogram of events.value: EXACT quartile boundaries
+    (quantiles_fixedpoint — the distributed distinct-count plan) define 4
+    right-closed buckets; one vectorized searchsorted pass assigns rows
+    and a combiner grouped_aggregate counts + cent-sums per bucket.
+    ORACLED: the SQL recomputes the same quantile_disc boundaries and the
+    same right-closed CASE bucketing; sums are integer cents on both
+    sides."""
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    quantiles_fixedpoint)
+
+    ds = _read(sf_dir, "events", ["value"])
+    qt = quantiles_fixedpoint(ds, "value", [0.25, 0.5, 0.75], scale=100)
+    bounds = np.asarray(qt["value"].to_pylist(), np.float64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        c = np.rint(v * 100).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "vc": pa.array(c, pa.int64())})
+
+    out = grouped_aggregate(ds.map_batches(bucketize,
+                                           batch_format="pyarrow"),
+                            ["bucket"],
+                            {"n_rows": ("count", None),
+                             "sum_value_c": ("sum", "vc")})
+    order = pa.compute.sort_indices(out, sort_keys=[("bucket",
+                                                     "ascending")])
+    return out.take(order)
+
+
 def _q_value_quantiles_cont(sf_dir: str):
     """Exact CONTINUOUS quantiles (DuckDB quantile_cont parity): same
     distinct-count plan as value_quantiles plus the verified symmetric
@@ -3070,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
+        "value_equidepth_histogram": _q_value_equidepth_histogram,
         "value_quantiles_kll": _q_value_quantiles_kll,
         "value_quantiles_kll_by_type": _q_value_quantiles_kll_by_type,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
@@ -3142,6 +3175,17 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
             "WHERE (d.doc_id * 2654435761 % 4294967296) / 4294967296.0 "
             "< r.rate ORDER BY d.doc_id",
+        # equi-depth histogram: identical quantile_disc boundaries and
+        # right-closed CASE bucketing; integer-cent sums on both sides
+        "value_equidepth_histogram":
+            "WITH b AS (SELECT quantile_disc(value, [0.25, 0.5, 0.75]) "
+            "AS q FROM events) "
+            "SELECT CAST(CASE WHEN value <= q[1] THEN 0 "
+            "WHEN value <= q[2] THEN 1 WHEN value <= q[3] THEN 2 "
+            "ELSE 3 END AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_c FROM events, b GROUP BY 1 ORDER BY bucket",
         # Gopher repetition signals: exact word split + positional bigram
         # self-join; the fraction is ONE double multiply+divide of exactly
         # representable ints, identical on both engines
