@@ -27,34 +27,57 @@ import numpy as np
 
 # ------------------------------------------------------------- bit reader
 class _BitReader:
-    """LSB-first bit reader over bytes (VP8L convention)."""
+    """LSB-first bit reader over bytes (VP8L convention): rolling 64-bit
+    accumulator refilled bytewise (the jpeg.py technique) so prefix-code
+    decode can PEEK many bits at once for the LUT fast path."""
+
+    __slots__ = ("data", "byte", "acc", "nbits", "_n")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.byte = pos
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+        self._n = len(data)
+
+    def _fill(self, need: int):
+        while self.nbits < need:
+            if self.byte > self._n + 8:
+                # a zero-padded tail tolerates a final over-peek; walking
+                # well past the payload means the stream is truncated
+                raise ValueError("VP8L: bitstream truncated")
+            b = self.data[self.byte] if self.byte < self._n else 0
+            self.acc |= b << self.nbits
+            self.nbits += 8
+            self.byte += 1
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
-                raise ValueError("VP8L: bitstream truncated")
-            b = (self.data[self.byte] >> self.bit) & 1
-            v |= b << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
         return v
+
+    def peek(self, n: int) -> int:
+        self._fill(n)
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int):
+        self.acc >>= n
+        self.nbits -= n
 
 
 # --------------------------------------------------------- canonical codes
 class _PrefixCode:
-    """Canonical prefix code: decode one symbol per bit-walk.  Built from
-    code lengths exactly as the spec's canonical rule (numerically
-    increasing codes, symbol order within a length)."""
+    """Canonical prefix code (spec canonical rule: numerically increasing
+    codes, symbol order within a length).  Decode via ONE peek of max_len
+    stream bits into a bit-reversed LUT (code bits arrive MSB-first as
+    the stream's LSB-first bits, so the table is indexed by the reversed
+    code plus all fillers — the classic DEFLATE fast path)."""
 
-    __slots__ = ("fast", "single")
+    __slots__ = ("single", "lut", "max_len")
 
     def __init__(self, lengths):
         lengths = np.asarray(lengths, np.int32)
@@ -63,39 +86,43 @@ class _PrefixCode:
             raise ValueError("VP8L: empty prefix code")
         if len(syms) == 1:
             self.single = int(syms[0])
-            self.fast = None
+            self.lut = None
+            self.max_len = 0
             return
         self.single = None
         max_len = int(lengths.max())
-        # canonical code assignment
+        if max_len > 15:
+            raise ValueError("VP8L: code length > 15")
+        self.max_len = max_len
         bl_count = np.bincount(lengths[syms], minlength=max_len + 1)
         next_code = np.zeros(max_len + 1, np.int64)
         code = 0
         for ln in range(1, max_len + 1):
             code = (code + int(bl_count[ln - 1])) << 1
             next_code[ln] = code
-        # decode map: (length, code) -> symbol
-        table: dict = {}
+        lut = np.full(1 << max_len, -1, np.int32)  # (sym << 4) | len
         for s in syms:
             ln = int(lengths[s])
-            table[(ln, int(next_code[ln]))] = int(s)
+            c = int(next_code[ln])
             next_code[ln] += 1
-        self.fast = table
+            # reverse the ln code bits (first-read bit = code MSB = stream
+            # bit 0), then every filler of the remaining high bits hits it
+            rev = 0
+            for i in range(ln):
+                rev |= ((c >> i) & 1) << (ln - 1 - i)
+            entry = (int(s) << 4) | ln
+            step = 1 << ln
+            lut[rev::step] = entry
+        if (lut < 0).any():
+            raise ValueError("VP8L: incomplete prefix code")
+        self.lut = lut.tolist()  # list indexing beats numpy scalars here
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        ln = 0
-        t = self.fast
-        while True:
-            code = (code << 1) | br.read(1)
-            ln += 1
-            hit = t.get((ln, code))
-            if hit is not None:
-                return hit
-            if ln > 15:
-                raise ValueError("VP8L: invalid prefix code stream")
+        entry = self.lut[br.peek(self.max_len)]
+        br.consume(entry & 0xF)
+        return entry >> 4
 
 
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
