@@ -178,3 +178,42 @@ def build_mp4_stub(w: int, h: int, duration_s: float, fps: float = 24.0,
     moov = _box(b"moov", mvhd + traks)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     return ftyp + moov + _box(b"mdat", b"")
+
+
+def heif_info(data: bytes) -> dict:
+    """AVIF/HEIC (ISO-BMFF image) metadata: brand + primary image
+    dimensions from the ``meta/iprp/ipco/ispe`` property box.  Payload
+    (AV1/HEVC intra) has no decoder here — probe-only, same contract as
+    :func:`parse_mp4`."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF blob")
+    brand = data[8:12].decode("latin1")
+    w = h = 0
+
+    def walk(pos, end):
+        nonlocal w, h
+        for typ, p, q in _iter_boxes(data, pos, end):
+            if typ == b"meta":
+                walk(p + 4, q)  # FullBox: skip version/flags
+            elif typ in (b"iprp", b"ipco"):
+                walk(p, q)
+            elif typ == b"ispe" and q - p >= 12:
+                iw, ih = struct.unpack(">II", data[p + 4:p + 12])
+                if w == 0:  # first ispe = primary item
+                    w, h = iw, ih
+
+    walk(0, len(data))
+    return {"brand": brand, "w": w, "h": h}
+
+
+def build_heif_stub(w: int, h: int, brand: bytes = b"avif") -> bytes:
+    """Minimal valid AVIF/HEIC metadata skeleton (ftyp + meta/iprp/ipco/
+    ispe), payload-free — exercises the probe without encoded media."""
+    ispe = _box(b"ispe", struct.pack(">I", 0) + struct.pack(">II", w, h))
+    ipco = _box(b"ipco", ispe)
+    iprp = _box(b"iprp", ipco)
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"pict"
+                + b"\x00" * 12 + b"stub\x00")
+    meta = _box(b"meta", struct.pack(">I", 0) + hdlr + iprp)
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    return ftyp + meta + _box(b"mdat", b"")

@@ -255,6 +255,18 @@ def probe_media(blob: bytes) -> dict:
                 "w": vid["w"] if vid else 0, "h": vid["h"] if vid else 0,
                 "duration_s": mi["duration_s"], "n_frames": 0,
                 "decodable": False}  # no VP8/VP9/AV1/Opus codec here
+    if len(blob) >= 12 and blob[4:8] == b"ftyp" \
+            and blob[8:12] in (b"avif", b"avis", b"heic", b"heix",
+                               b"mif1", b"msf1"):
+        from .mp4 import heif_info
+
+        hi = heif_info(blob)
+        return {"container": "heif",
+                "kind": "video" if hi["brand"] in ("avis", "msf1")
+                else "image",
+                "codec": hi["brand"], "w": hi["w"], "h": hi["h"],
+                "duration_s": 0.0, "n_frames": 0,
+                "decodable": False}  # no AV1/HEVC intra decoder here
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         from .mp4 import parse_mp4
 

@@ -620,3 +620,22 @@ def test_ogg_flac_probe_and_stage():
     # a vorbis stream still refuses loudly
     with pytest.raises(NotImplementedError):
         st._features(build_ogg_stub("vorbis", 2.0), "ogg")
+
+
+def test_heif_avif_probe():
+    from setsketch_ray.sources.mp4 import build_heif_stub, heif_info
+    from setsketch_ray.sources.video import probe_media
+
+    blob = build_heif_stub(1024, 768, b"avif")
+    hi = heif_info(blob)
+    assert (hi["brand"], hi["w"], hi["h"]) == ("avif", 1024, 768)
+    p = probe_media(blob)
+    assert (p["container"], p["kind"], p["codec"], p["w"], p["h"],
+            p["decodable"]) == ("heif", "image", "avif", 1024, 768, False)
+    p = probe_media(build_heif_stub(320, 200, b"heic"))
+    assert (p["codec"], p["w"]) == ("heic", 320)
+    # plain mp4 ftyp brands still take the movie path
+    from setsketch_ray.sources.mp4 import build_mp4_stub
+
+    m = probe_media(build_mp4_stub(640, 480, 5.0))
+    assert m["container"] == "mp4"
