@@ -2889,7 +2889,7 @@ def _q_media_probe(sf_dir: str):
         ids, blobs = [], []
         for i in batch["id"].to_pylist():
             h = int(mix2(np.uint64(i), 78))
-            kind = h % 4
+            kind = h % 5
             dur = round(1 + (h >> 8) % 200, 1)
             if kind == 0:
                 codec = ("vorbis", "opus", "theora")[(h >> 16) % 3]
@@ -2913,6 +2913,13 @@ def _q_media_probe(sf_dir: str):
                     channels=1 + (h >> 24) % 2,
                     with_id3=bool((h >> 28) % 2)))
                 ids.append(f"mp3{i:010d}")
+            elif kind == 3:
+                from setsketch_ray.sources.mp4 import build_heif_stub
+
+                blobs.append(build_heif_stub(
+                    256 + 16 * ((h >> 16) % 60), 256 + 16 * ((h >> 22) % 40),
+                    brand=(b"avif", b"heic")[(h >> 30) % 2]))
+                ids.append(f"hif{i:010d}")
             else:
                 from setsketch_ray.sources.webp import (
                     encode_webp_lossless,
