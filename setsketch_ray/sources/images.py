@@ -139,6 +139,18 @@ def _apply_variant(pixels: np.ndarray, variant: int, fmt_profile: str = "mixed")
             return np.roll(pixels, 1, axis=1), "jpg", 95
         return (np.clip(pixels.astype(np.int16) + 3, 0, 255).astype(np.uint8),
                 "jpg", 95)
+    if fmt_profile == "webp":
+        # every row real VP8L WebP (sources/webp.py): near-dup semantics
+        # identical to the mixed profile (webp lossless == png lossless,
+        # LJP1 stays the lossy re-encode edit)
+        if variant == 0:
+            return pixels, "webp", 0
+        if variant == 1:
+            return pixels, "ljpg", 95
+        if variant == 2:
+            return np.roll(pixels, 1, axis=1), "webp", 0
+        return (np.clip(pixels.astype(np.int16) + 3, 0, 255)
+                .astype(np.uint8), "webp", 0)
     if variant == 0:
         return pixels, "png", 0
     if variant == 1:

@@ -427,3 +427,26 @@ def test_webp_probe_media_dispatch():
     p = probe_media(encode_webp_lossless(img))
     assert (p["container"], p["codec"], p["w"], p["h"],
             p["decodable"]) == ("webp", "vp8l", 30, 20, True)
+
+
+def test_flagship_on_webp_corpus(ray_session):
+    """The near-dup flagship runs a WebP-majority corpus (fmt_profile=
+    'webp': 3/4 of rows real VP8L files) at full recall/precision through
+    the decode=True path."""
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import (DedupConfig,
+                                               evaluate_recall,
+                                               near_dup_pipeline)
+    from setsketch_ray.sources.images import generate_rows, truth_pairs
+
+    n = 600
+    t = generate_rows(range(n), fmt_profile="webp")
+    fmts = set(t["fmt"].to_pylist())
+    assert "webp" in fmts
+    ds = rd.from_arrow(t).repartition(4)
+    clustered, _, mapping = near_dup_pipeline(ds, DedupConfig(decode=True))
+    assert clustered.count() == n
+    rec = evaluate_recall(mapping, truth_pairs(n))
+    assert rec["recall"] >= 0.99, rec
+    assert rec["precision"] >= 0.95, rec
