@@ -313,84 +313,108 @@ def _decode_entropy_image(br: _BitReader, w: int, h: int,
 
 
 # ---------------------------------------------------------- transforms
-def _avg2(a, b):
-    return ((a.astype(np.uint16) + b.astype(np.uint16)) >> 1).astype(
-        np.uint8)
-
-
 def _apply_predictor_inverse(res: np.ndarray, w: int, h: int,
                              size_bits: int,
                              pred_img: np.ndarray) -> np.ndarray:
-    """Inverse predictor transform on (h*w,) uint32 residuals (in place
-    per pixel — inherently sequential, per spec)."""
-    out = res.copy()
+    """Inverse predictor transform on (h*w,) uint32 residuals (inherently
+    sequential per spec).  Plain-int channel arithmetic in a Python list —
+    every real-web lossless file takes this path, so no per-pixel numpy
+    allocations."""
+    out = res.astype(np.int64).tolist()
     bw = (w + (1 << size_bits) - 1) >> size_bits
+    modes = ((pred_img >> 8) & 0xFF).astype(np.int64).tolist()
 
-    def chans(v):
-        return np.array([(v >> 24) & 0xFF, (v >> 16) & 0xFF,
-                         (v >> 8) & 0xFF, v & 0xFF], np.int32)
-
-    def pack(c):
-        c = c & 0xFF
-        return (int(c[0]) << 24) | (int(c[1]) << 16) | (int(c[2]) << 8) \
-            | int(c[3])
-
-    def clamp(v):
-        return np.clip(v, 0, 255)
+    def unp(v):
+        return (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, \
+            v & 0xFF
 
     for pos in range(w * h):
-        x, y = pos % w, pos // w
+        x = pos % w
+        y = pos // w
         if x == 0 and y == 0:
-            pred = np.array([0xFF, 0, 0, 0], np.int32)
+            pa_, pr, pg, pb = 0xFF, 0, 0, 0
         elif y == 0:
-            pred = chans(out[pos - 1])           # L
+            pa_, pr, pg, pb = unp(out[pos - 1])           # L
         elif x == 0:
-            pred = chans(out[pos - w])           # T
+            pa_, pr, pg, pb = unp(out[pos - w])           # T
         else:
-            mode = int((pred_img[(y >> size_bits) * bw
-                                 + (x >> size_bits)] >> 8) & 0xFF)
-            left = chans(out[pos - 1])
-            top = chans(out[pos - w])
-            tl = chans(out[pos - w - 1])
-            tr = chans(out[pos - w + 1])  # wraps per flat-array semantics
+            mode = modes[(y >> size_bits) * bw + (x >> size_bits)]
+            la, lr, lg, lb = unp(out[pos - 1])
+            ta, tr_, tg, tb = unp(out[pos - w])
             if mode == 0:
-                pred = np.array([0xFF, 0, 0, 0], np.int32)
+                pa_, pr, pg, pb = 0xFF, 0, 0, 0
             elif mode == 1:
-                pred = left
+                pa_, pr, pg, pb = la, lr, lg, lb
             elif mode == 2:
-                pred = top
+                pa_, pr, pg, pb = ta, tr_, tg, tb
             elif mode == 3:
-                pred = tr
+                pa_, pr, pg, pb = unp(out[pos - w + 1])
             elif mode == 4:
-                pred = tl
+                pa_, pr, pg, pb = unp(out[pos - w - 1])
             elif mode == 5:
-                pred = _avg2(_avg2(left, tr), top).astype(np.int32)
+                ra, rr, rg, rb = unp(out[pos - w + 1])
+                pa_ = (((la + ra) >> 1) + ta) >> 1
+                pr = (((lr + rr) >> 1) + tr_) >> 1
+                pg = (((lg + rg) >> 1) + tg) >> 1
+                pb = (((lb + rb) >> 1) + tb) >> 1
             elif mode == 6:
-                pred = _avg2(left, tl).astype(np.int32)
+                ua, ur, ug, ub = unp(out[pos - w - 1])
+                pa_, pr, pg, pb = (la + ua) >> 1, (lr + ur) >> 1, \
+                    (lg + ug) >> 1, (lb + ub) >> 1
             elif mode == 7:
-                pred = _avg2(left, top).astype(np.int32)
+                pa_, pr, pg, pb = (la + ta) >> 1, (lr + tr_) >> 1, \
+                    (lg + tg) >> 1, (lb + tb) >> 1
             elif mode == 8:
-                pred = _avg2(tl, top).astype(np.int32)
+                ua, ur, ug, ub = unp(out[pos - w - 1])
+                pa_, pr, pg, pb = (ua + ta) >> 1, (ur + tr_) >> 1, \
+                    (ug + tg) >> 1, (ub + tb) >> 1
             elif mode == 9:
-                pred = _avg2(top, tr).astype(np.int32)
+                ra, rr, rg, rb = unp(out[pos - w + 1])
+                pa_, pr, pg, pb = (ta + ra) >> 1, (tr_ + rr) >> 1, \
+                    (tg + rg) >> 1, (tb + rb) >> 1
             elif mode == 10:
-                pred = _avg2(_avg2(left, tl), _avg2(top, tr)) \
-                    .astype(np.int32)
+                ua, ur, ug, ub = unp(out[pos - w - 1])
+                ra, rr, rg, rb = unp(out[pos - w + 1])
+                pa_ = (((la + ua) >> 1) + ((ta + ra) >> 1)) >> 1
+                pr = (((lr + ur) >> 1) + ((tr_ + rr) >> 1)) >> 1
+                pg = (((lg + ug) >> 1) + ((tg + rg) >> 1)) >> 1
+                pb = (((lb + ub) >> 1) + ((tb + rb) >> 1)) >> 1
             elif mode == 11:  # Select
-                p = left + top - tl
-                pl = np.abs(p - left).sum()
-                pt = np.abs(p - top).sum()
-                pred = left if pl <= pt else top
+                ua, ur, ug, ub = unp(out[pos - w - 1])
+                qa, qr, qg, qb = la + ta - ua, lr + tr_ - ur, \
+                    lg + tg - ug, lb + tb - ub
+                pl = abs(qa - la) + abs(qr - lr) + abs(qg - lg) \
+                    + abs(qb - lb)
+                pt = abs(qa - ta) + abs(qr - tr_) + abs(qg - tg) \
+                    + abs(qb - tb)
+                if pl <= pt:
+                    pa_, pr, pg, pb = la, lr, lg, lb
+                else:
+                    pa_, pr, pg, pb = ta, tr_, tg, tb
             elif mode == 12:  # ClampAddSubtractFull
-                pred = clamp(left + top - tl)
+                ua, ur, ug, ub = unp(out[pos - w - 1])
+                pa_ = min(255, max(0, la + ta - ua))
+                pr = min(255, max(0, lr + tr_ - ur))
+                pg = min(255, max(0, lg + tg - ug))
+                pb = min(255, max(0, lb + tb - ub))
             elif mode == 13:  # ClampAddSubtractHalf
-                ave = _avg2(left, top).astype(np.int32)
-                pred = clamp(ave + ((ave - tl) >> 1))
+                ua, ur, ug, ub = unp(out[pos - w - 1])
+                va = (la + ta) >> 1
+                vr = (lr + tr_) >> 1
+                vg = (lg + tg) >> 1
+                vb = (lb + tb) >> 1
+                pa_ = min(255, max(0, va + ((va - ua) >> 1)))
+                pr = min(255, max(0, vr + ((vr - ur) >> 1)))
+                pg = min(255, max(0, vg + ((vg - ug) >> 1)))
+                pb = min(255, max(0, vb + ((vb - ub) >> 1)))
             else:
                 raise ValueError(f"VP8L: predictor mode {mode}")
-        cur = chans(out[pos]) + pred
-        out[pos] = pack(cur)
-    return out
+        v = out[pos]
+        out[pos] = (((((v >> 24) & 0xFF) + pa_) & 0xFF) << 24) \
+            | (((((v >> 16) & 0xFF) + pr) & 0xFF) << 16) \
+            | (((((v >> 8) & 0xFF) + pg) & 0xFF) << 8) \
+            | (((v & 0xFF) + pb) & 0xFF)
+    return np.asarray(out, np.uint32)
 
 
 def _apply_color_inverse(res: np.ndarray, w: int, h: int, size_bits: int,
