@@ -7,8 +7,9 @@ worker-local RNG state (CLAUDE.md determinism rule).
 
 Videos: each clip is a smooth gradient scene with a bright square moving
 one step per frame (content the JPEG codec holds >= 40 dB on at q90),
-encoded as real MJPEG-in-AVI (``sources/video.py``) or, for ~1/4 of
-clips, as a posterized animated GIF (``sources/gif.py``).  Audio: 2-tone
+encoded as real MJPEG-in-AVI (``sources/video.py``), posterized animated
+GIF (``sources/gif.py``) or lossless animated WebP (``sources/webp.py``)
+— three real containers through the same dedup pipeline.  Audio: 2-tone
 signals stored across six real codecs — the four WAV codecs (PCM16 /
 G.711 mu-law / A-law / IMA ADPCM, ``sources/audio.py``), native FLAC
 (``sources/flac.py``) and FLAC-in-Ogg (``sources/containers.py``) — a
@@ -58,8 +59,9 @@ def video_frames(seed: int, idx: int, size: int = 32):
     Scenes are the images corpus's blocky-noise generator panned 3 px/frame
     (phash-separable across clips; cross-clip min Hamming >= ~14).  Planted
     near-dup variants per cluster: v0 original AVI q90, v1 lossy AVI q75
-    re-encode, v2 posterized animated GIF (container swap), v3 first-frame
-    trim.  Singletons mix ~1/4 GIF for container diversity."""
+    re-encode, v2 container swap (posterized animated GIF or LOSSLESS
+    animated WebP by base-key parity), v3 first-frame trim.  Singletons
+    mix ~1/4 GIF + ~1/4 animated WebP for container diversity."""
     from .images import _synth_pixels
 
     base_key, variant, cluster = _video_role(seed, idx)
@@ -70,11 +72,16 @@ def video_frames(seed: int, idx: int, size: int = 32):
     if variant == 1:
         return frames, fps, "avi75"
     if variant == 2:
-        return frames, fps, "gif"
+        # container swap: animated GIF or (lossless) animated WebP
+        return frames, fps, ("gif" if base_key & 1 else "awebp")
     if variant == 3:
         return frames[1:], fps, "avi"
-    if cluster < 0 and int(_u(seed, idx, 444)) % 4 == 0:
-        return frames, fps, "gif"
+    if cluster < 0:
+        mix = int(_u(seed, idx, 444)) % 4
+        if mix == 0:
+            return frames, fps, "gif"
+        if mix == 1:
+            return frames, fps, "awebp"
     return frames, fps, "avi"
 
 
@@ -86,6 +93,10 @@ def _encode_clip(frames, fps: float, fmt: str) -> tuple[bytes, str]:
         except NotImplementedError:  # > 256 colors: posterize harder
             post = [(f >> 5) << 5 for f in frames]
             return encode_gif(post, delays_s=[1.0 / fps] * len(post)), "gif"
+    if fmt == "awebp":
+        from .webp import encode_awebp
+
+        return encode_awebp(frames, [1.0 / fps] * len(frames)), "webp"
     q = 75 if fmt == "avi75" else 90
     return encode_avi_mjpeg(frames, fps=fps, quality=q), "avi"
 

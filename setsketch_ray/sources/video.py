@@ -227,9 +227,9 @@ def probe_media(blob: bytes) -> dict:
         wi = webp_info(blob)
         return {"container": "webp", "kind": wi["kind"],
                 "codec": wi["codec"], "w": wi["w"], "h": wi["h"],
-                "duration_s": 0.0, "n_frames": 0,
-                # VP8L decodes for real (sources/webp.py); lossy VP8 and
-                # animations have no codec here
+                "duration_s": wi["duration_s"], "n_frames": wi["n_frames"],
+                # VP8L stills AND full-canvas-VP8L animations decode for
+                # real (sources/webp.py); lossy VP8 payloads do not
                 "decodable": wi["decodable"]}
     if blob[:4] == b"OggS":
         from .containers import ogg_info

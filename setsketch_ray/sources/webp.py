@@ -731,7 +731,7 @@ def webp_info(data: bytes) -> dict:
     pos = 12
     info = {"container": "webp", "kind": "image", "codec": "",
             "w": 0, "h": 0, "animation": False, "alpha": False,
-            "decodable": False}
+            "decodable": False, "n_frames": 0, "duration_s": 0.0}
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -760,6 +760,108 @@ def webp_info(data: bytes) -> dict:
             info["codec"] = "vp8x"
             if info["animation"]:
                 info["kind"] = "video"
-            # keep walking: an inner VP8/VP8L chunk refines the codec
+            # keep walking: inner VP8/VP8L/ANMF chunks refine the probe
+        if tag == b"ANMF" and len(body) >= 16:
+            info["n_frames"] = info.get("n_frames", 0) + 1
+            info["duration_s"] = info.get("duration_s", 0.0) \
+                + int.from_bytes(body[12:15], "little") / 1000.0
+            # full-canvas VP8L frames decode for real here
+            if body[16:20] == b"VP8L":
+                info["codec"] = "vp8l"
+                info["decodable"] = True
         pos += 8 + size + (size & 1)
     return info
+
+
+# ------------------------------------------------------- animated WebP
+def encode_awebp(frames, durations_s) -> bytes:
+    """Animated WebP: VP8X(ANIM) + ANIM + one ANMF per FULL-CANVAS VP8L
+    lossless frame (no blending, dispose-to-none) — the animation shape
+    this engine can also decode.  ``durations_s`` per frame (ms
+    resolution per spec)."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("cannot encode an empty animation")
+    h, w, _ = frames[0].shape
+
+    def u24(v: int) -> bytes:
+        return struct.pack("<I", v)[:3]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+        return out
+
+    anmfs = []
+    for f, dur in zip(frames, durations_s):
+        if f.shape[:2] != (h, w):
+            raise ValueError("all animation frames must share the canvas")
+        riff = encode_webp_lossless(f)
+        vp8l = riff[12:]  # the VP8L chunk (fourcc + size + payload)
+        hdr = (u24(0) + u24(0) + u24(w - 1) + u24(h - 1)
+               + u24(max(1, round(dur * 1000)))
+               + bytes([0x02]))  # B=1 (no blend), D=0 (keep)
+        anmfs.append(chunk(b"ANMF", hdr + vp8l))
+    vp8x = chunk(b"VP8X", bytes([0x02]) + b"\x00" * 3
+                 + u24(w - 1) + u24(h - 1))
+    anim = chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
+    body = b"WEBP" + vp8x + anim + b"".join(anmfs)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_awebp(data: bytes):
+    """Walk ANMF chunks: returns (canvas_w, canvas_h, frames) with frames
+    = [(vp8l_chunk_bytes, duration_s, x, y, w, h)] — header walk only,
+    no pixel decode."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos = 12
+    cw = ch = 0
+    frames = []
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8X" and len(body) >= 10:
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+        elif tag == b"ANMF" and len(body) >= 16:
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little") / 1000.0
+            frames.append((body[16:], dur, fx, fy, fw, fh))
+        pos += 8 + size + (size & 1)
+    return cw, ch, frames
+
+
+def sample_awebp_frames(data: bytes, every_n_seconds: float = 1.0,
+                        max_frames: int | None = None):
+    """Sample animation frames along the duration timeline WITHOUT
+    decoding unsampled frames: each sampled frame's VP8L chunk is
+    re-wrapped as a standalone RIFF/WEBP blob (byte slice + 20-byte
+    header, no re-encode).  Only full-canvas VP8L frames are decodable
+    here; frames using lossy VP8 payloads raise at decode time."""
+    cw, ch, frames = parse_awebp(data)
+    if not frames:
+        raise ValueError("WebP container has no ANMF frames")
+    durs = np.array([f[1] for f in frames])
+    starts = np.concatenate([[0.0], np.cumsum(durs)[:-1]])
+    total = float(durs.sum())
+    targets = np.arange(0.0, max(total, 1e-9), max(every_n_seconds, 1e-9))
+    idxs = np.unique(np.searchsorted(starts, targets, side="right") - 1)
+    if max_frames is not None:
+        idxs = idxs[:max_frames]
+    blobs, ts = [], []
+    for i in idxs:
+        payload, dur, fx, fy, fw, fh = frames[i]
+        if not (fx == 0 and fy == 0 and fw == cw and fh == ch):
+            raise NotImplementedError(
+                "animated WebP with partial-canvas frames (compositing) "
+                "is not supported here")
+        body = b"WEBP" + payload
+        blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        ts.append(float(starts[i]))
+    return blobs, ts

@@ -162,6 +162,9 @@ class VideoFrameSampleStage:
       cost scales with frames *kept*, not clip length.
     * animated GIF (``sources/gif.py``): composited canvases sampled along
       the GCE delay timeline, re-encoded as standalone PNG blobs.
+    * animated WebP (``sources/webp.py``): full-canvas VP8L frames sampled
+      along the ANMF duration timeline as re-wrapped byte slices —
+      unsampled frames never decode.
 
     Output schema: ``frames: list<binary>`` (each element a standalone
     image blob downstream stages decode as jpg/png) and
@@ -183,6 +186,13 @@ class VideoFrameSampleStage:
             from ..sources.video import sample_frames
 
             return sample_frames(blob, self.every, self.max_frames)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+            # animated WebP with full-canvas VP8L frames: sampled frames
+            # are re-wrapped byte slices (no re-encode, unsampled frames
+            # never decode); lossy-VP8 animations raise at decode time
+            from ..sources.webp import sample_awebp_frames
+
+            return sample_awebp_frames(blob, self.every, self.max_frames)
         if blob[:4] == b"GIF8":
             # animated GIF (sources/gif.py): composited canvases sampled by
             # their GCE delay timeline, re-encoded as standalone PNG blobs

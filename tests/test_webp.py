@@ -450,3 +450,42 @@ def test_flagship_on_webp_corpus(ray_session):
     rec = evaluate_recall(mapping, truth_pairs(n))
     assert rec["recall"] >= 0.99, rec
     assert rec["precision"] >= 0.95, rec
+
+
+def test_animated_webp_sampling_and_stage(ray_session):
+    """Animated WebP (ANMF + full-canvas VP8L frames): duration-timeline
+    sampling without decoding unsampled frames, probe metadata, and the
+    VideoFrameSampleStage path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.sources.video import probe_media
+    from setsketch_ray.sources.webp import (
+        encode_awebp,
+        sample_awebp_frames,
+    )
+    from setsketch_ray.stages.image import VideoFrameSampleStage
+
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (12, 18, 3), dtype=np.uint8)
+              for _ in range(6)]
+    blob = encode_awebp(frames, [0.5] * 6)
+
+    p = probe_media(blob)
+    assert (p["container"], p["kind"], p["codec"], p["n_frames"],
+            p["decodable"]) == ("webp", "video", "vp8l", 6, True)
+    assert p["duration_s"] == pytest.approx(3.0)
+
+    blobs, ts = sample_awebp_frames(blob, every_n_seconds=1.0)
+    assert ts == [0.0, 1.0, 2.0]
+    for b, i in zip(blobs, (0, 2, 4)):
+        assert np.array_equal(decode_webp(b), frames[i])
+
+    t = pa.table({"video_id": ["v1"],
+                  "bytes": pa.array([blob], pa.binary()),
+                  "fmt": ["webp"]})
+    out = rd.from_arrow(t).map_batches(
+        VideoFrameSampleStage(every_n_seconds=1.0), concurrency=1,
+        batch_format="pyarrow").take_all()
+    assert out[0]["frame_ts"] == [0.0, 1.0, 2.0]
+    assert np.array_equal(decode_webp(out[0]["frames"][0]), frames[0])
