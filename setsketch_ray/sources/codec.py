@@ -18,7 +18,10 @@ No image libraries exist in this environment, so the codecs are our own:
 
 * ``webp`` — real WebP lossless (VP8L, ``sources/webp.py``): full decoder
   (all transforms, color cache, LZ77, meta prefix codes) + a minimal
-  all-literal encoder; lossy VP8 stays honestly stubbed.
+  all-literal encoder; lossy VP8 stays honestly stubbed;
+* ``tiff`` — baseline TIFF (``sources/tiff.py``): II/MM strip images,
+  none/LZW/PackBits compression, predictor 2, gray/RGB/palette; tiled,
+  16-bit and JPEG-in-TIFF stay loud NotImplementedError.
 
 :func:`decode_image` sniffs magic bytes ahead of the ``fmt`` tag and raises
 ``NotImplementedError`` for formats with no codec here (AVIF/HEIC/...),
@@ -321,6 +324,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .webp import decode_webp
 
         return decode_webp(data)  # VP8L real; VP8 lossy raises
+    if fmt in ("tif", "tiff") or data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(data)
     if fmt in ("jpg", "jpeg", "pjpg") or data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -362,6 +369,10 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         from .webp import encode_webp_lossless
 
         return encode_webp_lossless(pixels)
+    if fmt in ("tif", "tiff"):  # single-strip uncompressed, lossless
+        from .tiff import encode_tiff
+
+        return encode_tiff(pixels)
     raise NotImplementedError(f"format {fmt!r} not supported for encoding")
 
 
