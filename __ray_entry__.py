@@ -428,6 +428,36 @@ def _q_embedding_near_dup(sf_dir: str):
                      "cosine": pa.array([], pa.float64())})
 
 
+def _q_events_dow_hour(sf_dir: str):
+    """Day-of-week x hour activity heatmap over events: pure integer epoch
+    math (dow = (epoch_days + 4) % 7 with Sunday=0, matching DuckDB
+    dayofweek; hour = (epoch_us // 3600e6) % 24), combiner-style count +
+    integer-cent sums.  ORACLED exactly — every value is an integer on
+    both sides."""
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7
+        hr = (us // 3_600_000_000) % 24
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"dow": pa.array(dow, pa.int64()),
+                         "hr": pa.array(hr, pa.int64()),
+                         "vc": pa.array(cents, pa.int64())})
+
+    out = grouped_aggregate(ds.map_batches(keys, batch_format="pyarrow"),
+                            ["dow", "hr"],
+                            {"n_events": ("count", None),
+                             "sum_value_c": ("sum", "vc")})
+    order = pa.compute.sort_indices(out, sort_keys=[("dow", "ascending"),
+                                                    ("hr", "ascending")])
+    return out.take(order)
+
+
 def _q_events_hourly(sf_dir: str):
     """Tumbling-window (hourly) grouped aggregate over the events stream
     table — vectorized temporal floor + partial aggregation."""
@@ -3040,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": _q_cosine_pairs,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "events_hourly": _q_events_hourly,
+        "events_dow_hour": _q_events_dow_hour,
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "asof_last_order": _q_asof_last_order,
@@ -3182,6 +3213,13 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
             "WHERE (d.doc_id * 2654435761 % 4294967296) / 4294967296.0 "
             "< r.rate ORDER BY d.doc_id",
+        # pure-integer dow/hour keys; cents sums on both sides
+        "events_dow_hour":
+            "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+            "CAST(hour(ts) AS BIGINT) AS hr, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_c FROM events GROUP BY 1, 2 ORDER BY dow, hr",
         # equi-depth histogram: identical quantile_disc boundaries and
         # right-closed CASE bucketing; integer-cent sums on both sides
         "value_equidepth_histogram":
