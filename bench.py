@@ -362,12 +362,15 @@ def run_benchmarks() -> dict:
 
     sketch_micro["ghll_m4096_distributed"] = distributed_fold_eps
 
+    codec_micro = _codec_microbench()
+
     result = {
         "metric": "near-dup image pipeline wall-clock "
                   f"({BENCH_IMAGES} images, end-to-end incl. clustering)",
         "value": round(timings["near_dup_images"], 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "codec_decode_img_per_sec": codec_micro,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "profile": BENCH_PROFILE,
@@ -410,6 +413,35 @@ def _distributed_sketch_fold(n: int, num_cpus: int) -> float:
     est = SetSketchEstimator(62, 1 / 4096, 2.0, 4096,
                              card_range_correction=True)
     return float(est.estimate_cardinality_simple(merged)[0])
+
+
+def _codec_microbench(size: int = 64, reps: int = 20) -> dict:
+    """Single-core decode throughput (img/s at size x size random content)
+    for every real image codec in sources/ — the decode-dominated map
+    stage's kernel numbers."""
+    import numpy as np
+
+    from setsketch_ray.sources.codec import decode_image, encode_image
+    from setsketch_ray.sources.images import _synth_pixels
+
+    px = _synth_pixels(1234, size)
+    out = {}
+    for fmt in ("png", "jpg", "pjpg", "ljpg", "gif", "bmp", "webp",
+                "tiff"):
+        try:
+            if fmt == "gif":
+                blob = encode_image((px >> 6) << 6, fmt)  # <=256 colors
+            else:
+                blob = encode_image(px, fmt, 90)
+        except TypeError:
+            blob = encode_image(px, fmt)
+        decode_image(blob, fmt)  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            decode_image(blob, fmt)
+        out[fmt] = round(reps / (time.time() - t0), 1)
+    del np
+    return out
 
 
 def _sketch_microbench(n: int = 2_000_000) -> dict:
