@@ -201,3 +201,29 @@ def test_tiff_gated_variants_and_dispatch():
     bad = _build_tiff([g.tobytes()], 4, 4, 1, 1, 7)
     with pytest.raises(NotImplementedError):
         decode_tiff(bad)
+
+
+def test_tiff_property_sweep():
+    """Deterministic random sweep: dims x endian x compression x strip
+    layout all reconstruct exactly through independent forward encoders."""
+    rng = np.random.default_rng(21)
+    for trial in range(10):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        endian = "<" if trial % 2 else ">"
+        comp = (1, 5, 32773)[trial % 3]
+        rows_per_strip = int(rng.integers(1, h + 1))
+        strips = []
+        for y0 in range(0, h, rows_per_strip):
+            chunk = img[y0:y0 + rows_per_strip].tobytes()
+            if comp == 5:
+                strips.append(_lzw_encode_literals(chunk))
+            elif comp == 32773:
+                strips.append(_packbits_encode(chunk))
+            else:
+                strips.append(chunk)
+        blob = _build_tiff(strips, w, h, 3, 2, comp, endian=endian,
+                           rows_per_strip=rows_per_strip)
+        assert np.array_equal(decode_tiff(blob), img), \
+            (trial, h, w, comp, endian, rows_per_strip)
