@@ -2852,12 +2852,20 @@ def _q_wds_roundtrip(sf_dir: str):
     fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|wds16".encode()) \
         .hexdigest()[:12]
     root = f"/tmp/wds_shards_{fp}"
-    if not (os.path.isdir(root)
-            and any(n.endswith(".tar") for n in os.listdir(root))):
+    # cache validity = a _SUCCESS marker written AFTER the full shard set
+    # landed; a crash mid-write leaves a partial directory without it,
+    # which is wiped and rebuilt instead of being reused forever.
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
         write_wds_shards(ds, root, key_col="doc_id",
                          components={"text": "txt", "lang": "lang"},
                          num_shards=16, key_format="{:012d}")
+        with open(marker, "w") as fh:
+            fh.write("16 shards\n")
 
     def summarize(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -551,11 +551,14 @@ def build_ivfpq_index(ds, index_root: str, n_centroids: int = 64,
 
     centroids = kmeans_centroids(ds, n_centroids, n_iters, seed,
                                  id_col=id_col, emb_col=emb_col)
-    # deterministic training sample: bottom-hash rows per batch, cap total
+    # deterministic training sample: each block keeps its bottom-hash rows
+    # up to the FULL sample_cap (not a per-block share), so the driver's
+    # global bottom-sample_cap cut is a pure function of the id set —
+    # independent of block layout / parallelism (repo determinism rule).
     def pick(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = mix2(ids, seed + 77)
-        cap = max(1, sample_cap // 16)
+        cap = sample_cap
         sel = np.argpartition(h, cap - 1)[:cap] if len(h) > cap \
             else np.arange(len(h))
         return pa.table({"h": pa.array(h[sel], pa.uint64()),

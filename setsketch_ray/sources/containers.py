@@ -151,8 +151,17 @@ def decode_ogg_flac(data: bytes):
         raise ValueError("corrupt Ogg-FLAC mapping header")
     (nheaders,) = struct.unpack(">H", first[7:9])
     streaminfo = first[13 + 4:13 + 4 + 34]
+    body = packets[1 + nheaders:]
+    if nheaders == 0:
+        # nheaders==0 means "unknown header count" per the Ogg-FLAC
+        # mapping spec — skip leading metadata packets until one starts
+        # with the FLAC frame sync (0xFF 0xF8-0xFB).
+        body = packets[1:]
+        while body and not (len(body[0]) >= 2 and body[0][0] == 0xFF
+                            and 0xF8 <= body[0][1] <= 0xFB):
+            body = body[1:]
     native = (b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:]
-              + streaminfo + b"".join(packets[1 + nheaders:]))
+              + streaminfo + b"".join(body))
     return decode_flac(native)
 
 
@@ -373,15 +382,26 @@ def mp3_info(data: bytes) -> dict:
     dur = 0.0
     kbps_sum = 0
     rate = channels = layer = 0
+    synced = False
     while pos + 4 <= len(data):
         fr = _mp3_frame(data, pos)
         if fr is None:
             pos += 1  # resync
+            synced = False
             continue
         frame_len, samples, rate, kbps, layer, channels = fr
         if frame_len <= 0:
             pos += 1
+            synced = False
             continue
+        # standard MP3 sync heuristic: at stream start or after a resync,
+        # require the NEXT header to also parse before counting, so
+        # sync-shaped garbage (0xFF 0xEx) is not counted as audio.
+        if not synced and pos + frame_len + 4 <= len(data) \
+                and _mp3_frame(data, pos + frame_len) is None:
+            pos += 1
+            continue
+        synced = True
         n_frames += 1
         dur += samples / rate
         kbps_sum += kbps

@@ -639,3 +639,40 @@ def test_heif_avif_probe():
 
     m = probe_media(build_mp4_stub(640, 480, 5.0))
     assert m["container"] == "mp4"
+
+
+def test_ogg_flac_nheaders_zero_decodes():
+    """The Ogg-FLAC mapping allows nheaders == 0 ('unknown'); the decoder
+    must then skip leading metadata packets by scanning for the FLAC frame
+    sync instead of trusting the count (ADVICE r3)."""
+    import numpy as np
+
+    from setsketch_ray.sources.containers import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+    )
+
+    sig = (1000 * np.sin(2 * np.pi * 440 * np.arange(4800) / 48000)) \
+        .astype(np.int16).reshape(-1, 1)
+    blob = bytearray(encode_ogg_flac(sig, 48000))
+    # first page: 27-byte header + 1 lacing byte, mapping packet follows;
+    # nheaders is big-endian at packet offset 7 (encoder writes 1)
+    assert blob[28 + 7:28 + 9] == b"\x00\x01"
+    blob[28 + 7:28 + 9] = b"\x00\x00"
+    pcm, rate, bps = decode_ogg_flac(bytes(blob))
+    assert (rate, bps) == (48000, 16)
+    assert np.array_equal(pcm, sig.astype(np.int32))
+
+
+def test_mp3_info_rejects_sync_shaped_garbage():
+    """A lone sync-shaped header with no valid consecutive frame must not
+    count as audio (two-frame sync heuristic, ADVICE r3) — and real frames
+    after garbage still count exactly."""
+    from setsketch_ray.sources.containers import build_mp3_stub, mp3_info
+
+    with pytest.raises(ValueError):
+        mp3_info(b"\xff\xfb\x10\x00" + b"\x00" * 200)
+
+    blob = build_mp3_stub(2.0)
+    noisy = b"\xff\xfb\x10\x00" + b"\x00" * 50 + blob
+    assert mp3_info(noisy)["n_frames"] == mp3_info(blob)["n_frames"]
