@@ -898,9 +898,115 @@ def _verify_cosine_hash(ds, cands, id_col: str, emb_col: str,
 
 
 # ------------------------------------------------------------ semantic dedup
-def semantic_dedup(ds, n_centroids: int = 16, threshold: float = 0.85,
-                   id_col: str = "vec_id", emb_col: str = "embedding",
-                   n_iters: int = 4, seed: int = 11):
+def _unpack_f32_rows(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """(n, d) float64 matrix from a binary column of packed ``<f4`` rows —
+    Arrow offsets + one ``frombuffer``, no Python list round trip (all rows
+    same width by construction)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0))
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    row_bytes = offs[1] - offs[0]
+    flat = data[offs[0]:offs[-1]].view("<f4")
+    return flat.reshape(n, row_bytes // 4).astype(np.float64)
+
+
+def _argmax_dot(m: np.ndarray, c: np.ndarray, chunk: int = 8192):
+    """Row-wise ``argmax(m @ c.T)`` chunked over the ``c`` rows so the
+    score matrix never exceeds ``len(m) * chunk`` floats (``c`` may hold
+    tens of thousands of centroids at scale)."""
+    best = np.full(len(m), -np.inf)
+    arg = np.zeros(len(m), np.int64)
+    for s in range(0, len(c), chunk):
+        scores = m @ c[s:s + chunk].T
+        j = np.argmax(scores, axis=1)
+        v = scores[np.arange(len(m)), j]
+        upd = v > best
+        best[upd] = v[upd]
+        arg[upd] = j[upd] + s
+    return arg
+
+
+def _local_kmeans_cos(rows: np.ndarray, k: int, iters: int = 4) -> np.ndarray:
+    """Deterministic driver-side Lloyd over L2-normalized rows (cosine
+    assignment): init = the first ``k`` rows of the given order (callers
+    pass rows sorted by counter-hash, so init is a pure function of the
+    id set).  Returns (k, d) normalized centroids."""
+    rn = rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True),
+                           1e-30)
+    cents = rn[:k].copy()
+    for _ in range(iters):
+        assign = _argmax_dot(rn, cents)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, rn)
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        cents = np.where(nz[:, None], sums / np.maximum(counts, 1)[:, None],
+                         cents)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-30)
+    return cents
+
+
+def _greedy_prune(ids: np.ndarray, mn: np.ndarray, threshold: float,
+                  chunk: int = 1024):
+    """Ascending-id greedy near-dup prune with chunked matmuls: each chunk
+    scores against the already-kept set in ONE matmul plus one intra-chunk
+    matmul, and the per-row step only slices the precomputed score rows
+    (no per-row BLAS call).  Tie rule matches the scalar reference: the
+    EARLIEST-kept member at the max cosine wins.  Returns (kept mask,
+    dup_of array)."""
+    k = len(ids)
+    order = np.argsort(ids, kind="stable")
+    kept_mask = np.zeros(k, bool)
+    dup_of = np.full(k, -1, np.int64)
+    kept_rows = np.empty((k, mn.shape[1]))
+    kept_ids = np.empty(k, np.int64)
+    nk = 0
+    for s in range(0, k, chunk):
+        idx = order[s:s + chunk]
+        c = mn[idx]
+        base_nk = nk
+        if base_nk:
+            prev = c @ kept_rows[:base_nk].T
+            pj = np.argmax(prev, axis=1)
+            pm = prev[np.arange(len(idx)), pj]
+        intra = c @ c.T
+        kept_local = np.empty(len(idx), np.int64)
+        for r in range(len(idx)):
+            i = idx[r]
+            n_intra = nk - base_nk
+            bm, bid = -np.inf, -1
+            if base_nk:
+                bm, bid = pm[r], kept_ids[pj[r]]
+            if n_intra:
+                sims = intra[r, kept_local[:n_intra]]
+                j = int(np.argmax(sims))
+                # prev-kept wins ties: it was inserted earlier
+                if sims[j] > bm:
+                    bm, bid = sims[j], kept_ids[base_nk + j]
+            if bm >= threshold:
+                dup_of[i] = bid
+                continue
+            kept_rows[nk] = mn[i]
+            kept_ids[nk] = ids[i]
+            kept_local[nk - base_nk] = r
+            kept_mask[i] = True
+            nk += 1
+    return kept_mask, dup_of
+
+
+def semantic_dedup(ds, n_centroids: int | None = None,
+                   threshold: float = 0.85, id_col: str = "vec_id",
+                   emb_col: str = "embedding", n_iters: int = 4,
+                   seed: int = 11, target_cluster_size: int = 2048,
+                   max_cluster_size: int = 8192, sub_sample: int = 512,
+                   max_subclusters: int = 256, prune_chunk: int = 1024,
+                   emit_group: bool = False):
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540 — semantics only): k-means cluster the embedding
     space, then greedily prune near-duplicates WITHIN each cluster —
@@ -909,20 +1015,44 @@ def semantic_dedup(ds, n_centroids: int = 16, threshold: float = 0.85,
     of scope by design (that is the SemDeDup trade: the clustering bounds
     the pairwise work to sum(cluster_size^2) instead of N^2).
 
-    100 TB shape: centroids come from the existing broadcast-Lloyd
-    :func:`~setsketch_ray.functions.knn.kmeans_centroids` (no shuffle);
-    vectors then make exactly ONE exchange — (cluster, id, packed-f32
-    vector) through groupby(cluster) — and the per-cluster prune is a
-    vectorized greedy matmul inside ``map_groups``.  Cluster skew bounds
-    the group size; pick n_centroids ~ N / desired_cluster_size.
+    100 TB shape (this is the scale-safe r4 design):
+
+    * ``n_centroids=None`` auto-scales to ``clip(ceil(N /
+      target_cluster_size), 16, 65536)`` — SemDeDup itself runs ~1e5
+      clusters; a fixed small default would make each ``map_groups`` group
+      N/16 rows at scale.
+    * an exact per-cluster COUNT pass (driver combine of per-batch
+      bincount partials, n_centroids ints) finds clusters above
+      ``max_cluster_size``; each is SPLIT by a second, similarity-based
+      level of k-means — sub-centroids trained driver-side on a
+      deterministic bottom-hash sample (``sub_sample`` rows/cluster) and
+      broadcast — so near-identical vectors still co-locate.  Sub-clusters
+      whose ESTIMATED size (sample proportion x exact count) still
+      exceeds the bound get a deterministic hash-salt cap as a last
+      resort: a monster degenerate cluster is pruned within salt parts
+      only (bounded memory beats unbounded exactness at 100 TB; the
+      missed pairs are within-subcluster across salt parts of a single
+      pathological cluster).
+    * vectors make exactly ONE exchange — (id, cluster, group, packed-f32
+      vector) through ``groupby(group)`` — and the per-group prune is the
+      chunked-matmul greedy :func:`_greedy_prune` (no per-row BLAS calls,
+      no Python list unpack).
 
     Returns a Dataset of (id_col, cluster, kept, dup_of): ``dup_of`` is
-    the kept representative (max-cosine, first-wins on ties) for dropped
-    rows, -1 for kept rows.
+    the kept representative (max-cosine, earliest-kept-wins on ties) for
+    dropped rows, -1 for kept rows; ``cluster`` is the level-1 k-means
+    cluster.
     """
+    import math
+
     from .knn import _embedding_matrix, kmeans_centroids
 
     import ray
+
+    if n_centroids is None:
+        n_total = ds.count()
+        n_centroids = int(np.clip(
+            math.ceil(n_total / max(1, target_cluster_size)), 16, 65536))
 
     cents = kmeans_centroids(ds, n_centroids, n_iters, seed=seed,
                              id_col=id_col, emb_col=emb_col)
@@ -930,15 +1060,122 @@ def semantic_dedup(ds, n_centroids: int = 16, threshold: float = 0.85,
                             1e-30)
     cref = ray.put(np.ascontiguousarray(cn))
 
+    def _norm_rows(t: pa.Table) -> np.ndarray:
+        m = _embedding_matrix(t[emb_col])
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                              1e-30)
+
+    # --- pass A: exact level-1 cluster sizes (bincount partials)
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cluster = _argmax_dot(_norm_rows(t), ray.get(cref))
+        uniq, cnt = np.unique(cluster, return_counts=True)
+        return pa.table({"cluster": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    counts = np.zeros(n_centroids, np.int64)
+    for b in ds.map_batches(count_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        np.add.at(counts, b["cluster"].to_numpy(), b["n"].to_numpy())
+    oversized = set(np.nonzero(counts > max_cluster_size)[0].tolist())
+
+    # --- pass B (only when needed): sample oversized clusters, train
+    # sub-centroids driver-side, estimate salt factors
+    sub_info = {}
+    if oversized:
+        over_arr = np.array(sorted(oversized), np.int64)
+        oref = ray.put(over_arr)
+
+        def sample_partial(t: pa.Table) -> pa.Table:
+            empty = pa.table({"cluster": pa.array([], pa.int64()),
+                              "h": pa.array([], pa.uint64()),
+                              "__vec": pa.array([], pa.binary())})
+            if t.num_rows == 0:
+                return empty
+            mn = _norm_rows(t)
+            cluster = _argmax_dot(mn, ray.get(cref))
+            over = ray.get(oref)
+            sel_mask = np.isin(cluster, over)
+            if not sel_mask.any():
+                return empty
+            ids = t[id_col].to_numpy(zero_copy_only=False)[sel_mask] \
+                .astype(np.uint64)
+            h = mix2(ids, 177 + seed)
+            cl, mn = cluster[sel_mask], mn[sel_mask]
+            # per (cluster) bottom-sub_sample within the block: each block
+            # carries up to the FULL per-cluster sample so the driver's
+            # global cut is a pure function of the id set
+            keep = np.zeros(len(h), bool)
+            order = np.lexsort((h, cl))
+            cl_o = cl[order]
+            start = np.r_[0, np.nonzero(np.diff(cl_o))[0] + 1]
+            rank = np.arange(len(cl_o)) - np.repeat(
+                start, np.diff(np.r_[start, len(cl_o)]))
+            keep[order[rank < sub_sample]] = True
+            mk = mn[keep].astype("<f4")
+            row_bytes = 4 * mk.shape[1]
+            offs = np.arange(0, (len(mk) + 1) * row_bytes, row_bytes,
+                             dtype=np.int32)
+            vec = pa.BinaryArray.from_buffers(
+                pa.binary(), len(mk),
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(mk.tobytes())])
+            return pa.table({"cluster": pa.array(cl[keep], pa.int64()),
+                             "h": pa.array(h[keep], pa.uint64()),
+                             "__vec": vec})
+
+        parts = pa.concat_tables(list(
+            ds.map_batches(sample_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        pcl = parts["cluster"].to_numpy()
+        ph = parts["h"].to_numpy()
+        pvec = _unpack_f32_rows(parts["__vec"])
+        for c in sorted(oversized):
+            m = pcl == c
+            hs, rows = ph[m], pvec[m]
+            order = np.argsort(hs, kind="stable")[:sub_sample]
+            rows = rows[order]
+            nsub = int(min(max_subclusters,
+                           math.ceil(counts[c] / max_cluster_size),
+                           len(rows)))
+            nsub = max(1, nsub)
+            subcents = _local_kmeans_cos(rows, nsub)
+            sub_assign = _argmax_dot(rows, subcents)
+            est = np.bincount(sub_assign, minlength=nsub) \
+                / max(1, len(rows)) * counts[c]
+            # salt occupies 12 bits of the packed group key
+            factors = np.clip(
+                np.ceil(est * 1.25 / max_cluster_size), 1, 4095) \
+                .astype(np.int64)
+            sub_info[int(c)] = (subcents.astype(np.float64), factors)
+    sref = ray.put(sub_info)
+
+    # --- final pass: (id, cluster, group, packed vector) -> ONE exchange
     def assign(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # empty blocks keep a stable schema
+        if t.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cluster": pa.array([], pa.int32()),
+                             "group": pa.array([], pa.int64()),
                              "__vec": pa.array([], pa.binary())})
-        c = ray.get(cref)
         m = _embedding_matrix(t[emb_col])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        cluster = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+        cluster = _argmax_dot(mn, ray.get(cref))
+        group = cluster.astype(np.int64)
+        sub = ray.get(sref)
+        if sub:
+            ids_u = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            for c, (subcents, factors) in sub.items():
+                rows = np.nonzero(cluster == c)[0]
+                if len(rows) == 0:
+                    continue
+                sa = _argmax_dot(mn[rows], subcents)
+                salt = (mix2(ids_u[rows], 999 + seed)
+                        % factors[sa].astype(np.uint64)).astype(np.int64)
+                group[rows] = ((np.int64(c) + 1) << np.int64(32)) \
+                    | (sa << np.int64(12)) | salt
         packed = m.astype("<f4").tobytes()
         row_bytes = 4 * m.shape[1]
         offs = np.arange(0, (len(m) + 1) * row_bytes, row_bytes,
@@ -946,37 +1183,24 @@ def semantic_dedup(ds, n_centroids: int = 16, threshold: float = 0.85,
         vec = pa.BinaryArray.from_buffers(
             pa.binary(), len(m),
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(packed)])
-        return pa.table({id_col: t[id_col], "cluster": pa.array(cluster),
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(cluster.astype(np.int32)),
+                         "group": pa.array(group, pa.int64()),
                          "__vec": vec})
 
     def prune(t: pa.Table) -> pa.Table:
-        k = t.num_rows
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        raw = b"".join(t["__vec"].to_pylist())
-        m = np.frombuffer(raw, "<f4").astype(np.float64).reshape(k, -1)
+        m = _unpack_f32_rows(t["__vec"])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        order = np.argsort(ids, kind="stable")
-        kept = np.zeros(k, bool)
-        dup_of = np.full(k, -1, np.int64)
-        kept_rows = np.empty((k, m.shape[1]))
-        kept_ids = np.empty(k, np.int64)
-        nk = 0
-        for i in order:
-            if nk:
-                sims = kept_rows[:nk] @ mn[i]
-                j = int(np.argmax(sims))
-                if sims[j] >= threshold:
-                    dup_of[i] = kept_ids[j]
-                    continue
-            kept_rows[nk] = mn[i]
-            kept_ids[nk] = ids[i]
-            kept[i] = True
-            nk += 1
-        return pa.table({
+        kept, dup_of = _greedy_prune(ids, mn, threshold, prune_chunk)
+        cols = {
             id_col: pa.array(ids, pa.int64()),
             "cluster": t["cluster"],
             "kept": pa.array(kept),
-            "dup_of": pa.array(dup_of, pa.int64())})
+            "dup_of": pa.array(dup_of, pa.int64())}
+        if emit_group:  # observability: the final (possibly split) key
+            cols["group"] = t["group"]
+        return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow") \
-        .groupby("cluster").map_groups(prune, batch_format="pyarrow")
+        .groupby("group").map_groups(prune, batch_format="pyarrow")

@@ -195,14 +195,26 @@ def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
         def partial(t: pa.Table) -> pa.Table:
             c = ray.get(cref)
             emb = _embedding_matrix(t[emb_col])
-            assign = np.argmax(emb @ c.T, axis=1)
+            # chunk over centroids so the score matrix stays bounded even
+            # at auto-scaled n_centroids (tens of thousands at 100 TB)
+            assign = np.full(len(emb), 0, np.int64)
+            best = np.full(len(emb), -np.inf)
+            for s in range(0, len(c), 8192):
+                scores = emb @ c[s:s + 8192].T
+                j = np.argmax(scores, axis=1)
+                v = scores[np.arange(len(emb)), j]
+                upd = v > best
+                best[upd] = v[upd]
+                assign[upd] = j[upd] + s
             sums = np.zeros_like(c)
             np.add.at(sums, assign, emb)
             counts = np.bincount(assign, minlength=len(c))
+            nz = np.nonzero(counts)[0]  # emit only touched centroids
             return pa.table({
-                "centroid": pa.array(np.arange(len(c)), pa.int64()),
-                "count": pa.array(counts, pa.int64()),
-                "sum": pa.array([row.tobytes() for row in sums], pa.binary()),
+                "centroid": pa.array(nz, pa.int64()),
+                "count": pa.array(counts[nz], pa.int64()),
+                "sum": pa.array([row.tobytes() for row in sums[nz]],
+                                pa.binary()),
             })
 
         sums = np.zeros_like(centroids)
@@ -211,8 +223,13 @@ def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
                 .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             idx = b["centroid"].to_numpy()
             np.add.at(counts, idx, b["count"].to_numpy())
-            block = np.stack([np.frombuffer(r, dtype=centroids.dtype)
-                              for r in b["sum"].to_pylist()])
+            sb = b["sum"]
+            sb = sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb
+            offs = np.frombuffer(sb.buffers()[1], np.int32)[
+                sb.offset:sb.offset + len(sb) + 1]
+            raw = np.frombuffer(sb.buffers()[2], np.uint8)
+            block = raw[offs[0]:offs[-1]].view(centroids.dtype) \
+                .reshape(len(sb), -1)
             np.add.at(sums, idx, block)
         nonzero = counts > 0
         centroids = np.where(nonzero[:, None],

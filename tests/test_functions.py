@@ -2142,3 +2142,138 @@ def test_approx_quantiles_by_group(rd):
     again = approx_quantiles_by(ds, "g", "v", [0.1, 0.5, 0.9]) \
         .sort(["g", "phi"]).take_all()
     assert again == out
+
+
+def test_semantic_dedup_matches_naive_greedy(rd):
+    """Single-cluster semantic_dedup == a naive per-row greedy reference
+    (the chunked-matmul prune is an implementation of the same rule)."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((120, 16))
+    # densify similarity: mix rows toward a handful of shared directions
+    basis = rng.standard_normal((5, 16))
+    for i in range(120):
+        vecs[i] = 0.4 * vecs[i] + basis[i % 5]
+    ids = rng.permutation(120 * 3)[:120].astype(np.int64)
+    emb = pa.array([list(map(float, v)) for v in vecs],
+                   pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                                 "embedding": emb}))
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, n_centroids=1, threshold=0.9, prune_chunk=16)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    got = {v: (k, d) for v, k, d in zip(out["vec_id"].to_pylist(),
+                                        out["kept"].to_pylist(),
+                                        out["dup_of"].to_pylist())}
+
+    # naive reference: ascending-id greedy, f32-packed then normalized
+    # (the pipeline packs vectors <f4 through the exchange)
+    m = np.asarray([list(map(np.float32, v)) for v in vecs], np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids, kind="stable")
+    kept_rows, kept_ids = [], []
+    want = {}
+    for i in order:
+        if kept_rows:
+            sims = np.asarray(kept_rows) @ mn[i]
+            j = int(np.argmax(sims))
+            if sims[j] >= 0.9:
+                want[int(ids[i])] = (False, int(kept_ids[j]))
+                continue
+        kept_rows.append(mn[i])
+        kept_ids.append(int(ids[i]))
+        want[int(ids[i])] = (True, -1)
+    assert got == want
+
+
+def test_semantic_dedup_split_oversized(rd):
+    """Clusters above max_cluster_size get similarity-SPLIT (second-level
+    k-means) before the per-group prune.  Partition-independent invariants
+    must hold: no false merges across directions, every octet minimum
+    kept, dedup quality stays near the unsplit run, fully deterministic —
+    and the split path provably engages (output differs from the
+    effectively-unsplit run)."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 24))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    nid = 0
+    for i in range(40):
+        for rep in range(8):
+            vecs.append(base[i] + 0.01 * rng.standard_normal(24))
+            ids.append(nid)
+            nid += 1
+    emb = pa.array([list(map(float, v)) for v in vecs],
+                   pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                                 "embedding": emb}))
+
+    def run(mcs):
+        return pa.concat_tables(list(
+            semantic_dedup(ds, n_centroids=4, threshold=0.95,
+                           max_cluster_size=mcs, sub_sample=64,
+                           emit_group=True)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20))) \
+            .sort_by("vec_id")
+
+    out = run(32)
+    assert out.num_rows == 320
+    kept = np.asarray(out["kept"].to_pylist())
+    dup_of = np.asarray(out["dup_of"].to_pylist())
+    vid = np.asarray(out["vec_id"].to_pylist())
+    # (1) no false merges: a dropped row only ever lands on its own
+    # direction's octet (cross-direction cosine << 0.95)
+    dropped = ~kept
+    assert (dup_of[dropped] // 8 == vid[dropped] // 8).all()
+    assert (dup_of[dropped] < vid[dropped]).all()
+    # (2) each direction's minimum id is always kept
+    assert kept[::8].all()
+    # (3) boundary splits may keep a few extra reps, but dedup quality
+    # stays: >= 75% of the 280 planted dups drop
+    assert 40 <= kept.sum() <= 80
+    # (4) deterministic end to end
+    assert run(32).equals(out)
+    # (5) the split path really engaged AND bounded the groups: every
+    # final group (emit_group) is a split key with a bounded member count,
+    # while the effectively-unsplit run keeps whole oversized clusters
+    groups = np.asarray(out["group"].to_pylist())
+    _, gcounts = np.unique(groups, return_counts=True)
+    assert gcounts.max() <= 2 * 32  # salt estimate tolerance
+    un = run(1 << 30)
+    _, ucounts = np.unique(np.asarray(un["group"].to_pylist()),
+                           return_counts=True)
+    assert ucounts.max() > 32
+    assert np.asarray(un["kept"].to_pylist()).sum() <= kept.sum()
+
+
+def test_semantic_dedup_auto_centroids(rd):
+    """n_centroids=None auto-scales with the corpus size (small corpus ->
+    floor of 16) and keeps the planted-pair semantics: bases always
+    survive, dropped copies land on their base, most pairs dedup (a pair
+    straddling a k-means cluster boundary is legitimately missed —
+    the SemDeDup trade)."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 24))
+    rows = [(2 * i + j, base[i] + j * 0.02 * rng.standard_normal(24))
+            for i in range(20) for j in (0, 1)]
+    emb = pa.array([list(map(float, v)) for _, v in rows],
+                   pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "embedding": emb}))
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, threshold=0.95)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    kept = dict(zip(out["vec_id"].to_pylist(), out["kept"].to_pylist()))
+    dup = dict(zip(out["vec_id"].to_pylist(), out["dup_of"].to_pylist()))
+    assert all(kept[2 * i] for i in range(20))
+    n_dropped = sum(1 for i in range(20) if not kept[2 * i + 1])
+    assert n_dropped >= 15  # boundary-straddling pairs may survive
+    for i in range(20):
+        if not kept[2 * i + 1]:
+            assert dup[2 * i + 1] == 2 * i
