@@ -187,7 +187,10 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
         [m.shingle_col for m in mods]  # empty dataset: assume full schema
     payload_cols = [id_col] + [m.shingle_col for m in mods
                                if m.shingle_col in schema_names]
-    if carry_regs:
+    if carry_regs and cfg.join_strategy != "broadcast":
+        # hash path attaches registers with the shingle payload; the
+        # broadcast path broadcasts them as a separate register pool and
+        # scores fused (VerifyPairsMLFromPool) — no per-pair regs copies
         payload_cols += ["regs", "cardinality"]
     payload = ds.select_columns(payload_cols)
 
@@ -235,24 +238,35 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
         payload_tbl = pa.concat_tables(payload_batches)
         lookup_ref = ray.put(payload_tbl)
 
-        if not carry_regs:
-            # FUSED attach+verify: candidates outnumber rows ~20x at web
-            # scale, so materializing two payload copies per pair dominated
-            # the whole pipeline; the fused stage gathers shingle elements
-            # straight from the broadcast pool (stages/lsh.py)
-            from ..stages.lsh import VerifyPairsAgainstPayload
+        # FUSED attach+verify: candidates outnumber rows ~20x at web
+        # scale, so materializing two payload copies per pair dominated
+        # the whole pipeline; the fused stage gathers shingle elements
+        # straight from the broadcast pool (stages/lsh.py)
+        from ..stages.lsh import VerifyPairsAgainstPayload
 
-            return pairs.map_batches(
-                VerifyPairsAgainstPayload(lookup_ref, mods, id_col),
-                batch_format="pyarrow", batch_size=16384)
+        pairs = pairs.map_batches(
+            VerifyPairsAgainstPayload(lookup_ref, mods, id_col),
+            batch_format="pyarrow", batch_size=16384)
+        if carry_regs:
+            # joint-ML precision stage fused against a broadcast REGISTER
+            # pool — scores only score>=1 pairs (r4; was an attach path
+            # that re-materialized two m-byte register copies per pair and
+            # cost ~2.4x the whole exact pipeline at 200k)
+            from ..stages.lsh import VerifyPairsMLFromPool
 
-        def attach(batch: pa.Table) -> pa.Table:
-            # stateless TASKS (no actor-pool startup latency); the id index
-            # is built once per worker process and cached by object ref
-            return _attach_payload(batch, lookup_ref, id_col)
-
-        pairs = pairs.map_batches(attach, batch_format="pyarrow",
-                                  batch_size=16384)
+            regs_batches = list(
+                ds.select_columns([id_col, "regs", "cardinality"])
+                .iter_batches(batch_format="pyarrow", batch_size=262144))
+            if not regs_batches:  # empty input corpus
+                regs_batches = [pa.table(
+                    {id_col: pa.array([], pa.string()),
+                     "regs": pa.array([], pa.binary()),
+                     "cardinality": pa.array([], pa.float64())})]
+            regs_ref = ray.put(pa.concat_tables(regs_batches))
+            pairs = pairs.map_batches(
+                VerifyPairsMLFromPool(regs_ref, cfg.sketch, id_col),
+                batch_format="pyarrow", batch_size=8192)
+        return pairs
     else:
         from ..functions.relational import lookup_join
 

@@ -485,6 +485,220 @@ class SetSketchEstimator:
             result.intersection[fb] = sub.intersection
         return result
 
+    # ------------------------------------------- vectorized joint ML (r4)
+    # SURVEY §7.4's plan: evaluate the likelihood over a per-pair Jaccard
+    # grid across the WHOLE pair batch, then a vectorized golden-section
+    # refine — no per-pair Python/Brent calls.  The scalar
+    # ``estimate_joint_new`` path above stays as the tolerance oracle
+    # (``tests/test_estimators.py`` asserts agreement).
+
+    def _nll_plain_vec(self, j, less, greater, eq, card1, card2):
+        """Vectorized ``_joint_new_one`` negative log likelihood; ``j`` is
+        (n, G), per-pair scalars are (n, 1).  Invalid points -> +inf."""
+        z = (1.0 - self.base_inverse) / (card1 + card2)
+        ilb = self.inv_log_base
+        need1 = (eq > 0) | (greater > 0)
+        need2 = (eq > 0) | (less > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            l1 = np.where(need1, ilb * np.log1p((card2 * j - card1) * z), 0.0)
+            l2 = np.where(need2, ilb * np.log1p((card1 * j - card2) * z), 0.0)
+            ret = np.zeros_like(j)
+            ret = ret + np.where(eq > 0, eq * np.log1p(l1 + l2), 0.0)
+            ret = ret + np.where(greater > 0, greater * np.log(-l1), 0.0)
+            ret = ret + np.where(less > 0, less * np.log(-l2), 0.0)
+        nll = -ret
+        nll[~np.isfinite(nll)] = np.inf
+        return nll
+
+    def _mu_vec(self, x, y):
+        """Vectorized ``_mu`` series (``sketch.hpp:537-576``): the two
+        convergence loops run on a progressively COMPRESSED active subset
+        (each element stops exactly where the scalar loop stops — float
+        convergence of its partial sum — and drops out of the working
+        arrays, so late iterations only touch the stragglers)."""
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        shape = np.broadcast(x, y).shape
+        xb = np.broadcast_to(x, shape).ravel()
+        yb = np.broadcast_to(y, shape).ravel()
+        swapped = xb > yb
+        xl = np.where(swapped, yb, xb)
+        yl = np.where(swapped, xb, yb)
+        res = np.zeros(xl.size)
+        neq = np.nonzero(xl != yl)[0]
+        if neq.size:
+            xs, ys = xl[neq], yl[neq]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                zz = np.log(np.log(xs / ys) / (xs - ys)) * self.inv_log_base
+            k_mid = np.where(xs > 0, np.floor(np.maximum(0.0, zz)), 0.0)
+            k_mid = np.nan_to_num(k_mid, nan=0.0)
+            pow_mid = self.base_inverse ** k_mid
+            acc = np.zeros(neq.size)
+
+            def run(p0, step, k0=None):
+                idx = np.arange(neq.size)
+                cx, cy, p = xs.copy(), ys.copy(), p0.copy()
+                k = k0.copy() if k0 is not None else None
+                if k is not None:
+                    keep = k > 0
+                    idx, cx, cy, p, k = idx[keep], cx[keep], cy[keep], \
+                        p[keep], k[keep]
+                while idx.size:
+                    # scalar: result -= exp(-x p)*expm1((x-y) p) == += term
+                    term = -np.exp(-cx * p) * np.expm1((cx - cy) * p)
+                    new = acc[idx] + term
+                    keep = new != acc[idx]
+                    acc[idx] = new
+                    if k is not None:
+                        k = k[keep] - 1
+                        idx, cx, cy, p = idx[keep], cx[keep], cy[keep], \
+                            p[keep] * step
+                        keep = k > 0
+                        idx, cx, cy, p, k = idx[keep], cx[keep], cy[keep], \
+                            p[keep], k[keep]
+                    else:
+                        idx, cx, cy, p = idx[keep], cx[keep], cy[keep], \
+                            p[keep] * step
+
+            run(pow_mid, self.base_inverse)              # downward
+            run(pow_mid * self.base, self.base, k_mid)   # upward k_mid..1
+            res[neq] = acc
+        return np.where(swapped, -res, res).reshape(shape)
+
+    def _nll_corrected_vec(self, j, less_nz, greater_nz, both_zero,
+                           card1, card2):
+        """Vectorized ``_joint_new_corrected_one`` nll over (n, G) grids."""
+        eq_nz = self.m - less_nz - greater_nz - both_zero
+        a = self.a
+        b = self.base
+        c = a * (card1 + card2) / (1.0 + j)
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            need_g = (greater_nz > 0) | (eq_nz > 0)
+            need_l = (less_nz > 0) | (eq_nz > 0)
+            xg = a * (np.maximum(0.0, card1 - card2 * j)
+                      / (b * (1.0 + j)) + card2)
+            xle = a * (np.maximum(0.0, card2 - card1 * j)
+                       / (b * (1.0 + j)) + card1)
+            cb = np.broadcast_to(c, xg.shape)
+            # one fused mu pass for both tails (shared loop machinery)
+            mu = self._mu_vec(np.concatenate([xg, xle], axis=0),
+                              np.concatenate([cb, cb], axis=0))
+            p_greater = np.where(need_g, mu[:len(xg)], 0.0)
+            p_less = np.where(need_l, mu[len(xg):], 0.0)
+            ret = -c * both_zero
+            ret = ret + np.where(less_nz > 0, less_nz * np.log(p_less), 0.0)
+            ret = ret + np.where(greater_nz > 0,
+                                 greater_nz * np.log(p_greater), 0.0)
+            ret = ret + np.where(
+                eq_nz > 0,
+                eq_nz * np.log1p(-p_greater - p_less - np.exp(-c)), 0.0)
+        nll = -ret
+        nll[~np.isfinite(nll)] = np.inf
+        return nll
+
+    @staticmethod
+    def _grid_minimize_vec(nll, dmax, n_grid: int = 33, iters: int = 48,
+                           zoom: bool = False):
+        """argmin of a per-pair unimodal-ish nll over [0, dmax]: coarse
+        per-pair grid bracket, then either vectorized golden-section (one
+        (n,1) nll eval per iteration) or, with ``zoom=True``, batched
+        9-point grid-zoom rounds — fewer, wider nll calls, which wins when
+        each call carries loop overhead (the mu-series corrected nll)."""
+        n = len(dmax)
+        grid = np.linspace(0.0, 1.0, n_grid)
+        J = dmax[:, None] * grid[None, :]
+        F = nll(J)
+        k = np.argmin(F, axis=1)
+        rows = np.arange(n)
+        a = J[rows, np.maximum(k - 1, 0)]
+        b = J[rows, np.minimum(k + 1, n_grid - 1)]
+        if zoom:
+            for _ in range(11):
+                P = a[:, None] + (b - a)[:, None] \
+                    * np.linspace(0.0, 1.0, 9)[None, :]
+                Fz = nll(P)
+                kz = np.argmin(Fz, axis=1)
+                a = P[rows, np.maximum(kz - 1, 0)]
+                b = P[rows, np.minimum(kz + 1, 8)]
+            return 0.5 * (a + b)
+        gr = 0.6180339887498949
+        x1 = b - gr * (b - a)
+        x2 = a + gr * (b - a)
+        f1 = nll(x1[:, None])[:, 0]
+        f2 = nll(x2[:, None])[:, 0]
+        for _ in range(iters):
+            m = f1 < f2
+            a_new = np.where(m, a, x1)
+            b_new = np.where(m, x2, b)
+            x_eval = np.where(m, b_new - gr * (b_new - a_new),
+                              a_new + gr * (b_new - a_new))
+            f_eval = nll(x_eval[:, None])[:, 0]
+            x1_new = np.where(m, x_eval, x2)
+            f1_new = np.where(m, f_eval, f2)
+            x2_new = np.where(m, x1, x_eval)
+            f2_new = np.where(m, f1, f_eval)
+            a, b, x1, x2, f1, f2 = a_new, b_new, x1_new, x2_new, \
+                f1_new, f2_new
+        return np.where(f1 < f2, x1, x2)
+
+    def estimate_joint_new_batch(self, regs1, regs2, card1=None,
+                                 card2=None) -> JointEstimationResult:
+        """Vectorized ``estimate_joint_new``: same extreme-value dispatch
+        (``sketch.hpp:635-678``), the per-pair 1-D ML solved by grid +
+        golden-section over the whole batch instead of per-pair Brent.
+        Agrees with the scalar path to ~1e-6 in J (tolerance-tested)."""
+        r1 = np.atleast_2d(regs1)
+        r2 = np.atleast_2d(regs2)
+        if card1 is None:
+            card1 = self.estimate_cardinality_simple(r1)
+        else:
+            card1 = np.atleast_1d(np.asarray(card1, dtype=np.float64))
+        if card2 is None:
+            card2 = self.estimate_cardinality_simple(r2)
+        else:
+            card2 = np.atleast_1d(np.asarray(card2, dtype=np.float64))
+        less, greater, both_min, both_max = self.pair_counts(r1, r2)
+        n = r1.shape[0]
+        jac = np.zeros(n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dmax = np.where(card1 >= card2, card2 / card1, card1 / card2)
+        dmax = np.nan_to_num(dmax, nan=0.0)
+        nonzero = (card1 > 0) | (card2 > 0)
+
+        extreme = (both_min > 0) | (both_max > 0)
+        corrected = extreme & (both_max == 0) if self.joint_range_correction \
+            else np.zeros(n, bool)
+        fallback = extreme & ~corrected if self.joint_fallback \
+            else np.zeros(n, bool)
+        plain = ~corrected & ~fallback & nonzero
+
+        if plain.any():
+            idx = np.nonzero(plain)[0]
+            eq = self.m - less - greater
+            jac[idx] = self._grid_minimize_vec(
+                lambda J: self._nll_plain_vec(
+                    J, less[idx, None], greater[idx, None], eq[idx, None],
+                    card1[idx, None], card2[idx, None]),
+                dmax[idx])
+        corr = corrected & nonzero
+        if corr.any():
+            idx = np.nonzero(corr)[0]
+            jac[idx] = self._grid_minimize_vec(
+                lambda J: self._nll_corrected_vec(
+                    J, less[idx, None], greater[idx, None],
+                    both_min[idx, None], card1[idx, None], card2[idx, None]),
+                dmax[idx], zoom=True)
+        result = JointEstimationResult.from_cardinalities_and_jaccard(
+            card1, card2, jac)
+        if fallback.any():
+            fb = np.nonzero(fallback)[0]
+            sub = self.estimate_joint_incl_excl(r1[fb], r2[fb],
+                                                card1[fb], card2[fb])
+            result.difference1[fb] = sub.difference1
+            result.difference2[fb] = sub.difference2
+            result.intersection[fb] = sub.intersection
+        return result
+
     # -------------------------------------------------- deprecated estimators
     def _p_inv1(self, y):
         """(``sketch.hpp:167-169``)."""

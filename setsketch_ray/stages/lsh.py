@@ -287,7 +287,10 @@ class VerifyPairsAgainstPayload:
                 if col in table.column_names:
                     pools[mod.name] = binary_to_flat_u64(table[col])
             cached = (keys, pools)
-            _LSH_WORKER_CACHE.clear()
+            # evict only same-kind entries: other pools (e.g. the ML regs
+            # pool) may be live on this worker concurrently
+            for k in [k for k in _LSH_WORKER_CACHE if k[0] == key[0]]:
+                del _LSH_WORKER_CACHE[k]
             _LSH_WORKER_CACHE[key] = cached
         return cached
 
@@ -343,6 +346,70 @@ def dedup_pairs_partition(partition: pa.Table) -> pa.Table:
     return partition.take(pa.array(np.sort(first_idx))).drop_columns(["pair_part"])
 
 
+class VerifyPairsMLFromPool:
+    """Joint-ML precision stage fused against a broadcast REGISTER pool
+    (the r4 fast path): instead of materializing ``regs_a``/``regs_b``
+    per candidate pair (two m-byte copies per pair — the same cost the
+    fused exact verifier removed for shingles), the (id, regs,
+    cardinality) table is broadcast once, parsed per worker into a
+    register matrix, and ``jaccard_ml`` is computed ONLY for pairs that
+    already pass the exact score gate (``score >= 1``) with the
+    vectorized ``estimate_joint_new_batch``.  Rejected pairs carry the
+    sentinel ``-1.0`` — they are filtered by the score mask in
+    ``verified_edges`` regardless, so accepted edges are identical to the
+    attach-then-score path (checkpoint parity test)."""
+
+    def __init__(self, regs_ref, sketch_config, id_col: str = "image_id"):
+        self.regs_ref = regs_ref
+        self.cfg = sketch_config
+        self.estimator = sketch_config.make_estimator()
+        self.dtype = sketch_config.make_registers_sketch().dtype
+        self.id_col = id_col
+
+    def _pool(self):
+        import ray
+
+        key = ("ml_regs", self.regs_ref.hex()
+               if hasattr(self.regs_ref, "hex") else id(self.regs_ref))
+        cached = _LSH_WORKER_CACHE.get(key)
+        if cached is None:
+            table = ray.get(self.regs_ref) \
+                if not isinstance(self.regs_ref, pa.Table) else self.regs_ref
+            keys = table[self.id_col]
+            keys = keys.combine_chunks() \
+                if isinstance(keys, pa.ChunkedArray) else keys
+            regs = fixed_binary_to_matrix(table["regs"], self.dtype,
+                                          self.cfg.m)
+            cards = table["cardinality"].to_numpy(zero_copy_only=False)
+            cached = (keys, regs, cards)
+            for k in [k for k in _LSH_WORKER_CACHE if k[0] == key[0]]:
+                del _LSH_WORKER_CACHE[k]
+            _LSH_WORKER_CACHE[key] = cached
+        return cached
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch.append_column("jaccard_ml",
+                                       pa.array([], pa.float64()))
+        score = batch["score"].to_numpy()
+        jac = np.full(batch.num_rows, -1.0)
+        need = np.nonzero(score >= 1.0)[0]
+        if len(need):
+            keys, regs, cards = self._pool()
+            sel = pa.array(need)
+            ia = pc.index_in(batch["id_a"].take(sel), value_set=keys) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = pc.index_in(batch["id_b"].take(sel), value_set=keys) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            res = self.estimator.estimate_joint_new_batch(
+                regs[ia], regs[ib], cards[ia], cards[ib])
+            jac[need] = res.jaccard
+        return batch.append_column("jaccard_ml",
+                                   pa.array(jac, pa.float64()))
+
+
 class VerifyPairsML:
     """Optional precision stage on deduped candidate pairs: the paper's joint
     ML estimator (``estimateJointNew``, ``sketch.hpp:484-522``) over the
@@ -363,6 +430,8 @@ class VerifyPairsML:
         rb = fixed_binary_to_matrix(batch["regs_b"], self.dtype, self.cfg.m)
         card_a = batch["cardinality_a"].to_numpy()
         card_b = batch["cardinality_b"].to_numpy()
-        res = self.estimator.estimate_joint_new(ra, rb, card_a, card_b)
+        # the vectorized batch scorer (grid + zoom refine, tolerance-tested
+        # against the scalar estimate_joint_new path to ~1e-7 in J)
+        res = self.estimator.estimate_joint_new_batch(ra, rb, card_a, card_b)
         out = batch.drop_columns(drop)
         return out.append_column("jaccard_ml", pa.array(res.jaccard, pa.float64()))

@@ -244,3 +244,74 @@ def test_hyperminhash_joint():
         assert abs(res.jaccard.mean() - 0.5) < 0.08, fn.__name__
     cards = est.estimate_cardinality_new(ra)
     assert abs(cards.mean() / 3000 - 1) < 0.1
+
+
+def _synth_register_pairs(n_pairs, m, overlap_frac, card_lo, card_hi,
+                          seed0=0):
+    """Register pairs from real GHLL sketches over sets with a controlled
+    overlap fraction (shared machinery for the vectorized-joint tests)."""
+    from setsketch_ray.sketchlib.sketches import make_sketch
+
+    rng = np.random.default_rng(7 + seed0)
+    sk = make_sketch("ghll", m=m)
+    regs = sk.empty(2 * n_pairs)
+    rows_all, vals_all = [], []
+    for i in range(n_pairs):
+        n1 = int(rng.integers(card_lo, card_hi))
+        n2 = int(rng.integers(card_lo, card_hi))
+        ov = int(min(n1, n2) * overlap_frac)
+        base = (seed0 + i) << 32
+        s1 = np.arange(base, base + n1, dtype=np.uint64)
+        s2 = np.arange(base + n1 - ov, base + n1 - ov + n2,
+                       dtype=np.uint64)
+        rows_all.append(np.full(n1, 2 * i, np.int64))
+        vals_all.append(s1)
+        rows_all.append(np.full(n2, 2 * i + 1, np.int64))
+        vals_all.append(s2)
+    sk.add_flat(regs, np.concatenate(rows_all), np.concatenate(vals_all))
+    return regs[0::2], regs[1::2]
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),
+    dict(joint_range_correction=True),
+    dict(joint_range_correction=True, joint_fallback=True),
+    dict(joint_fallback=True),
+])
+@pytest.mark.parametrize("overlap", [0.0, 0.3, 0.9])
+def test_estimate_joint_new_batch_matches_scalar(kwargs, overlap):
+    """The vectorized grid+refine batch scorer agrees with the scalar
+    Brent path on every dispatch branch (plain / corrected / fallback) —
+    the scalar path is the tolerance oracle (SURVEY §7.4)."""
+    from setsketch_ray.sketchlib.estimator import SetSketchEstimator
+
+    est = SetSketchEstimator(62, 1.0 / 256, 2.0, 256,
+                             card_range_correction=True, **kwargs)
+    ra, rb = _synth_register_pairs(150, 256, overlap, 20, 3000)
+    s = est.estimate_joint_new(ra, rb)
+    v = est.estimate_joint_new_batch(ra, rb)
+    np.testing.assert_allclose(v.jaccard, s.jaccard, atol=1e-6)
+    np.testing.assert_allclose(v.intersection, s.intersection,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_estimate_joint_new_batch_edge_cases():
+    """Empty sketches (card 0), identical sketches, and disjoint small
+    sets all dispatch without error and match the scalar path."""
+    from setsketch_ray.sketchlib.estimator import SetSketchEstimator
+    from setsketch_ray.sketchlib.sketches import make_sketch
+
+    est = SetSketchEstimator(62, 1.0 / 64, 2.0, 64,
+                             card_range_correction=True,
+                             joint_range_correction=True)
+    sk = make_sketch("ghll", m=64)
+    regs = sk.empty(4)
+    sk.add_flat(regs,
+                np.array([1, 1, 1, 2, 3, 3], np.int64),
+                np.array([11, 12, 13, 21, 11, 12], np.uint64))
+    # pairs: (empty, nonempty), (same, same), (disjoint a, b)
+    ra = regs[[0, 1, 1]]
+    rb = regs[[1, 1, 2]]
+    s = est.estimate_joint_new(ra, rb)
+    v = est.estimate_joint_new_batch(ra, rb)
+    np.testing.assert_allclose(v.jaccard, s.jaccard, atol=1e-6)
