@@ -298,14 +298,49 @@ def _q_cosine_pairs(sf_dir: str):
     return cosine_pairs(ds, threshold=0.3)
 
 
+def _ivf_exact_subset_topk(sf_dir: str, centroids, qids, k: int,
+                           n_probe: int):
+    """Invariant harness for the oracled ANN rows: exact cosine top-k
+    RESTRICTED to the probed cells, computed independently (driver-side
+    numpy over the small sf embeddings table) with the same cell
+    assignment / tie rules as the index.  Returns {qid: [vec_id...]}."""
+    from setsketch_ray.functions.knn import _embedding_matrix
+
+    tbl = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    ids = tbl["vec_id"].to_numpy()
+    m = _embedding_matrix(tbl["embedding"])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cell = np.argmax(m @ centroids.T, axis=1)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    out = {}
+    for q in qids:
+        qv = m[ids == q][0]
+        probe = np.argsort(-(cn @ (qv / np.linalg.norm(qv))))[:n_probe]
+        sub = np.isin(cell, probe) & (ids != q)
+        cos = mn[sub] @ (qv / np.linalg.norm(qv))
+        sid = ids[sub]
+        out[q] = sid[np.lexsort((sid, -cos))[:k]].tolist()
+    return out
+
+
 def _q_knn_ivf(sf_dir: str):
-    """IVF approximate top-10 neighbors of vec_id 0 — the 100 TB ANN scale
-    path: a one-pass build writes the corpus hive-partitioned by nearest-
-    centroid cell (build_ivf_index), then the probe READS ONLY the n_probe
-    probed cells' files (knn_ivf_pruned) instead of scanning the corpus.
-    The index is built once per sf_dir and reused (idempotent layout).
-    Rows-only: the probed-cell result is approximate by design (recall vs
-    brute force asserted in tests/test_functions.py)."""
+    """IVF approximate top-10 — the 100 TB ANN scale path: a one-pass build
+    writes the corpus hive-partitioned by nearest-centroid cell
+    (build_ivf_index), then the probe READS ONLY the n_probe probed cells'
+    files (knn_ivf_pruned) instead of scanning the corpus.  The index is
+    built once per sf_dir and reused (idempotent layout; _centroids.npy is
+    written LAST, so its presence implies a complete index).
+
+    ORACLED INVARIANT (r4): for 10 fixed query ids the probe result must
+    EQUAL exact brute-force cosine top-10 restricted to the probed cells
+    (same tie rule) — the machinery-parity property of IVF, independent of
+    the data geometry (the sf embeddings are near-orthogonal, so absolute
+    recall is not the checkable quantity).  Emits (query_id, rank, ok=1)
+    per result slot; any routing / pruned-read / merge / ranking bug turns
+    ok to 0 and fails the hash against the constant-truth oracle."""
     import hashlib
     import os
 
@@ -317,7 +352,21 @@ def _q_knn_ivf(sf_dir: str):
     if not os.path.exists(os.path.join(index_root, "_centroids.npy")):
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         build_ivf_index(ds, index_root, n_centroids=32, n_iters=4, seed=11)
-    return knn_ivf_pruned(index_root, query_vec_id=0, k=10, n_probe=8)
+    centroids = np.load(os.path.join(index_root, "_centroids.npy"))
+    qids = list(range(10))
+    expect = _ivf_exact_subset_topk(sf_dir, centroids, qids, 10, 8)
+    rows_q, rows_r, rows_ok = [], [], []
+    for q in qids:
+        got = knn_ivf_pruned(index_root, query_vec_id=q,
+                             k=10)["vec_id"].to_pylist()
+        for r in range(len(got)):
+            rows_q.append(q)
+            rows_r.append(r + 1)
+            rows_ok.append(1 if (r < len(expect[q])
+                                 and got[r] == expect[q][r]) else 0)
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int64()),
+                     "ok": pa.array(rows_ok, pa.int64())})
 
 
 def _q_knn_ivfpq(sf_dir: str):
@@ -325,9 +374,13 @@ def _q_knn_ivfpq(sf_dir: str):
     knn_ivfpq_pruned): probed cells hold 8-byte PQ codes instead of 256-
     byte vectors (asymmetric-distance LUT scoring, vectors never load),
     then the top k*8 shortlist exact-re-ranks against the true embeddings.
-    The compressed scale path beside knn_ivf.  Rows-only: approximate by
-    design (recall vs brute force asserted in tests/test_functions.py);
-    index built once per sf_dir under /tmp."""
+
+    ORACLED INVARIANT (r4): aggregate overlap between the PQ-shortlisted
+    top-10 and exact brute force restricted to the same probed cells, for
+    10 fixed query ids, reported as milli-overlap CAPPED at 850 — the
+    compressed shortlist is lossy by design (measured 900-1000 across the
+    sf tables at the production refine_factor=8; a broken ADC LUT / codes
+    / refine path drops far below the floor and fails the hash)."""
     import hashlib
     import os
 
@@ -341,9 +394,27 @@ def _q_knn_ivfpq(sf_dir: str):
     if not os.path.exists(os.path.join(root, "_codebooks.npy")):
         build_ivfpq_index(ds, root, n_centroids=32, m_sub=8, n_codes=64,
                           seed=11)
-    q = np.asarray(
-        ds.filter(expr="vec_id == 0").take(1)[0]["embedding"], np.float64)
-    return knn_ivfpq_pruned(root, ds, q, k=10, n_probe=8, exclude_id=0)
+    centroids = np.load(os.path.join(root, "_centroids.npy"))
+    qids = list(range(10))
+    expect = _ivf_exact_subset_topk(sf_dir, centroids, qids, 10, 8)
+    qtbl = pa.concat_tables(list(
+        ds.filter(expr=" or ".join(f"vec_id == {q}" for q in qids))
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    qvecs = {int(i): np.asarray(e, np.float64)
+             for i, e in zip(qtbl["vec_id"].to_pylist(),
+                             qtbl["embedding"].to_pylist())}
+    hits = total = 0
+    for q in qids:
+        got = knn_ivfpq_pruned(root, ds, qvecs[q], k=10, n_probe=8,
+                               exclude_id=q)["vec_id"].to_pylist()
+        hits += len(set(got) & set(expect[q]))
+        total += len(expect[q])
+    milli = 1000 * hits // max(1, total)
+    return pa.table({
+        "k": pa.array([10], pa.int64()),
+        "n_probe": pa.array([8], pa.int64()),
+        "n_queries": pa.array([len(qids)], pa.int64()),
+        "milli_overlap_capped": pa.array([min(milli, 850)], pa.int64())})
 
 
 def _q_near_dup_docs(sf_dir: str):
@@ -1468,15 +1539,53 @@ def _q_decontaminate(sf_dir: str):
 
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup over the embeddings table: k-means
-    clusters (broadcast Lloyd's), ONE (cluster, id, packed-f32) exchange,
-    greedy within-cluster cosine prune at 0.3 (the sf tables are
+    clusters (broadcast Lloyd's), exact per-cluster count pass with
+    similarity-split of oversized clusters, ONE (group, id, packed-f32)
+    exchange, chunked-matmul greedy cosine prune at 0.3 (the sf tables are
     near-orthogonal — max cos ~0.51 — so only genuine near-pairs drop).
-    Rows-only: k-means is not SQL-expressible; planted-duplicate recall and
-    the keep-lowest-id rule are asserted in tests/test_dedup.py."""
+
+    ORACLED INVARIANT (r4): per row, ``ok=1`` iff the output is
+    self-consistent — kept rows carry dup_of=-1; dropped rows point to an
+    earlier (smaller-id) KEPT row in the same level-1 cluster whose true
+    f64 cosine with them is >= the threshold.  Any greedy-order, split,
+    exchange or packing bug yields ok=0 for some row and fails the hash
+    against the all-ones oracle.  (k-means itself is not SQL-expressible;
+    planted-duplicate recall is asserted in tests/test_functions.py.)"""
     from setsketch_ray.functions.dedup import semantic_dedup
+    from setsketch_ray.functions.knn import _embedding_matrix
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return semantic_dedup(ds, n_centroids=16, threshold=0.3)
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, n_centroids=16, threshold=0.3)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    emb = pa.concat_tables(list(
+        ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    eids = emb["vec_id"].to_numpy()
+    m = _embedding_matrix(emb["embedding"])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    pos = np.full(int(eids.max()) + 2, -1, np.int64)
+    pos[eids] = np.arange(len(eids))
+
+    ids = out["vec_id"].to_numpy()
+    kept = np.asarray(out["kept"].to_pylist())
+    dup_of = out["dup_of"].to_numpy()
+    cluster = out["cluster"].to_numpy()
+    kept_ids = set(ids[kept].tolist())
+    cl_of = dict(zip(ids.tolist(), cluster.tolist()))
+
+    ok = np.zeros(len(ids), np.int64)
+    ok[kept & (dup_of == -1)] = 1
+    drop = ~kept
+    di = dup_of[drop]
+    valid = (di >= 0) & (di < ids[drop])
+    valid &= np.asarray([d in kept_ids and cl_of.get(d) == c
+                         for d, c in zip(di.tolist(),
+                                         cluster[drop].tolist())])
+    cos = np.einsum("ij,ij->i", mn[pos[ids[drop]]], mn[pos[np.maximum(di, 0)]])
+    valid &= cos >= 0.3 - 1e-9
+    ok[np.nonzero(drop)[0][valid]] = 1
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "ok": pa.array(ok, pa.int64())})
 
 
 def _q_corpus_curation(sf_dir: str):
@@ -3333,6 +3442,21 @@ def _oracle_sql_base() -> dict[str, str]:
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.3",
+        # ANN / semantic invariant rows (r4): the Ray side computes a
+        # machinery-parity / self-consistency check in-query; the oracle is
+        # the constant truth those invariants must reach (see docstrings)
+        "knn_ivf":
+            "SELECT q.query_id, r.rank, CAST(1 AS BIGINT) AS ok "
+            "FROM (SELECT unnest(generate_series(0, 9)) AS query_id) q, "
+            "(SELECT unnest(generate_series(1, 10)) AS rank) r "
+            "ORDER BY query_id, rank",
+        "knn_ivfpq":
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(8 AS BIGINT) AS n_probe, "
+            "CAST(10 AS BIGINT) AS n_queries, "
+            "CAST(850 AS BIGINT) AS milli_overlap_capped",
+        "semantic_dedup":
+            "SELECT vec_id, CAST(1 AS BIGINT) AS ok FROM embeddings "
+            "ORDER BY vec_id",
         "char_jaccard_pairs":
             "SELECT doc_id AS id_a, "
             "lead(doc_id) OVER (ORDER BY doc_id) AS id_b, "
