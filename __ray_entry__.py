@@ -1640,18 +1640,26 @@ def _q_joint_eval(sf_dir: str):
     (per-trial cost O(union), not O(tuples x union)), and the wide
     per-tuple Mean/MSE output over every estimator (new / corrected /
     incl-excl / deprecated / equal-register bounds); rows-only.  48 trials
-    of this grid run in ~28 s at 32 cpus (BASELINE.md)."""
+    of this grid run in ~28 s at 32 cpus (BASELINE.md).
+
+    Driver-budget default is 4 Monte-Carlo trials over the FULL tuple grid
+    (was the sweep's heaviest query at 12); set GRAFT_JOINT_EVAL_TRIALS
+    for the deep runs (bench/evaluation use 12-48)."""
+    import os
+
     import ray
 
     from setsketch_ray.pipelines.evaluation import joint_error_pipeline
 
+    n_trials = int(os.environ.get("GRAFT_JOINT_EVAL_TRIALS", "4"))
     # size the trial pool to the session: each actor runs whole-grid trials,
     # so concurrency == busy cores (at 6 this was the sweep's slowest query)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     conc = max(4, min(12, ncpu - 2))
-    return joint_error_pipeline(family="ghll", m=1024, n_trials=12,
+    return joint_error_pipeline(family="ghll", m=1024, n_trials=n_trials,
                                 union_cardinalities=(1_000_000, 1_000),
-                                parallelism=12, concurrency=conc)
+                                parallelism=max(4, n_trials),
+                                concurrency=conc)
 
 
 def _q_charts(sf_dir: str):

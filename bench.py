@@ -49,7 +49,10 @@ BENCH_ONLY = os.environ.get("GRAFT_BENCH_ONLY", "all")
 # fuse decode+shingle+sketch into one map stage for the flagship (right for
 # decode-dominated corpora with a small map batch; the mixed-profile default
 # stays unfused for r1/r2 comparability — CLAUDE.md fuse decision rule)
-BENCH_FUSE = os.environ.get("GRAFT_BENCH_FUSE", "0") == "1"
+# "auto" (default) lets near_dup_pipeline apply the measured size rule;
+# "1"/"0" pin fused/unfused for A/B probes
+_fuse_env = os.environ.get("GRAFT_BENCH_FUSE", "auto")
+BENCH_FUSE = None if _fuse_env == "auto" else _fuse_env == "1"
 
 
 

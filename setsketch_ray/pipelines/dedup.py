@@ -74,8 +74,13 @@ class DedupConfig:
     # is a 3+ s task: set ~256 there to keep task granularity ~1 s.
     map_batch_size: int | None = None
     # fuse decode+shingle+sketch into ONE map stage (pixel/shingle
-    # intermediates never cross the object store; bit-identical results)
-    fuse_map: bool = False
+    # intermediates never cross the object store; bit-identical results).
+    # None = near_dup_pipeline auto-decides by the measured rule
+    # "fuse when rows / 4096 >= ~1.5 x cores" (fused wins when there are
+    # enough 4096-row bundles to keep every core on a task; below that the
+    # bundling costs task granularity — BASELINE.md A/B rows); explicit
+    # True/False pins it (candidate_pairs treats None as False)
+    fuse_map: bool | None = None
     # payload attachment for pair verification:
     #   "broadcast" — ray.put the id->payload map once, look up per batch.
     #     Right whenever the corpus payload fits comfortably in the object
@@ -454,6 +459,24 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
         cfg = dataclasses.replace(
             cfg, scale_mode="node", join_strategy="hash",
             cluster_strategy="labelprop", materialize_sketches=False)
+
+    if cfg.fuse_map is None:
+        import dataclasses
+
+        fuse = False
+        if cfg.decode:
+            # auto rule (BASELINE.md A/B): fuse once the corpus yields
+            # enough 4096-row bundles to occupy the session (~1.5 bundles
+            # per core); ds.count() is metadata-cheap on the parquet-read
+            # inputs this pipeline takes at scale
+            try:
+                n_rows = ds.count()
+            except Exception:
+                n_rows = None
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            fuse = n_rows is not None and \
+                n_rows / 4096 >= 1.5 * ncpu
+        cfg = dataclasses.replace(cfg, fuse_map=fuse)
 
     member_rep = None
     lsh_input = ds

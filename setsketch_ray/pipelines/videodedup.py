@@ -118,18 +118,21 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
 
     def expand(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        lists = t["frame_phashes"].to_pylist()
-        counts = np.fromiter((len(x) for x in lists), np.int64,
-                             count=len(lists))
+        arr = t["frame_phashes"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        # Arrow offsets + one values view — no Python list round trip
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        counts = np.diff(offs)
         if counts.sum() == 0:
             return pa.table({
                 "band_key": pa.array([], pa.uint64()),
                 "part": pa.array([], pa.uint32()),
                 id_col: pa.array([], t.schema.field(id_col).type),
             })
-        row_of = np.repeat(np.arange(len(lists)), counts)
-        hv = np.concatenate([np.asarray(x, np.int64) for x in lists
-                             if len(x)]).astype(np.uint64)
+        row_of = np.repeat(np.arange(len(counts)), counts)
+        hv = np.asarray(arr.values, dtype=np.int64)[offs[0]:offs[-1]] \
+            .astype(np.uint64)
         octets = [(hv >> np.uint64(8 * k)) & np.uint64(0xFF)
                   for k in range(8)]
         keys = np.empty((len(_OCTET_PAIRS), len(hv)), dtype=np.uint64)
