@@ -165,13 +165,16 @@ def cosine_pairs(ds, threshold: float = 0.3, id_col: str = "vec_id"):
 
 def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
                      seed: int = 11, id_col: str = "vec_id",
-                     emb_col: str = "embedding") -> np.ndarray:
+                     emb_col: str = "embedding",
+                     init: np.ndarray | None = None) -> np.ndarray:
     """Deterministic distributed Lloyd k-means over the embedding column —
     the IVF coarse quantizer.  Init picks the ``n_centroids`` rows with the
     smallest ``mix2(id, seed)`` (a deterministic pseudo-random sample, no
-    RNG state); each iteration is one ``map_batches`` pass emitting
-    per-centroid partial (sum, count) against the broadcast centroids, with
-    a tiny (n_centroids x dim) driver combine.  Returns (n_centroids, dim).
+    RNG state) — or WARM-STARTS from ``init`` (the centroid-refresh job,
+    :func:`refresh_ivf_index`); each iteration is one ``map_batches`` pass
+    emitting per-centroid partial (sum, count) against the broadcast
+    centroids, with a tiny (n_centroids x dim) driver combine.  Returns
+    (n_centroids, dim).
     """
     import ray
 
@@ -183,11 +186,14 @@ def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
         return pa.table({"h": pa.array(h[sel], pa.uint64()),
                          emb_col: t[emb_col].take(pa.array(sel))})
 
-    parts = pa.concat_tables(list(
-        ds.map_batches(pick_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
-    order = np.argsort(parts["h"].to_numpy())[:n_centroids]
-    centroids = _embedding_matrix(parts[emb_col])[order]
+    if init is not None:
+        centroids = np.asarray(init, np.float64).copy()
+    else:
+        parts = pa.concat_tables(list(
+            ds.map_batches(pick_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        order = np.argsort(parts["h"].to_numpy())[:n_centroids]
+        centroids = _embedding_matrix(parts[emb_col])[order]
 
     for _ in range(n_iters):
         cref = ray.put(centroids)
@@ -323,6 +329,85 @@ def build_ivf_index(ds, index_root: str, n_centroids: int = 64,
         index_root, partition_cols=["cell"], mode="overwrite")
     np.save(os.path.join(index_root, "_centroids.npy"), centroids)
     return centroids
+
+
+def append_ivf_index(ds_new, index_root: str, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> None:
+    """Index FRESHNESS path: assign NEW rows to the EXISTING cells (the
+    saved ``_centroids.npy``) and append their parquet files into the hive
+    layout — corpus growth without a full rebuild (each Ray write op uses
+    unique filenames, so appended files land beside the originals and
+    every probe's ``cell=<c>/*.parquet`` glob picks them up).  Query
+    parity with a from-scratch build over the grown corpus at the SAME
+    centroids is exact (tested); periodically run
+    :func:`refresh_ivf_index` to re-fit drifted centroids."""
+    import os
+
+    import ray
+
+    centroids = np.load(os.path.join(index_root, "_centroids.npy"))
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        emb = _embedding_matrix(t[emb_col])
+        cell = np.argmax(emb @ c.T, axis=1)
+        return t.append_column("cell", pa.array(cell, pa.int64()))
+
+    ds_new.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_root, partition_cols=["cell"], mode="append")
+
+
+def refresh_ivf_index(ds, index_root: str, n_iters: int = 2,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> np.ndarray:
+    """Centroid-refresh job: warm-start Lloyd from the saved centroids
+    over the CURRENT corpus (``n_iters`` extra passes) and rebuild the
+    layout under the refreshed centroids — the periodic companion to
+    :func:`append_ivf_index` once drift accumulates.  Returns the new
+    centroid matrix."""
+    import os
+
+    centroids = np.load(os.path.join(index_root, "_centroids.npy"))
+    refreshed = kmeans_centroids(ds, len(centroids), n_iters,
+                                 id_col=id_col, emb_col=emb_col,
+                                 init=centroids)
+    return build_ivf_index(ds, index_root, id_col=id_col, emb_col=emb_col,
+                           centroids=refreshed)
+
+
+def append_ivfpq_index(ds_new, index_root: str, id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> None:
+    """IVF-PQ freshness path: encode NEW rows with the EXISTING codebooks
+    and centroids and append their (id, code) files into the hive layout —
+    same contract as :func:`append_ivf_index` (codebooks stay fixed; run a
+    rebuild when quantization drift matters)."""
+    import os
+
+    import ray
+
+    centroids = np.load(os.path.join(index_root, "_centroids.npy"))
+    books = np.load(os.path.join(index_root, "_codebooks.npy"))
+    cref = ray.put((centroids, books))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents, bks = ray.get(cref)
+        emb = _embedding_matrix(t[emb_col])
+        cell = np.argmax(emb @ cents.T, axis=1)
+        norm = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+        codes = pq_encode(norm, bks)
+        msub = codes.shape[1]
+        bts = codes.tobytes()
+        return pa.table({
+            id_col: t[id_col],
+            "code": pa.array([bts[i * msub:(i + 1) * msub]
+                              for i in range(len(codes))],
+                             pa.binary(msub)),
+            "cell": pa.array(cell, pa.int64())})
+
+    ds_new.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_root, partition_cols=["cell"], mode="append")
 
 
 def knn_ivf_pruned(index_root: str, query_vec_id: int | None = None,

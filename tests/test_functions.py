@@ -2277,3 +2277,108 @@ def test_semantic_dedup_auto_centroids(rd):
     for i in range(20):
         if not kept[2 * i + 1]:
             assert dup[2 * i + 1] == 2 * i
+
+
+def _clustered_vectors(n, d=24, n_centers=8, seed=9):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, d)) * 4
+    vecs = np.concatenate([
+        centers[i % n_centers] + rng.standard_normal(d) * 0.4
+        for i in range(n)]).reshape(n, d)
+    return pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                     "embedding": pa.array(list(vecs.astype(np.float32)))})
+
+
+def test_append_ivf_index_query_parity(rd, tmp_path):
+    """Index freshness: build on part A, append part B — every probe must
+    answer IDENTICALLY to a from-scratch build over A+B at the same
+    centroids (appended rows land in the same cells and the probed-cell
+    glob picks up the new files)."""
+    from setsketch_ray.functions.knn import (
+        append_ivf_index,
+        build_ivf_index,
+        knn_ivf_pruned,
+    )
+
+    t = _clustered_vectors(500)
+    a = rd.from_arrow(t.slice(0, 400)).repartition(4)
+    b = rd.from_arrow(t.slice(400)).repartition(2)
+    both = rd.from_arrow(t).repartition(4)
+
+    root_inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(a, root_inc, n_centroids=16)
+    append_ivf_index(b, root_inc)
+
+    cents = np.load(f"{root_inc}/_centroids.npy")
+    root_full = str(tmp_path / "ivf_full")
+    build_ivf_index(both, root_full, centroids=cents)
+
+    for q in (0, 7, 450, 499):
+        gi = knn_ivf_pruned(root_inc, query_vec_id=q, k=10, n_probe=6)
+        gf = knn_ivf_pruned(root_full, query_vec_id=q, k=10, n_probe=6)
+        assert gi["vec_id"].to_pylist() == gf["vec_id"].to_pylist(), q
+
+
+def test_append_ivfpq_index_query_parity(rd, tmp_path):
+    """IVF-PQ freshness: append encodes new rows with the EXISTING
+    codebooks — probes over the grown index match a from-scratch encode of
+    A+B under the same centroids+codebooks."""
+    import shutil
+
+    from setsketch_ray.functions.knn import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivfpq_pruned,
+    )
+
+    t = _clustered_vectors(500)
+    a = rd.from_arrow(t.slice(0, 400)).repartition(4)
+    b = rd.from_arrow(t.slice(400)).repartition(2)
+    both = rd.from_arrow(t).repartition(4)
+
+    root_inc = str(tmp_path / "pq_inc")
+    build_ivfpq_index(a, root_inc, n_centroids=16, m_sub=8, n_codes=32,
+                      sample_cap=400)
+    append_ivfpq_index(b, root_inc)
+
+    # from-scratch with the SAME trained state: re-encode everything by
+    # appending A+B into an empty layout that carries the trained npy files
+    root_full = str(tmp_path / "pq_full")
+    import os
+
+    os.makedirs(root_full)
+    shutil.copy(f"{root_inc}/_centroids.npy", f"{root_full}/_centroids.npy")
+    shutil.copy(f"{root_inc}/_codebooks.npy", f"{root_full}/_codebooks.npy")
+    append_ivfpq_index(both, root_full)
+
+    emb = t["embedding"]
+    for q in (0, 7, 450, 499):
+        qv = np.asarray(emb[q].as_py(), np.float64)
+        gi = knn_ivfpq_pruned(root_inc, both, qv, k=10, n_probe=6,
+                              exclude_id=q)
+        gf = knn_ivfpq_pruned(root_full, both, qv, k=10, n_probe=6,
+                              exclude_id=q)
+        assert gi["vec_id"].to_pylist() == gf["vec_id"].to_pylist(), q
+
+
+def test_refresh_ivf_index_improves_fit(rd, tmp_path):
+    """The centroid-refresh job warm-starts Lloyd from the saved centroids
+    over the grown corpus, rebuilds, and stays deterministic."""
+    from setsketch_ray.functions.knn import (
+        build_ivf_index,
+        knn_ivf_pruned,
+        refresh_ivf_index,
+    )
+
+    t = _clustered_vectors(500)
+    a = rd.from_arrow(t.slice(0, 250)).repartition(2)
+    both = rd.from_arrow(t).repartition(4)
+    root = str(tmp_path / "ivf_r")
+    build_ivf_index(a, root, n_centroids=16)
+    old = np.load(f"{root}/_centroids.npy")
+    new = refresh_ivf_index(both, root, n_iters=2)
+    assert new.shape == old.shape and not np.array_equal(new, old)
+    assert np.array_equal(np.load(f"{root}/_centroids.npy"), new)
+    # the rebuilt layout answers probes over the full corpus
+    got = knn_ivf_pruned(root, query_vec_id=499, k=5, n_probe=8)
+    assert got.num_rows == 5
