@@ -15,6 +15,7 @@ return SVG text; ``write`` is a path convenience.
 
 from __future__ import annotations
 
+import cmath
 import math
 
 import numpy as np
@@ -383,5 +384,299 @@ def make_charts(out_dir: str, *, m: int = 256, b: float = 2.0,
         "collision_probability": write(
             collision_probability_chart(),
             os.path.join(out_dir, "collision_probability.svg")),
+        "helper_func_error": write(
+            helper_func_error_chart(),
+            os.path.join(out_dir, "helper_func_error.svg")),
+        "performance": write(
+            performance_chart(),
+            os.path.join(out_dir, "performance.svg")),
     }
+    for name, svg in probability_density_charts().items():
+        out[name] = write(svg, os.path.join(out_dir, f"{name}.svg"))
     return out
+
+
+# ------------------------------------------------- probability densities
+# register-value distributions (probability_densities.py:47-66)
+
+def pdf_ghll(base: float, k: int) -> float:
+    """P[K = k] for a GHLL register over one geometric level
+    (probability_densities.py:47-56): cdf(k) = 1 - b^-k for k > 0."""
+    def cdf(kk):
+        return 0.0 if kk <= 0 else 1.0 - base ** (-kk)
+    return cdf(k) - cdf(k - 1)
+
+
+def pdf_setsketch(base: float, a: float, k: int) -> float:
+    """P[K = k] for a SetSketch register
+    (probability_densities.py:58-62): cdf(k) = exp(-a b^-k)."""
+    return math.exp(-a * base ** (-k)) - math.exp(-a * base ** (-(k - 1)))
+
+
+def pdf_hyperminhash(r: int, k: int) -> float:
+    """P[K = k] for a HyperMinHash register with r sub-bucket bits
+    (probability_densities.py:64-66): the GHLL(b=2) level spread uniformly
+    over the 2^r sub-buckets."""
+    n = 2 ** r
+    return pdf_ghll(2.0, (k + n - 1) // n) / n
+
+
+def bar_chart(groups: list[dict], *, title: str = "", x_label: str = "",
+              y_label: str = "", y_log: bool = True,
+              width: int = 680, height: int = 420) -> str:
+    """Grouped-bar SVG (the probability-density panels): ``groups`` is
+    [{"label", "x": ints, "y": values, "color"?}] — bars of each series
+    interleave at every x."""
+    ml, mr, mt, mb = 64, 16, 28 if title else 12, 46
+    pw, ph = width - ml - mr, height - mt - mb
+    xs = np.concatenate([np.asarray(g["x"], np.float64) for g in groups])
+    ys = np.concatenate([np.asarray(g["y"], np.float64) for g in groups])
+    pos = ys[ys > 0]
+    y_lo = float(pos.min()) if y_log else 0.0
+    y_hi = float(ys.max())
+    x_lo, x_hi = float(xs.min()) - 0.5, float(xs.max()) + 0.5
+    ns = len(groups)
+    bw = 0.8 / ns  # bar width in x units
+
+    def sx(v):
+        return ml + (v - x_lo) / (x_hi - x_lo) * pw
+
+    def sy(v):
+        if y_log:
+            if v <= 0:
+                return mt + ph
+            f = (math.log10(v) - math.log10(y_lo)) / \
+                (math.log10(y_hi) - math.log10(y_lo) or 1.0)
+        else:
+            f = v / (y_hi or 1.0)
+        return mt + (1.0 - max(0.0, min(1.0, f))) * ph
+
+    e = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+         f'height="{height}" viewBox="0 0 {width} {height}" '
+         f'font-family="sans-serif" font-size="11">',
+         f'<rect width="{width}" height="{height}" fill="white"/>']
+    if title:
+        e.append(f'<text x="{width / 2}" y="17" text-anchor="middle" '
+                 f'font-size="13">{title}</text>')
+    yticks = _log_ticks(y_lo, y_hi) if y_log else _lin_ticks(0, y_hi)
+    for t in yticks:
+        py = sy(t)
+        e.append(f'<line x1="{ml}" y1="{py:.1f}" x2="{ml + pw}" '
+                 f'y2="{py:.1f}" stroke="#eeeeee"/>')
+        e.append(f'<text x="{ml - 6}" y="{py + 3.5:.1f}" '
+                 f'text-anchor="end">{_fmt(t)}</text>')
+    step = max(1, int(round((x_hi - x_lo) / 16)))
+    for t in range(int(math.ceil(x_lo)), int(x_hi) + 1, step):
+        px = sx(t)
+        e.append(f'<text x="{px:.1f}" y="{mt + ph + 14}" '
+                 f'text-anchor="middle">{t}</text>')
+    e.append(f'<rect x="{ml}" y="{mt}" width="{pw}" height="{ph}" '
+             f'fill="none" stroke="#444444"/>')
+    if x_label:
+        e.append(f'<text x="{ml + pw / 2}" y="{height - 8}" '
+                 f'text-anchor="middle">{x_label}</text>')
+    if y_label:
+        e.append(f'<text x="14" y="{mt + ph / 2}" text-anchor="middle" '
+                 f'transform="rotate(-90 14 {mt + ph / 2})">{y_label}</text>')
+    for i, g in enumerate(groups):
+        color = g.get("color") or _COLORS[i % len(_COLORS)]
+        for xv, yv in zip(g["x"], g["y"]):
+            if yv <= 0:
+                continue
+            x0 = sx(xv - 0.4 + i * bw)
+            x1 = sx(xv - 0.4 + (i + 1) * bw)
+            y0 = sy(yv)
+            e.append(f'<rect x="{x0:.1f}" y="{y0:.1f}" '
+                     f'width="{x1 - x0:.1f}" '
+                     f'height="{mt + ph - y0:.1f}" fill="{color}"/>')
+        ly = mt + 14 + 14 * i
+        e.append(f'<rect x="{ml + pw - 120}" y="{ly - 9}" width="18" '
+                 f'height="8" fill="{color}"/>')
+        e.append(f'<text x="{ml + pw - 95}" y="{ly}">{g["label"]}</text>')
+    e.append("</svg>")
+    return "\n".join(e)
+
+
+def probability_density_charts() -> dict:
+    """The two register-distribution panels
+    (probability_densities.py:68-88): GHLL at b=sqrt(2) vs HyperMinHash
+    r=1 (k 0..15), and GHLL at b=2^(1/8) vs HyperMinHash r=3 (k 0..60).
+    Returns {name: svg}."""
+    out = {}
+    for name, b, r, kmax in (
+            ("probability_densities_r1", 2.0 ** 0.5, 1, 15),
+            ("probability_densities_r3", 2.0 ** 0.125, 3, 60)):
+        ks = list(range(0, kmax + 1))
+        out[name] = bar_chart(
+            [{"label": f"GHLL b=2^(1/{2 ** r})",
+              "x": ks, "y": [pdf_ghll(b, k) for k in ks],
+              "color": _COLORS[0]},
+             {"label": f"HyperMinHash r={r}",
+              "x": ks, "y": [pdf_hyperminhash(r, k) for k in ks],
+              "color": _COLORS[1]}],
+            title="register value distribution",
+            x_label="register value k", y_label="probability")
+    return out
+
+
+# ------------------------------------------------- helper-function error
+# periodic relative error of the xi helper function via its Fourier series
+# (helper_func_error.py:39-58); needs Gamma at complex arguments — scipy is
+# not in this environment, so the Lanczos approximation (g=7, n=9; public
+# coefficients) stands in (validated against known values in tests).
+
+_LANCZOS_C = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+
+def _cgamma(z: complex) -> complex:
+    """Gamma(z) for complex z (Lanczos, g=7) — accurate to ~1e-13 on the
+    strips these series need."""
+    if z.real < 0.5:
+        return math.pi / (cmath.sin(math.pi * z) * _cgamma(1.0 - z))
+    z = z - 1.0
+    x = _LANCZOS_C[0]
+    for i in range(1, len(_LANCZOS_C)):
+        x += _LANCZOS_C[i] / (z + i)
+    t = z + 7.5
+    return math.sqrt(2.0 * math.pi) * t ** (z + 0.5) * cmath.exp(-t) * x
+
+
+def xi_squared_error(x: float, b: float, r: int) -> float:
+    """(xi_b^r(x) - 1)^2 via the Fourier series
+    (helper_func_error.py:39-50): sum_l Gamma(r + i c1 l) e^{i l c2},
+    c1 = -2 pi / ln b, c2 = 2 pi x; squared amplitude of the periodic
+    relative error of the helper function."""
+    s = complex(0.0, 0.0)
+    c1 = -2.0 * math.pi / math.log(b)
+    c2 = 2.0 * math.pi * x
+    l = 1
+    while True:
+        old = s
+        s += _cgamma(complex(r, c1 * l)) * cmath.exp(complex(0.0, l * c2))
+        if s == old:
+            break
+        l += 1
+    return (2.0 / math.gamma(r) * s.real) ** 2
+
+
+def max_amplitude_xi(b: float, r: int) -> float:
+    """max_x |xi_b^r(x) - 1| (helper_func_error.py:52-58): dense grid over
+    one period + Brent refine of the best bracket."""
+    from ..sketchlib.solvers import brent_minimize
+
+    grid = np.linspace(0.0, 1.0, 101)
+    vals = [xi_squared_error(float(g), b, r) for g in grid]
+    k = int(np.argmax(vals))
+    lo = grid[max(0, k - 1)]
+    hi = grid[min(len(grid) - 1, k + 1)]
+    xbest = brent_minimize(lambda z: -xi_squared_error(z, b, r),
+                           float(lo), float(hi))
+    return math.sqrt(max(vals[k], xi_squared_error(xbest, b, r)))
+
+
+def helper_func_error_chart(n_bases: int = 40) -> str:
+    """max_x |xi_b^r(x)-1| over b in [1.2, 5] for r=1 and r=2
+    (helper_func_error.py:103-125) — the periodic-error amplitude chart."""
+    bases = np.linspace(1.2, 5.0, n_bases)
+    return line_chart(
+        [{"label": "r=1", "x": bases,
+          "y": [max_amplitude_xi(float(b), 1) for b in bases]},
+         {"label": "r=2", "x": bases,
+          "y": [max_amplitude_xi(float(b), 2) for b in bases],
+          "dash": True}],
+        title="max|xi(x)-1| periodic relative error",
+        x_label="base b", y_label="relative approx. error", y_log=True)
+
+
+# ------------------------------------------------- performance chart
+def measure_time_per_element(family: str, m: int,
+                             cardinalities=(100, 1000, 10000, 100000,
+                                            1000000)) -> list[float]:
+    """Single-core recording time per element of this engine's batch
+    kernels at each cardinality (the engine-side series of the
+    time-per-element chart, cf. performance_charts.py:117)."""
+    import time
+
+    from ..sketchlib.hashing import mix2
+    from ..sketchlib.sketches import make_sketch
+
+    out = []
+    for n in cardinalities:
+        if family == "hll":  # HLL is parameterized (p, q), m = 2^p
+            p = int(math.log2(m))
+            sk = make_sketch("hll", p=p, q=64 - p)
+        else:
+            sk = make_sketch(family, m=m)
+        vals = mix2(np.arange(n, dtype=np.uint64), 99)
+        regs = sk.empty(1)
+        rows = np.zeros(n, np.int64)
+        t0 = time.perf_counter()
+        sk.add_flat(regs, rows, vals)
+        out.append((time.perf_counter() - t0) / n)
+    return out
+
+
+def read_reference_performance(data_dir: str, name: str, m: int,
+                               base: float | None = 2.0,
+                               mode: str = "stream"):
+    """Parse the reference's published performance CSVs
+    (``data/performance_test(...).csv``: cardinality; incl; excl; states)
+    into (cardinalities, time-per-element) for one config — the overlay
+    series of the time-per-element chart."""
+    import glob
+    import os
+
+    for path in glob.glob(os.path.join(data_dir, "performance_test(*.csv")):
+        fn = os.path.basename(path)
+        if f"name={name};" not in fn or f"numRegisters={m};" not in fn:
+            continue
+        if f"aggregationMode={mode};" not in fn:
+            continue
+        # the reference formats base as %.17e in the filename
+        if base is not None and f"base={base:.17e}" not in fn:
+            continue
+        if name != "MinHash" and "registerStateType=registers with lower" \
+                not in fn:
+            continue
+        cards, tpe = [], []
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+        for ln in lines[2:]:
+            parts = ln.split(";")
+            if len(parts) < 3 or not parts[0].strip().isdigit():
+                continue
+            n = int(parts[0])
+            cards.append(n)
+            tpe.append(float(parts[2]) / n)
+        return np.asarray(cards, np.float64), np.asarray(tpe, np.float64)
+    return None
+
+
+def performance_chart(data_dir: str = "/root/reference/data",
+                      m: int = 256) -> str:
+    """Time-per-element vs cardinality (performance_charts.py:117): this
+    engine's single-core batch kernels beside the reference's published
+    single-thread C++ numbers (stream mode, b=2 / lower-bound state) —
+    the honest substrate comparison BASELINE.md tabulates."""
+    cards = (100, 1000, 10000, 100000, 1000000)
+    series = []
+    fams = [("ghll", "GeneralizedHyperLogLog", 2.0),
+            ("hll", "HyperLogLog", 2.0),
+            ("setsketch1", "SetSketch1", 2.0),
+            ("setsketch2", "SetSketch2", 2.0)]
+    for i, (fam, ref_name, base) in enumerate(fams):
+        tpe = measure_time_per_element(fam, m, cards)
+        series.append({"label": f"{fam} (engine)", "x": list(cards),
+                       "y": tpe, "color": _COLORS[i % len(_COLORS)]})
+        ref = read_reference_performance(data_dir, ref_name, m, base)
+        if ref is not None:
+            series.append({"label": f"{fam} (ref C++)", "x": ref[0],
+                           "y": ref[1], "color": _COLORS[i % len(_COLORS)],
+                           "dash": True})
+    return line_chart(series,
+                      title=f"recording time per element (m={m})",
+                      x_label="cardinality", y_label="time (s) / element",
+                      x_log=True, y_log=True)

