@@ -325,7 +325,7 @@ def run_benchmarks() -> dict:
         entrymod._q_corpus_curation(SF_DIR).count()
         timings["corpus_curation"] = time.time() - t0
         t0 = time.time()
-        entrymod._q_semantic_dedup(SF_DIR).count()
+        entrymod._q_semantic_dedup(SF_DIR).num_rows  # pa.Table since r4
         timings["semantic_dedup"] = time.time() - t0
 
         # --- multimodal codec family (r3: MJPEG/AVI + animated GIF frame

@@ -17,6 +17,29 @@ import pyarrow as pa
 from ..sketchlib.hashing import mix2
 
 
+
+_KNN_WORKER_CACHE: dict = {}
+
+
+def _task_call(batch, cls=None, args=()):
+    """Run a scorer CLASS as a stateless TASK with a per-worker instance
+    cache (keyed by class name + object refs).  Scoring stages hold only
+    broadcast refs, so an actor pool buys nothing — and a pool's lazy
+    shutdown STARVES the next query's shuffle (measured: suffix_dup_spans
+    2.8 s right after knn_bruteforce's 16-actor pool vs 1.0 s alone — the
+    r3 bench "regression").  Tasks release their CPU the moment the batch
+    returns."""
+    key = (cls.__name__,) + tuple(
+        a.hex() if hasattr(a, "hex") else a for a in args)
+    inst = _KNN_WORKER_CACHE.get(key)
+    if inst is None:
+        for k in [k for k in _KNN_WORKER_CACHE if k[0] == cls.__name__]:
+            del _KNN_WORKER_CACHE[k]
+        inst = cls(*args)
+        _KNN_WORKER_CACHE[key] = inst
+    return inst(batch)
+
+
 def _pool_size() -> int:
     """Actor-pool width for the small scoring stages: half the cluster CPUs
     (floor 2) — scales with the session instead of a hard-coded 2 that
@@ -84,9 +107,12 @@ def knn_bruteforce(ds, query_vec_id: int, k: int = 10, id_col: str = "vec_id"):
         raise ValueError(f"query id {query_vec_id} not found")
     qvec = np.asarray(qrow[0]["embedding"], dtype=np.float64)
     qref = ray.put(qvec)
+    import functools
+
     scored = ds.map_batches(
-        _ScoreBatch, fn_constructor_args=(qref, k, query_vec_id, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
+        functools.partial(_task_call, cls=_ScoreBatch,
+                          args=(qref, k, query_vec_id, id_col)),
+        batch_format="pyarrow", batch_size=8192)
     top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table({
@@ -158,9 +184,12 @@ def cosine_pairs(ds, threshold: float = 0.3, id_col: str = "vec_id"):
         mat = mat / norms[:, None]
     mat = np.nan_to_num(mat, nan=0.0)
     bref = ray.put((all_ids, mat))
+    import functools
+
     return ds.map_batches(
-        _PairScore, fn_constructor_args=(bref, threshold, id_col),
-        batch_format="pyarrow", batch_size=4096, concurrency=_pool_size())
+        functools.partial(_task_call, cls=_PairScore,
+                          args=(bref, threshold, id_col)),
+        batch_format="pyarrow", batch_size=4096)
 
 
 def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
@@ -285,10 +314,12 @@ def knn_ivf(ds, query_vec_id: int, k: int = 10, n_centroids: int = 64,
             mask = np.isin(assign, list(self.probe))
             return self.inner(t.filter(pa.array(mask)))
 
+    import functools
+
     scored = ds.map_batches(
-        ProbeScore, fn_constructor_args=(cref, pref, qref, k,
-                                         query_vec_id, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
+        functools.partial(_task_call, cls=ProbeScore,
+                          args=(cref, pref, qref, k, query_vec_id, id_col)),
+        batch_format="pyarrow", batch_size=8192)
     top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table({
@@ -454,9 +485,12 @@ def knn_ivf_pruned(index_root: str, query_vec_id: int | None = None,
     cells = rd.read_parquet(paths, columns=[id_col, "embedding"])
     qref = ray.put(qvec)
     excl = query_vec_id if query_vec_id is not None else -1
+    import functools
+
     scored = cells.map_batches(
-        _ScoreBatch, fn_constructor_args=(qref, k, excl, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
+        functools.partial(_task_call, cls=_ScoreBatch,
+                          args=(qref, k, excl, id_col)),
+        batch_format="pyarrow", batch_size=8192)
     top = scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table({
@@ -561,9 +595,12 @@ def knn_bruteforce_batch(ds, query_vec_ids, k: int = 10,
                      for r in qrows])
     qmat = qmat / np.linalg.norm(qmat, axis=1)[:, None]
     qref = ray.put((np.array(qset, np.int64), qmat))
+    import functools
+
     partials = ds.map_batches(
-        _ScoreBatchMulti, fn_constructor_args=(qref, k, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=_pool_size())
+        functools.partial(_task_call, cls=_ScoreBatchMulti,
+                          args=(qref, k, id_col)),
+        batch_format="pyarrow", batch_size=8192)
     top = top_k_per_group(partials, "query_id", "cosine", k,
                           tiebreak_col=id_col)
 
