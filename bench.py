@@ -145,6 +145,20 @@ def run_benchmarks() -> dict:
     timings["near_dup_images"] = best
     images_per_sec = n_rows / timings["near_dup_images"]
 
+    if BENCH_ONLY != "flagship":
+        # joint-ML precision stage on (vectorized batch scorer + broadcast
+        # register pool, r4): tracked per-round against the exact-verify
+        # headline — the done-bar is <= 1.5x
+        t0 = time.time()
+        ds = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
+        clustered, _e, _m = near_dup_pipeline(ds, DedupConfig(
+            decode=True, sketch_concurrency=BENCH_POOL,
+            map_batch_size=BENCH_BATCH, fuse_map=BENCH_FUSE,
+            num_partitions=BENCH_PARTITIONS or NUM_CPUS * 8,
+            verify_ml=True, ml_threshold=0.05))
+        clustered.count()
+        timings["near_dup_verify_ml"] = time.time() - t0
+
     # --- map-stage-only probe (decode -> shingle -> sketch, NO shuffle):
     # isolates CPU scaling from shared-DRAM/object-store contention, which a
     # real N-node vs 4N-node cluster does not share (each node brings its own

@@ -1049,8 +1049,16 @@ def semantic_dedup(ds, n_centroids: int | None = None,
 
     import ray
 
+    empty_out = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int32()),
+                          "kept": pa.array([], pa.bool_()),
+                          "dup_of": pa.array([], pa.int64())})
     if n_centroids is None:
         n_total = ds.count()
+        if n_total == 0:  # stable-schema empty result, no k-means
+            import ray.data as _rd
+
+            return _rd.from_arrow(empty_out)
         n_centroids = int(np.clip(
             math.ceil(n_total / max(1, target_cluster_size)), 16, 65536))
 

@@ -218,9 +218,12 @@ def kmeans_centroids(ds, n_centroids: int = 64, n_iters: int = 4,
     if init is not None:
         centroids = np.asarray(init, np.float64).copy()
     else:
-        parts = pa.concat_tables(list(
+        batches = list(
             ds.map_batches(pick_partial, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        if not batches:
+            raise ValueError("kmeans_centroids: empty input dataset")
+        parts = pa.concat_tables(batches)
         order = np.argsort(parts["h"].to_numpy())[:n_centroids]
         centroids = _embedding_matrix(parts[emb_col])[order]
 

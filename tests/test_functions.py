@@ -2382,3 +2382,20 @@ def test_refresh_ivf_index_improves_fit(rd, tmp_path):
     # the rebuilt layout answers probes over the full corpus
     got = knn_ivf_pruned(root, query_vec_id=499, k=5, n_probe=8)
     assert got.num_rows == 5
+
+
+def test_semantic_dedup_empty_corpus(rd):
+    """Empty input: auto-centroid mode returns an empty stable-schema
+    result; explicit n_centroids raises the clear k-means error instead of
+    an Arrow concat crash."""
+    from setsketch_ray.functions.dedup import semantic_dedup
+    from setsketch_ray.functions.knn import kmeans_centroids
+
+    empty = rd.from_arrow(pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out = semantic_dedup(empty, threshold=0.5)
+    assert out.count() == 0
+    assert out.schema().names == ["vec_id", "cluster", "kept", "dup_of"]
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_centroids(empty, 4)
