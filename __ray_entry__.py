@@ -238,27 +238,73 @@ def _q_value_quantiles_kll(sf_dir: str):
     — the unbounded-float-domain scale path beside the exact
     value_quantiles (whose distinct-value shuffle needs a fixed-point
     domain).  One sketch partial per block (~1.8 KB each), deterministic
-    bytewise-sorted driver merge.  Rows-only BY NATURE: the result is
-    approximate (rank error ~1% at k=200, asserted vs exact quantiles in
-    tests/test_sketches.py); n is exact."""
-    from setsketch_ray.functions.relational import approx_quantiles
+    bytewise-sorted driver merge.  ORACLED as invariant rows: n is exact
+    (matches DuckDB COUNT(*)), and each answer carries a rank CERTIFICATE —
+    a second shuffle-free value_ranks pass counts rows <,<= the KLL answer
+    and ``rank_ok`` flips to 0 unless ceil(phi*n) lies within 2% x n of the
+    answer's true rank interval (the sketch's guarantee is ~1% at k=200,
+    asserted tighter in tests/test_sketches.py)."""
+    from setsketch_ray.functions.relational import (approx_quantiles,
+                                                    value_ranks)
 
+    phis = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     ds = _read(sf_dir, "events", ["value"])
-    return approx_quantiles(ds, "value",
-                            [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    res = approx_quantiles(ds, "value", phis)
+    n = res["n"][0].as_py()
+    ranks = value_ranks(ds, "value", res["value"].to_pylist())
+    eps_n = 0.02 * n
+    ok = []
+    for i, phi in enumerate(phis):
+        target = max(1, int(np.ceil(phi * n)))
+        lo, hi = ranks["n_lt"][i].as_py(), ranks["n_le"][i].as_py()
+        ok.append(int(lo - eps_n <= target <= hi + eps_n))
+    return pa.table({
+        "phi_scaled": pa.array([int(round(p * 10000)) for p in phis],
+                               pa.int64()),
+        "n": pa.array([n] * len(phis), pa.int64()),
+        "rank_ok": pa.array(ok, pa.int64())})
 
 
 def _q_value_quantiles_kll_by_type(sf_dir: str):
     """Per-group approximate quantiles of events.value by event_type
     (relational.approx_quantiles_by): one ~1.8 KB KLL sketch per (block,
-    key) through the shuffle — never the data.  Rows-only BY NATURE
-    (approximate; per-group rank error asserted vs exact in
-    tests/test_functions.py); per-group n is exact."""
-    from setsketch_ray.functions.relational import approx_quantiles_by
+    key) through the shuffle — never the data.  ORACLED as invariant rows:
+    per-group n is exact (matches DuckDB), and each per-group answer
+    carries a rank certificate via a grouped value_ranks pass (``rank_ok``
+    flips to 0 past 2% x n_group rank error; the sketch guarantees ~1% at
+    k=200, asserted tighter in tests/test_functions.py)."""
+    from setsketch_ray.functions.relational import (approx_quantiles_by,
+                                                    value_ranks)
 
+    phis = [0.1, 0.5, 0.9]
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return approx_quantiles_by(ds, "event_type", "value",
-                               [0.1, 0.5, 0.9]).sort(["event_type", "phi"])
+    res = approx_quantiles_by(ds, "event_type", "value", phis) \
+        .sort(["event_type", "phi"])
+    rows = res.take_all()
+    answers: dict[str, list[float]] = {}
+    n_by: dict[str, int] = {}
+    for r in rows:
+        answers.setdefault(r["event_type"], []).append(r["value"])
+        n_by[r["event_type"]] = r["n"]
+    ranks = value_ranks(ds, "value", answers, key_col="event_type")
+    bounds = {(ranks["event_type"][i].as_py(),
+               ranks["target_idx"][i].as_py()):
+              (ranks["n_lt"][i].as_py(), ranks["n_le"][i].as_py())
+              for i in range(ranks.num_rows)}
+    types, phi_s, ns, ok = [], [], [], []
+    for t in sorted(answers):
+        n = n_by[t]
+        for i, phi in enumerate(phis):
+            lo, hi = bounds[(t, i)]
+            target = max(1, int(np.ceil(phi * n)))
+            types.append(t)
+            phi_s.append(int(round(phi * 10000)))
+            ns.append(n)
+            ok.append(int(lo - 0.02 * n <= target <= hi + 0.02 * n))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "phi_scaled": pa.array(phi_s, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "rank_ok": pa.array(ok, pa.int64())})
 
 
 def _q_pack_sequences(sf_dir: str):
@@ -452,13 +498,21 @@ def _q_near_dup_images(sf_dir: str):
 
 
 def _q_approx_distinct_parts(sf_dir: str):
-    """GHLL approx distinct (m=4096, b=2): deterministic estimate, expected
-    rel. error ~1.6% (rows-only; exactness checked in tests vs unique())."""
+    """GHLL approx distinct (m=4096, b=2) checked against the exact
+    distributed COUNT(DISTINCT) in the SAME query.  ORACLED as invariant
+    rows: the exact count must match DuckDB bit-for-bit and ``est_err_ok``
+    flips to 0 if the deterministic estimate drifts past 6% relative error
+    (expected RSD ~1.6%; measured <=2.6% at every sf — a broken estimator
+    or hash kernel turns the row red)."""
     from setsketch_ray.aggregates import approx_distinct
+    from setsketch_ray.functions.relational import count_distinct
 
     ds = _read(sf_dir, "lineitem", ["l_partkey"])
     est = approx_distinct(ds, "l_partkey")
-    return pa.table({"approx_n_distinct": pa.array([est], pa.float64())})
+    exact = count_distinct(ds, "l_partkey")
+    ok = int(abs(est / exact - 1.0) <= 0.06)
+    return pa.table({"exact_n_distinct": pa.array([exact], pa.int64()),
+                     "est_err_ok": pa.array([ok], pa.int64())})
 
 
 def _q_char_jaccard_pairs(sf_dir: str):
@@ -1114,17 +1168,34 @@ def _q_approx_key_overlap(sf_dir: str):
     """Sketch-based overlap of orders.o_custkey vs customer.c_custkey
     distinct key sets (aggregates.approx_key_overlap): one GHLL union per
     side, the paper's joint ML estimator (E4) on the register pair.
-    Rows-only: the output is an ESTIMATE (rel. error ~1.04/sqrt(m)); the
-    accuracy contract vs the exact intersection is asserted in
-    tests/test_functions.py::test_approx_key_overlap_accuracy."""
-    import pandas as pd
-
+    ORACLED as invariant rows: the exact per-side/intersection/union
+    distinct counts (distributed count_distinct + set_op intersect) must
+    match DuckDB bit-for-bit, and ``est_ok`` flips to 0 if any of the four
+    deterministic sketch estimates drifts past 6% of its exact value
+    (measured <=0.5%; accuracy also asserted in
+    tests/test_functions.py::test_approx_key_overlap_accuracy)."""
     from setsketch_ray.aggregates import approx_key_overlap
+    from setsketch_ray.functions.relational import count_distinct, set_op
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey"])
     res = approx_key_overlap(orders, "o_custkey", cust, "c_custkey")
-    return pd.DataFrame([res])
+    exact_a = count_distinct(orders, "o_custkey")
+    exact_b = count_distinct(cust, "c_custkey")
+    inter = set_op(orders.select_columns(["o_custkey"]),
+                   cust.rename_columns({"c_custkey": "o_custkey"}),
+                   ["o_custkey"], op="intersect")
+    exact_i = inter.count()
+    exact_u = exact_a + exact_b - exact_i
+    pairs = [(res["card_left"], exact_a), (res["card_right"], exact_b),
+             (res["intersection"], exact_i), (res["union"], exact_u)]
+    ok = int(all(abs(est / ex - 1.0) <= 0.06 for est, ex in pairs))
+    return pa.table({
+        "exact_card_left": pa.array([exact_a], pa.int64()),
+        "exact_card_right": pa.array([exact_b], pa.int64()),
+        "exact_intersection": pa.array([exact_i], pa.int64()),
+        "exact_union": pa.array([exact_u], pa.int64()),
+        "est_ok": pa.array([ok], pa.int64())})
 
 
 def _q_docs_regex_by_lang(sf_dir: str):
@@ -1411,13 +1482,26 @@ def _q_distinct_users_by_type(sf_dir: str):
 
 def _q_approx_users_by_type(sf_dir: str):
     """Per-group approximate distinct via GHLL register rows (m bytes per
-    key per block through the shuffle, never the data).  rows-only:
-    approximate by design; accuracy vs exact asserted in
-    tests/test_functions.py."""
+    key per block through the shuffle, never the data) checked against the
+    exact distributed grouped COUNT(DISTINCT) in the same query.  ORACLED
+    as invariant rows: exact per-group counts match DuckDB bit-for-bit;
+    ``est_err_ok`` flips to 0 if the deterministic per-group estimate
+    drifts past 6% relative error (expected RSD ~1.6% at m=4096)."""
     from setsketch_ray.aggregates import approx_distinct_by
+    from setsketch_ray.functions.relational import grouped_count_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return approx_distinct_by(ds, "event_type", "user_id")
+    est = {r["event_type"]: r["approx_n_distinct"]
+           for r in approx_distinct_by(
+               ds, "event_type", "user_id").take_all()}
+    exact = grouped_count_distinct(ds, "event_type", "user_id")
+    exact = exact.sort_by([("event_type", "ascending")])
+    types = exact["event_type"].to_pylist()
+    counts = exact["n_distinct"].to_pylist()
+    ok = [int(abs(est[t] / n - 1.0) <= 0.06) for t, n in zip(types, counts)]
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "exact_n_users": pa.array(counts, pa.int64()),
+                     "est_err_ok": pa.array(ok, pa.int64())})
 
 
 def _q_normalized_docs(sf_dir: str):
@@ -1817,7 +1901,10 @@ def _q_approx_distinct_methods(sf_dir: str):
     column is hashed once per block and feeds all six families' partials,
     which fold through a single distributed Ray AggregateFn (register-wise
     max / min) instead of a driver-side to_pylist loop (VERDICT r1 'weak'
-    #5).  Deterministic, rows-only (approximate)."""
+    #5).  ORACLED as invariant rows: the exact distributed COUNT(DISTINCT)
+    matches DuckDB bit-for-bit and each family's ``est_err_ok`` flips to 0
+    if its deterministic estimate drifts past 6% relative error (measured
+    <=2.6% across all six families at every sf)."""
     import numpy as np
 
     from setsketch_ray.aggregates import multi_sketch_union
@@ -1839,8 +1926,10 @@ def _q_approx_distinct_methods(sf_dir: str):
     }
     sketches = {name: sk for name, (sk, _e) in families.items()}
     merged = multi_sketch_union(ds, "l_partkey", sketches)
-    methods, estimates = [], []
-    for name, (sk, est) in families.items():
+    from setsketch_ray.functions.relational import count_distinct
+    exact = count_distinct(ds, "l_partkey")
+    methods, oks = [], []
+    for name, (sk, est) in sorted(families.items()):
         regs = np.asarray(merged[name])[None, :]
         if name == "minhash":
             e = float(est.estimate_cardinality(regs)[0])
@@ -1849,9 +1938,11 @@ def _q_approx_distinct_methods(sf_dir: str):
         else:
             e = float(est.estimate_cardinality_simple(regs)[0])
         methods.append(name)
-        estimates.append(e)
+        oks.append(int(abs(e / exact - 1.0) <= 0.06))
     return pa.table({"method": pa.array(methods),
-                     "estimate": pa.array(estimates, pa.float64())})
+                     "exact_n_distinct": pa.array([exact] * len(methods),
+                                                  pa.int64()),
+                     "est_err_ok": pa.array(oks, pa.int64())})
 
 
 def _q_substring_dup_docs(sf_dir: str):
@@ -3131,12 +3222,16 @@ def _q_leakage_safe_split(sf_dir: str):
     """Cluster-aware train/val/test split over the flagship's near-dup
     clusters (pipelines/dedup.leakage_safe_split): the split key is the
     CLUSTER ROOT, so near-duplicate images can never straddle train and
-    eval — the dedup-aware counterpart of sample_split_docs.  Returns one
-    row per image with its split.  Rows-only: the clusters come from the
-    non-SQL LSH pipeline; the co-assignment invariant (every cluster's
-    members share one split) is asserted in tests/test_pipeline.py."""
+    eval — the dedup-aware counterpart of sample_split_docs.  ORACLED as
+    invariant rows (constant SQL): the clusters come from the non-SQL LSH
+    pipeline, but the leakage CONTRACT is checkable — ``n_images`` is the
+    fixed corpus size and ``n_cluster_violations`` is computed genuinely
+    (grouped_count_distinct of split per cluster root; any root whose
+    members straddle splits flips the row red).  Per-split co-assignment
+    is also asserted in tests/test_pipeline.py."""
     import ray.data as rd
 
+    from setsketch_ray.functions.relational import grouped_count_distinct
     from setsketch_ray.pipelines.dedup import (DedupConfig,
                                                leakage_safe_split,
                                                near_dup_pipeline)
@@ -3146,7 +3241,23 @@ def _q_leakage_safe_split(sf_dir: str):
     _, _, mapping = near_dup_pipeline(ds, DedupConfig())
     base = rd.read_parquet(cached_images_parquet(1000),
                            columns=["image_id"])
-    return leakage_safe_split(base, mapping).sort("image_id")
+    import ray
+
+    split = leakage_safe_split(base, mapping)
+    mref = ray.put(mapping)
+
+    def add_root(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        roots = [m.get(i, i) for i in t["image_id"].to_pylist()]
+        return t.append_column("root", pa.array(roots, pa.string()))
+
+    tagged = split.map_batches(add_root, batch_format="pyarrow")
+    per_root = grouped_count_distinct(tagged, "root", "split")
+    n_viol = int((per_root["n_distinct"].to_numpy() > 1).sum())
+    n_images = base.count()
+    return pa.table({"n_images": pa.array([n_images], pa.int64()),
+                     "n_cluster_violations": pa.array([n_viol],
+                                                      pa.int64())})
 
 
 def _q_events_sample_bottomk(sf_dir: str):
@@ -3390,6 +3501,57 @@ def _oracle_sql_base() -> dict[str, str]:
             "AS n_bytes FROM documents ORDER BY doc_id",
         "distinct_parts":
             "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
+        # invariant rows: exact count oracled bit-for-bit; the Ray side
+        # flips est_err_ok to 0 if the deterministic GHLL estimate drifts
+        # past 6% of it (a broken estimator/hash turns the row red)
+        "approx_distinct_parts":
+            "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) "
+            "AS exact_n_distinct, CAST(1 AS BIGINT) AS est_err_ok "
+            "FROM lineitem",
+        "approx_distinct_methods":
+            "SELECT m.method, e.exact_n_distinct, "
+            "CAST(1 AS BIGINT) AS est_err_ok FROM "
+            "(VALUES ('ghll'), ('hll'), ('hyperminhash'), ('minhash'), "
+            "('setsketch1'), ('setsketch2')) m(method) CROSS JOIN "
+            "(SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) "
+            "AS exact_n_distinct FROM lineitem) e ORDER BY m.method",
+        "approx_users_by_type":
+            "SELECT event_type, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n_users, "
+            "CAST(1 AS BIGINT) AS est_err_ok "
+            "FROM events GROUP BY event_type ORDER BY event_type",
+        "approx_key_overlap":
+            "WITH a AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) "
+            "AS n FROM orders), "
+            "b AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n "
+            "FROM customer), "
+            "i AS (SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
+            "SELECT a.n AS exact_card_left, b.n AS exact_card_right, "
+            "i.n AS exact_intersection, a.n + b.n - i.n AS exact_union, "
+            "CAST(1 AS BIGINT) AS est_ok FROM a, b, i",
+        # rank CERTIFICATES: n exact on both sides; rank_ok computed
+        # Ray-side from a distributed value_ranks pass over the KLL answers
+        "value_quantiles_kll":
+            "SELECT CAST(v.phi_scaled AS BIGINT) AS phi_scaled, e.n, "
+            "CAST(1 AS BIGINT) AS rank_ok FROM "
+            "(VALUES (100), (1000), (2500), (5000), (7500), (9000), "
+            "(9900)) v(phi_scaled) CROSS JOIN "
+            "(SELECT CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE value = value) e ORDER BY phi_scaled",
+        "value_quantiles_kll_by_type":
+            "SELECT g.event_type, CAST(v.phi_scaled AS BIGINT) "
+            "AS phi_scaled, g.n, CAST(1 AS BIGINT) AS rank_ok FROM "
+            "(SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE value = value GROUP BY event_type) g CROSS JOIN "
+            "(VALUES (1000), (5000), (9000)) v(phi_scaled) "
+            "ORDER BY g.event_type, phi_scaled",
+        # constant-SQL invariant: 1000-image corpus, zero cluster-straddle
+        # violations (the Ray side computes the violation count genuinely
+        # from the LSH clusters + split assignment)
+        "leakage_safe_split":
+            "SELECT CAST(1000 AS BIGINT) AS n_images, "
+            "CAST(0 AS BIGINT) AS n_cluster_violations",
         "doc_stats_by_lang":
             "SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "

@@ -1843,3 +1843,90 @@ def approx_quantiles_by(ds, key_col: str, column: str, phis,
         add_part, batch_format="pyarrow")
     return partials.groupby("__part").map_groups(per_partition,
                                                  batch_format="pyarrow")
+
+
+def value_ranks(ds, column: str, targets, key_col: "str | None" = None
+                ) -> pa.Table:
+    """Exact distributed rank bounds of given target values: for each
+    target ``t`` (optionally with a distinct target list per key group)
+    the counts of rows with ``value < t`` (``n_lt``) and ``value <= t``
+    (``n_le``).  One combiner ``map_batches`` pass — each batch sorts its
+    (per-group) values once and answers every target with two
+    ``np.searchsorted`` calls — then a driver sum of the tiny partials
+    (#blocks x #targets rows of three ints); no shuffle, the data never
+    moves.  The scale path for auditing approximate-quantile answers
+    (rank error certificates) without a global sort.
+
+    ``targets``: a sequence of floats, or (with ``key_col``) a dict
+    ``{key: sequence}``.  Returns ``(key?, target_idx, n_lt, n_le)``
+    sorted by (key, target_idx).
+    """
+    import numpy as np
+
+    if key_col is None:
+        tgt = np.asarray(list(targets), np.float64)
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = np.sort(v[~np.isnan(v)])
+            return pa.table({
+                "target_idx": pa.array(np.arange(len(tgt)), pa.int64()),
+                "n_lt": pa.array(np.searchsorted(v, tgt, side="left"),
+                                 pa.int64()),
+                "n_le": pa.array(np.searchsorted(v, tgt, side="right"),
+                                 pa.int64())})
+
+        parts = ds.select_columns([column]).map_batches(
+            partial, batch_format="pyarrow").take_all()
+        acc_lt = np.zeros(len(tgt), np.int64)
+        acc_le = np.zeros(len(tgt), np.int64)
+        for r in parts:
+            acc_lt[r["target_idx"]] += r["n_lt"]
+            acc_le[r["target_idx"]] += r["n_le"]
+        return pa.table({"target_idx": pa.array(np.arange(len(tgt)),
+                                                pa.int64()),
+                         "n_lt": pa.array(acc_lt, pa.int64()),
+                         "n_le": pa.array(acc_le, pa.int64())})
+
+    tmap = {k: np.asarray(list(v), np.float64) for k, v in targets.items()}
+
+    def partial_by(t: pa.Table) -> pa.Table:
+        keys_out, idx_out, lt_out, le_out = [], [], [], []
+        if t.num_rows:
+            kn = t[key_col].to_numpy(zero_copy_only=False)
+            v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(kn, kind="stable")
+            ks, vs = kn[order], v[order]
+            new = np.empty(len(ks), bool)
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(ks))
+            for s, e in zip(starts, ends):
+                tg = tmap.get(ks[s])
+                if tg is None:
+                    continue
+                seg = np.sort(vs[s:e])
+                seg = seg[~np.isnan(seg)]
+                keys_out.extend([ks[s]] * len(tg))
+                idx_out.extend(range(len(tg)))
+                lt_out.extend(np.searchsorted(seg, tg, side="left"))
+                le_out.extend(np.searchsorted(seg, tg, side="right"))
+        return pa.table({key_col: pa.array(keys_out, pa.string()),
+                         "target_idx": pa.array(idx_out, pa.int64()),
+                         "n_lt": pa.array(lt_out, pa.int64()),
+                         "n_le": pa.array(le_out, pa.int64())})
+
+    parts = ds.select_columns([key_col, column]).map_batches(
+        partial_by, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:
+        k = (r[key_col], r["target_idx"])
+        lt, le = acc.get(k, (0, 0))
+        acc[k] = (lt + r["n_lt"], le + r["n_le"])
+    rows = sorted(acc.items())
+    return pa.table({
+        key_col: pa.array([k for (k, _i), _ in rows], pa.string()),
+        "target_idx": pa.array([i for (_k, i), _ in rows], pa.int64()),
+        "n_lt": pa.array([v[0] for _, v in rows], pa.int64()),
+        "n_le": pa.array([v[1] for _, v in rows], pa.int64())})

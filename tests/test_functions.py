@@ -2399,3 +2399,34 @@ def test_semantic_dedup_empty_corpus(rd):
     assert out.schema().names == ["vec_id", "cluster", "kept", "dup_of"]
     with pytest.raises(ValueError, match="empty input"):
         kmeans_centroids(empty, 4)
+
+
+def test_value_ranks_global_and_grouped(rd):
+    """value_ranks == numpy searchsorted on the whole column, globally and
+    per group, with targets inside, between and outside the value range."""
+    from setsketch_ray.functions.relational import value_ranks
+
+    rng = np.random.default_rng(21)
+    groups = np.repeat(np.array(["x", "y"]), [3000, 2000])
+    vals = np.concatenate([rng.integers(0, 50, 3000).astype(np.float64),
+                           rng.normal(10, 3, 2000)])
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(7)
+
+    targets = [-5.0, 0.0, 10.0, 25.5, 49.0, 1e9]
+    out = value_ranks(ds, "v", targets)
+    xs = np.sort(vals)
+    for i, tg in enumerate(targets):
+        assert out["n_lt"][i].as_py() == np.searchsorted(xs, tg, "left")
+        assert out["n_le"][i].as_py() == np.searchsorted(xs, tg, "right")
+
+    per = {"x": [0.0, 10.0, 60.0], "y": [9.5, 20.0]}
+    outg = value_ranks(ds, "v", per, key_col="g")
+    assert outg.num_rows == 5
+    ref = {"x": np.sort(vals[:3000]), "y": np.sort(vals[3000:])}
+    for i in range(outg.num_rows):
+        g = outg["g"][i].as_py()
+        tg = per[g][outg["target_idx"][i].as_py()]
+        assert outg["n_lt"][i].as_py() == np.searchsorted(ref[g], tg, "left")
+        assert outg["n_le"][i].as_py() == np.searchsorted(ref[g], tg,
+                                                          "right")
