@@ -102,6 +102,23 @@ def _q_exact_dedup_docs(sf_dir: str):
     return grouped_aggregate(ds, ["text"], {"doc_id": ("min", "doc_id")})
 
 
+def _q_tiered_dedup_docs(sf_dir: str):
+    """Web-scale tiered dedup cascade (functions/dedup.tiered_dedup — the
+    RefinedWeb/CCNet shape): tier 1 exact content dedup (earlier doc wins,
+    (id, hash)-only shuffle), tier 2 shingle-Jaccard near-dup over the
+    tier-1 survivors (shared-16-token-window candidates have recall 1 by
+    construction; verification is the exact integer inequality
+    2*shared >= union).  ORACLED exactly: one row per doc with its
+    drop_tier — the SQL mirror is a window-function dedup + the same
+    distinct-window self-join + integer Jaccard (exact modulo 2^-64 hash
+    collisions and the >256-doc bucket cap, neither reachable here)."""
+    from setsketch_ray.functions.dedup import tiered_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tiered_dedup(ds, "doc_id", "text", window=16,
+                        jaccard_num=1, jaccard_den=2).sort("doc_id")
+
+
 def _q_distinct_parts(sf_dir: str):
     """Exact COUNT(DISTINCT): the baseline `approx_distinct` is checked
     against (rows-only query below)."""
@@ -3290,6 +3307,7 @@ def _q_value_quantiles_sampled(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "tiered_dedup_docs": _q_tiered_dedup_docs,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_curation": _q_corpus_curation,
@@ -3420,6 +3438,30 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "exact_dedup_docs":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # tiered cascade: window-fn exact dedup, then the same distinct-
+        # window self-join + INTEGER Jaccard inequality as the engine
+        "tiered_dedup_docs":
+            "WITH t1 AS (SELECT doc_id, text, CASE WHEN doc_id = "
+            "min(doc_id) OVER (PARTITION BY text) THEN 0 ELSE 1 END AS t1d "
+            "FROM documents), "
+            "surv AS (SELECT doc_id, text FROM t1 WHERE t1d = 0), "
+            "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "t -> t <> '') AS tk FROM surv), "
+            "idx AS (SELECT doc_id, tk, unnest(generate_series(1, "
+            "len(tk) - 15)) AS i FROM toks WHERE len(tk) >= 16), "
+            "w AS (SELECT doc_id, array_to_string(tk[i:i+15], ' ') AS win "
+            "FROM idx), "
+            "wd AS (SELECT DISTINCT doc_id, win FROM w), "
+            "nw AS (SELECT doc_id, count(*) AS n FROM wd GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) "
+            "AS sw FROM wd a JOIN wd b ON a.win = b.win AND "
+            "a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "d2 AS (SELECT DISTINCT p.ib AS doc_id FROM pairs p "
+            "JOIN nw na ON na.doc_id = p.ia JOIN nw nb ON nb.doc_id = p.ib "
+            "WHERE 2 * p.sw >= na.n + nb.n - p.sw) "
+            "SELECT t1.doc_id, CAST(CASE WHEN t1.t1d = 1 THEN 1 "
+            "WHEN t1.doc_id IN (SELECT doc_id FROM d2) THEN 2 ELSE 0 END "
+            "AS BIGINT) AS drop_tier FROM t1 ORDER BY doc_id",
         # RE2 on both sides: identical patterns -> identical strings/counts
         "scrub_pii":
             "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id "

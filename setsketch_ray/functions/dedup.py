@@ -1212,3 +1212,173 @@ def semantic_dedup(ds, n_centroids: int | None = None,
 
     return ds.map_batches(assign, batch_format="pyarrow") \
         .groupby("group").map_groups(prune, batch_format="pyarrow")
+
+
+def tiered_dedup(ds, id_col: str, text_col: str = "text", window: int = 16,
+                 jaccard_num: int = 1, jaccard_den: int = 2,
+                 num_partitions: int = 64, bucket_cap: int = 256):
+    """Web-scale tiered dedup cascade over a document corpus — the
+    RefinedWeb / CCNet shape as one deterministic, fully distributed plan:
+
+    * **tier 1 (exact)**: drop every doc whose text equals an EARLIER
+      (smaller-id) doc's text.  Shuffle carries (id, 64-bit content hash)
+      only — never the payload.
+    * **tier 2 (near)**: among tier-1 survivors, drop doc X when an
+      earlier survivor Y has Jaccard >= jaccard_num/jaccard_den over the
+      docs' distinct ``window``-token shingle sets.  Candidates come from
+      shared-window buckets (recall 1 BY CONSTRUCTION — Jaccard > 0
+      requires a shared window), and verification is the exact integer
+      inequality ``den*shared >= num*(n_a + n_b - shared)`` — no floats,
+      no estimate.  The "earlier survivor" rule is non-recursive (Y's own
+      tier-2 fate is irrelevant), so the result is order-free,
+      partitioning-invariant and SQL-expressible.
+
+    Semantic pruning (tier 3 of a full production cascade) is the separate
+    :func:`semantic_dedup` operator — it needs an embedding column.
+
+    Returns a Dataset of ``(id_col, drop_tier)`` — one row per input doc:
+    0 kept, 1 exact dup, 2 near dup.  Scale shape: two slim exchanges
+    (content hashes; window-bucket band rows of (band_key, part, id)) plus
+    task-based lookup joins; nothing materializes the corpus.
+    """
+    from .relational import grouped_aggregate, lookup_join
+
+    base = ds.select_columns([id_col, text_col])
+
+    # ---- tier 1: exact content dedup over (id, hash) ------------------
+    def t1_partial(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        h = hash_str_u64(pc.fill_null(arr, ""))
+        return pa.table({
+            id_col: t[id_col],
+            "__h": pa.array(h, pa.uint64()),
+            "__part": pa.array((h % np.uint64(num_partitions))
+                               .astype(np.uint32), pa.uint32())})
+
+    def t1_mark(part: pa.Table) -> pa.Table:
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        h = part["__h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        hs, si = h[order], ids[order]
+        first = np.empty(len(hs), bool)
+        if len(hs):
+            first[0] = True
+            first[1:] = hs[1:] != hs[:-1]
+        t1d = np.where(first, 0, 1).astype(np.int64)
+        return pa.table({id_col: pa.array(si, pa.int64()),
+                         "t1d": pa.array(t1d, pa.int64())})
+
+    labels1 = base.map_batches(t1_partial, batch_format="pyarrow") \
+        .groupby("__part").map_groups(t1_mark, batch_format="pyarrow")
+
+    id_type = pa.int64()
+    labels1_schema = pa.schema([(id_col, id_type), ("t1d", pa.int64())])
+    base_schema = pa.schema([(id_col, id_type), (text_col, pa.string())])
+
+    # survivors keep their payload via a task-based co-partition join
+    def keep_survivors(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["t1d"], 0)).drop_columns(["t1d"])
+
+    surv = lookup_join(base, labels1, id_col, id_col,
+                       left_schema=base_schema,
+                       right_schema=labels1_schema) \
+        .map_batches(keep_survivors, batch_format="pyarrow")
+
+    # ---- per-doc distinct window counts (row-local, no shuffle) -------
+    def add_nw(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        counts = np.zeros(nrows, np.int64)
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        arr = pc.fill_null(arr, "")
+        toks = pc.utf8_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(nrows), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            th = hash_str_u64(enc.dictionary)[
+                enc.indices.to_numpy(zero_copy_only=False)]
+            keys = th.copy()
+            for j in range(1, window):
+                shifted = np.zeros_like(th)
+                if j < len(th):
+                    shifted[:len(th) - j] = th[j:]
+                keys = mix2(keys, shifted)
+            valid = np.zeros(len(th), dtype=bool)
+            if len(th) >= window:
+                valid[:len(th) - window + 1] = \
+                    row_of[:len(th) - window + 1] == row_of[window - 1:]
+            keys, rows = keys[valid], row_of[valid]
+            if len(keys):
+                order = np.lexsort((keys, rows))
+                keys, rows = keys[order], rows[order]
+                keep = np.ones(len(keys), dtype=bool)
+                keep[1:] = (keys[1:] != keys[:-1]) | (rows[1:] != rows[:-1])
+                counts = np.bincount(rows[keep],
+                                     minlength=nrows).astype(np.int64)
+        return pa.table({id_col: t[id_col],
+                         "nw": pa.array(counts, pa.int64())})
+
+    nw = surv.map_batches(add_nw, batch_format="pyarrow")
+
+    # ---- tier 2: shared-window candidates + exact integer Jaccard -----
+    pairs = substring_dup_pairs(surv, id_col, text_col, window=window,
+                                num_partitions=num_partitions,
+                                bucket_cap=bucket_cap)
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                             ("shared_windows", pa.int64())])
+    nw_schema = pa.schema([(id_col, id_type), ("nw", pa.int64())])
+    nwa = nw.map_batches(
+        lambda t: t.rename_columns(["id_a", "n_a"]),
+        batch_format="pyarrow")
+    nwb = nw.map_batches(
+        lambda t: t.rename_columns(["id_b", "n_b"]),
+        batch_format="pyarrow")
+    pa_schema = pa.schema([("id_a", id_type), ("n_a", pa.int64())])
+    pb_schema = pa.schema([("id_b", id_type), ("n_b", pa.int64())])
+    scored = lookup_join(pairs, nwa, "id_a", "id_a",
+                         left_schema=pair_schema, right_schema=pa_schema)
+    scored = lookup_join(
+        scored, nwb, "id_b", "id_b",
+        left_schema=pa.schema(list(pair_schema) + [("n_a", pa.int64())]),
+        right_schema=pb_schema)
+
+    def t2_filter(t: pa.Table) -> pa.Table:
+        sw = t["shared_windows"].to_numpy(zero_copy_only=False)
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        hit = jaccard_den * sw >= jaccard_num * (na + nb - sw)
+        return pa.table({"id_b": t["id_b"].filter(pa.array(hit)),
+                         "one": pa.array(np.ones(int(hit.sum()), np.int64),
+                                         pa.int64())})
+
+    d2 = scored.map_batches(t2_filter, batch_format="pyarrow")
+    d2u = grouped_aggregate(d2, ["id_b"], {"t2d": ("max", "one")},
+                            final="ray")
+
+    # ---- final labels: left-attach the tier-2 drop set ----------------
+    out = lookup_join(labels1, d2u, id_col, "id_b",
+                      left_schema=labels1_schema,
+                      right_schema=pa.schema([("id_b", id_type),
+                                              ("t2d", pa.int64())]),
+                      how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t1d = t["t1d"].to_numpy(zero_copy_only=False)
+        t2d = pc.fill_null(t["t2d"], 0).to_numpy(zero_copy_only=False)
+        tier = np.where(t1d == 1, 1, np.where(t2d > 0, 2, 0))
+        return pa.table({id_col: t[id_col],
+                         "drop_tier": pa.array(tier.astype(np.int64),
+                                               pa.int64())})
+
+    return out.map_batches(finalize, batch_format="pyarrow")

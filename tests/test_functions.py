@@ -2430,3 +2430,65 @@ def test_value_ranks_global_and_grouped(rd):
         assert outg["n_lt"][i].as_py() == np.searchsorted(ref[g], tg, "left")
         assert outg["n_le"][i].as_py() == np.searchsorted(ref[g], tg,
                                                           "right")
+
+
+def test_tiered_dedup_planted_cascade(rd):
+    """tiered_dedup: exact dups -> tier 1, high-Jaccard shingle near-dups
+    -> tier 2, unique docs kept; equals the naive reference rule and is
+    partitioning-invariant."""
+    from setsketch_ray.functions.dedup import tiered_dedup
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    docs = {}
+    rng = np.random.default_rng(5)
+    for i in range(20):  # unique base docs, 40 tokens each
+        docs[i] = " ".join(rng.choice(words, 40))
+    docs[100] = docs[3]                       # exact dup -> tier 1
+    docs[101] = docs[7]                       # exact dup -> tier 1
+    # near dup: copy doc 5, change the last 4 tokens (high window overlap)
+    tail = docs[5].split()
+    tail[-4:] = ["zzz1", "zzz2", "zzz3", "zzz4"]
+    docs[102] = " ".join(tail)
+    ids = sorted(docs)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([docs[i] for i in ids])})
+
+    # naive reference
+    def ref_tiers():
+        t1 = {}
+        seen = {}
+        for i in ids:
+            if docs[i] in seen:
+                t1[i] = 1
+            else:
+                seen[docs[i]] = i
+                t1[i] = 0
+        surv = [i for i in ids if t1[i] == 0]
+
+        def wins(s):
+            tk = s.split()
+            return {" ".join(tk[j:j + 16]) for j in range(len(tk) - 15)}
+
+        tiers = dict(t1)
+        for b in surv:
+            for a in surv:
+                if a >= b:
+                    continue
+                wa, wb = wins(docs[a]), wins(docs[b])
+                inter = len(wa & wb)
+                if inter and 2 * inter >= len(wa | wb):
+                    tiers[b] = 2
+                    break
+        return tiers
+
+    expect = ref_tiers()
+    assert sorted(expect.values()).count(1) == 2
+    assert sorted(expect.values()).count(2) >= 1
+
+    for nparts in (1, 5):
+        ds = rd.from_arrow(t).repartition(nparts)
+        out = tiered_dedup(ds, "doc_id", "text").sort("doc_id").take_all()
+        got = {r["doc_id"]: r["drop_tier"] for r in out}
+        assert got == expect, (nparts, got, expect)
