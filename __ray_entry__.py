@@ -551,23 +551,31 @@ def _q_simhash_dup_docs(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-bucket LSH + exact
-    cosine verify; rows-only (approximate candidate generation).  The sf
-    embeddings are near-orthogonal (max pairwise cosine ~0.5), so the
-    threshold is set low to exercise the operator; recall on planted
-    near-identical vectors is asserted in tests/test_functions.py."""
+    """Embedding-cosine near-dup via hyperplane-bucket LSH + exact cosine
+    verify, graded in-query against the exact all-pairs truth
+    (functions/knn.cosine_pairs — the same distributed matmul the
+    cosine_pairs query oracles).  ORACLED as invariant rows: n_true_pairs
+    is the exact cosine>=0.35 pair count (bit-for-bit vs DuckDB in f64);
+    precision_ok flips to 0 if the LSH+verify path ever emits a pair
+    outside the truth set (the verify is exact, so this is a hard
+    invariant); recall_floor_ok flips to 0 below 30% recall (the seeded
+    hyperplanes are deterministic; measured 0.376-0.391 on the
+    near-orthogonal sf tables — planted near-identical vectors reach ~1.0
+    in tests/test_functions.py)."""
     from setsketch_ray.functions.dedup import embedding_near_dup_pairs
+    from setsketch_ray.functions.knn import cosine_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, cosine_threshold=0.35, n_bits=6,
                                      n_tables=8)
-    batches = list(pairs.iter_batches(batch_format="pyarrow",
-                                      batch_size=1 << 20))
-    if batches:
-        return pa.concat_tables(batches)
-    return pa.table({"id_a": pa.array([], pa.int64()),
-                     "id_b": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())})
+    lsh = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.take_all()}
+    exact = cosine_pairs(ds, threshold=0.35).to_pandas()
+    truth = {tuple(sorted(p)) for p in zip(exact["id_a"], exact["id_b"])}
+    recall = len(lsh & truth) / len(truth) if truth else 1.0
+    return pa.table({
+        "n_true_pairs": pa.array([len(truth)], pa.int64()),
+        "precision_ok": pa.array([int(not (lsh - truth))], pa.int64()),
+        "recall_floor_ok": pa.array([int(recall >= 0.30)], pa.int64())})
 
 
 def _q_events_dow_hour(sf_dir: str):
@@ -3562,6 +3570,16 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n_users, "
             "CAST(1 AS BIGINT) AS est_err_ok "
             "FROM events GROUP BY event_type ORDER BY event_type",
+        # invariant rows: exact pair count in f64 (the list<float> cast
+        # caveat from cosine_pairs applies); precision/recall certificates
+        # computed Ray-side against the same truth set
+        "embedding_near_dup":
+            "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, "
+            "CAST(1 AS BIGINT) AS precision_ok, "
+            "CAST(1 AS BIGINT) AS recall_floor_ok "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.35",
         "approx_key_overlap":
             "WITH a AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) "
             "AS n FROM orders), "
