@@ -102,6 +102,23 @@ def _q_exact_dedup_docs(sf_dir: str):
     return grouped_aggregate(ds, ["text"], {"doc_id": ("min", "doc_id")})
 
 
+def _q_bpe_tokenize(sf_dir: str):
+    """Distributed BPE tokenizer (functions/text.train_bpe + BpeEncode —
+    Sennrich et al. 2016): learn 64 merges from the corpus word histogram
+    (one (word, cnt) combiner shuffle, never tokens; the histogram is
+    vocabulary-sized so driver-side merge learning is the standard shape),
+    then tokenize every doc with an actor-pool encode stage (per-actor
+    merge table + distinct-word cache).  Rows-only: iterative BPE merges
+    are not SQL-expressible; the trainer reproduces the canonical
+    Sennrich example and the encode matches a naive reference in
+    tests/test_functions.py."""
+    from setsketch_ray.functions.text import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out, _merges = bpe_token_counts(ds, "text", n_merges=64)
+    return out.select_columns(["doc_id", "n_bpe_tokens"]).sort("doc_id")
+
+
 def _q_tiered_dedup_docs(sf_dir: str):
     """Web-scale tiered dedup cascade (functions/dedup.tiered_dedup — the
     RefinedWeb/CCNet shape): tier 1 exact content dedup (earlier doc wins,
@@ -3316,6 +3333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
+        "bpe_tokenize": _q_bpe_tokenize,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_curation": _q_corpus_curation,

@@ -724,3 +724,152 @@ def scrub_pii(ds, id_col: str = "doc_id", text_col: str = "text"):
                          "scrubbed": s})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer: distributed histogram -> driver merges -> distributed encode
+# --------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"
+
+
+def train_bpe(word_freqs, n_merges: int) -> list:
+    """Classical byte-pair-encoding merge learning (Sennrich et al. 2016,
+    arXiv:1508.07909) over a word-frequency table.  Driver-side BY DESIGN:
+    BPE training's input is the word HISTOGRAM, which is vocabulary-sized,
+    not corpus-sized — the distributed parts of the tokenizer are the
+    histogram itself (:func:`word_topk` with a large k) and the encode
+    (:class:`BpeEncode`).  Deterministic: ties on pair count break to the
+    lexicographically smallest pair, so the merge list is a pure function
+    of the histogram.
+
+    ``word_freqs``: pyarrow Table (word, cnt) or dict {word: count}.
+    Returns the ordered merge list ``[(left, right), ...]``.
+    """
+    if isinstance(word_freqs, pa.Table):
+        word_freqs = dict(zip(word_freqs["word"].to_pylist(),
+                              word_freqs["cnt"].to_pylist()))
+    # symbol sequences per word, weighted by count
+    seqs = {w: tuple(w) + (_BPE_EOW,) for w in word_freqs}
+    merges: list = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, seq in seqs.items():
+            c = word_freqs[w]
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        # deterministic: max count, ties -> lexicographically smallest pair
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_seqs = {}
+        for w, seq in seqs.items():
+            if a not in seq:
+                new_seqs[w] = seq
+                continue
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Greedy BPE encode of one word (lowest-rank merge first — the
+    standard GPT-2-style apply order, which reproduces training exactly):
+    returns the token list including the ``</w>`` end-of-word marker."""
+    seq = list(word) + [_BPE_EOW]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a, b = seq[best_i], seq[best_i + 1]
+        ab = a + b
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+class BpeEncode:
+    """Actor-pool ``map_batches`` stage: append ``n_bpe_tokens`` — the
+    BPE token count of the text column under a learned merge list.  The
+    merge-rank dict builds once per actor (``__init__``); each DISTINCT
+    word tokenizes once and caches across batches (the per-word greedy
+    loop is inherent to BPE; the cache makes the per-batch cost one dict
+    lookup per distinct word + one vectorized reduceat per row)."""
+
+    def __init__(self, merges, text_col: str = "text"):
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.text_col = text_col
+        self._cache: dict = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        counts = np.zeros(n, np.int64)
+        txt = t[self.text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            per_word = np.empty(len(enc.dictionary), np.int64)
+            for i, w in enumerate(enc.dictionary.to_pylist()):
+                c = self._cache.get(w)
+                if c is None:
+                    c = len(bpe_encode_word(w, self.ranks))
+                    self._cache[w] = c
+                per_word[i] = c
+            wtok = per_word[enc.indices.to_numpy(zero_copy_only=False)]
+            np.add.at(counts, row_of, wtok)
+        return t.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
+def bpe_token_counts(ds, text_col: str = "text", n_merges: int = 64,
+                     max_vocab_words: int = 1_000_000,
+                     concurrency: int = 4):
+    """End-to-end distributed BPE tokenizer: learn ``n_merges`` merges from
+    the corpus word histogram (one (word, cnt) shuffle — never tokens),
+    then tokenize every document with an actor-pool encode stage (merge
+    table broadcast once per actor).  ``max_vocab_words`` caps the
+    histogram at the top words by (count desc, word asc) — the standard
+    web-scale guard (rare tail words fall back to character pieces).
+    Returns the input Dataset with ``n_bpe_tokens`` appended."""
+    hist = word_topk(ds, text_col, k=max_vocab_words)
+    merges = train_bpe(hist, n_merges)
+    return ds.map_batches(BpeEncode(merges, text_col),
+                          batch_format="pyarrow",
+                          concurrency=concurrency), merges

@@ -2492,3 +2492,51 @@ def test_tiered_dedup_planted_cascade(rd):
         out = tiered_dedup(ds, "doc_id", "text").sort("doc_id").take_all()
         got = {r["doc_id"]: r["drop_tier"] for r in out}
         assert got == expect, (nparts, got, expect)
+
+
+def test_train_bpe_sennrich_example():
+    """train_bpe reproduces the canonical Sennrich et al. (2016) corpus:
+    low x5, lower x2, newest x6, widest x3 — first merges are (e,s),
+    (es,t), (est,</w>) and 'lowest' encodes to [low, est</w>]."""
+    from setsketch_ray.functions.text import bpe_encode_word, train_bpe
+
+    h = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    m = train_bpe(h, 10)
+    assert m[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    ranks = {tuple(p): i for i, p in enumerate(m)}
+    assert bpe_encode_word("lowest", ranks) == ["low", "est</w>"]
+    # determinism: same histogram -> identical merge list
+    assert train_bpe(dict(h), 10) == m
+
+
+def test_bpe_token_counts_matches_naive(rd):
+    """Distributed BPE pipeline == naive reference (train on the exact
+    word histogram, encode each word greedily), partitioning-invariant."""
+    from setsketch_ray.functions.text import (bpe_encode_word,
+                                              bpe_token_counts, train_bpe)
+
+    rng = np.random.default_rng(13)
+    words = ["hash", "join", "merge", "sort", "scan", "batch", "stream",
+             "window", "shuffle", "spill"]
+    texts = [" ".join(rng.choice(words, rng.integers(5, 30)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+
+    hist: dict = {}
+    for s in texts:
+        for w in s.split():
+            hist[w] = hist.get(w, 0) + 1
+    merges = train_bpe(hist, 32)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    expect = [sum(len(bpe_encode_word(w, ranks)) for w in s.split())
+              for s in texts]
+
+    for nparts in (1, 6):
+        ds = rd.from_arrow(t).repartition(nparts)
+        out, m = bpe_token_counts(ds, "text", n_merges=32, concurrency=2)
+        assert m == merges
+        got = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in out.select_columns(
+                   ["doc_id", "n_bpe_tokens"]).take_all()}
+        assert [got[i] for i in range(200)] == expect
