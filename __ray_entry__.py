@@ -102,6 +102,46 @@ def _q_exact_dedup_docs(sf_dir: str):
     return grouped_aggregate(ds, ["text"], {"doc_id": ("min", "doc_id")})
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """Documents round-tripped through deterministic hash-sharded Apache
+    ORC files (sources/orc.py: write_orc_shards -> read_orc via
+    read_corpus dispatch; one writer/reader task per shard).  ORACLED:
+    the round trip is lossless, so per-doc byte counts and lang match
+    strlen(text) straight off the parquet — any ORC encode/decode or
+    shard-assignment bug breaks the hash.  Shards build once per sf_dir
+    under /tmp behind a _SUCCESS marker (partial dirs wiped+rebuilt)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sources.orc import write_orc_shards
+    from setsketch_ray.sources.readers import read_corpus
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|orc8".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/orc_shards_{fp}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_orc_shards(ds, root, key_col="doc_id", num_shards=8)
+        with open(marker, "w") as fh:
+            fh.write("8 shards\n")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(t["text"], pa.binary())), pa.int64())})
+
+    back = read_corpus(root, columns=["doc_id", "text", "lang"])
+    return back.map_batches(summarize,
+                            batch_format="pyarrow").sort("doc_id")
+
+
 def _q_bpe_tokenize(sf_dir: str):
     """Distributed BPE tokenizer (functions/text.train_bpe + BpeEncode —
     Sennrich et al. 2016): learn 64 merges from the corpus word histogram
@@ -3334,6 +3374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
         "bpe_tokenize": _q_bpe_tokenize,
+        "orc_roundtrip": _q_orc_roundtrip,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_curation": _q_corpus_curation,
@@ -3566,6 +3607,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # lossless tar round trip: byte counts straight off the base table
         "wds_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "  # bytes
+            "AS n_bytes FROM documents ORDER BY doc_id",
+        "orc_roundtrip":
+            "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         "distinct_parts":
             "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",

@@ -19,6 +19,8 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
     * ``*.jsonl`` / ``*.json`` -> ``ray.data.read_json`` (newline-delimited);
     * ``*.tar`` file or a directory of tar shards -> WebDataset samples
       (``sources/webdataset.read_wds_shards``; one shard per task);
+    * ``*.orc`` file or a directory of ORC files -> ``sources/orc.read_orc``
+      (one file per task, column pruning at the in-task decode);
     * ``*.arrow`` / ``*.feather`` -> Arrow IPC via ``read_binary_files`` +
       a zero-copy in-task ``RecordBatchFileReader`` (one file per task);
     * parquet file or directory -> ``ray.data.read_parquet``.
@@ -71,6 +73,13 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds
+    if path.endswith(".orc") or (
+            os.path.isdir(path) and any(n.endswith(".orc")
+                                        for n in os.listdir(path))):
+        from .orc import read_orc
+
+        return read_orc(path, columns=columns,
+                        override_num_blocks=override_num_blocks)
     if path.endswith((".arrow", ".feather")):
         # Arrow IPC file (= Feather v2); one file per read task
         def parse_ipc(t):
