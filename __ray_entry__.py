@@ -102,6 +102,49 @@ def _q_exact_dedup_docs(sf_dir: str):
     return grouped_aggregate(ds, ["text"], {"doc_id": ("min", "doc_id")})
 
 
+def _q_phrase_search(sf_dir: str):
+    """Positional inverted index + exact phrase search (functions/
+    search.py): the index is a hive bucket=N parquet layout keyed by
+    token hash ((token, doc_id, pos) postings, one writer task per
+    bucket, built ONCE per sf_dir under /tmp behind a _SUCCESS marker);
+    each phrase query reads ONLY its tokens' buckets (parquet token==
+    filter prunes row groups) and intersects postings positionally in a
+    doc-hash co-partition — the corpus is never scanned at query time.
+    ORACLED exactly: phrase matches equal the SQL positional self-join
+    over string_split (single-spaced corpus contract)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.search import (build_inverted_index,
+                                                phrase_search)
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|invidx32".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/inv_index_{fp}"
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        build_inverted_index(ds, "doc_id", "text", root, num_buckets=32)
+
+    phrases = ["hash join", "merge sort", "table scan"]
+    out = []
+    for ph in phrases:
+        hits = phrase_search(root, ph, num_buckets=32)
+        t = pa.concat_tables(
+            list(hits.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 20)) or
+            [pa.table({"doc_id": pa.array([], pa.int64())})])
+        out.append(pa.table({
+            "phrase": pa.array([ph] * t.num_rows, pa.string()),
+            "doc_id": t["doc_id"]}))
+    res = pa.concat_tables(out)
+    return res.take(pc.sort_indices(res, sort_keys=[
+        ("phrase", "ascending"), ("doc_id", "ascending")]))
+
+
 def _q_orc_roundtrip(sf_dir: str):
     """Documents round-tripped through deterministic hash-sharded Apache
     ORC files (sources/orc.py: write_orc_shards -> read_orc via
@@ -3375,6 +3418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup_docs": _q_tiered_dedup_docs,
         "bpe_tokenize": _q_bpe_tokenize,
         "orc_roundtrip": _q_orc_roundtrip,
+        "phrase_search": _q_phrase_search,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_curation": _q_corpus_curation,
@@ -3611,6 +3655,20 @@ def _oracle_sql_base() -> dict[str, str]:
         "orc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
+        # exact phrase match: positional self-join over the single-space
+        # split — the same positions the inverted index stores
+        "phrase_search":
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+            "FROM documents), "
+            "ph AS (SELECT * FROM (VALUES ('hash join'), ('merge sort'), "
+            "('table scan')) p(phrase)) "
+            "SELECT p.phrase, a.doc_id FROM ph p "
+            "JOIN words a ON a.w = string_split(p.phrase, ' ')[1] "
+            "JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "AND b.w = string_split(p.phrase, ' ')[2] "
+            "GROUP BY p.phrase, a.doc_id ORDER BY p.phrase, a.doc_id",
         "distinct_parts":
             "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
         # invariant rows: exact count oracled bit-for-bit; the Ray side

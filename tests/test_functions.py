@@ -2540,3 +2540,38 @@ def test_bpe_token_counts_matches_naive(rd):
                for r in out.select_columns(
                    ["doc_id", "n_bpe_tokens"]).take_all()}
         assert [got[i] for i in range(200)] == expect
+
+
+def test_inverted_index_phrase_search(rd, tmp_path):
+    """Positional index phrase search == naive substring-of-token-list
+    scan: 2-term, 3-term, duplicate-term and absent-term phrases,
+    partitioning-invariant."""
+    from setsketch_ray.functions.search import (build_inverted_index,
+                                                phrase_search)
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(150)]
+    texts[7] = "alpha alpha beta " + texts[7]     # duplicate-term phrase
+    t = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def naive(phrase):
+        terms = phrase.split()
+        hits = []
+        for i, s in enumerate(texts):
+            tk = s.split()
+            if any(tk[j:j + len(terms)] == terms
+                   for j in range(len(tk) - len(terms) + 1)):
+                hits.append(i)
+        return hits
+
+    for nparts in (1, 4):
+        root = str(tmp_path / f"idx{nparts}")
+        ds = rd.from_arrow(t).repartition(nparts)
+        build_inverted_index(ds, "doc_id", "text", root, num_buckets=8)
+        for phrase in ["alpha beta", "beta gamma delta", "alpha alpha",
+                       "zeta beta"]:
+            got = sorted(r["doc_id"] for r in phrase_search(
+                root, phrase, num_buckets=8).take_all())
+            assert got == naive(phrase), (nparts, phrase)
