@@ -102,6 +102,23 @@ def _q_exact_dedup_docs(sf_dir: str):
     return grouped_aggregate(ds, ["text"], {"doc_id": ("min", "doc_id")})
 
 
+def _q_bigram_lm_scores(sf_dir: str):
+    """Bigram LM fluency scoring (functions/text.bigram_lm_stats — the
+    CCNet/KenLM quality-filter shape): train top-512 add-one-smoothed
+    bigram conditionals on the corpus in one combiner shuffle, score every
+    doc with an actor-pool stage.  ORACLED exactly: n_bigrams / n_oov are
+    integers, and sum_p_e9 pre-scales each DISTINCT bigram's probability
+    to an int (one IEEE division + one floor, identical expression tree in
+    the SQL) so the per-doc sums are exact integer arithmetic on both
+    engines.  The float logprob_sum column stays library-side (tests)."""
+    from setsketch_ray.functions.text import bigram_lm_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored, _table = bigram_lm_stats(ds, "text", top_bigrams=512)
+    return scored.select_columns(
+        ["doc_id", "n_bigrams", "n_oov", "sum_p_e9"]).sort("doc_id")
+
+
 def _q_phrase_search(sf_dir: str):
     """Positional inverted index + exact phrase search (functions/
     search.py): the index is a hive bucket=N parquet layout keyed by
@@ -3419,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "orc_roundtrip": _q_orc_roundtrip,
         "phrase_search": _q_phrase_search,
+        "bigram_lm_scores": _q_bigram_lm_scores,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_curation": _q_corpus_curation,
@@ -3655,6 +3673,34 @@ def _oracle_sql_base() -> dict[str, str]:
         "orc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
+        # bigram LM: identical count + rank + (c_ab+1)/(c_a+V) e9-scale
+        # expression tree on both sides; per-doc sums are integer-exact
+        "bigram_lm_scores":
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
+            "FROM documents), "
+            "words AS (SELECT doc_id, unnest(tk) AS w, "
+            "unnest(range(1, len(tk) + 1)) AS pos FROM toks), "
+            "uni AS (SELECT w, count(*) AS c FROM words GROUP BY w), "
+            "v AS (SELECT count(*) AS nv FROM uni), "
+            "bgr AS (SELECT a.doc_id, a.w AS wa, b.w AS wb FROM words a "
+            "JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "bgc AS (SELECT wa, wb, count(*) AS c FROM bgr "
+            "GROUP BY wa, wb), "
+            "topk AS (SELECT wa, wb, c FROM bgc "
+            "QUALIFY row_number() OVER (ORDER BY c DESC, "
+            "wa || chr(31) || wb ASC) <= 512), "
+            "p AS (SELECT t.wa, t.wb, CAST(floor((t.c + 1) / "
+            "(u.c + (SELECT nv FROM v)) * 1000000000 + 0.5) AS BIGINT) "
+            "AS pe9 FROM topk t JOIN uni u ON u.w = t.wa), "
+            "scored AS (SELECT g.doc_id, count(*) AS nb, "
+            "sum(CASE WHEN p.pe9 IS NULL THEN 1 ELSE 0 END) AS oov, "
+            "coalesce(sum(p.pe9), 0) AS spe9 FROM bgr g LEFT JOIN p "
+            "ON p.wa = g.wa AND p.wb = g.wb GROUP BY g.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.nb, 0) AS BIGINT) "
+            "AS n_bigrams, CAST(coalesce(s.oov, 0) AS BIGINT) AS n_oov, "
+            "CAST(coalesce(s.spe9, 0) AS BIGINT) AS sum_p_e9 "
+            "FROM documents d LEFT JOIN scored s USING (doc_id) "
+            "ORDER BY d.doc_id",
         # exact phrase match: positional self-join over the single-space
         # split — the same positions the inverted index stores
         "phrase_search":

@@ -873,3 +873,126 @@ def bpe_token_counts(ds, text_col: str = "text", n_merges: int = 64,
     return ds.map_batches(BpeEncode(merges, text_col),
                           batch_format="pyarrow",
                           concurrency=concurrency), merges
+
+
+# --------------------------------------------------------------------------
+# Bigram LM fluency scoring (the CCNet/KenLM shape at bigram order)
+# --------------------------------------------------------------------------
+
+_BG_SEP = "\x1f"  # sorts below every printable char: joined-string order
+#                   == (a, b) tuple order, on both engines
+
+
+def _bigram_flat(t: pa.Table, text_col: str):
+    """Vectorized per-batch bigram extraction: one Arrow split, flat
+    (left, right) adjacency with cross-row positions masked.  Returns
+    (bigram string array, row index array, rows_in_batch)."""
+    txt = t[text_col]
+    txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(t.num_rows), np.diff(offs))
+    ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+    if len(flat) < 2:
+        return pa.array([], pa.string()), np.empty(0, np.int64), t.num_rows
+    valid = row_of[:-1] == row_of[1:]
+    left = flat.slice(0, len(flat) - 1).filter(pa.array(valid))
+    right = flat.slice(1).filter(pa.array(valid))
+    bigrams = pc.binary_join_element_wise(left, right, _BG_SEP)
+    return bigrams, row_of[:-1][valid], t.num_rows
+
+
+class BigramLmScore:
+    """Actor-pool ``map_batches`` stage: append per-doc bigram-LM fluency
+    stats under a trained top-K bigram table — ``n_bigrams``, ``n_oov``
+    (bigrams outside the table), ``sum_p_e9`` (integer sum of the
+    e9-scaled add-one conditional probabilities — one IEEE division +
+    one floor per DISTINCT bigram, so the per-doc sums are exact integer
+    arithmetic on both engines) and ``logprob_sum`` (float ln-prob sum of
+    in-table bigrams, the conventional LM score — rows-only)."""
+
+    def __init__(self, p_e9: dict, text_col: str = "text"):
+        self.p_e9 = p_e9
+        self.logp = {w: float(np.log(v * 1e-9)) for w, v in p_e9.items()
+                     if v > 0}
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bigrams, rows, n = _bigram_flat(t, self.text_col)
+        nb = np.zeros(n, np.int64)
+        oov = np.zeros(n, np.int64)
+        sp = np.zeros(n, np.int64)
+        lp = np.zeros(n, np.float64)
+        if len(bigrams):
+            enc = pc.dictionary_encode(bigrams)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dwords = enc.dictionary.to_pylist()
+            pe = np.array([self.p_e9.get(w, -1) for w in dwords], np.int64)
+            lg = np.array([self.logp.get(w, 0.0) for w in dwords],
+                          np.float64)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            v_pe, v_lg = pe[idx], lg[idx]
+            hit = v_pe >= 0
+            np.add.at(nb, rows, 1)
+            np.add.at(oov, rows[~hit], 1)
+            np.add.at(sp, rows[hit], v_pe[hit])
+            np.add.at(lp, rows[hit], v_lg[hit])
+        return t.append_column("n_bigrams", pa.array(nb, pa.int64())) \
+                .append_column("n_oov", pa.array(oov, pa.int64())) \
+                .append_column("sum_p_e9", pa.array(sp, pa.int64())) \
+                .append_column("logprob_sum", pa.array(lp, pa.float64()))
+
+
+def bigram_lm_stats(ds, text_col: str = "text", top_bigrams: int = 512,
+                    max_vocab_words: int = 1_000_000, concurrency: int = 4):
+    """Distributed bigram language-model fluency scoring (the CCNet /
+    KenLM quality-filter shape at bigram order): train on the corpus
+    itself in one pass — unigram counts and top-K bigram counts each ride
+    the :func:`word_topk` combiner shuffle ((gram, cnt) pairs only) — then
+    score every doc with an actor-pool stage holding the e9-scaled
+    add-one-smoothed conditional-probability table
+    ``p(b|a) = (c_ab + 1) / (c_a + V)``.
+
+    The table is vocabulary-sized (driver-held by design, like
+    :func:`train_bpe`'s histogram); ``top_bigrams`` caps it the way
+    production LMs prune rare n-grams, and bigrams outside the table
+    count as OOV.  Deterministic: top-K ties break on the joined bigram
+    string, whose ``0x1f`` separator sorts below every printable char so
+    string order equals (a, b) tuple order.
+
+    Returns ``(scored_dataset, p_e9_table)``.
+    """
+    import math
+
+    uni = word_topk(ds, text_col, k=max_vocab_words)
+    v = uni.num_rows
+    c_a = dict(zip(uni["word"].to_pylist(), uni["cnt"].to_pylist()))
+
+    def to_bigram_text(t: pa.Table) -> pa.Table:
+        bigrams, rows, n = _bigram_flat(t, text_col)
+        counts = np.bincount(rows, minlength=n) if len(rows) else \
+            np.zeros(n, np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       bigrams.combine_chunks()
+                                       if isinstance(bigrams,
+                                                     pa.ChunkedArray)
+                                       else bigrams)
+        return pa.table({"bg_text": pc.binary_join(lst, " ")})
+
+    bg = word_topk(ds.map_batches(to_bigram_text, batch_format="pyarrow"),
+                   "bg_text", k=top_bigrams)
+    p_e9 = {}
+    for w, c in zip(bg["word"].to_pylist(), bg["cnt"].to_pylist()):
+        a = w.split(_BG_SEP, 1)[0]
+        p = (c + 1) / (c_a[a] + v)
+        p_e9[w] = int(math.floor(p * 1e9 + 0.5))
+    scored = ds.map_batches(BigramLmScore(p_e9, text_col),
+                            batch_format="pyarrow",
+                            concurrency=concurrency)
+    return scored, p_e9

@@ -2575,3 +2575,61 @@ def test_inverted_index_phrase_search(rd, tmp_path):
             got = sorted(r["doc_id"] for r in phrase_search(
                 root, phrase, num_buckets=8).take_all())
             assert got == naive(phrase), (nparts, phrase)
+
+
+def test_bigram_lm_stats_matches_naive(rd):
+    """Distributed bigram LM == naive reference: counts, OOV under the
+    top-K cap, e9-scaled probability sums and float logprob sums,
+    partitioning-invariant."""
+    import math
+
+    from setsketch_ray.functions.text import _BG_SEP, bigram_lm_stats
+
+    rng = np.random.default_rng(17)
+    words = ["red", "green", "blue", "cyan", "teal", "plum"]
+    texts = [" ".join(rng.choice(words, rng.integers(2, 40)))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(texts)})
+
+    # naive reference with the same top-K rule
+    uni: dict = {}
+    bgc: dict = {}
+    for s in texts:
+        tk = s.split()
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            bgc[(a, b)] = bgc.get((a, b), 0) + 1
+    K = 12  # < 36 possible bigrams -> real OOV
+    top = sorted(bgc.items(),
+                 key=lambda kv: (-kv[1], kv[0][0] + _BG_SEP + kv[0][1]))[:K]
+    v = len(uni)
+    pe9 = {ab: int(math.floor((c + 1) / (uni[ab[0]] + v) * 1e9 + 0.5))
+           for ab, c in top}
+
+    def ref(s):
+        tk = s.split()
+        nb = len(tk) - 1
+        oov = sp = 0
+        lp = 0.0
+        for ab in zip(tk, tk[1:]):
+            if ab in pe9:
+                sp += pe9[ab]
+                lp += math.log(pe9[ab] * 1e-9)
+            else:
+                oov += 1
+        return nb, oov, sp, lp
+
+    for nparts in (1, 5):
+        ds = rd.from_arrow(t).repartition(nparts)
+        scored, table = bigram_lm_stats(ds, "text", top_bigrams=K,
+                                        concurrency=2)
+        assert table == {a + _BG_SEP + b: x for (a, b), x in pe9.items()}
+        rows = {r["doc_id"]: r for r in scored.take_all()}
+        for i, s in enumerate(texts):
+            nb, oov, sp, lp = ref(s)
+            r = rows[i]
+            assert (r["n_bigrams"], r["n_oov"], r["sum_p_e9"]) == \
+                (nb, oov, sp), i
+            assert abs(r["logprob_sum"] - lp) < 1e-9, i
