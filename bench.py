@@ -372,6 +372,24 @@ def run_benchmarks() -> dict:
         entrymod._q_value_quantiles_kll(SF_DIR)
         timings["value_quantiles_kll"] = time.time() - t0
 
+        # --- round-4 additions (tiered dedup cascade, BPE tokenizer,
+        # bigram LM scoring, inverted-index phrase search, ORC round trip)
+        t0 = time.time()
+        entrymod._q_tiered_dedup_docs(SF_DIR).count()
+        timings["tiered_dedup_docs"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_bpe_tokenize(SF_DIR).count()
+        timings["bpe_tokenize"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_bigram_lm_scores(SF_DIR).count()
+        timings["bigram_lm_scores"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_phrase_search(SF_DIR).num_rows
+        timings["phrase_search"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_orc_roundtrip(SF_DIR).count()
+        timings["orc_roundtrip"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
