@@ -236,6 +236,75 @@ def _q_tiered_dedup_docs(sf_dir: str):
                         jaccard_num=1, jaccard_den=2).sort("doc_id")
 
 
+def _ssjoin_oracle_sql(num: int, den: int) -> str:
+    """SQL mirror of ssjoin_jaccard_pairs: same normalized stopword-filtered
+    unigram+bigram gram sets (strings instead of u64 hashes — Jaccard equal
+    modulo 2^-64 collisions), same df-ordered prefix + length + positional
+    filters (each exactness-preserving, so both sides reach the identical
+    verified pair set), same integer verify inequality."""
+    from setsketch_ray.stages.shingle import STOPWORDS
+
+    sl = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+    '[^a-z0-9]+', ' ', 'g')), ' ') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos
+    FROM raw) t
+  WHERE w NOT IN ({sl}) AND w <> ''),
+r AS (SELECT doc_id, w,
+      row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rp FROM toks),
+uni AS (SELECT DISTINCT doc_id, 'u:' || w AS g FROM r),
+bi AS (SELECT DISTINCT a.doc_id, 'b:' || a.w || ' ' || b.w AS g
+       FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rp = a.rp + 1),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+sets AS (SELECT doc_id, list_sort(list(g)) AS gl, count(*) AS n
+         FROM grams GROUP BY doc_id),
+df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+ord AS (SELECT gr.doc_id, gr.g,
+        row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g)
+          AS rk, s.n
+        FROM grams gr JOIN df d USING (g) JOIN sets s USING (doc_id)),
+pref AS (SELECT doc_id, g, rk, n FROM ord
+         WHERE rk <= n - (({num}*n+{den}-1)//{den}) + 1),
+cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                min(a.rk) AS ra, min(b.rk) AS rb,
+                min(a.n) AS na, min(b.n) AS nb
+         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+           AND {den}*least(a.n, b.n) >= {num}*greatest(a.n, b.n)
+         GROUP BY ia, ib
+         HAVING {den}*(1 + least(na - ra, nb - rb))
+                >= {num}*(na + nb - (1 + least(na - ra, nb - rb)))),
+scored AS (SELECT c.ia, c.ib, len(list_intersect(sa.gl, sb.gl)) AS s,
+           c.na, c.nb FROM cand c
+           JOIN sets sa ON sa.doc_id = c.ia
+           JOIN sets sb ON sb.doc_id = c.ib)
+SELECT ia AS id_a, ib AS id_b, CAST(s AS BIGINT) AS n_shared,
+       CAST(na + nb - s AS BIGINT) AS n_union
+FROM scored WHERE {den}*s >= {num}*(na + nb - s) ORDER BY id_a, id_b"""
+
+
+def _q_ssjoin_pairs(sf_dir: str):
+    """EXACT set-similarity self-join over documents (functions/dedup.
+    ssjoin_jaccard_pairs — the AllPairs/PPJoin family, Bayardo et al.
+    WWW'07 / Xiao et al. WWW'08): every pair with word-unigram+bigram
+    shingle Jaccard >= 0.85, found via document-frequency-ordered prefix
+    filtering + length + positional filters, all three exactness-
+    preserving.  Unlike the LSH near-dup family, recall AND precision are
+    1 by construction — and the integer (n_shared, n_union) scores ship
+    in the output, so the PAIRS AND SCORES are oracled bit-for-bit (the
+    SQL mirror builds the same stopword-filtered gram sets and runs the
+    same three filters; equal modulo 2^-64 shingle-hash collisions)."""
+    from setsketch_ray.functions.dedup import ssjoin_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ssjoin_jaccard_pairs(ds, "doc_id", "text",
+                                jaccard_num=17, jaccard_den=20) \
+        .sort(["id_a", "id_b"])
+
+
 def _q_distinct_parts(sf_dir: str):
     """Exact COUNT(DISTINCT): the baseline `approx_distinct` is checked
     against (rows-only query below)."""
@@ -3433,6 +3502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": _q_exact_dedup_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
+        "ssjoin_pairs": _q_ssjoin_pairs,
         "bpe_tokenize": _q_bpe_tokenize,
         "orc_roundtrip": _q_orc_roundtrip,
         "phrase_search": _q_phrase_search,
@@ -3591,6 +3661,9 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT t1.doc_id, CAST(CASE WHEN t1.t1d = 1 THEN 1 "
             "WHEN t1.doc_id IN (SELECT doc_id FROM d2) THEN 2 ELSE 0 END "
             "AS BIGINT) AS drop_tier FROM t1 ORDER BY doc_id",
+        # exact set-similarity join: pairs AND integer scores, same
+        # prefix/length/positional-filtered plan on both sides
+        "ssjoin_pairs": _ssjoin_oracle_sql(17, 20),
         # RE2 on both sides: identical patterns -> identical strings/counts
         "scrub_pii":
             "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id "

@@ -1382,3 +1382,252 @@ def tiered_dedup(ds, id_col: str, text_col: str = "text", window: int = 16,
                                                pa.int64())})
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def ssjoin_jaccard_pairs(ds, id_col: str, text_col: str = "text",
+                         jaccard_num: int = 1, jaccard_den: int = 2,
+                         ngrams: tuple = (1, 2), drop_stopwords: bool = True,
+                         num_partitions: int = 64,
+                         bucket_cap: int | None = None):
+    """EXACT set-similarity self-join with document-frequency-ordered prefix
+    filtering (the AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et
+    al. WWW'08): every document pair whose word-n-gram shingle sets (the
+    flagship's ``caption_shingles`` definition — lowercase, non-alnum strip,
+    stopword drop, unigram+bigram hashes) have Jaccard >=
+    ``jaccard_num/jaccard_den``, with the exact integer intersection and
+    union sizes.  Unlike the LSH family this is not probabilistic: recall
+    and precision are 1 by construction (modulo 2^-64 shingle-hash
+    collisions).
+
+    Prefix-filter lemma: under ANY global total order on grams, two sets
+    with ``|A ∩ B| >= ceil(t·|A|)`` must share a gram among the first
+    ``|A| - ceil(t·|A|) + 1`` grams of A (else the suffix, which is too
+    short, would have to contain the whole intersection).  Ordering grams
+    by ASCENDING global document frequency puts the rarest grams in every
+    prefix, so candidate buckets stay small even on corpora where some
+    grams are near-universal — the property that makes this the web-scale
+    exact-join shape (a plain shared-gram join is quadratic in hot-gram
+    document frequency).
+
+    Distributed plan (slim rows only — never the text):
+    1. per-doc distinct gram rows ``(g, id, n)``  [row-local]
+    2. gram document frequency            [combiner groupby, vocab-sized]
+    3. attach df to gram rows             [co-partition join on g]
+    4. per-doc (df, g)-ascending prefix   [one exchange on id]
+    5. per-gram candidate pairs over prefix rows   [one exchange on g]
+    6. pair dedup                         [combiner groupby]
+    7. exact verify: packed sorted gram sets attach via two co-partition
+       joins, merge-intersect count, integer inequality
+       ``den·s >= num·(n_a + n_b - s)``.
+
+    ``bucket_cap=None`` (default) keeps the join exact; a cap switches hot
+    prefix-gram buckets to star+chain (recall then probabilistic on those
+    buckets — only for adversarial corpora where even rarest-gram buckets
+    explode).
+
+    Returns ``(id_a, id_b, n_shared, n_union)`` — integer-exact, so the
+    pairs AND their scores are SQL-oracle-able.
+    """
+    from ..stages.shingle import caption_shingles
+    from .relational import grouped_aggregate, lookup_join
+
+    base = ds.select_columns([id_col, text_col])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        vals, offs = caption_shingles(t[text_col], ngrams=ngrams,
+                                      drop_stopwords=drop_stopwords)
+        sizes = np.diff(offs)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(t.num_rows), sizes)
+        return pa.table({
+            "g": pa.array(vals, pa.uint64()),
+            id_col: pa.array(ids[row_of], pa.int64()),
+            "n": pa.array(sizes[row_of], pa.int64())})
+
+    grams = base.map_batches(gram_rows, batch_format="pyarrow")
+    gram_schema = pa.schema([("g", pa.uint64()), (id_col, pa.int64()),
+                             ("n", pa.int64())])
+
+    df = grouped_aggregate(grams, ["g"], {"df": ("count", None)},
+                           final="ray")
+    df_schema = pa.schema([("g", pa.uint64()), ("df", pa.int64())])
+    withdf = lookup_join(grams, df, "g", "g", left_schema=gram_schema,
+                         right_schema=df_schema,
+                         num_partitions=num_partitions)
+
+    def add_id_part(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (mix2(ids, 424243) % np.uint64(num_partitions)) \
+            .astype(np.uint32)
+        return t.append_column("__part", pa.array(part, pa.uint32()))
+
+    def prefix_mark(part: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], pa.uint64()),
+                          id_col: pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        g = part["g"].to_numpy(zero_copy_only=False)
+        dfv = part["df"].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, dfv, ids))
+        ids, g, n = ids[order], g[order], n[order]
+        newid = np.empty(len(ids), dtype=bool)
+        newid[0] = True
+        newid[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(newid)
+        sizes = np.diff(np.append(starts, len(ids)))
+        rank = np.arange(len(ids)) - np.repeat(starts, sizes)
+        plen = n - (jaccard_num * n + jaccard_den - 1) // jaccard_den + 1
+        keep = rank < plen
+        return pa.table({"g": pa.array(g[keep], pa.uint64()),
+                         id_col: pa.array(ids[keep], pa.int64()),
+                         "n": pa.array(n[keep], pa.int64()),
+                         "rk": pa.array(rank[keep] + 1, pa.int64())})
+
+    prefix = withdf.map_batches(add_id_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(prefix_mark, batch_format="pyarrow")
+
+    def add_g_part(t: pa.Table) -> pa.Table:
+        gv = t["g"].to_numpy(zero_copy_only=False)
+        part = (mix2(gv, 424244) % np.uint64(num_partitions)) \
+            .astype(np.uint32)
+        return t.append_column("__part", pa.array(part, pa.uint32()))
+
+    def emit_pairs(part: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "ra": pa.array([], pa.int64()),
+                          "rb": pa.array([], pa.int64()),
+                          "na": pa.array([], pa.int64()),
+                          "nb": pa.array([], pa.int64())})
+        if part.num_rows < 2:
+            return empty
+        g = part["g"].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        rk = part["rk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, g))
+        g, ids, n, rk = g[order], ids[order], n[order], rk[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(g)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ii, jj = [], []
+        for s, m in zip(starts, sizes):
+            if m < 2:
+                continue
+            if bucket_cap is None or m <= bucket_cap:
+                a, b = np.triu_indices(m, k=1)
+            else:
+                a = np.concatenate([np.zeros(m - 1, dtype=np.int64),
+                                    np.arange(1, m - 1, dtype=np.int64)])
+                b = np.concatenate([np.arange(1, m, dtype=np.int64),
+                                    np.arange(2, m, dtype=np.int64)])
+            ii.append(s + a)
+            jj.append(s + b)
+        if not ii:
+            return empty
+        i, j = np.concatenate(ii), np.concatenate(jj)
+        # length filter (PPJoin): J <= min(n)/max(n), so pairs whose sizes
+        # differ beyond the threshold ratio can never qualify
+        lo = np.minimum(n[i], n[j])
+        hi = np.maximum(n[i], n[j])
+        keep = jaccard_den * lo >= jaccard_num * hi
+        i, j = i[keep], j[keep]
+        return pa.table({"id_a": pa.array(ids[i], pa.int64()),
+                         "id_b": pa.array(ids[j], pa.int64()),
+                         "ra": pa.array(rk[i], pa.int64()),
+                         "rb": pa.array(rk[j], pa.int64()),
+                         "na": pa.array(n[i], pa.int64()),
+                         "nb": pa.array(n[j], pa.int64())})
+
+    cand = prefix.map_batches(add_g_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(emit_pairs, batch_format="pyarrow")
+    # pair dedup keeps the match at the globally-MINIMAL shared gram: rk
+    # follows the same (df, g) order inside every doc, so min(ra) and
+    # min(rb) are attained at that same gram — the positional filter's
+    # overlap upper bound s <= 1 + min(na-ra, nb-rb) (all other shared
+    # grams order after it) is therefore stateless-exact
+    cand = grouped_aggregate(cand, ["id_a", "id_b"],
+                             {"ra": ("min", "ra"), "rb": ("min", "rb"),
+                              "na": ("min", "na"), "nb": ("min", "nb")},
+                             final="ray")
+
+    def positional_filter(t: pa.Table) -> pa.Table:
+        ra = t["ra"].to_numpy(zero_copy_only=False)
+        rb = t["rb"].to_numpy(zero_copy_only=False)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        ub = 1 + np.minimum(na - ra, nb - rb)
+        keep = pa.array(jaccard_den * ub >= jaccard_num * (na + nb - ub))
+        return pa.table({"id_a": t["id_a"].filter(keep),
+                         "id_b": t["id_b"].filter(keep)})
+
+    cand = cand.map_batches(positional_filter, batch_format="pyarrow")
+
+    def set_rows(t: pa.Table) -> pa.Table:
+        vals, offs = caption_shingles(t[text_col], ngrams=ngrams,
+                                      drop_stopwords=drop_stopwords)
+        packed = [vals[offs[i]:offs[i + 1]].tobytes()
+                  for i in range(t.num_rows)]
+        return pa.table({
+            id_col: t[id_col],
+            "set": pa.array(packed, pa.binary()),
+            "n": pa.array(np.diff(offs), pa.int64())})
+
+    sets = base.map_batches(set_rows, batch_format="pyarrow")
+    sa = sets.map_batches(
+        lambda t: t.rename_columns(["id_a", "set_a", "n_a"]),
+        batch_format="pyarrow")
+    sb = sets.map_batches(
+        lambda t: t.rename_columns(["id_b", "set_b", "n_b"]),
+        batch_format="pyarrow")
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    sa_schema = pa.schema([("id_a", pa.int64()), ("set_a", pa.binary()),
+                           ("n_a", pa.int64())])
+    sb_schema = pa.schema([("id_b", pa.int64()), ("set_b", pa.binary()),
+                           ("n_b", pa.int64())])
+    withsets = lookup_join(cand, sa, "id_a", "id_a",
+                           left_schema=pair_schema, right_schema=sa_schema,
+                           num_partitions=num_partitions)
+    withsets = lookup_join(
+        withsets, sb, "id_b", "id_b",
+        left_schema=pa.schema(list(pair_schema) +
+                              [("set_a", pa.binary()), ("n_a", pa.int64())]),
+        right_schema=sb_schema, num_partitions=num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        shared = np.zeros(m, dtype=np.int64)
+        set_a, set_b = t["set_a"], t["set_b"]
+        for k in range(m):
+            a = np.frombuffer(set_a[k].as_py(), dtype=np.uint64)
+            b = np.frombuffer(set_b[k].as_py(), dtype=np.uint64)
+            if len(a) > len(b):
+                a, b = b, a
+            if len(a) == 0:
+                continue
+            idx = np.searchsorted(b, a)
+            idx[idx == len(b)] = len(b) - 1
+            shared[k] = int((b[idx] == a).sum())
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        hit = jaccard_den * shared >= jaccard_num * (na + nb - shared)
+        hit &= (na + nb - shared) > 0
+        sel = pa.array(hit)
+        return pa.table({
+            "id_a": t["id_a"].filter(sel),
+            "id_b": t["id_b"].filter(sel),
+            "n_shared": pa.array(shared[hit], pa.int64()),
+            "n_union": pa.array((na + nb - shared)[hit], pa.int64())})
+
+    out = withsets.map_batches(verify, batch_format="pyarrow")
+    # schema anchor: an all-empty input produces ZERO blocks downstream of
+    # the groupbys and to_pandas would read (0, 0); one 0-row block with the
+    # output schema keeps it stable at no cost
+    import ray.data as _rd
+
+    anchor = _rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "n_shared": pa.array([], pa.int64()),
+        "n_union": pa.array([], pa.int64())}))
+    return out.union(anchor)

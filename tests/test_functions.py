@@ -2633,3 +2633,58 @@ def test_bigram_lm_stats_matches_naive(rd):
             assert (r["n_bigrams"], r["n_oov"], r["sum_p_e9"]) == \
                 (nb, oov, sp), i
             assert abs(r["logprob_sum"] - lp) < 1e-9, i
+
+
+def test_ssjoin_exact_vs_bruteforce(rd):
+    """ssjoin_jaccard_pairs equals brute-force exact Jaccard over the same
+    caption_shingles gram sets — pairs AND (n_shared, n_union) — at three
+    thresholds, across a partitioned input (prefix + length + positional
+    filters must all be exactness-preserving)."""
+    from setsketch_ray.functions.dedup import ssjoin_jaccard_pairs
+    from setsketch_ray.stages.shingle import caption_shingles
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "the", "a", "and", "row", "scan",
+             "merge", "sort", "hash", "join", "table"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(8, 30)))
+            for _ in range(120)]
+    for i in range(0, 30, 3):           # planted near-dups: one-word edit
+        w = docs[i].split()
+        if len(w) > 2:
+            w[1] = "edited"
+        docs.append(" ".join(w))
+    docs.append("")                      # empty doc: no grams, no pairs
+    docs.append("the a and of")          # all-stopword doc: empty gram set
+    ids = list(range(len(docs)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(docs)})
+
+    vals, offs = caption_shingles(t["text"])
+    sets = [set(vals[offs[i]:offs[i + 1]].tolist()) for i in ids]
+    ds = rd.from_arrow(t).repartition(6)
+    for num, den in [(1, 2), (17, 20), (1, 3)]:
+        truth = {}
+        for i in ids:
+            for j in ids[i + 1:]:
+                s = len(sets[i] & sets[j])
+                u = len(sets[i] | sets[j])
+                if u > 0 and den * s >= num * u:
+                    truth[(i, j)] = (s, u)
+        out = ssjoin_jaccard_pairs(ds, "doc_id", "text", jaccard_num=num,
+                                   jaccard_den=den).to_pandas()
+        got = {(int(r.id_a), int(r.id_b)): (int(r.n_shared), int(r.n_union))
+               for r in out.itertuples()}
+        assert got == truth, (num, den)
+
+
+def test_ssjoin_empty_corpus(rd):
+    from setsketch_ray.functions.dedup import ssjoin_jaccard_pairs
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    out = ssjoin_jaccard_pairs(rd.from_arrow(t), "doc_id", "text")
+    # NB: Dataset.to_pandas drops columns entirely on 0-row datasets (known
+    # Ray behavior) — the stable contract is schema() + count()
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "n_shared", "n_union"]
