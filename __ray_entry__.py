@@ -208,15 +208,64 @@ def _q_bpe_tokenize(sf_dir: str):
     (one (word, cnt) combiner shuffle, never tokens; the histogram is
     vocabulary-sized so driver-side merge learning is the standard shape),
     then tokenize every doc with an actor-pool encode stage (per-actor
-    merge table + distinct-word cache).  Rows-only: iterative BPE merges
-    are not SQL-expressible; the trainer reproduces the canonical
-    Sennrich example and the encode matches a naive reference in
-    tests/test_functions.py."""
-    from setsketch_ray.functions.text import bpe_token_counts
+    merge table + distinct-word cache).  The merges themselves are not
+    SQL-expressible (iterative argmax), but the ENCODE is certifiable:
+    BPE is a segmentation, so concatenating a word's tokens must
+    reproduce the word (roundtrip_ok — recomputed per distinct word from
+    the broadcast merge list), and n_words <= n_bpe_tokens <= non-space
+    chars (bounds_ok).  ORACLED as invariant rows: per-doc ``n_words`` is
+    exact SQL; the two certificates must be 1 on every row (the trainer
+    additionally reproduces the canonical Sennrich example in
+    tests/test_functions.py)."""
+    from setsketch_ray.functions.text import (_BPE_EOW, bpe_encode_word,
+                                              bpe_token_counts)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out, _merges = bpe_token_counts(ds, "text", n_merges=64)
-    return out.select_columns(["doc_id", "n_bpe_tokens"]).sort("doc_id")
+    out, merges = bpe_token_counts(ds, "text", n_merges=64)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def grade(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = t["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        n_words = np.bincount(row_of, minlength=t.num_rows).astype(np.int64)
+        rt_ok = np.ones(t.num_rows, dtype=bool)
+        nchars = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            wl = enc.dictionary.to_pylist()
+            # tokens carry the </w> end-of-word marker: a correct
+            # segmentation concatenates back to word + EOW exactly
+            w_rt = np.array(
+                ["".join(bpe_encode_word(w, ranks)) == w + _BPE_EOW
+                 for w in wl])
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            np.logical_and.at(rt_ok, row_of, w_rt[codes])
+            wlen = pc.utf8_length(enc.dictionary) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(nchars, row_of, wlen[codes])
+        nb = t["n_bpe_tokens"].to_numpy(zero_copy_only=False)
+        # per word: 1 <= len(tokens) <= len(word) + 1 (the EOW marker)
+        bounds = (n_words <= nb) & (nb <= nchars + n_words)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "bounds_ok": pa.array(bounds.astype(np.int64), pa.int64()),
+            "roundtrip_ok": pa.array(rt_ok.astype(np.int64), pa.int64())})
+
+    return out.map_batches(grade, batch_format="pyarrow").sort("doc_id")
 
 
 def _q_tiered_dedup_docs(sf_dir: str):
@@ -667,21 +716,45 @@ def _q_knn_ivfpq(sf_dir: str):
 
 
 def _q_near_dup_docs(sf_dir: str):
-    """Near-dup candidate pairs over documents (MinHash-LSH + exact verify) —
-    deterministic but not SQL-expressible (rows-only check)."""
+    """Near-dup pairs over documents (MinHash-LSH + exact shingle-Jaccard
+    verify at threshold 0.85), GRADED IN-QUERY against the exact truth from
+    the set-similarity join (functions/dedup.ssjoin_jaccard_pairs at
+    J >= 17/20 — recall/precision 1 by construction over the SAME
+    caption_shingles gram sets).  ORACLED as invariant rows:
+    ``n_true_pairs`` is the exact pair count the SQL mirror recomputes
+    independently; ``precision_ok`` flips to 0 if the LSH+verify path ever
+    emits a pair outside the truth set (the verify is exact, so this is a
+    hard invariant); ``recall_floor_ok`` flips to 0 below 90% recall
+    (measured 0.96-1.0 per sf — 16 bands x 8 rows has per-pair band-hit
+    probability 0.994 at J = 0.85 and higher on the planted ~0.9+ dups)."""
     import ray.data as rd
 
+    from setsketch_ray.functions.dedup import ssjoin_jaccard_pairs
     from setsketch_ray.pipelines.dedup import DedupConfig, candidate_pairs
     from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(_docs_as_captions, batch_format="pyarrow")
+    caps = ds.map_batches(_docs_as_captions, batch_format="pyarrow")
     cfg = DedupConfig(
         sketch=SketchConfig(modalities=(
             Modality("cap", "shingles_cap", minhash_m=128, num_bands=16,
-                     rows_per_band=8, threshold=0.7),)),
+                     rows_per_band=8, threshold=0.85),)),
         use_phash=False, pair_dedup="shuffle")  # exact pair-unique output
-    return candidate_pairs(ds, cfg, id_col="image_id")
+    lsh_rows = candidate_pairs(caps, cfg, id_col="image_id") \
+        .select_columns(["id_a", "id_b"]).take_all()
+    # image_id format is "doc%012d" (_docs_as_captions)
+    lsh = {tuple(sorted((int(r["id_a"][3:]), int(r["id_b"][3:]))))
+           for r in lsh_rows}
+    truth_rows = ssjoin_jaccard_pairs(ds, "doc_id", "text",
+                                      jaccard_num=17, jaccard_den=20) \
+        .select_columns(["id_a", "id_b"]).take_all()
+    truth = {tuple(sorted((int(r["id_a"]), int(r["id_b"]))))
+             for r in truth_rows}
+    recall = len(lsh & truth) / len(truth) if truth else 1.0
+    return pa.table({
+        "n_true_pairs": pa.array([len(truth)], pa.int64()),
+        "precision_ok": pa.array([int(not (lsh - truth))], pa.int64()),
+        "recall_floor_ok": pa.array([int(recall >= 0.90)], pa.int64())})
 
 
 def _q_near_dup_images(sf_dir: str):
@@ -728,12 +801,47 @@ def _q_char_jaccard_pairs(sf_dir: str):
 
 
 def _q_simhash_dup_docs(sf_dir: str):
-    """SimHash near-dup pairs (Hamming-LSH bands + exact Hamming verify) —
-    deterministic; rows-only check (LSH not SQL-expressible)."""
-    from setsketch_ray.functions.dedup import simhash_pairs
+    """SimHash near-dup pairs (octet-pair Hamming LSH + exact Hamming
+    verify), GRADED IN-QUERY against the brute-force all-pairs Hamming
+    truth over the same fingerprints.  ORACLED as invariant rows:
+    ``n_docs`` anchors to the table; ``precision_ok`` flips to 0 if the
+    LSH path emits any pair outside the exact Hamming<=10 truth (or with
+    a wrong distance); ``pigeonhole_ok`` flips to 0 if any truth pair at
+    Hamming<=6 is missed — 6 is the HARD guarantee of the 28 octet-pair
+    bands (two fingerprints within distance 6 always share a clean octet
+    pair), so this certifies the band construction, not luck.  The
+    brute-force certificate is N^2/2 SWAR popcounts over an N x 8-byte
+    driver pull — a grading device for the invariant, not the dedup path."""
+    from setsketch_ray.functions.dedup import AddSimHash, _hamming64, \
+        simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, "doc_id", "text", max_hamming=10)
+    n_docs = ds.count()
+    fp_rows = ds.map_batches(AddSimHash("text"), batch_format="pyarrow") \
+        .select_columns(["doc_id", "simhash"]).take_all()
+    ids = np.array([r["doc_id"] for r in fp_rows], dtype=np.int64)
+    fps = np.array([r["simhash"] for r in fp_rows],
+                   dtype=np.int64).astype(np.uint64)
+    order = np.argsort(ids)
+    ids, fps = ids[order], fps[order]
+    truth10, truth6 = {}, set()
+    for i in range(len(ids) - 1):
+        h = _hamming64(fps[i], fps[i + 1:])
+        for off in np.flatnonzero(h <= 10):
+            pair = (int(ids[i]), int(ids[i + 1 + off]))
+            truth10[pair] = int(h[off])
+            if h[off] <= 6:
+                truth6.add(pair)
+    got_rows = simhash_pairs(ds, "doc_id", "text",
+                             max_hamming=10).take_all()
+    got = {tuple(sorted((int(r["id_a"]), int(r["id_b"])))): int(r["hamming"])
+           for r in got_rows}
+    precision_ok = int(all(truth10.get(p) == h for p, h in got.items()))
+    pigeonhole_ok = int(truth6 <= set(got))
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "precision_ok": pa.array([precision_ok], pa.int64()),
+        "pigeonhole_ok": pa.array([pigeonhole_ok], pa.int64())})
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -1962,9 +2070,14 @@ def _q_charts(sf_dir: str):
     Cramér-Rao, collision-probability bounds — python/joint_charts.py:124-135,
     cardinality_error_charts.py:81-82, collision_probability.py:47-67) as
     SVGs under /tmp via the Monte-Carlo evaluation pipelines; returns one
-    row per chart with its on-disk size.  rows-only: the artifact is a
-    figure, not a relation (underlying tables are golden-parity tested)."""
+    row per chart with a well-formedness certificate.  ORACLED as
+    invariant rows (constant SQL): the artifact is a figure, not a
+    relation, but the CONTRACT is checkable — the full 8-chart reference
+    set must come back, each file non-trivial (> 500 bytes) and parsing
+    as XML with an ``svg`` root.  The underlying numbers are golden-parity
+    tested (tests/test_charts.py)."""
     import os
+    import xml.etree.ElementTree as ET
 
     import pandas as pd
 
@@ -1972,9 +2085,19 @@ def _q_charts(sf_dir: str):
 
     out = make_charts("/tmp/setsketch_charts", m=256, n_trials=8,
                       max_cardinality=5_000, union_size=500)
-    rows = [{"chart": k, "path": v, "bytes": os.path.getsize(v)}
-            for k, v in sorted(out.items())]
-    return pd.DataFrame(rows)
+    rows = []
+    for k, v in sorted(out.items()):
+        ok = 0
+        try:
+            if os.path.getsize(v) > 500:
+                root = ET.parse(v).getroot()
+                ok = int(root.tag.endswith("svg"))
+        except Exception:
+            ok = 0
+        rows.append({"chart": k, "svg_ok": ok})
+    df = pd.DataFrame(rows)
+    df["svg_ok"] = df["svg_ok"].astype("int64")
+    return df
 
 
 def _q_top_events_per_user(sf_dir: str):
@@ -3664,6 +3787,36 @@ def _oracle_sql_base() -> dict[str, str]:
         # exact set-similarity join: pairs AND integer scores, same
         # prefix/length/positional-filtered plan on both sides
         "ssjoin_pairs": _ssjoin_oracle_sql(17, 20),
+        # invariant rows: per-doc n_words exact SQL; the segmentation
+        # roundtrip and token-count bounds certificates computed Ray-side
+        "bpe_tokenize":
+            "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+            "w -> w <> '')) AS BIGINT) AS n_words, "
+            "CAST(1 AS BIGINT) AS bounds_ok, "
+            "CAST(1 AS BIGINT) AS roundtrip_ok "
+            "FROM documents ORDER BY doc_id",
+        # invariant rows: brute-force Hamming truth + the 28-band octet-pair
+        # pigeonhole guarantee (h<=6) certified Ray-side
+        "simhash_dup_docs":
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS precision_ok, "
+            "CAST(1 AS BIGINT) AS pigeonhole_ok FROM documents",
+        # constant-SQL invariant: the full 8-chart reference figure set,
+        # each SVG well-formed (names are the reference chart inventory)
+        "charts":
+            "SELECT c.chart, CAST(1 AS BIGINT) AS svg_ok FROM (VALUES "
+            "('cardinality_bias'), ('cardinality_rmse'), "
+            "('collision_probability'), ('helper_func_error'), "
+            "('joint_rmse'), ('performance'), "
+            "('probability_densities_r1'), ('probability_densities_r3')"
+            ") c(chart) ORDER BY c.chart",
+        # invariant rows: the truth count is the ssjoin recomputed
+        # independently in SQL; precision/recall certificates Ray-side
+        "near_dup_docs":
+            "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, "
+            "CAST(1 AS BIGINT) AS precision_ok, "
+            "CAST(1 AS BIGINT) AS recall_floor_ok FROM ("
+            + _ssjoin_oracle_sql(17, 20) + ")",
         # RE2 on both sides: identical patterns -> identical strings/counts
         "scrub_pii":
             "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id "
