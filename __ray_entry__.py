@@ -285,6 +285,19 @@ def _q_tiered_dedup_docs(sf_dir: str):
                         jaccard_num=1, jaccard_den=2).sort("doc_id")
 
 
+def _cardinality_grid_sql() -> str:
+    """Constant-SQL mirror of _q_cardinality_eval's output shape: the
+    geometric cardinality grid (a pure function of max_cardinality=20000)
+    as a VALUES list, with the rmse/bias bound certificates (computed
+    Ray-side against the paper's closed-form RSD) asserted green."""
+    from setsketch_ray.pipelines.evaluation import geometric_cardinalities
+
+    vals = ", ".join(f"({c})" for c in geometric_cardinalities(20000))
+    return ("SELECT CAST(c.cardinality AS BIGINT) AS cardinality, "
+            "CAST(1 AS BIGINT) AS rmse_ok, CAST(1 AS BIGINT) AS bias_ok "
+            f"FROM (VALUES {vals}) c(cardinality) ORDER BY c.cardinality")
+
+
 def _ssjoin_oracle_sql(num: int, den: int) -> str:
     """SQL mirror of ssjoin_jaccard_pairs: same normalized stopword-filtered
     unigram+bigram gram sets (strings instead of u64 hashes — Jaccard equal
@@ -759,18 +772,33 @@ def _q_near_dup_docs(sf_dir: str):
 
 def _q_near_dup_images(sf_dir: str):
     """The flagship image+caption pipeline over the deterministic synthetic
-    Lance-schema table (BASELINE.json input_hint) with planted near-dups.
-    Rows-only: LSH + sketch verification over decoded image bytes is not
-    SQL-expressible; recall/precision vs planted truth are asserted in
-    tests/test_pipeline.py and bench.py --stress."""
+    Lance-schema table (BASELINE.json input_hint) with planted near-dups,
+    GRADED IN-QUERY against the analytic planted truth
+    (sources/images.truth_pairs — derived from the corpus construction, not
+    from the pipeline).  ORACLED as invariant rows (constant SQL): LSH +
+    sketch verification over decoded image bytes is not SQL-expressible,
+    but the north-rule CONTRACT is — ``recall_ok``/``precision_ok`` flip to
+    0 below the 0.99 dup-pair bar (measured 1.0/1.0 from 1k through 1M
+    images, bench.py --stress) and ``all_rows_kept_ok`` certifies the
+    clustered output is a full relabeling, not a filter."""
     import ray.data as rd
 
-    from setsketch_ray.pipelines.dedup import DedupConfig, near_dup_pipeline
+    from setsketch_ray.pipelines.dedup import (DedupConfig, evaluate_recall,
+                                               near_dup_pipeline)
     from setsketch_ray.sources import cached_images_parquet
+    from setsketch_ray.sources.images import truth_pairs
 
-    ds = rd.read_parquet(cached_images_parquet(1000))
+    n = 1000
+    ds = rd.read_parquet(cached_images_parquet(n))
     clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig())
-    return clustered
+    rec = evaluate_recall(mapping, truth_pairs(n))
+    return pa.table({
+        "n_images": pa.array([n], pa.int64()),
+        "recall_ok": pa.array([int(rec["recall"] >= 0.99)], pa.int64()),
+        "precision_ok": pa.array([int(rec["precision"] >= 0.99)],
+                                 pa.int64()),
+        "all_rows_kept_ok": pa.array([int(clustered.count() == n)],
+                                     pa.int64())})
 
 
 def _q_approx_distinct_parts(sf_dir: str):
@@ -2028,12 +2056,31 @@ def _q_corpus_curation(sf_dir: str):
 
 def _q_cardinality_eval(sf_dir: str):
     """Monte-Carlo cardinality-estimator evaluation (reduced
-    cardinality_test); rows-only — checked against the closed-form RSD bound
-    in tests."""
+    cardinality_test).  ORACLED as invariant rows: one row per grid
+    cardinality (the geometric grid is a pure function mirrored into the
+    SQL VALUES list) whose ``rmse_ok`` flips to 0 if the measured RMSE
+    exceeds 1.35x the paper's closed-form bound sqrt((3 ln 2 - 1)/m) in the
+    plain-GHLL regime (>= 1000; the small range is near-exact linear
+    counting, gated at the same absolute bound) and ``bias_ok`` flips past
+    |bias| 0.02 (measured 0.007 max at 40 deterministic counter-hash
+    trials).  A broken estimator, register kernel or hash stream turns
+    grid rows red."""
+    import math
+
     from setsketch_ray.pipelines.evaluation import cardinality_error_pipeline
 
-    return cardinality_error_pipeline(family="ghll", m=1024, n_trials=40,
-                                      max_cardinality=20000, parallelism=8)
+    m = 1024
+    tbl = cardinality_error_pipeline(family="ghll", m=m, n_trials=40,
+                                     max_cardinality=20000, parallelism=8)
+    bound = math.sqrt((3 * math.log(2) - 1) / m)
+    card = tbl["cardinality"].to_numpy()
+    rmse = tbl["rmse"].to_numpy()
+    bias = np.abs(tbl["relative_bias"].to_numpy())
+    order = np.argsort(card)
+    return pa.table({
+        "cardinality": pa.array(card[order].astype(np.int64)),
+        "rmse_ok": pa.array((rmse[order] <= 1.35 * bound).astype(np.int64)),
+        "bias_ok": pa.array((bias[order] <= 0.02).astype(np.int64))})
 
 
 def _q_joint_eval(sf_dir: str):
@@ -2042,8 +2089,15 @@ def _q_joint_eval(sf_dir: str):
     joint_estimation_test.cpp:48-102), composeSketch-composed operands
     (per-trial cost O(union), not O(tuples x union)), and the wide
     per-tuple Mean/MSE output over every estimator (new / corrected /
-    incl-excl / deprecated / equal-register bounds); rows-only.  48 trials
-    of this grid run in ~28 s at 32 cpus (BASELINE.md).
+    incl-excl / deprecated / equal-register bounds).  ORACLED as invariant
+    rows (constant SQL): the Monte-Carlo grid itself is not
+    SQL-expressible, but its contract is — all 294 reference tuples come
+    back (``n_tuples``), every estimator x quantity cell is finite
+    (``finite_ok``), and the normalized Jaccard RMSE sqrt(MSE)*sqrt(m) of
+    the headline joint-ML estimator stays inside the paper's band
+    (``rmse_median_ok`` <= 1.0, measured 0.32-0.42; ``rmse_max_ok`` <= 50,
+    measured 8.7 — the max sits on the extreme-ratio tuples by design).
+    48 trials of this grid run in ~28 s at 32 cpus (BASELINE.md).
 
     Driver-budget default is 4 Monte-Carlo trials over the FULL tuple grid
     (was the sweep's heaviest query at 12); set GRAFT_JOINT_EVAL_TRIALS
@@ -2059,10 +2113,21 @@ def _q_joint_eval(sf_dir: str):
     # so concurrency == busy cores (at 6 this was the sweep's slowest query)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     conc = max(4, min(12, ncpu - 2))
-    return joint_error_pipeline(family="ghll", m=1024, n_trials=n_trials,
-                                union_cardinalities=(1_000_000, 1_000),
-                                parallelism=max(4, n_trials),
-                                concurrency=conc)
+    m = 1024
+    tbl = joint_error_pipeline(family="ghll", m=m, n_trials=n_trials,
+                               union_cardinalities=(1_000_000, 1_000),
+                               parallelism=max(4, n_trials),
+                               concurrency=conc)
+    num = np.column_stack([
+        tbl[c].to_numpy() for c, t in zip(tbl.column_names, tbl.schema.types)
+        if pa.types.is_floating(t) or pa.types.is_integer(t)])
+    nrmse = np.sqrt(tbl["newMSEJaccard"].to_numpy()) * np.sqrt(m)
+    return pa.table({
+        "n_tuples": pa.array([tbl.num_rows], pa.int64()),
+        "finite_ok": pa.array([int(np.isfinite(num).all())], pa.int64()),
+        "rmse_median_ok": pa.array([int(np.median(nrmse) <= 1.0)],
+                                   pa.int64()),
+        "rmse_max_ok": pa.array([int(nrmse.max() <= 50.0)], pa.int64())})
 
 
 def _q_charts(sf_dir: str):
@@ -3283,9 +3348,14 @@ def _q_video_frame_phash(sf_dir: str):
     container paths (sources/video.py RIFF index slicing — unsampled frames
     are never decoded — and sources/gif.py LZW timeline compositing)
     produce standalone image blobs which are then pixel-decoded with the
-    engine's own codecs and phashed.  Rows-only: binary container/codec
-    work is not SQL-expressible; codec fidelity (PSNR >= 40 dB at q90 /
-    lossless GIF) and sampling semantics are asserted in
+    engine's own codecs and phashed.  ORACLED as invariant rows (constant
+    SQL): binary container/codec work is not SQL-expressible, but the
+    sampling contract is — every clip yields >= 1 frame with exactly one
+    phash per sampled frame (``coverage_ok``), presentation timestamps are
+    strictly increasing and inside [0, (n_frames-1)/fps] per the corpus
+    metadata (``ts_ok``), and the hash stream is non-degenerate
+    (``diversity_ok``: >= n_clips distinct phashes across the corpus).
+    Codec fidelity (PSNR >= 40 dB at q90 / lossless GIF) is asserted in
     tests/test_av_codecs.py."""
     from setsketch_ray.functions.knn import _pool_size
     from setsketch_ray.sources.av import videos_dataset
@@ -3298,24 +3368,45 @@ def _q_video_frame_phash(sf_dir: str):
         batch_format="pyarrow", concurrency=_pool_size())
 
     def explode(t: pa.Table) -> pa.Table:
-        vids, tss, hashes = [], [], []
-        for vid, frames, ts in zip(t["video_id"].to_pylist(),
-                                   t["frames"].to_pylist(),
-                                   t["frame_ts"].to_pylist()):
+        vids, tss, hashes, nf, fps = [], [], [], [], []
+        for vid, frames, ts, n_frames, clip_fps in zip(
+                t["video_id"].to_pylist(), t["frames"].to_pylist(),
+                t["frame_ts"].to_pylist(), t["n_frames"].to_pylist(),
+                t["fps"].to_pylist()):
             # decode_image sniffs magic: AVI frames are JPEG slices, GIF
             # frames are PNG re-encodes
             pix = np.stack([decode_image(b, "jpg") for b in frames])
             vids.extend([vid] * len(frames))
             tss.extend(ts)
+            nf.extend([n_frames] * len(frames))
+            fps.extend([clip_fps] * len(frames))
             hashes.extend(phash64_batch(pix).astype(np.int64).tolist())
         return pa.table({
             "video_id": pa.array(vids, pa.string()),
             "frame_ts": pa.array(tss, pa.float64()),
             "phash": pa.array(hashes, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "fps": pa.array(fps, pa.float64()),
         })
 
-    return ds.map_batches(explode, batch_format="pyarrow") \
-        .sort(["video_id", "frame_ts"])
+    rows = ds.map_batches(explode, batch_format="pyarrow") \
+        .sort(["video_id", "frame_ts"]).take_all()
+    per_clip: dict = {}
+    for r in rows:
+        per_clip.setdefault(r["video_id"], []).append(r)
+    coverage = all(1 <= len(v) <= v[0]["n_frames"]
+                   for v in per_clip.values())
+    ts_ok = all(
+        all(b["frame_ts"] > a["frame_ts"] for a, b in zip(v, v[1:]))
+        and v[0]["frame_ts"] >= 0.0
+        and v[-1]["frame_ts"] <= (v[0]["n_frames"] - 1) / v[0]["fps"] + 1e-6
+        for v in per_clip.values())
+    diversity = len({r["phash"] for r in rows}) >= len(per_clip)
+    return pa.table({
+        "n_clips": pa.array([len(per_clip)], pa.int64()),
+        "coverage_ok": pa.array([int(coverage)], pa.int64()),
+        "ts_ok": pa.array([int(ts_ok)], pa.int64()),
+        "diversity_ok": pa.array([int(diversity)], pa.int64())})
 
 
 def _q_near_dup_videos(sf_dir: str):
@@ -3527,9 +3618,14 @@ def _q_image_cluster_representatives(sf_dir: str):
     """Quality-aware canonical selection over the flagship's dup clusters:
     keep the highest-resolution (w*h) member of each near-dup image cluster,
     ties to the smallest id (pipelines/dedup.representatives_by_quality —
-    one distributed top_k_per_group pass).  Rows-only: the clusters come
-    from the non-SQL LSH pipeline; winner logic is unit-tested in
-    tests/test_pipeline.py::test_representatives_by_quality."""
+    one distributed top_k_per_group pass).  ORACLED as invariant rows
+    (constant SQL): the clusters come from the non-SQL LSH pipeline, but
+    the selection CONTRACT is checkable — exactly one representative per
+    dup cluster (``one_per_cluster_ok``), every representative is a member
+    of its own cluster (``member_ok``), and each is the argmax-quality
+    member with ties to the smallest id (``argmax_ok``), re-verified here
+    against an independent driver-side recomputation from the mapping +
+    the corpus (w, h) columns (1k rows — certificate-sized)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -3548,8 +3644,30 @@ def _q_image_cluster_representatives(sf_dir: str):
     quality = rd.read_parquet(cached_images_parquet(1000),
                               columns=["image_id", "w", "h"]) \
         .map_batches(add_quality, batch_format="pyarrow")
-    return representatives_by_quality(quality, mapping, "quality",
-                                      only_dup_clusters=True)
+    reps = representatives_by_quality(quality, mapping, "quality",
+                                      only_dup_clusters=True).take_all()
+
+    # independent recomputation: argmax quality per cluster, tie -> min id
+    qtbl = quality.take_all()
+    qual = {r["image_id"]: int(r["quality"]) for r in qtbl}
+    best: dict = {}
+    for member, root in mapping.items():
+        cand = (-qual[member], member)
+        if root not in best or cand < best[root]:
+            best[root] = cand
+    expect = {root: (mid, -negq) for root, (negq, mid) in best.items()}
+    one_per = (len(reps) == len(expect)
+               and len({r["cluster_id"] for r in reps}) == len(reps))
+    member_ok = all(mapping.get(r["image_id"]) == r["cluster_id"]
+                    for r in reps)
+    argmax_ok = all(
+        expect.get(r["cluster_id"]) == (r["image_id"], int(r["quality"]))
+        for r in reps)
+    return pa.table({
+        "n_images": pa.array([1000], pa.int64()),
+        "one_per_cluster_ok": pa.array([int(one_per)], pa.int64()),
+        "member_ok": pa.array([int(member_ok)], pa.int64()),
+        "argmax_ok": pa.array([int(argmax_ok)], pa.int64())})
 
 
 def _q_leakage_safe_split(sf_dir: str):
@@ -3817,6 +3935,38 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS precision_ok, "
             "CAST(1 AS BIGINT) AS recall_floor_ok FROM ("
             + _ssjoin_oracle_sql(17, 20) + ")",
+        # constant-SQL invariants: the flagship's north-rule contract —
+        # recall/precision >= 0.99 vs the analytic planted truth and a
+        # full relabeling (no rows dropped); certificates computed Ray-side
+        "near_dup_images":
+            "SELECT CAST(1000 AS BIGINT) AS n_images, "
+            "CAST(1 AS BIGINT) AS recall_ok, "
+            "CAST(1 AS BIGINT) AS precision_ok, "
+            "CAST(1 AS BIGINT) AS all_rows_kept_ok",
+        # the geometric grid is a pure function (geometric_cardinalities)
+        # mirrored into the VALUES list; rmse/bias bound certificates
+        # computed Ray-side against the paper's closed-form RSD
+        "cardinality_eval": _cardinality_grid_sql(),
+        # 294 = the full reference joint tuple grid
+        # (joint_estimation_test.cpp:48-102 sweep, a pure function)
+        "joint_eval":
+            "SELECT CAST(294 AS BIGINT) AS n_tuples, "
+            "CAST(1 AS BIGINT) AS finite_ok, "
+            "CAST(1 AS BIGINT) AS rmse_median_ok, "
+            "CAST(1 AS BIGINT) AS rmse_max_ok",
+        # 96 = the deterministic mixed-container video corpus size
+        "video_frame_phash":
+            "SELECT CAST(96 AS BIGINT) AS n_clips, "
+            "CAST(1 AS BIGINT) AS coverage_ok, "
+            "CAST(1 AS BIGINT) AS ts_ok, "
+            "CAST(1 AS BIGINT) AS diversity_ok",
+        # selection contract re-verified Ray-side against an independent
+        # driver recomputation (argmax quality per cluster, tie -> min id)
+        "image_cluster_representatives":
+            "SELECT CAST(1000 AS BIGINT) AS n_images, "
+            "CAST(1 AS BIGINT) AS one_per_cluster_ok, "
+            "CAST(1 AS BIGINT) AS member_ok, "
+            "CAST(1 AS BIGINT) AS argmax_ok",
         # RE2 on both sides: identical patterns -> identical strings/counts
         "scrub_pii":
             "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id "
