@@ -298,6 +298,40 @@ def _cardinality_grid_sql() -> str:
             f"FROM (VALUES {vals}) c(cardinality) ORDER BY c.cardinality")
 
 
+def _video_truth_sql() -> str:
+    """Constant-SQL mirror of _q_near_dup_videos: the planted-truth pair
+    count is analytic (sources/av.truth_video_pairs — pure function of the
+    corpus construction, no video synthesis); the exact-set-equality
+    certificates are computed Ray-side."""
+    from setsketch_ray.sources.av import truth_video_pairs
+
+    n = truth_video_pairs(160).num_rows
+    return (f"SELECT CAST({n} AS BIGINT) AS n_true_pairs, "
+            "CAST(1 AS BIGINT) AS recall_ok, "
+            "CAST(1 AS BIGINT) AS precision_ok")
+
+
+def _audio_fp_sql() -> str:
+    """Constant-SQL mirror of _q_audio_fingerprint's per-fmt shape: clip
+    counts per codec are a pure corpus-definition function (the same
+    counter-mode hash that assigns formats in sources/av.generate_audio_rows)
+    mirrored into the VALUES list; the decode-fidelity certificates are
+    computed Ray-side against the raw-waveform truth."""
+    from collections import Counter
+
+    from setsketch_ray.sources.av import _AUDIO_FMTS, _u
+
+    cnt = Counter(_AUDIO_FMTS[int(_u(42, i, 22)) % len(_AUDIO_FMTS)]
+                  for i in range(256))
+    vals = ", ".join(f"('{f}', {cnt[f]})" for f in sorted(cnt))
+    return ("SELECT c.fmt, CAST(c.n_clips AS BIGINT) AS n_clips, "
+            "CAST(1 AS BIGINT) AS duration_ok, "
+            "CAST(1 AS BIGINT) AS lossless_exact_ok, "
+            "CAST(1 AS BIGINT) AS rms_ok, CAST(1 AS BIGINT) AS zcr_ok, "
+            "CAST(1 AS BIGINT) AS band_ok "
+            f"FROM (VALUES {vals}) c(fmt, n_clips) ORDER BY c.fmt")
+
+
 def _ssjoin_oracle_sql(num: int, den: int) -> str:
     """SQL mirror of ssjoin_jaccard_pairs: same normalized stopword-filtered
     unigram+bigram gram sets (strings instead of u64 hashes — Jaccard equal
@@ -3415,15 +3449,26 @@ def _q_near_dup_videos(sf_dir: str):
     -> octet-pair Hamming LSH over frame hashes (only (band_key, part, id)
     rows shuffle) -> symmetric frame-set containment verify via the
     broadcast worker-cache pool.  Catches lossy re-encodes, container swaps
-    and temporal trims.  Rows-only: codec + LSH are not SQL-expressible;
-    recall/precision 1.0/1.0 vs the planted truth is asserted in
-    tests/test_videodedup.py."""
+    and temporal trims.  ORACLED as invariant rows: codec + LSH are not
+    SQL-expressible, but the planted truth IS analytic
+    (sources/av.truth_video_pairs — derived from the corpus construction,
+    no video synthesis, mirrored into the oracle's pair count) —
+    ``recall_ok``/``precision_ok`` certify exact set equality of the
+    detected pairs vs that truth (measured 1.0/1.0 across AVI q75
+    re-encode, GIF/aWebP container swaps and first-frame trims)."""
     from setsketch_ray.pipelines.videodedup import near_dup_videos
-    from setsketch_ray.sources.av import videos_dataset
+    from setsketch_ray.sources.av import truth_video_pairs, videos_dataset
 
-    pairs = near_dup_videos(videos_dataset(160, parallelism=8),
-                            every_n_seconds=0.25)
-    return pairs.sort(["id_a", "id_b"])
+    n = 160
+    pairs = near_dup_videos(videos_dataset(n, parallelism=8),
+                            every_n_seconds=0.25).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    truth = truth_video_pairs(n)
+    ts = set(zip(truth["id_a"].to_pylist(), truth["id_b"].to_pylist()))
+    return pa.table({
+        "n_true_pairs": pa.array([len(ts)], pa.int64()),
+        "recall_ok": pa.array([int(ts <= got)], pa.int64()),
+        "precision_ok": pa.array([int(got <= ts)], pa.int64())})
 
 
 def _q_audio_fingerprint(sf_dir: str):
@@ -3432,10 +3477,19 @@ def _q_audio_fingerprint(sf_dir: str):
     block's state machine in lockstep), FLAC (sources/flac.py — full
     lossless decode, CRC+MD5 verified) and FLAC-in-Ogg
     (sources/containers.py — page/packet reassembly into the native
-    decoder) rows all REALLY decoded by the engine's own parsers.  Emits integer-scaled scalar features plus the
-    dominant spectral band per clip.  Rows-only: waveform decode is not
-    SQL-expressible; codec round-trip fidelity (bit-exact FLAC, SNR bands,
-    G.711 code involution) is asserted in tests/test_av_codecs.py."""
+    decoder) rows all REALLY decoded by the engine's own parsers.  Emits
+    integer-scaled scalar features plus the dominant spectral band per
+    clip, then certifies them per codec against an INDEPENDENT truth: the
+    same feature function over the raw synthetic waveform
+    (sources/av.audio_signal), bypassing every codec.  ORACLED as
+    invariant rows (per-fmt counts are a pure corpus-definition function
+    mirrored into the VALUES list): lossless codecs (pcm16 / FLAC /
+    FLAC-in-Ogg) must match the truth features EXACTLY after integer
+    scaling (``lossless_exact_ok``); G.711 stays within 1 milli-rms with
+    exact zcr + dominant band; IMA ADPCM within 5 milli-rms / 12
+    milli-zcr and +8 ms block padding (measured maxima 0.9 / 4.2 / 11.2
+    milli — the band check is waived for ADPCM, whose quantization noise
+    can flip the argmax between two near-equal tones)."""
     from setsketch_ray.functions.knn import _pool_size
     from setsketch_ray.sources.av import audio_dataset
     from setsketch_ray.stages.image import AudioFeatureStage
@@ -3458,7 +3512,50 @@ def _q_audio_fingerprint(sf_dir: str):
                 np.argmax(f[:, 3:], axis=1).astype(np.int64)),
         })
 
-    return ds.map_batches(project, batch_format="pyarrow").sort("audio_id")
+    rows = ds.map_batches(project, batch_format="pyarrow") \
+        .sort("audio_id").take_all()
+
+    from setsketch_ray.sources.av import audio_signal
+    from setsketch_ray.stages.image import AudioFeatureStage
+
+    feat_fn = AudioFeatureStage()._signal_features
+    lossless = {"pcm16", "flac", "oggflac"}
+    stats: dict = {}
+    for r in rows:
+        idx = int(r["audio_id"][3:])
+        f = feat_fn(audio_signal(42, idx, 8000).astype(np.float64)
+                    / 32768.0, 8000)
+        t_dur = int(np.floor(f[0] * 1000 + 0.5))
+        t_rms = int(np.floor(f[1] * 1000 + 0.5))
+        t_zcr = int(np.floor(f[2] * 1000 + 0.5))
+        t_band = int(np.argmax(np.asarray(f[3:])))
+        fmt = r["fmt"]
+        s = stats.setdefault(fmt, {"n": 0, "dur": True, "exact": True,
+                                   "rms": True, "zcr": True, "band": True})
+        s["n"] += 1
+        s["dur"] &= (r["duration_ms"] - t_dur <= 8 if fmt == "ima"
+                     else r["duration_ms"] == t_dur) and t_dur == 500
+        if fmt in lossless:
+            s["exact"] &= ((r["duration_ms"], r["rms_milli"],
+                            r["zcr_milli"], r["dominant_band"])
+                           == (t_dur, t_rms, t_zcr, t_band))
+        rms_tol, zcr_tol = (5, 12) if fmt == "ima" else (1, 0)
+        s["rms"] &= abs(r["rms_milli"] - t_rms) <= rms_tol
+        s["zcr"] &= abs(r["zcr_milli"] - t_zcr) <= zcr_tol
+        if fmt != "ima":
+            s["band"] &= r["dominant_band"] == t_band
+    fmts = sorted(stats)
+    return pa.table({
+        "fmt": pa.array(fmts, pa.string()),
+        "n_clips": pa.array([stats[f]["n"] for f in fmts], pa.int64()),
+        "duration_ok": pa.array(
+            [int(stats[f]["dur"]) for f in fmts], pa.int64()),
+        "lossless_exact_ok": pa.array(
+            [int(stats[f]["exact"]) for f in fmts], pa.int64()),
+        "rms_ok": pa.array([int(stats[f]["rms"]) for f in fmts], pa.int64()),
+        "zcr_ok": pa.array([int(stats[f]["zcr"]) for f in fmts], pa.int64()),
+        "band_ok": pa.array(
+            [int(stats[f]["band"]) for f in fmts], pa.int64())})
 
 
 def _q_wds_roundtrip(sf_dir: str):
@@ -3518,8 +3615,15 @@ def _q_media_probe(sf_dir: str):
     kind, codec, dims, duration, frame count, decodability — WITHOUT
     decoding any payload (sources/video.probe_media walks the RIFF / GIF
     block / ISO box / Ogg page / EBML / MPEG-frame structures only).  The
-    filter-before-decode curation op.  Rows-only: binary container parsing
-    is not SQL-expressible; parser exactness is asserted in
+    filter-before-decode curation op.  ORACLED as invariant rows (per-
+    (container, kind) counts of the deterministic 208-blob corpus): binary
+    container parsing is not SQL-expressible, but every generator KNOWS the
+    parameters it encoded — each blob carries its expected container /
+    kind / codec / dims / duration / frame count / decodability alongside
+    the bytes, and the certificate columns flip red if the probe's parse
+    of the BYTES disagrees with the generation parameters anywhere in the
+    group (a mis-classified container also shifts the group counts off the
+    VALUES list).  Parser exactness is additionally asserted in
     tests/test_av_codecs.py."""
     import ray.data as rd
 
@@ -3527,25 +3631,67 @@ def _q_media_probe(sf_dir: str):
     from setsketch_ray.sources.av import audio_dataset, videos_dataset
     from setsketch_ray.stages.image import MediaProbeStage
 
-    vids = videos_dataset(64, parallelism=8).select_columns(
-        ["video_id", "bytes"]).rename_columns(["media_id", "bytes"])
-    auds = audio_dataset(64, parallelism=8).select_columns(
-        ["audio_id", "bytes"]).rename_columns(["media_id", "bytes"])
+    def _exp(ids, blobs, cont, kind, codec, w, h, dur_ms, nf, dec):
+        n = len(ids)
+
+        def col(v, typ):
+            return pa.array(v if isinstance(v, list) else [v] * n, typ)
+
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "exp_container": col(cont, pa.string()),
+            "exp_kind": col(kind, pa.string()),
+            "exp_codec": col(codec, pa.string()),
+            "exp_w": col(w, pa.int32()), "exp_h": col(h, pa.int32()),
+            "exp_dur_ms": col(dur_ms, pa.int64()),
+            "exp_nf": col(nf, pa.int32()),
+            "exp_dec": col(dec, pa.int8())})
+
+    def vid_exp(t: pa.Table) -> pa.Table:
+        # stored fmt IS the container name (avi / gif / webp)
+        return _exp(t["video_id"].to_pylist(), t["bytes"].to_pylist(),
+                    t["fmt"].to_pylist(), "video", "",
+                    t["w"].to_pylist(), t["h"].to_pylist(), -1,
+                    t["n_frames"].to_pylist(), 1)
+
+    _AUD_CONT = {"pcm16": "wav", "ulaw": "wav", "alaw": "wav",
+                 "ima": "wav", "flac": "flac", "oggflac": "ogg"}
+
+    def aud_exp(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        # IMA ADPCM pads to whole blocks: block_align 256 mono carries
+        # (256-4)*2+1 = 505 samples/block, so 4000 samples -> 8 blocks =
+        # 4040 samples = 505 ms; every other codec is sample-exact 500 ms
+        durs = [505 if f == "ima" else 500 for f in fmts]
+        return _exp(t["audio_id"].to_pylist(), t["bytes"].to_pylist(),
+                    [_AUD_CONT[f] for f in fmts], "audio", "",
+                    0, 0, durs, -1, 1)
+
+    vids = videos_dataset(64, parallelism=8).map_batches(
+        vid_exp, batch_format="pyarrow")
+    auds = audio_dataset(64, parallelism=8).map_batches(
+        aud_exp, batch_format="pyarrow")
 
     def gen_mp4(batch: pa.Table) -> pa.Table:
         from setsketch_ray.sources.mp4 import build_mp4_stub
 
-        ids, blobs = [], []
+        ids, blobs, ws, hs, durs, codecs = [], [], [], [], [], []
         for i in batch["id"].to_pylist():
             h = int(mix2(np.uint64(i), 77))
+            w, ht = 320 + 16 * (h % 60), 240 + 16 * ((h >> 8) % 40)
+            dur = round(1 + (h >> 16) % 300, 1)
+            codec = b"avc1" if h % 2 else b"hev1"
             blobs.append(build_mp4_stub(
-                320 + 16 * (h % 60), 240 + 16 * ((h >> 8) % 40),
-                duration_s=round(1 + (h >> 16) % 300, 1),
-                codec=b"avc1" if h % 2 else b"hev1",
+                w, ht, duration_s=dur, codec=codec,
                 with_audio=bool((h >> 24) % 2)))
             ids.append(f"mp4{i:010d}")
-        return pa.table({"media_id": pa.array(ids, pa.string()),
-                         "bytes": pa.array(blobs, pa.binary())})
+            ws.append(w)
+            hs.append(ht)
+            durs.append(int(round(dur * 1000)))
+            codecs.append(codec.decode())
+        return _exp(ids, blobs, "mp4", "video", codecs, ws, hs, durs,
+                    -1, 0)
 
     mp4s = rd.range(32, override_num_blocks=4).map_batches(
         gen_mp4, batch_format="pyarrow", batch_size=None)
@@ -3558,39 +3704,72 @@ def _q_media_probe(sf_dir: str):
         )
 
         ids, blobs = [], []
+        conts, kinds, codecs, ws, hs, durs, decs = [], [], [], [], [], [], []
         for i in batch["id"].to_pylist():
             h = int(mix2(np.uint64(i), 78))
             kind = h % 5
             dur = round(1 + (h >> 8) % 200, 1)
             if kind == 0:
                 codec = ("vorbis", "opus", "theora")[(h >> 16) % 3]
+                w, ht = 320 + 16 * ((h >> 24) % 40), 240 + 16 * ((h >> 28) % 20)
                 blobs.append(build_ogg_stub(
                     codec, dur, rate=44100 if codec == "vorbis" else 48000,
-                    channels=1 + (h >> 20) % 2,
-                    w=320 + 16 * ((h >> 24) % 40),
-                    h=240 + 16 * ((h >> 28) % 20), fps=24.0))
+                    channels=1 + (h >> 20) % 2, w=w, h=ht, fps=24.0))
                 ids.append(f"ogg{i:010d}")
+                conts.append("ogg")
+                kinds.append("video" if codec == "theora" else "audio")
+                codecs.append(codec)
+                ws.append(w if codec == "theora" else 0)
+                hs.append(ht if codec == "theora" else 0)
+                durs.append(int(round(dur * 1000)))
+                decs.append(0)
             elif kind == 1:
+                w, ht = 320 + 16 * ((h >> 16) % 60), 240 + 16 * ((h >> 22) % 40)
+                codec = ("V_VP9", "V_AV1")[(h >> 28) % 2]
+                webm = bool((h >> 30) % 2)
                 blobs.append(build_mkv_stub(
-                    320 + 16 * ((h >> 16) % 60), 240 + 16 * ((h >> 22) % 40),
-                    dur, codec=("V_VP9", "V_AV1")[(h >> 28) % 2],
-                    webm=bool((h >> 30) % 2),
+                    w, ht, dur, codec=codec, webm=webm,
                     with_audio=bool((h >> 31) % 2)))
                 ids.append(f"mkv{i:010d}")
+                conts.append("webm" if webm else "mkv")
+                kinds.append("video")
+                codecs.append(codec)
+                ws.append(w)
+                hs.append(ht)
+                durs.append(int(round(dur * 1000)))
+                decs.append(0)
             elif kind == 2:
+                rate = (44100, 48000, 32000)[(h >> 20) % 3]
+                mdur = min(dur, 30.0)
                 blobs.append(build_mp3_stub(
-                    min(dur, 30.0), kbps=(96, 128, 192, 320)[(h >> 16) % 4],
-                    rate=(44100, 48000, 32000)[(h >> 20) % 3],
-                    channels=1 + (h >> 24) % 2,
+                    mdur, kbps=(96, 128, 192, 320)[(h >> 16) % 4],
+                    rate=rate, channels=1 + (h >> 24) % 2,
                     with_id3=bool((h >> 28) % 2)))
                 ids.append(f"mp3{i:010d}")
+                conts.append("mp3")
+                kinds.append("audio")
+                # MPEG-1 Layer III frames are 1152 samples: the builder
+                # emits round(dur*rate/1152) whole frames
+                n_fr = int(round(mdur * rate / 1152.0))
+                codecs.append("")
+                ws.append(0)
+                hs.append(0)
+                durs.append(int(round(n_fr * 1152.0 / rate * 1000)))
+                decs.append(0)
             elif kind == 3:
                 from setsketch_ray.sources.mp4 import build_heif_stub
 
-                blobs.append(build_heif_stub(
-                    256 + 16 * ((h >> 16) % 60), 256 + 16 * ((h >> 22) % 40),
-                    brand=(b"avif", b"heic")[(h >> 30) % 2]))
+                w, ht = 256 + 16 * ((h >> 16) % 60), 256 + 16 * ((h >> 22) % 40)
+                brand = (b"avif", b"heic")[(h >> 30) % 2]
+                blobs.append(build_heif_stub(w, ht, brand=brand))
                 ids.append(f"hif{i:010d}")
+                conts.append("heif")
+                kinds.append("image")
+                codecs.append("")
+                ws.append(w)
+                hs.append(ht)
+                durs.append(-1)
+                decs.append(0)
             else:
                 from setsketch_ray.sources.webp import (
                     encode_webp_lossless,
@@ -3602,16 +3781,54 @@ def _q_media_probe(sf_dir: str):
                                    dtype=np.uint8)
                 blobs.append(encode_webp_lossless(img))
                 ids.append(f"web{i:010d}")
-        return pa.table({"media_id": pa.array(ids, pa.string()),
-                         "bytes": pa.array(blobs, pa.binary())})
+                conts.append("webp")
+                kinds.append("image")
+                codecs.append("")
+                ws.append(int(img.shape[1]))
+                hs.append(int(img.shape[0]))
+                durs.append(-1)
+                decs.append(1)
+        return _exp(ids, blobs, conts, kinds, codecs, ws, hs, durs, -1,
+                    decs)
 
     webs = rd.range(48, override_num_blocks=4).map_batches(
         gen_web, batch_format="pyarrow", batch_size=None)
     probed = vids.union(auds).union(mp4s).union(webs).map_batches(
         MediaProbeStage, batch_format="pyarrow", concurrency=2)
-    return probed.select_columns(
-        ["media_id", "container", "kind", "codec", "w", "h",
-         "duration_ms", "n_frames", "decodable"]).sort("media_id")
+    rows = probed.drop_columns(["bytes"]).take_all()
+
+    stats: dict = {}
+    for r in rows:
+        key = (r["container"], r["kind"])
+        s = stats.setdefault(key, {"n": 0, "parse": True, "codec": True,
+                                   "dims": True, "dur": True,
+                                   "frames": True, "dec": True})
+        s["n"] += 1
+        s["parse"] &= (r["container"] == r["exp_container"]
+                       and r["kind"] == r["exp_kind"])
+        s["codec"] &= (r["exp_codec"] == "" or r["codec"] == r["exp_codec"])
+        s["dims"] &= (r["w"], r["h"]) == (r["exp_w"], r["exp_h"])
+        s["dur"] &= (r["exp_dur_ms"] < 0
+                     or r["duration_ms"] == r["exp_dur_ms"])
+        s["frames"] &= r["exp_nf"] < 0 or r["n_frames"] == r["exp_nf"]
+        s["dec"] &= int(r["decodable"]) == r["exp_dec"]
+    keys = sorted(stats)
+    return pa.table({
+        "container": pa.array([k[0] for k in keys], pa.string()),
+        "kind": pa.array([k[1] for k in keys], pa.string()),
+        "n_media": pa.array([stats[k]["n"] for k in keys], pa.int64()),
+        "parse_ok": pa.array(
+            [int(stats[k]["parse"]) for k in keys], pa.int64()),
+        "codec_ok": pa.array(
+            [int(stats[k]["codec"]) for k in keys], pa.int64()),
+        "dims_ok": pa.array(
+            [int(stats[k]["dims"]) for k in keys], pa.int64()),
+        "duration_ok": pa.array(
+            [int(stats[k]["dur"]) for k in keys], pa.int64()),
+        "frames_ok": pa.array(
+            [int(stats[k]["frames"]) for k in keys], pa.int64()),
+        "decodable_ok": pa.array(
+            [int(stats[k]["dec"]) for k in keys], pa.int64())})
 
 
 def _q_image_cluster_representatives(sf_dir: str):
@@ -3954,6 +4171,31 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS finite_ok, "
             "CAST(1 AS BIGINT) AS rmse_median_ok, "
             "CAST(1 AS BIGINT) AS rmse_max_ok",
+        # analytic planted-truth pair count + exact-set-equality
+        # certificates (recall AND precision 1.0 across re-encode /
+        # container-swap / trim variants)
+        "near_dup_videos": _video_truth_sql(),
+        # per-(container, kind) blob counts of the deterministic 208-blob
+        # mixed corpus; parse/codec/dims/duration/frames/decodability
+        # certificates vs the generation parameters computed Ray-side
+        "media_probe":
+            "SELECT c.container, c.kind, CAST(c.n_media AS BIGINT) "
+            "AS n_media, CAST(1 AS BIGINT) AS parse_ok, "
+            "CAST(1 AS BIGINT) AS codec_ok, CAST(1 AS BIGINT) AS dims_ok, "
+            "CAST(1 AS BIGINT) AS duration_ok, "
+            "CAST(1 AS BIGINT) AS frames_ok, "
+            "CAST(1 AS BIGINT) AS decodable_ok FROM (VALUES "
+            "('avi', 'video', 29), ('flac', 'audio', 14), "
+            "('gif', 'video', 18), ('heif', 'image', 12), "
+            "('mkv', 'video', 2), ('mp3', 'audio', 7), "
+            "('mp4', 'video', 32), ('ogg', 'audio', 20), "
+            "('ogg', 'video', 3), ('wav', 'audio', 40), "
+            "('webm', 'video', 4), ('webp', 'image', 10), "
+            "('webp', 'video', 17)) c(container, kind, n_media) "
+            "ORDER BY c.container, c.kind",
+        # per-codec clip counts (pure corpus-definition function) +
+        # decode-fidelity-vs-raw-waveform certificates
+        "audio_fingerprint": _audio_fp_sql(),
         # 96 = the deterministic mixed-container video corpus size
         "video_frame_phash":
             "SELECT CAST(96 AS BIGINT) AS n_clips, "

@@ -345,13 +345,13 @@ def run_benchmarks() -> dict:
         # --- multimodal codec family (r3: MJPEG/AVI + animated GIF frame
         # sampling, 4-codec WAV decode, near-dup video detection)
         t0 = time.time()
-        entrymod._q_video_frame_phash(SF_DIR).count()
+        entrymod._q_video_frame_phash(SF_DIR).num_rows  # pa.Table since r4
         timings["video_frame_phash"] = time.time() - t0
         t0 = time.time()
-        entrymod._q_audio_fingerprint(SF_DIR).count()
+        entrymod._q_audio_fingerprint(SF_DIR).num_rows  # pa.Table since r4
         timings["audio_fingerprint"] = time.time() - t0
         t0 = time.time()
-        entrymod._q_near_dup_videos(SF_DIR).count()
+        entrymod._q_near_dup_videos(SF_DIR).num_rows  # pa.Table since r4
         timings["near_dup_videos"] = time.time() - t0
 
         # --- closing-session additions (wds source round trip, repetition
