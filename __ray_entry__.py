@@ -777,7 +777,8 @@ def _q_near_dup_docs(sf_dir: str):
     import ray.data as rd
 
     from setsketch_ray.functions.dedup import ssjoin_jaccard_pairs
-    from setsketch_ray.pipelines.dedup import DedupConfig, candidate_pairs
+    from setsketch_ray.pipelines.dedup import (DedupConfig, candidate_pairs,
+                                               verified_edges)
     from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -787,8 +788,12 @@ def _q_near_dup_docs(sf_dir: str):
             Modality("cap", "shingles_cap", minhash_m=128, num_bands=16,
                      rows_per_band=8, threshold=0.85),)),
         use_phash=False, pair_dedup="shuffle")  # exact pair-unique output
-    lsh_rows = candidate_pairs(caps, cfg, id_col="image_id") \
-        .select_columns(["id_a", "id_b"]).take_all()
+    # candidate_pairs APPENDS jaccard/score; verified_edges applies the
+    # threshold filter (a raw candidate set is NOT precision-guaranteed —
+    # band collisions below threshold appear at sf0.1 corpus sizes)
+    lsh_rows = verified_edges(candidate_pairs(caps, cfg, id_col="image_id"),
+                              cfg).select_columns(["id_a", "id_b"]) \
+        .take_all()
     # image_id format is "doc%012d" (_docs_as_captions)
     lsh = {tuple(sorted((int(r["id_a"][3:]), int(r["id_b"][3:]))))
            for r in lsh_rows}
@@ -871,7 +876,12 @@ def _q_simhash_dup_docs(sf_dir: str):
     a wrong distance); ``pigeonhole_ok`` flips to 0 if any truth pair at
     Hamming<=6 is missed — 6 is the HARD guarantee of the 28 octet-pair
     bands (two fingerprints within distance 6 always share a clean octet
-    pair), so this certifies the band construction, not luck.  The
+    pair), so this certifies the band construction, not luck.  The query
+    runs with the hot-bucket cap DISABLED: the guarantee is a property of
+    the uncapped all-pairs emit, while the production default
+    (bucket_cap=256, star+chain over fingerprint-sorted members) trades
+    the tail of it for O(n)-per-bucket work at web scale — that heuristic
+    is covered by its own connectivity tests, not this certificate.  The
     brute-force certificate is N^2/2 SWAR popcounts over an N x 8-byte
     driver pull — a grading device for the invariant, not the dedup path."""
     from setsketch_ray.functions.dedup import AddSimHash, _hamming64, \
@@ -894,8 +904,8 @@ def _q_simhash_dup_docs(sf_dir: str):
             truth10[pair] = int(h[off])
             if h[off] <= 6:
                 truth6.add(pair)
-    got_rows = simhash_pairs(ds, "doc_id", "text",
-                             max_hamming=10).take_all()
+    got_rows = simhash_pairs(ds, "doc_id", "text", max_hamming=10,
+                             bucket_cap=1 << 30).take_all()
     got = {tuple(sorted((int(r["id_a"]), int(r["id_b"])))): int(r["hamming"])
            for r in got_rows}
     precision_ok = int(all(truth10.get(p) == h for p, h in got.items()))
@@ -3608,6 +3618,56 @@ def _q_wds_roundtrip(sf_dir: str):
         summarize, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """Documents round-tripped through WARC files (the Common Crawl layout
+    for web-scale text corpora, ISO 28500): write_warc_files hash-assigns
+    every doc to one of 16 deterministic ``.warc.gz`` files (one groupby
+    exchange, one writer task per file, one gzip member per record,
+    bit-reproducible bytes), read_warc_files reads them back one file per
+    task with decompression under the parser's control.  ORACLED: the
+    round trip is lossless, so per-doc utf-8 byte counts and the
+    WARC-Identified-Content-Language tag must match strlen(text) / lang
+    straight off the parquet — any framing, Content-Length or gzip-member
+    bug breaks the hash.  Files are built once per sf_dir under /tmp and
+    reused behind a _SUCCESS marker (partial dirs wiped + rebuilt)."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sources.warc import (read_warc_files,
+                                            write_warc_files)
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|warc16".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/warc_files_{fp}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_warc_files(ds, root, key_col="doc_id", payload_col="text",
+                         num_files=16,
+                         uri_format="https://example.com/doc/{:012d}",
+                         language_col="lang")
+        with open(marker, "w") as fh:
+            fh.write("16 files\n")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["warc_type"], "conversion")
+        t = t.filter(keep)
+        # doc_id = the zero-padded tail of the record URI
+        ids = [int(u.rsplit("/", 1)[1]) for u in t["uri"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": t["language"],
+            "n_bytes": pc.cast(pc.binary_length(t["payload"]), pa.int64())})
+
+    return read_warc_files(root).map_batches(
+        summarize, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_media_probe(sf_dir: str):
     """Container-metadata probe over a mixed media corpus (AVI + animated
     GIF + 4-codec WAV + ISO-BMFF mp4 metadata stubs + Ogg Vorbis/Opus/
@@ -4031,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_videos": _q_near_dup_videos,
         "media_probe": _q_media_probe,
         "wds_roundtrip": _q_wds_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "audio_fingerprint": _q_audio_fingerprint,
         "approx_distinct_parts": _q_approx_distinct_parts,
         "simhash_dup_docs": _q_simhash_dup_docs,
@@ -4289,6 +4350,9 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "  # bytes
             "AS n_bytes FROM documents ORDER BY doc_id",
         "orc_roundtrip":
+            "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
+            "AS n_bytes FROM documents ORDER BY doc_id",
+        "warc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         # bigram LM: identical count + rank + (c_ab+1)/(c_a+V) e9-scale

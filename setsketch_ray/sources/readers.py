@@ -19,6 +19,9 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
     * ``*.jsonl`` / ``*.json`` -> ``ray.data.read_json`` (newline-delimited);
     * ``*.tar`` file or a directory of tar shards -> WebDataset samples
       (``sources/webdataset.read_wds_shards``; one shard per task);
+    * ``*.warc`` / ``*.warc.gz`` file or directory -> WARC records
+      (``sources/warc.read_warc_files``; the Common Crawl layout, one
+      file per task);
     * ``*.orc`` file or a directory of ORC files -> ``sources/orc.read_orc``
       (one file per task, column pruning at the in-task decode);
     * ``*.arrow`` / ``*.feather`` -> Arrow IPC via ``read_binary_files`` +
@@ -70,6 +73,15 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         from .webdataset import read_wds_shards
 
         ds = read_wds_shards(path, override_num_blocks=override_num_blocks)
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
+        return ds
+    if path.endswith((".warc", ".warc.gz")) or (
+            os.path.isdir(path) and any(n.endswith((".warc", ".warc.gz"))
+                                        for n in os.listdir(path))):
+        from .warc import read_warc_files
+
+        ds = read_warc_files(path, override_num_blocks=override_num_blocks)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds
