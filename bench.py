@@ -219,7 +219,7 @@ def run_benchmarks() -> dict:
         import __ray_entry__ as entrymod
 
         t0 = time.time()
-        entrymod._q_near_dup_docs(SF_DIR).count()
+        entrymod._q_near_dup_docs(SF_DIR).num_rows  # pa.Table since r4
         timings["near_dup_docs"] = time.time() - t0
 
         # --- wide aggregate
