@@ -3618,6 +3618,69 @@ def _q_wds_roundtrip(sf_dir: str):
         summarize, batch_format="pyarrow").sort("doc_id")
 
 
+def _messy_urls(sf_dir: str):
+    """Deterministic messy-URL table from doc_id arithmetic (mixed-case
+    scheme/host, default + explicit ports, dot-segments, unsorted query
+    params, fragments) — the synthesis is the corpus definition, shared
+    verbatim with the SQL mirror's CANONICAL construction."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        urls = []
+        for i in t["doc_id"].to_pylist():
+            i = int(i)
+            scheme = "HTTPS" if i % 2 else "http"
+            www = "WWW." if i % 3 == 0 else ""
+            port = (":443" if i % 2 else ":80") if i % 4 == 0 \
+                else (":8080" if i % 4 == 1 else "")
+            frag = "#sec" if i % 2 else ""
+            urls.append(
+                f"{scheme}://{www}H{i % 23}.Example.COM{port}"
+                f"/a/./b{i % 7}/../c{i % 11}?z={i % 5}&a={i % 3}{frag}")
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def _q_url_normalize(sf_dir: str):
+    """URL canonicalization (functions/text.normalize_urls — RFC 3986 §6
+    subset: lowercase scheme+host, default-port strip, dot-segment removal,
+    stable query-param sort, fragment drop) over a deterministic messy-URL
+    table derived from doc_id.  ORACLED EXACTLY: the PARSER normalizes the
+    messy string; the SQL mirror CONSTRUCTS the canonical form straight
+    from the same doc_id arithmetic — any parser bug (port logic, dot
+    segments, param order, case) breaks the string hash."""
+    from setsketch_ray.functions.text import normalize_urls
+
+    return normalize_urls(_messy_urls(sf_dir)) \
+        .select_columns(["doc_id", "url_norm", "host"]).sort("doc_id")
+
+
+def _q_domain_cap_docs(sf_dir: str):
+    """Per-domain frequency capping (web-corpus curation: bound any single
+    host's contribution): normalize URLs, keep the 3 smallest doc_ids per
+    canonical host (functions/relational.top_k_per_group — hash-partition
+    by host, one vectorized lexsort+rank pass, no global sort).  ORACLED:
+    row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 3 on the
+    SQL-constructed canonical hosts."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import top_k_per_group
+    from setsketch_ray.functions.text import normalize_urls
+
+    urls = normalize_urls(_messy_urls(sf_dir)) \
+        .select_columns(["doc_id", "host"])
+
+    def add_neg(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "neg_id", pc.negate_checked(t["doc_id"]))
+
+    capped = top_k_per_group(urls.map_batches(add_neg,
+                                              batch_format="pyarrow"),
+                             "host", "neg_id", k=3)
+    return capped.select_columns(["doc_id", "host"]).sort("doc_id")
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """Documents round-tripped through WARC files (the Common Crawl layout
     for web-scale text corpora, ISO 28500): write_warc_files hash-assigns
@@ -4092,6 +4155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": _q_media_probe,
         "wds_roundtrip": _q_wds_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "url_normalize": _q_url_normalize,
+        "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
         "approx_distinct_parts": _q_approx_distinct_parts,
         "simhash_dup_docs": _q_simhash_dup_docs,
@@ -4355,6 +4420,26 @@ def _oracle_sql_base() -> dict[str, str]:
         "warc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
+        # the oracle CONSTRUCTS the canonical URL straight from doc_id
+        # arithmetic; the engine PARSES the messy synthesis of the same
+        # arithmetic — exact string equality certifies the normalizer
+        "url_normalize":
+            "SELECT doc_id, " + "CASE WHEN doc_id%2=1 THEN 'https' ELSE 'http' END || '://' || "
+            "CASE WHEN doc_id%3=0 THEN 'www.' ELSE '' END || 'h' || "
+            "CAST(doc_id%23 AS VARCHAR) || '.example.com' || "
+            "CASE WHEN doc_id%4=1 THEN ':8080' ELSE '' END || "
+            "'/a/c' || CAST(doc_id%11 AS VARCHAR) || '?a=' || "
+            "CAST(doc_id%3 AS VARCHAR) || '&z=' || "
+            "CAST(doc_id%5 AS VARCHAR)" + " AS url_norm, "
+            + "CASE WHEN doc_id%3=0 THEN 'www.' ELSE '' END || 'h' || "
+            "CAST(doc_id%23 AS VARCHAR) || '.example.com'" + " AS host "
+            "FROM documents ORDER BY doc_id",
+        "domain_cap_docs":
+            "SELECT doc_id, host FROM (SELECT doc_id, " + "CASE WHEN doc_id%3=0 THEN 'www.' ELSE '' END || 'h' || "
+            "CAST(doc_id%23 AS VARCHAR) || '.example.com'"
+            + " AS host FROM documents) "
+            "QUALIFY row_number() OVER (PARTITION BY host "
+            "ORDER BY doc_id) <= 3 ORDER BY doc_id",
         # bigram LM: identical count + rank + (c_ab+1)/(c_a+V) e9-scale
         # expression tree on both sides; per-doc sums are integer-exact
         "bigram_lm_scores":

@@ -996,3 +996,86 @@ def bigram_lm_stats(ds, text_col: str = "text", top_bigrams: int = 512,
                             batch_format="pyarrow",
                             concurrency=concurrency)
     return scored, p_e9
+
+
+# --------------------------------------------------------------------- URLs
+_URL_SPLIT_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+                 r"(?P<host>[^/:?#]+)(?P<port>:[0-9]+)?"
+                 r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$")
+_DEFAULT_PORTS = {"http": ":80", "https": ":443", "ftp": ":21", "ws": ":80",
+                  "wss": ":443"}
+
+
+def _remove_dot_segments(path: pa.Array) -> pa.Array:
+    """RFC 3986 §5.2.4 dot-segment removal, vectorized: a bounded loop of
+    RE2 rewrites (no lookarounds in RE2) until fixpoint.  '/a/../../b'
+    resolves to '/b' (above-root '..' collapses to root, like browsers)."""
+    for _ in range(64):
+        new = pc.replace_substring(path, "/./", "/")
+        new = pc.replace_substring_regex(new, pattern=r"/\.$",
+                                         replacement="/")
+        new = pc.replace_substring_regex(new, pattern=r"/[^/]+/\.\./",
+                                         replacement="/")
+        new = pc.replace_substring_regex(new, pattern=r"/[^/]+/\.\.$",
+                                         replacement="/")
+        new = pc.replace_substring_regex(new, pattern=r"^/\.\.(/|$)",
+                                         replacement="/")
+        if pc.all(pc.equal(new, path)).as_py():
+            return new
+        path = new
+    return path
+
+
+def normalize_urls(ds, url_col: str = "url"):
+    """URL canonicalization (web-corpus curation, RFC 3986 §6 subset):
+    lowercase scheme+host, strip the scheme's default port, remove path
+    dot-segments, sort query parameters by key (stable — duplicate keys
+    keep their relative order), drop the fragment.  Appends ``url_norm``
+    and ``host`` (the canonical host, "" for unparseable rows, whose
+    ``url_norm`` passes through unchanged).
+
+    Everything except the per-row query-param sort is Arrow-vectorized
+    (one RE2 extract + rewrites); query strings are short, so the sort is
+    a bounded per-row cost like the scrub_pii regex family.  Shuffle-free.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls = t[url_col]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        urls = pc.fill_null(urls, "")
+        parts = pc.extract_regex(urls, _URL_SPLIT_RE)
+        ok = parts.is_valid()
+        # substitute a parseable dummy on non-matching rows; masked out at
+        # the end (keeps every kernel call null-free)
+        safe = pc.if_else(ok, urls, "http://x/")
+        parts = pc.extract_regex(safe, _URL_SPLIT_RE)
+        scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        port = pc.fill_null(pc.struct_field(parts, "port"), "")
+        path = pc.fill_null(pc.struct_field(parts, "path"), "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        path = _remove_dot_segments(path)
+        query = pc.struct_field(parts, "query")
+        # default-port strip: compare against the scheme's default
+        defaults = pa.array([_DEFAULT_PORTS.get(s, "")
+                             for s in scheme.to_pylist()], pa.string())
+        port = pc.if_else(pc.equal(port, defaults), "", port)
+        # stable per-row query-param sort by key
+        sorted_q = []
+        for q in query.to_pylist():
+            if q is None or q == "":
+                sorted_q.append("")
+            else:
+                kvs = q.split("&")
+                kvs.sort(key=lambda kv: kv.split("=", 1)[0])
+                sorted_q.append("?" + "&".join(kvs))
+        norm = pc.binary_join_element_wise(
+            scheme, pa.array(["://"] * t.num_rows, pa.string()), host, port,
+            path, pa.array(sorted_q, pa.string()), "")
+        out_norm = pc.if_else(ok, norm, urls)
+        out_host = pc.if_else(ok, host, "")
+        return t.append_column("url_norm", out_norm) \
+            .append_column("host", out_host)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
