@@ -3681,6 +3681,54 @@ def _q_domain_cap_docs(sf_dir: str):
     return capped.select_columns(["doc_id", "host"]).sort("doc_id")
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML -> text extraction (functions/text.html_to_text, the Common
+    Crawl WET shape) driven as a LOSSLESS round trip: each doc's text is
+    entity-encoded (& first, then < >) and wrapped in deterministic markup
+    — title, nav/script/style noise blocks, the text split across two <p>
+    paragraphs at the word midpoint — and extraction must recover the
+    EXACT original string (single-spaced corpus contract makes whitespace
+    collapse the identity).  ORACLED: title and byte count reconstruct
+    from doc_id/text in SQL; extracted_ok certifies string equality
+    Ray-side (a tag-strip, entity-order or collapse bug flips it)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.text import html_to_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        htmls = []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            enc = (txt.replace("&", "&amp;").replace("<", "&lt;")
+                   .replace(">", "&gt;"))
+            words = enc.split(" ")
+            mid = max(1, len(words) // 2)
+            p1, p2 = " ".join(words[:mid]), " ".join(words[mid:])
+            htmls.append(
+                f"<html><head><title>Doc {int(i)}</title>"
+                f"<style>p {{color: red}}</style>"
+                f"<script>var x = 1 < 2 && 3 > 0;</script></head>\n"
+                f"<body>\n<div class=\"nav\"><!-- chrome --></div>\n"
+                f"<p>{p1}</p>\n<p>{p2}</p>\n</body></html>")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": t["text"],
+                         "html": pa.array(htmls, pa.string())})
+
+    out = html_to_text(ds.map_batches(synth, batch_format="pyarrow"))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "title": t["title"],
+            "n_bytes": pc.cast(pc.binary_length(t["text_extracted"]),
+                               pa.int64()),
+            "extracted_ok": pc.cast(
+                pc.equal(t["text_extracted"], t["text"]), pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """Documents round-tripped through WARC files (the Common Crawl layout
     for web-scale text corpora, ISO 28500): write_warc_files hash-assigns
@@ -4155,6 +4203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": _q_media_probe,
         "wds_roundtrip": _q_wds_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "html_extract": _q_html_extract,
         "url_normalize": _q_url_normalize,
         "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -4420,6 +4469,13 @@ def _oracle_sql_base() -> dict[str, str]:
         "warc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
+        # lossless WET round trip: title + byte count reconstruct in
+        # SQL; exact-string certificate computed Ray-side
+        "html_extract":
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) "
+            "AS title, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            "CAST(1 AS BIGINT) AS extracted_ok "
+            "FROM documents ORDER BY doc_id",
         # the oracle CONSTRUCTS the canonical URL straight from doc_id
         # arithmetic; the engine PARSES the messy synthesis of the same
         # arithmetic — exact string equality certifies the normalizer

@@ -1079,3 +1079,48 @@ def normalize_urls(ds, url_col: str = "url"):
             .append_column("host", out_host)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- HTML
+_HTML_DROP_BLOCKS = (r"(?s)<head\b[^>]*>.*?</head>",  # title/meta not body
+                     r"(?s)<script\b[^>]*>.*?</script>",
+                     r"(?s)<style\b[^>]*>.*?</style>",
+                     r"(?s)<!--.*?-->")
+# decode order matters: named entities BEFORE &amp; so "&amp;lt;" yields
+# the literal "&lt;" (double-encoding round-trips correctly)
+_HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&amp;", "&"))
+
+
+def html_to_text(ds, html_col: str = "html"):
+    """HTML -> visible text extraction (the Common Crawl WET shape): drop
+    script/style/comment blocks, strip tags to spaces, decode the core
+    entities, collapse whitespace runs, trim.  Appends ``text_extracted``
+    and ``title`` ("" when no <title>).  All RE2/Arrow kernels — no
+    per-row Python, shuffle-free.
+
+    Contract (tested + oracled end-to-end): for single-space-normalized
+    source text routed through entity-safe HTML synthesis, extraction is
+    LOSSLESS — whitespace collapse is identity on already-normalized text.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        html = t[html_col]
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        html = pc.fill_null(html, "")
+        title = pc.extract_regex(html, r"(?s)<title>(?P<t>.*?)</title>")
+        title_s = pc.fill_null(pc.struct_field(title, "t"), "")
+        s = html
+        for pat in _HTML_DROP_BLOCKS:
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=r"<[^>]*>",
+                                       replacement=" ")
+        for ent, ch in _HTML_ENTITIES:
+            s = pc.replace_substring(s, ent, ch)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return t.append_column("text_extracted", s) \
+            .append_column("title", title_s)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -54,3 +54,30 @@ def test_normalize_urls_idempotent(ray_session):
     ds2 = rd.from_arrow(pa.table({"url": pa.array(once, pa.string())}))
     twice = [r["url_norm"] for r in normalize_urls(ds2).take_all()]
     assert once == twice
+
+
+def test_html_to_text_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.text import html_to_text
+
+    cases = [
+        # head (incl. title) is NOT visible text; body tags strip
+        ("<html><head><title>T1</title><meta x=1></head>"
+         "<body><p>hello world</p></body></html>", "hello world", "T1"),
+        # script/style/comments drop even inside body; entities decode
+        ("<body>a &lt;b&gt; &amp;lt; c<script>if (1<2) x();</script>"
+         "<style>q{}</style><!-- no -->&quot;d&#39;</body>",
+         "a <b> &lt; c \"d'", ""),
+        # whitespace collapse + trim
+        ("<div>\n  spaced   <b>out</b>\n</div>", "spaced out", ""),
+        # no body markup at all
+        ("plain text", "plain text", ""),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "html": pa.array([c[0] for c in cases], pa.string())}))
+    out = {r["html"]: r for r in html_to_text(ds).take_all()}
+    for raw, want_text, want_title in cases:
+        assert out[raw]["text_extracted"] == want_text, raw
+        assert out[raw]["title"] == want_title, raw
