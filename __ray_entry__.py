@@ -3681,6 +3681,74 @@ def _q_domain_cap_docs(sf_dir: str):
     return capped.select_columns(["doc_id", "host"]).sort("doc_id")
 
 
+def _q_tiered_dedup_images(sf_dir: str):
+    """Tiered IMAGE dedup cascade (the graft's title axis, image side):
+    tier 1 exact raw bytes+caption, tier 2 exact decoded content
+    (xor-folded shingle content keys over phash-visual + caption
+    modalities — catches re-encodes with identical perceptual content;
+    pipelines/dedup._exact_groups / DedupConfig(collapse_exact=True)),
+    tier 3 MinHash-LSH near-dup over the tier-2 representatives only,
+    with clusters re-expanded through the exact groups.  ORACLED as
+    invariant rows: tier counts are deterministic corpus constants
+    (t1=0 — the synthetic variants are never byte-identical, t2=70,
+    t3=64 of 2 000 images); ``monotone_ok`` certifies tier nesting
+    (byte-equal implies content-equal); ``recall_ok``/``precision_ok``
+    hold the north-rule >= 0.99 bar vs the analytic planted truth; and
+    ``partition_equal_ok`` certifies the STRONG cascade contract — the
+    tiered pipeline's final cluster partition is IDENTICAL to the
+    untiered flagship's (collapsing exact groups before LSH must never
+    change the answer, only the work).  Honest perf note: at this corpus
+    size the collapse pass costs more than it saves (an extra decode);
+    it pays at web scale where exact-dup mass dominates."""
+    import hashlib
+
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.dedup import (DedupConfig, _exact_groups,
+                                               evaluate_recall,
+                                               near_dup_pipeline)
+    from setsketch_ray.sources import cached_images_parquet
+    from setsketch_ray.sources.images import truth_pairs
+
+    n = 2000
+    ds = rd.read_parquet(cached_images_parquet(n))
+    _, _, map_plain = near_dup_pipeline(ds, DedupConfig())
+    _, _, map_tier = near_dup_pipeline(
+        ds, DedupConfig(collapse_exact=True))
+
+    def partition(m: dict) -> set:
+        from collections import defaultdict
+
+        d = defaultdict(set)
+        for k, v in m.items():
+            d[v].add(k)
+        return {frozenset(s | {r}) for r, s in d.items()}
+
+    part_eq = partition(map_plain) == partition(map_tier)
+    rec = evaluate_recall(map_tier, truth_pairs(n))
+
+    # tier attribution (first tier that would drop each non-canonical row)
+    member_rep = _exact_groups(ds, DedupConfig(), "image_id")
+    t2 = {m for m, r in member_rep.items() if r != m}
+    by_hash: dict = {}
+    for r in ds.select_columns(["image_id", "bytes", "caption"]) \
+            .iter_rows():
+        key = hashlib.sha1(r["bytes"] + r["caption"].encode()).digest()
+        by_hash.setdefault(key, []).append(r["image_id"])
+    t1 = {i for v in by_hash.values() if len(v) > 1 for i in sorted(v)[1:]}
+    t3 = {m for m, r in map_tier.items() if r != m} - t2 - t1
+    return pa.table({
+        "n_images": pa.array([n], pa.int64()),
+        "n_t1": pa.array([len(t1)], pa.int64()),
+        "n_t2": pa.array([len(t2)], pa.int64()),
+        "n_t3": pa.array([len(t3)], pa.int64()),
+        "monotone_ok": pa.array([int(t1 <= t2)], pa.int64()),
+        "recall_ok": pa.array([int(rec["recall"] >= 0.99)], pa.int64()),
+        "precision_ok": pa.array([int(rec["precision"] >= 0.99)],
+                                 pa.int64()),
+        "partition_equal_ok": pa.array([int(part_eq)], pa.int64())})
+
+
 def _q_html_extract(sf_dir: str):
     """HTML -> text extraction (functions/text.html_to_text, the Common
     Crawl WET shape) driven as a LOSSLESS round trip: each doc's text is
@@ -4204,6 +4272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_roundtrip": _q_wds_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "html_extract": _q_html_extract,
+        "tiered_dedup_images": _q_tiered_dedup_images,
         "url_normalize": _q_url_normalize,
         "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -4469,6 +4538,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "warc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
+        # tiered image cascade: deterministic tier counts + north-rule
+        # + partition-equality-vs-untiered certificates Ray-side
+        "tiered_dedup_images":
+            "SELECT CAST(2000 AS BIGINT) AS n_images, "
+            "CAST(0 AS BIGINT) AS n_t1, CAST(70 AS BIGINT) AS n_t2, "
+            "CAST(64 AS BIGINT) AS n_t3, "
+            "CAST(1 AS BIGINT) AS monotone_ok, "
+            "CAST(1 AS BIGINT) AS recall_ok, "
+            "CAST(1 AS BIGINT) AS precision_ok, "
+            "CAST(1 AS BIGINT) AS partition_equal_ok",
         # lossless WET round trip: title + byte count reconstruct in
         # SQL; exact-string certificate computed Ray-side
         "html_extract":
