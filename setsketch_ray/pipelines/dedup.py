@@ -131,18 +131,15 @@ def _rename_payload(suffix: str, id_col: str, list_cols: tuple = ()):
     return rename
 
 
-def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_id"):
-    """read-through to the deduped, exactly-verified candidate pair dataset.
-
-    Only ~40-byte (band_key, part, id) rows enter the wide shuffle; the
-    verification payload (shingle sets [+ registers]) is hash-joined onto the
-    already-deduplicated pairs — at corpus scale this is the difference
-    between shuffling bytes O(corpus x num_bands x payload) and
-    O(corpus x 40 B) + O(dups x payload).
-    """
+def sketched_dataset(ds, cfg: DedupConfig = DedupConfig(),
+                     id_col: str = "image_id"):
+    """The decode -> shingle -> sketch map chain (fused or staged),
+    producing the LSH-ready table with shingle list columns retained.
+    Extracted from :func:`candidate_pairs` so tiered callers
+    (``collapse_exact``) can run it ONCE and share the result between the
+    exact-collapse keys and the LSH stage instead of decoding twice."""
     heavy = [c for c in ("bytes", "w", "h", "fmt", "decode_ok")
              if c in ds.schema().names]
-    carry_regs = cfg.verify_ml and cfg.sketch.compute_registers
     if cfg.decode and cfg.fuse_map:
         # one fused stage: pixel tables + shingle lists stay in the worker
         # heap instead of crossing the object store twice (the map path is
@@ -182,6 +179,27 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(), id_col: str = "image_i
             sketch_kwargs["concurrency"] = cfg.sketch_concurrency
         ds = ds.map_batches(SketchStage(cfg.sketch, drop_shingles=False),
                             **sketch_kwargs)
+    return ds
+
+
+def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(),
+                    id_col: str = "image_id", pre_sketched: bool = False):
+    """read-through to the deduped, exactly-verified candidate pair dataset.
+
+    Only ~40-byte (band_key, part, id) rows enter the wide shuffle; the
+    verification payload (shingle sets [+ registers]) is hash-joined onto the
+    already-deduplicated pairs — at corpus scale this is the difference
+    between shuffling bytes O(corpus x num_bands x payload) and
+    O(corpus x 40 B) + O(dups x payload).
+
+    ``pre_sketched=True`` skips the decode/shingle/sketch map chain — the
+    input already IS a :func:`sketched_dataset` output (the tiered
+    ``collapse_exact`` path, which shares one chain between the collapse
+    keys and LSH).
+    """
+    carry_regs = cfg.verify_ml and cfg.sketch.compute_registers
+    if not pre_sketched:
+        ds = sketched_dataset(ds, cfg, id_col)
     mods = cfg.sketch.modalities
     if cfg.materialize_sketches:
         ds = ds.materialize()
@@ -410,14 +428,24 @@ def verified_edges(pairs, cfg: DedupConfig):
 
 def _exact_groups(ds, cfg: DedupConfig, id_col: str):
     """(member -> representative) map for rows with identical shingle
-    content.  Driver-side at test scale (ids + 8-byte keys only); the
-    10^12-row path replaces the pull with a groupby(content_key) shuffle."""
-    from ..stages.shingle import ShingleStage, content_keys
-    from ..stages.sketch_stage import list_column_to_flat
+    content, shingling the raw corpus (stored phash, no decode).  The
+    tiered pipeline path uses :func:`_exact_groups_from_sketched` on the
+    shared decoded chain instead."""
+    from ..stages.shingle import ShingleStage
 
     sh = ds.map_batches(ShingleStage(ngrams=cfg.ngrams,
                                      use_phash=cfg.use_phash),
                         batch_format="pyarrow")
+    return _exact_groups_from_sketched(sh, cfg, id_col)
+
+
+def _exact_groups_from_sketched(sh, cfg: DedupConfig, id_col: str):
+    """(member -> representative) map from a dataset that already carries
+    the shingle list columns.  Driver-side at test scale (ids + 8-byte
+    keys only); the 10^12-row path replaces the pull with a
+    groupby(content_key) shuffle."""
+    from ..stages.shingle import content_keys
+    from ..stages.sketch_stage import list_column_to_flat
 
     def keys(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -479,20 +507,35 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
         cfg = dataclasses.replace(cfg, fuse_map=fuse)
 
     member_rep = None
-    lsh_input = ds
     if cfg.collapse_exact:
-        member_rep = _exact_groups(ds, cfg, id_col)
-        reps = frozenset(member_rep.values())
-        reps_ref = ray.put(reps)
+        import pyarrow.compute as pc
+
+        # ONE decode+shingle+sketch chain shared between the exact-collapse
+        # keys and the LSH stage (was two: _exact_groups shingled the raw
+        # corpus separately).  Collapse keys now derive from the DECODED
+        # phash — consistent with what LSH bands see.
+        sk = sketched_dataset(ds, cfg, id_col)
+        if cfg.materialize_sketches:
+            sk = sk.materialize()
+        member_rep = _exact_groups_from_sketched(sk, cfg, id_col)
+        reps_ref = ray.put(pa.array(sorted(frozenset(member_rep.values())),
+                                    pa.string()))
 
         def only_reps(t: pa.Table) -> pa.Table:
-            r = ray.get(reps_ref)
-            mask = pa.array([i in r for i in t[id_col].to_pylist()])
-            return t.filter(mask)
+            key = ("reps", reps_ref.hex())
+            r = _WORKER_CACHE.get(key)
+            if r is None:
+                r = ray.get(reps_ref)
+                for k in [k for k in _WORKER_CACHE if k[0] == "reps"]:
+                    del _WORKER_CACHE[k]
+                _WORKER_CACHE[key] = r
+            return t.filter(pc.is_in(t[id_col], value_set=r))
 
-        lsh_input = ds.map_batches(only_reps, batch_format="pyarrow")
-
-    pairs = candidate_pairs(lsh_input, cfg, id_col=id_col)
+        lsh_input = sk.map_batches(only_reps, batch_format="pyarrow")
+        pairs = candidate_pairs(lsh_input, cfg, id_col=id_col,
+                                pre_sketched=True)
+    else:
+        pairs = candidate_pairs(ds, cfg, id_col=id_col)
     edges = verified_edges(pairs, cfg)
     # the verified edge list is sparse — safe to materialize driver-side
     batches = [b for b in edges.iter_batches(batch_format="pyarrow",
