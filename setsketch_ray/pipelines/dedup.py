@@ -102,6 +102,12 @@ class DedupConfig:
     # runs over unique content only) and expand the cluster map through the
     # exact groups afterwards
     collapse_exact: bool = False
+    # "driver": pull (id, 8-byte content key) for every row and group
+    #   driver-side — fine to ~10^8 rows, zero shuffle.
+    # "distributed": one slim groupby(content_key) exchange; only MULTI-
+    #   member group rows reach the driver (the exact-dup mass — the same
+    #   class as the dup-cluster mapping broadcast).  The 10^12-row path.
+    collapse_strategy: str = "driver"
     # "unionfind" collects the sparse edge list to the driver;
     # "labelprop" runs distributed hash-to-min label propagation over the
     # edge dataset (the 10^12-row path: only edges shuffle, O(diameter)
@@ -439,11 +445,9 @@ def _exact_groups(ds, cfg: DedupConfig, id_col: str):
     return _exact_groups_from_sketched(sh, cfg, id_col)
 
 
-def _exact_groups_from_sketched(sh, cfg: DedupConfig, id_col: str):
-    """(member -> representative) map from a dataset that already carries
-    the shingle list columns.  Driver-side at test scale (ids + 8-byte
-    keys only); the 10^12-row path replaces the pull with a
-    groupby(content_key) shuffle."""
+def _content_keys_fn(cfg: DedupConfig, id_col: str):
+    """Row-local (id, content_key) projection over shingle list columns
+    (xor-folded per-modality content hashes)."""
     from ..stages.shingle import content_keys
     from ..stages.sketch_stage import list_column_to_flat
 
@@ -457,6 +461,59 @@ def _exact_groups_from_sketched(sh, cfg: DedupConfig, id_col: str):
                 agg ^= content_keys(vals, offs)
         return pa.table({id_col: t[id_col],
                          "content_key": pa.array(agg, pa.uint64())})
+
+    return keys
+
+
+def _exact_groups_distributed(sh, cfg: DedupConfig, id_col: str,
+                              num_partitions: int = 64):
+    """(member -> representative) over MULTI-member exact-content groups
+    ONLY, via one slim distributed exchange: (content_key, id) rows
+    hash-partition by key, each partition emits the rows of groups with
+    >= 2 members (rep = min id).  Driver cost is O(exact-dup members) —
+    the same class as the dup-cluster mapping the pipeline already
+    broadcasts — instead of the driver strategy's O(corpus) pull.
+    Singleton-content rows never leave the cluster."""
+    import numpy as np
+
+    keys = _content_keys_fn(cfg, id_col)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["content_key"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array((k % np.uint64(num_partitions))
+                               .astype(np.uint32), pa.uint32()))
+
+    def mark(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part[id_col].to_pylist())
+        ks = part["content_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ks))
+        ks, ids = ks[order], ids[order]
+        start = np.empty(len(ks), bool)
+        if len(ks):
+            start[0] = True
+            start[1:] = ks[1:] != ks[:-1]
+        gid = np.cumsum(start) - 1
+        sizes = np.bincount(gid)
+        multi = sizes[gid] >= 2
+        rep = ids[np.searchsorted(gid, gid)]  # first (min-id) per group
+        return pa.table({
+            id_col: pa.array(ids[multi]),
+            "rep": pa.array(rep[multi])})
+
+    rows = sh.map_batches(keys, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(mark, batch_format="pyarrow") \
+        .take_all()
+    return {r[id_col]: r["rep"] for r in rows}
+
+
+def _exact_groups_from_sketched(sh, cfg: DedupConfig, id_col: str):
+    """(member -> representative) map from a dataset that already carries
+    the shingle list columns.  Driver-side at test scale (ids + 8-byte
+    keys only); ``collapse_strategy="distributed"`` replaces the pull with
+    :func:`_exact_groups_distributed`."""
+    keys = _content_keys_fn(cfg, id_col)
 
     kt = pa.concat_tables(list(sh.map_batches(keys, batch_format="pyarrow")
                                .iter_batches(batch_format="pyarrow",
@@ -486,7 +543,8 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
 
         cfg = dataclasses.replace(
             cfg, scale_mode="node", join_strategy="hash",
-            cluster_strategy="labelprop", materialize_sketches=False)
+            cluster_strategy="labelprop", materialize_sketches=False,
+            collapse_strategy="distributed")
 
     if cfg.fuse_map is None:
         import dataclasses
@@ -517,19 +575,39 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
         sk = sketched_dataset(ds, cfg, id_col)
         if cfg.materialize_sketches:
             sk = sk.materialize()
-        member_rep = _exact_groups_from_sketched(sk, cfg, id_col)
-        reps_ref = ray.put(pa.array(sorted(frozenset(member_rep.values())),
-                                    pa.string()))
+        if cfg.collapse_strategy == "distributed":
+            # multi-member groups only; singletons are implicitly their
+            # own representative (absent from the map)
+            member_rep = _exact_groups_distributed(sk, cfg, id_col)
+            drop_ref = ray.put(pa.array(
+                sorted(m for m, r in member_rep.items() if m != r),
+                pa.string()))
 
-        def only_reps(t: pa.Table) -> pa.Table:
-            key = ("reps", reps_ref.hex())
-            r = _WORKER_CACHE.get(key)
-            if r is None:
-                r = ray.get(reps_ref)
-                for k in [k for k in _WORKER_CACHE if k[0] == "reps"]:
-                    del _WORKER_CACHE[k]
-                _WORKER_CACHE[key] = r
-            return t.filter(pc.is_in(t[id_col], value_set=r))
+            def only_reps(t: pa.Table) -> pa.Table:
+                key = ("xdrop", drop_ref.hex())
+                d = _WORKER_CACHE.get(key)
+                if d is None:
+                    d = ray.get(drop_ref)
+                    for k in [k for k in _WORKER_CACHE
+                              if k[0] == "xdrop"]:
+                        del _WORKER_CACHE[k]
+                    _WORKER_CACHE[key] = d
+                return t.filter(
+                    pc.invert(pc.is_in(t[id_col], value_set=d)))
+        else:
+            member_rep = _exact_groups_from_sketched(sk, cfg, id_col)
+            reps_ref = ray.put(pa.array(
+                sorted(frozenset(member_rep.values())), pa.string()))
+
+            def only_reps(t: pa.Table) -> pa.Table:
+                key = ("reps", reps_ref.hex())
+                r = _WORKER_CACHE.get(key)
+                if r is None:
+                    r = ray.get(reps_ref)
+                    for k in [k for k in _WORKER_CACHE if k[0] == "reps"]:
+                        del _WORKER_CACHE[k]
+                    _WORKER_CACHE[key] = r
+                return t.filter(pc.is_in(t[id_col], value_set=r))
 
         lsh_input = sk.map_batches(only_reps, batch_format="pyarrow")
         pairs = candidate_pairs(lsh_input, cfg, id_col=id_col,
@@ -566,6 +644,11 @@ def near_dup_pipeline(ds, cfg: DedupConfig = DedupConfig(),
         from collections import Counter
 
         full = {m: mapping.get(rep, rep) for m, rep in member_rep.items()}
+        # distributed collapse maps MULTI-member groups only: LSH-dup rows
+        # with singleton content enter through the mapping itself (no-op
+        # under the driver strategy, whose member_rep covers every row)
+        for m, root in mapping.items():
+            full.setdefault(m, root)
         root_min: dict = {}
         for member, root in full.items():
             if root not in root_min or member < root_min[root]:

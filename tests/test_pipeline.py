@@ -233,6 +233,42 @@ def test_collapse_exact_preserves_recall(fixture_path, ray_session):
                for a, b in zip(orig, copies))
 
 
+def test_collapse_strategies_partition_identical(fixture_path, ray_session):
+    """The distributed exact-collapse (slim groupby, multi-member groups
+    only reach the driver) must give the SAME final cluster partition as
+    the driver strategy and the uncollapsed pipeline — this corpus mixes
+    exact byte copies (every 5th row re-idd) with planted near-dups, so
+    both tiers and the singleton-content LSH path are exercised."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(fixture_path)
+    dup_rows = t.filter(pa.array([i % 5 == 0 for i in range(t.num_rows)]))
+    new_ids = pa.array([f"zzz{i:09d}" for i in range(dup_rows.num_rows)])
+    dup_rows = dup_rows.set_column(
+        dup_rows.column_names.index("image_id"), "image_id", new_ids)
+    ds = rd.from_arrow(pa.concat_tables([t, dup_rows])).repartition(8)
+
+    def parts(m):
+        from collections import defaultdict
+
+        d = defaultdict(set)
+        for k, v in m.items():
+            d[v].add(k)
+        return {frozenset(s | {r}) for r, s in d.items()}
+
+    results = {}
+    for label, cfg in [
+            ("plain", DedupConfig()),
+            ("driver", DedupConfig(collapse_exact=True)),
+            ("dist", DedupConfig(collapse_exact=True,
+                                 collapse_strategy="distributed"))]:
+        _, _, m = near_dup_pipeline(ds, cfg)
+        results[label] = parts(m)
+    assert results["driver"] == results["plain"]
+    assert results["dist"] == results["plain"]
+
+
 def test_hash_join_strategy_matches_broadcast(fixture_path, ray_session):
     """join_strategy="hash" (lookup_join co-partition attach) must produce
     the exact pair set and scores of the broadcast fused path."""
