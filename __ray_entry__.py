@@ -3681,6 +3681,32 @@ def _q_domain_cap_docs(sf_dir: str):
     return capped.select_columns(["doc_id", "host"]).sort("doc_id")
 
 
+def _q_lineitem_profile(sf_dir: str):
+    """Distributed column profiler over lineitem
+    (functions/relational.profile_columns — the data-quality pass a 100 TB
+    ingest runs first): per column row/null counts, typed min/max, EXACT
+    distinct (one slim (col, hash) exchange for ALL columns) and a GHLL
+    approximate distinct riding the same stats pass.  ORACLED EXACTLY on
+    counts/min/max/distincts; the m=4096 estimate is certified by
+    ``est_ok`` (<= 6% relative error; expected RSD ~1.6%)."""
+    from setsketch_ray.functions.relational import profile_columns
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_linestatus"]
+    t = profile_columns(_read(sf_dir, "lineitem", cols), cols)
+    exact = t["n_distinct"].to_numpy()
+    est = t["approx_distinct"].to_numpy()
+    ok = (np.abs(est / exact - 1.0) <= 0.06).astype(np.int64)
+    return pa.table({
+        "col": t["column"],
+        "n": t["n"],
+        "n_null": t["n_null"],
+        "n_distinct": t["n_distinct"],
+        "min_str": t["min_str"],
+        "max_str": t["max_str"],
+        "est_ok": pa.array(ok, pa.int64())}).sort_by("col")
+
+
 def _q_tiered_dedup_images(sf_dir: str):
     """Tiered IMAGE dedup cascade (the graft's title axis, image side):
     tier 1 exact raw bytes+caption, tier 2 exact decoded content
@@ -4275,6 +4301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "html_extract": _q_html_extract,
         "tiered_dedup_images": _q_tiered_dedup_images,
+        "lineitem_profile": _q_lineitem_profile,
         "url_normalize": _q_url_normalize,
         "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -4540,6 +4567,45 @@ def _oracle_sql_base() -> dict[str, str]:
         "warc_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
+        # counts/min/max/exact-distincts mirror per column; GHLL
+        # estimate certified Ray-side
+        "lineitem_profile":
+            "SELECT * FROM ("
+            "SELECT 'l_orderkey' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct, "
+            "CAST(min(l_orderkey) AS VARCHAR) AS min_str, "
+            "CAST(max(l_orderkey) AS VARCHAR) AS max_str, "
+            "CAST(1 AS BIGINT) AS est_ok FROM lineitem"
+            " UNION ALL "
+            "SELECT 'l_partkey' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(l_partkey) AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct, "
+            "CAST(min(l_partkey) AS VARCHAR) AS min_str, "
+            "CAST(max(l_partkey) AS VARCHAR) AS max_str, "
+            "CAST(1 AS BIGINT) AS est_ok FROM lineitem"
+            " UNION ALL "
+            "SELECT 'l_suppkey' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(l_suppkey) AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct, "
+            "CAST(min(l_suppkey) AS VARCHAR) AS min_str, "
+            "CAST(max(l_suppkey) AS VARCHAR) AS max_str, "
+            "CAST(1 AS BIGINT) AS est_ok FROM lineitem"
+            " UNION ALL "
+            "SELECT 'l_returnflag' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(l_returnflag) AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_distinct, "
+            "CAST(min(l_returnflag) AS VARCHAR) AS min_str, "
+            "CAST(max(l_returnflag) AS VARCHAR) AS max_str, "
+            "CAST(1 AS BIGINT) AS est_ok FROM lineitem"
+            " UNION ALL "
+            "SELECT 'l_linestatus' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(l_linestatus) AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_distinct, "
+            "CAST(min(l_linestatus) AS VARCHAR) AS min_str, "
+            "CAST(max(l_linestatus) AS VARCHAR) AS max_str, "
+            "CAST(1 AS BIGINT) AS est_ok FROM lineitem" +
+            ") ORDER BY col",
         # tiered image cascade: deterministic tier counts + north-rule
         # + partition-equality-vs-untiered certificates Ray-side
         "tiered_dedup_images":

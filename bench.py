@@ -390,6 +390,24 @@ def run_benchmarks() -> dict:
         entrymod._q_orc_roundtrip(SF_DIR).count()
         timings["orc_roundtrip"] = time.time() - t0
 
+        # --- round-4 closing additions (WARC round trip, URL curation,
+        # WET extraction, tiered image cascade)
+        t0 = time.time()
+        entrymod._q_warc_roundtrip(SF_DIR).count()
+        timings["warc_roundtrip"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_url_normalize(SF_DIR).count()
+        timings["url_normalize"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_domain_cap_docs(SF_DIR).count()
+        timings["domain_cap_docs"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_html_extract(SF_DIR).count()
+        timings["html_extract"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_tiered_dedup_images(SF_DIR).num_rows
+        timings["tiered_dedup_images"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

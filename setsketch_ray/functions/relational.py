@@ -1930,3 +1930,164 @@ def value_ranks(ds, column: str, targets, key_col: "str | None" = None
         "target_idx": pa.array([i for (_k, i), _ in rows], pa.int64()),
         "n_lt": pa.array([v[0] for _, v in rows], pa.int64()),
         "n_le": pa.array([v[1] for _, v in rows], pa.int64())})
+
+
+def profile_columns(ds, cols, m: int = 4096, num_partitions: int = 64):
+    """Distributed column profiler (the data-quality pass a 100 TB ingest
+    runs before anything else): per column — row count, null count,
+    min/max, EXACT distinct count and a GHLL approximate distinct.
+
+    Plan: two passes over the pruned columns, no payload exchange.
+
+    * stats+sketch map: one ``map_batches`` emits per-(block, column)
+      partial rows (counts, typed min/max, m packed GHLL registers);
+      the driver folds blocks x columns tiny rows.
+    * exact distincts: ONE slim exchange for ALL columns — (col_idx,
+      value-hash) rows hash-partition, each partition counts unique
+      hashes per column, counts sum (the :func:`count_distinct` plan
+      generalized by a column tag; exact modulo 2^-64 hash collisions,
+      the engine-wide caveat).
+
+    Returns a pyarrow Table: (column, n, n_null, n_distinct, min_str,
+    max_str, approx_distinct).  min/max cast to string driver-side so one
+    output schema covers int and string columns exactly (profiled columns
+    should be int or string; float casts are not oracle-stable).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sketchlib.estimator import SetSketchEstimator
+    from ..sketchlib.hashing import hash_str_u64, mix64
+    from ..sketchlib.sketches import GHLL
+
+    cols = list(cols)
+    sketch = GHLL(m=m, base=2.0, q=62)
+    estimator = SetSketchEstimator(62, 1.0 / m, 2.0, m,
+                                   card_range_correction=True)
+
+    def col_hash(arr) -> np.ndarray:
+        v = arr.to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            return mix64(v.astype(np.uint64))
+        if v.dtype.kind == "f":
+            return mix64(v.astype(np.float64).view(np.uint64))
+        return hash_str_u64(arr)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = {"col_idx": [], "n": [], "n_null": [], "mn": [], "mx": [],
+                "regs": []}
+        for ci, c in enumerate(cols):
+            arr = t[c]
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+                else arr
+            valid = arr.drop_null()
+            mm = pc.min_max(arr)
+            regs = np.zeros((1, m), dtype=sketch.dtype)
+            if len(valid):
+                h = col_hash(valid)
+                sketch.add_flat(regs, np.zeros(len(h), dtype=np.int64), h)
+            rows["col_idx"].append(ci)
+            rows["n"].append(t.num_rows)
+            rows["n_null"].append(arr.null_count)
+            rows["mn"].append("" if mm["min"].as_py() is None
+                              else str(mm["min"].as_py()))
+            rows["mx"].append("" if mm["max"].as_py() is None
+                              else str(mm["max"].as_py()))
+            rows["regs"].append(regs.tobytes())
+        return pa.table({
+            "col_idx": pa.array(rows["col_idx"], pa.int32()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "mn": pa.array(rows["mn"], pa.string()),
+            "mx": pa.array(rows["mx"], pa.string()),
+            "regs": pa.array(rows["regs"], pa.binary())})
+
+    # ---- exact distinct: one slim exchange for all columns -------------
+    def hash_rows(t: pa.Table) -> pa.Table:
+        hs, cis = [], []
+        for ci, c in enumerate(cols):
+            arr = t[c]
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+                else arr
+            u = pc.unique(arr.drop_null())
+            if len(u):
+                hs.append(np.unique(col_hash(u)))
+                cis.append(np.full(len(hs[-1]), ci, dtype=np.int32))
+        if not hs:
+            return pa.table({"col_idx": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.uint64()),
+                             "__part": pa.array([], pa.uint32())})
+        h = np.concatenate(hs)
+        return pa.table({
+            "col_idx": pa.array(np.concatenate(cis), pa.int32()),
+            "h": pa.array(h, pa.uint64()),
+            "__part": pa.array((h % np.uint64(num_partitions))
+                               .astype(np.uint32), pa.uint32())})
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        ci = t["col_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pair = np.unique(np.stack([ci, h.view(np.int64)], axis=1), axis=0)
+        cnt = np.bincount(pair[:, 0], minlength=len(cols))
+        return pa.table({
+            "col_idx": pa.array(np.arange(len(cols), dtype=np.int32)),
+            "nd": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    distinct = np.zeros(len(cols), dtype=np.int64)
+    counts = ds.map_batches(hash_rows, batch_format="pyarrow") \
+        .groupby("__part").map_groups(part_counts, batch_format="pyarrow")
+    for b in counts.iter_batches(batch_format="pyarrow",
+                                 batch_size=1 << 20):
+        np.add.at(distinct, b["col_idx"].to_numpy(zero_copy_only=False),
+                  b["nd"].to_numpy(zero_copy_only=False))
+
+    # ---- fold the stats partials ---------------------------------------
+    n = np.zeros(len(cols), dtype=np.int64)
+    n_null = np.zeros(len(cols), dtype=np.int64)
+    mn: list = [None] * len(cols)
+    mx: list = [None] * len(cols)
+    regs_acc = np.zeros((len(cols), m), dtype=sketch.dtype)
+    for b in ds.map_batches(stats_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        cis = b["col_idx"].to_numpy(zero_copy_only=False)
+        np.add.at(n, cis, b["n"].to_numpy(zero_copy_only=False))
+        np.add.at(n_null, cis, b["n_null"].to_numpy(zero_copy_only=False))
+        for ci, mn_s, mx_s, rb in zip(cis, b["mn"].to_pylist(),
+                                      b["mx"].to_pylist(),
+                                      b["regs"].to_pylist()):
+            if mn_s != "":
+                mn[ci] = mn_s if mn[ci] is None else _typed_min(
+                    cols, ci, mn[ci], mn_s)
+            if mx_s != "":
+                mx[ci] = mx_s if mx[ci] is None else _typed_max(
+                    cols, ci, mx[ci], mx_s)
+            regs_acc[ci] = np.maximum(
+                regs_acc[ci], np.frombuffer(rb, dtype=sketch.dtype))
+    est = estimator.estimate_cardinality_simple(regs_acc)
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "n_null": pa.array(n_null, pa.int64()),
+        "n_distinct": pa.array(distinct, pa.int64()),
+        "min_str": pa.array(["" if v is None else v for v in mn],
+                            pa.string()),
+        "max_str": pa.array(["" if v is None else v for v in mx],
+                            pa.string()),
+        "approx_distinct": pa.array(est, pa.float64())})
+
+
+def _typed_min(cols, ci, a: str, b: str) -> str:
+    """Combine stringified block minima under the ORIGINAL type's order:
+    numeric strings compare as ints, everything else lexicographically
+    (matching SQL's binary collation for VARCHAR)."""
+    try:
+        return a if int(a) <= int(b) else b
+    except ValueError:
+        return a if a <= b else b
+
+
+def _typed_max(cols, ci, a: str, b: str) -> str:
+    try:
+        return a if int(a) >= int(b) else b
+    except ValueError:
+        return a if a >= b else b
