@@ -672,17 +672,21 @@ def run_stress(n_images: int | None = None) -> None:
     BENCH_IMAGES = old
 
     scale_mode = os.environ.get("GRAFT_STRESS_MODE", "node")
+    # GRAFT_STRESS_COLLAPSE=1 enables the tiered exact-collapse first stage
+    # (distributed strategy under scale_mode=cluster)
+    collapse = os.environ.get("GRAFT_STRESS_COLLAPSE", "0") == "1"
     t0 = time.time()
     ds = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
     clustered, edges, mapping = near_dup_pipeline(ds, DedupConfig(
         decode=True, sketch_concurrency=max(2, NUM_CPUS // 2),
-        num_partitions=NUM_CPUS * 8, scale_mode=scale_mode))
+        num_partitions=NUM_CPUS * 8, scale_mode=scale_mode,
+        collapse_exact=collapse))
     n_rows = clustered.count()
     dt = time.time() - t0
     rec = evaluate_recall(mapping, truth_pairs(n))
     print(json.dumps({
         "metric": f"stress: {n} images end-to-end (decode+cluster, "
-                  f"scale_mode={scale_mode})",
+                  f"scale_mode={scale_mode}, collapse={int(collapse)})",
         "value": round(dt, 1), "unit": "sec",
         "images_per_sec": round(n_rows / dt, 1),
         "recall": round(rec["recall"], 4),
