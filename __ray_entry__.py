@@ -3777,6 +3777,30 @@ def _q_tiered_dedup_images(sf_dir: str):
         "partition_equal_ok": pa.array([int(part_eq)], pa.int64())})
 
 
+def _synth_html(t: pa.Table) -> pa.Table:
+    """Deterministic entity-safe HTML page per doc (shared by
+    html_extract and web_pipeline): title, nav/script/style noise
+    blocks, the text split across two <p> paragraphs at the word
+    midpoint.  Extraction of these pages is LOSSLESS on the
+    single-spaced corpus — the contract both queries are oracled on."""
+    htmls = []
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        enc = (txt.replace("&", "&amp;").replace("<", "&lt;")
+               .replace(">", "&gt;"))
+        words = enc.split(" ")
+        mid = max(1, len(words) // 2)
+        p1, p2 = " ".join(words[:mid]), " ".join(words[mid:])
+        htmls.append(
+            f"<html><head><title>Doc {int(i)}</title>"
+            f"<style>p {{color: red}}</style>"
+            f"<script>var x = 1 < 2 && 3 > 0;</script></head>\n"
+            f"<body>\n<div class=\"nav\"><!-- chrome --></div>\n"
+            f"<p>{p1}</p>\n<p>{p2}</p>\n</body></html>")
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": t["text"],
+                     "html": pa.array(htmls, pa.string())})
+
+
 def _q_html_extract(sf_dir: str):
     """HTML -> text extraction (functions/text.html_to_text, the Common
     Crawl WET shape) driven as a LOSSLESS round trip: each doc's text is
@@ -3793,25 +3817,7 @@ def _q_html_extract(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def synth(t: pa.Table) -> pa.Table:
-        htmls = []
-        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            enc = (txt.replace("&", "&amp;").replace("<", "&lt;")
-                   .replace(">", "&gt;"))
-            words = enc.split(" ")
-            mid = max(1, len(words) // 2)
-            p1, p2 = " ".join(words[:mid]), " ".join(words[mid:])
-            htmls.append(
-                f"<html><head><title>Doc {int(i)}</title>"
-                f"<style>p {{color: red}}</style>"
-                f"<script>var x = 1 < 2 && 3 > 0;</script></head>\n"
-                f"<body>\n<div class=\"nav\"><!-- chrome --></div>\n"
-                f"<p>{p1}</p>\n<p>{p2}</p>\n</body></html>")
-        return pa.table({"doc_id": t["doc_id"],
-                         "text": t["text"],
-                         "html": pa.array(htmls, pa.string())})
-
-    out = html_to_text(ds.map_batches(synth, batch_format="pyarrow"))
+    out = html_to_text(ds.map_batches(_synth_html, batch_format="pyarrow"))
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -3873,6 +3879,85 @@ def _q_warc_roundtrip(sf_dir: str):
 
     return read_warc_files(root).map_batches(
         summarize, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_web_pipeline(sf_dir: str):
+    """End-to-end web-corpus curation — the full Common Crawl shape in
+    ONE streaming chain: documents render to deterministic HTML pages
+    (the same entity-safe synthesis html_extract verifies), frame into
+    16 gzipped WARC response files (write_warc_files, ISO 28500), then
+    the pipeline reads the WARC back one file per task, extracts visible
+    text (html_to_text, the WET step), exact-dedups on the EXTRACTED
+    text (one text-keyed shuffle, min doc_id — survivors only proceed),
+    scores LangId + QualityScore on the winners, and keeps lang 'en',
+    quality >= 0.7, 100 <= bytes <= 520.  ORACLED exactly by
+    composition: extraction is lossless on the single-spaced corpus, so
+    the oracle is the SAME lang_id / quality_scores fragments + dedup
+    winners + strlen band straight off the parquet — any WARC framing,
+    gzip-member, tag-strip, dedup, scoring or filter bug surfaces as a
+    value mismatch.  WARC files build once per sf_dir under /tmp behind
+    a _SUCCESS marker (partial dirs wiped + rebuilt)."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+    from setsketch_ray.functions.text import (LangId, QualityScore,
+                                              html_to_text)
+    from setsketch_ray.sources.warc import (read_warc_files,
+                                            write_warc_files)
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|webpipe16".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/warc_html_{fp}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        write_warc_files(
+            ds.map_batches(_synth_html, batch_format="pyarrow"),
+            root, key_col="doc_id", payload_col="html", num_files=16,
+            uri_format="https://example.com/page/{:012d}",
+            content_type="text/html", warc_type="response")
+        with open(marker, "w") as fh:
+            fh.write("16 files\n")
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["warc_type"], "response"))
+        ids = [int(u.rsplit("/", 1)[1]) for u in t["uri"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": t["payload"].cast(pa.string())})
+
+    pages = read_warc_files(root).map_batches(
+        to_docs, batch_format="pyarrow")
+
+    def slim(t: pa.Table) -> pa.Table:
+        # drop the heavy html column BEFORE the dedup shuffle
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": t["text_extracted"]})
+
+    winners = grouped_aggregate(
+        html_to_text(pages).map_batches(slim, batch_format="pyarrow"),
+        ["text"], {"doc_id": ("min", "doc_id")}, final="ray")
+    scored = winners.map_batches(LangId(), batch_format="pyarrow") \
+        .map_batches(QualityScore(), batch_format="pyarrow")
+
+    def filt(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["quality_score"], 1000000.0), 0.5)), pa.int64())
+        nb = pc.cast(pc.binary_length(t["text"]), pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.equal(t["lang_pred"], "en"),
+                    pc.greater_equal(q, 700000)),
+            pc.and_(pc.greater_equal(nb, 100), pc.less_equal(nb, 520)))
+        out = pa.table({"doc_id": t["doc_id"], "lang_pred": t["lang_pred"],
+                        "quality_score_e6": q, "n_bytes": nb})
+        return out.filter(mask)
+
+    return scored.map_batches(filt, batch_format="pyarrow").sort("doc_id")
 
 
 def _q_media_probe(sf_dir: str):
@@ -4300,6 +4385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_roundtrip": _q_wds_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "html_extract": _q_html_extract,
+        "web_pipeline": _q_web_pipeline,
         "tiered_dedup_images": _q_tiered_dedup_images,
         "lineitem_profile": _q_lineitem_profile,
         "url_normalize": _q_url_normalize,
@@ -4361,6 +4447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["corpus_curation"] = _compose_curation_oracle(d)
+    d["web_pipeline"] = _compose_web_pipeline_oracle(d)
     return d
 
 
@@ -5577,3 +5664,22 @@ def _compose_curation_oracle(d: dict[str, str]) -> str:
         "JOIN lang l USING (doc_id) JOIN qual q USING (doc_id) "
         "WHERE l.lang_pred = 'en' AND q.quality_score_e6 >= 700000 "
         "AND d.n_chars BETWEEN 100 AND 520")
+
+
+def _compose_web_pipeline_oracle(d: dict[str, str]) -> str:
+    """web_pipeline = WARC round trip (lossless, so a no-op over the base
+    table) + WET extraction (lossless on the single-spaced corpus) +
+    exact-dedup winners + lang_id + quality_scores + byte-length band,
+    composed from the SAME oracle fragments those stages are individually
+    verified against — the composite stays exact by construction."""
+    return (
+        "WITH lang AS (" + d["lang_id"] + "), "
+        "qual AS (" + d["quality_scores"] + "), "
+        "winners AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY text) "
+        "SELECT d.doc_id, l.lang_pred, q.quality_score_e6, "
+        "CAST(strlen(d.text) AS BIGINT) AS n_bytes "
+        "FROM documents d JOIN winners USING (doc_id) "
+        "JOIN lang l USING (doc_id) JOIN qual q USING (doc_id) "
+        "WHERE l.lang_pred = 'en' AND q.quality_score_e6 >= 700000 "
+        "AND strlen(d.text) BETWEEN 100 AND 520 ORDER BY doc_id")

@@ -407,6 +407,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_tiered_dedup_images(SF_DIR).num_rows
         timings["tiered_dedup_images"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_web_pipeline(SF_DIR).count()
+        timings["web_pipeline"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
