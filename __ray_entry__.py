@@ -3707,6 +3707,53 @@ def _q_lineitem_profile(sf_dir: str):
         "est_ok": pa.array(ok, pa.int64())}).sort_by("col")
 
 
+def _q_image_quality_filter(sf_dir: str):
+    """Image-side quality curation (the multimodal analog of the text
+    QualityScore filter): decode every image ONCE in the map stage
+    (stages/image.ImageStatsStage) into INTEGER sufficient statistics —
+    channel sum, sum of squares, min, max, count — classify exposure /
+    contrast with PURE INTEGER inequalities (dark: mean < 120  <=>
+    sum < 120*n; bright: mean > 136; flat: var < 70^2  <=>
+    n*sumsq - sum^2 < 4900*n^2 — no float ever enters a verdict), then
+    aggregate per (fmt, verdict): count + exact int64 pixel-sum totals.
+    ORACLED as invariant rows (VALUES mirror): the 2000-image corpus is
+    a pure function of seed 42 and both codecs are deterministic, so
+    the class counts AND the exact aggregate sums are corpus constants
+    — one pixel off anywhere in any decode path shifts sum_px/sum_sq
+    and turns a row red.  The bytes column is dropped inside the decode
+    stage itself, so only ~40 B/row of integer stats reach the
+    exchange."""
+    import ray.data as rd
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+    from setsketch_ray.sources import cached_images_parquet
+    from setsketch_ray.stages.image import ImageStatsStage
+
+    ds = rd.read_parquet(cached_images_parquet(2000))
+    stats = ds.map_batches(ImageStatsStage(), batch_format="pyarrow",
+                           batch_size=256)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        s = t["px_sum"].to_numpy()
+        ss = t["px_sumsq"].to_numpy()
+        n = t["n_vals"].to_numpy()
+        v = np.select(
+            [n == 0, s < 120 * n, s > 136 * n,
+             n * ss - s * s < 4900 * n * n],
+            ["undecodable", "dark", "bright", "flat"], default="ok")
+        return pa.table({
+            "fmt": t["fmt"],
+            "verdict": pa.array(v.astype(object), pa.string()),
+            "px_sum": t["px_sum"], "px_sumsq": t["px_sumsq"]})
+
+    g = grouped_aggregate(
+        stats.map_batches(verdict, batch_format="pyarrow"),
+        ["fmt", "verdict"],
+        {"n": ("count", None), "sum_px": ("sum", "px_sum"),
+         "sum_sq": ("sum", "px_sumsq")}, final="ray")
+    return g.sort(["fmt", "verdict"])
+
+
 def _q_tiered_dedup_images(sf_dir: str):
     """Tiered IMAGE dedup cascade (the graft's title axis, image side):
     tier 1 exact raw bytes+caption, tier 2 exact decoded content
@@ -4386,6 +4433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "html_extract": _q_html_extract,
         "web_pipeline": _q_web_pipeline,
+        "image_quality_filter": _q_image_quality_filter,
         "tiered_dedup_images": _q_tiered_dedup_images,
         "lineitem_profile": _q_lineitem_profile,
         "url_normalize": _q_url_normalize,
@@ -4693,6 +4741,29 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(max(l_linestatus) AS VARCHAR) AS max_str, "
             "CAST(1 AS BIGINT) AS est_ok FROM lineitem" +
             ") ORDER BY col",
+        # image quality curation: the 2000-image corpus is a pure function
+        # of seed 42 and the codecs are deterministic, so per-(fmt,verdict)
+        # counts AND exact int64 pixel-sum totals are corpus constants
+        "image_quality_filter":
+            "SELECT * FROM (VALUES "
+            "('ljpg','bright',CAST(19 AS BIGINT),CAST(8104537 AS BIGINT),"
+            "CAST(1457195869 AS BIGINT)),"
+            "('ljpg','dark',CAST(20 AS BIGINT),CAST(7218852 AS BIGINT),"
+            "CAST(1180589984 AS BIGINT)),"
+            "('ljpg','flat',CAST(9 AS BIGINT),CAST(3594427 AS BIGINT),"
+            "CAST(599013917 AS BIGINT)),"
+            "('ljpg','ok',CAST(64 AS BIGINT),CAST(25050729 AS BIGINT),"
+            "CAST(4280337025 AS BIGINT)),"
+            "('png','bright',CAST(209 AS BIGINT),CAST(89709416 AS BIGINT),"
+            "CAST(15985440768 AS BIGINT)),"
+            "('png','dark',CAST(262 AS BIGINT),CAST(93356060 AS BIGINT),"
+            "CAST(15151970600 AS BIGINT)),"
+            "('png','flat',CAST(182 AS BIGINT),CAST(71546217 AS BIGINT),"
+            "CAST(11760363477 AS BIGINT)),"
+            "('png','ok',CAST(1235 AS BIGINT),CAST(484845367 AS BIGINT),"
+            "CAST(82997662791 AS BIGINT))"
+            ") AS t(fmt, verdict, n, sum_px, sum_sq) "
+            "ORDER BY fmt, verdict",
         # tiered image cascade: deterministic tier counts + north-rule
         # + partition-equality-vs-untiered certificates Ray-side
         "tiered_dedup_images":

@@ -410,6 +410,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_web_pipeline(SF_DIR).count()
         timings["web_pipeline"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_image_quality_filter(SF_DIR).count()
+        timings["image_quality_filter"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

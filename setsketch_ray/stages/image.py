@@ -151,6 +151,52 @@ class ImageFeatureStage:
             "image_features", pa.array(feats, pa.list_(pa.float32())))
 
 
+class ImageStatsStage:
+    """Actor stage: decode -> INTEGER sufficient statistics per image
+    (channel-value sum, sum of squares, min, max, count as int64).
+
+    Integer stats make downstream exposure/contrast verdicts pure integer
+    inequalities (mean < t  <=>  sum < t*n; var < v  <=>  n*sumsq - sum^2
+    < v*n^2), so an image-curation filter built on them is exactly
+    reproducible across engines — the image-side analog of the text
+    QualityScore contract.  Rows whose format has no codec in this
+    environment get n_vals=0 (callers route them to an 'undecodable'
+    class rather than silently keeping them)."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        m = len(blobs)
+        s = np.zeros(m, dtype=np.int64)
+        ss = np.zeros(m, dtype=np.int64)
+        mn = np.full(m, -1, dtype=np.int64)
+        mx = np.full(m, -1, dtype=np.int64)
+        nv = np.zeros(m, dtype=np.int64)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            try:
+                px = decode_image(blob, fmt).astype(np.int64, copy=False)
+            except (NotImplementedError, ValueError):
+                continue
+            flat = px.ravel()
+            s[i] = int(flat.sum())
+            ss[i] = int((flat * flat).sum())
+            mn[i] = int(flat.min())
+            mx[i] = int(flat.max())
+            nv[i] = flat.size
+        cols = {c: batch[c] for c in batch.column_names
+                if c != self.bytes_col}  # drop the payload right here
+        cols["px_sum"] = pa.array(s, pa.int64())
+        cols["px_sumsq"] = pa.array(ss, pa.int64())
+        cols["px_min"] = pa.array(mn, pa.int64())
+        cols["px_max"] = pa.array(mx, pa.int64())
+        cols["n_vals"] = pa.array(nv, pa.int64())
+        return pa.table(cols)
+
+
 class VideoFrameSampleStage:
     """Video frame sampling (``map_batches`` actor stage).
 

@@ -679,3 +679,29 @@ def test_bmp_roundtrip_and_dispatch():
                       0, 0, 0, 0)
     hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
     assert np.array_equal(decode_bmp(hdr + dib + body), img)
+
+
+def test_image_stats_stage_integer_sufficient_stats():
+    import numpy as np
+
+    from setsketch_ray.sources.codec import decode_image
+    from setsketch_ray.sources.images import generate_rows
+    from setsketch_ray.stages.image import ImageStatsStage
+
+    t = generate_rows(np.arange(24), seed=42, size=16)
+    out = ImageStatsStage()(t)
+    assert "bytes" not in out.column_names  # payload dropped in-stage
+    for i in range(24):
+        px = decode_image(t["bytes"][i].as_py(),
+                          t["fmt"][i].as_py()).astype(np.int64)
+        assert out["px_sum"][i].as_py() == int(px.sum())
+        assert out["px_sumsq"][i].as_py() == int((px * px).sum())
+        assert out["px_min"][i].as_py() == int(px.min())
+        assert out["px_max"][i].as_py() == int(px.max())
+        assert out["n_vals"][i].as_py() == px.size
+    # undecodable rows are flagged with n_vals=0, not silently kept
+    bad = t.set_column(t.column_names.index("bytes"), "bytes",
+                       __import__("pyarrow").array([b"\x00\x01"] * 24))
+    ob = ImageStatsStage()(bad)
+    assert all(v.as_py() == 0 for v in ob["n_vals"])
+    assert all(v.as_py() == -1 for v in ob["px_min"])
