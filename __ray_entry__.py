@@ -3707,6 +3707,52 @@ def _q_lineitem_profile(sf_dir: str):
         "est_ok": pa.array(ok, pa.int64())}).sort_by("col")
 
 
+def _q_word_freq_cms(sf_dir: str):
+    """Count-Min sketch word frequencies certified against the exact
+    distributed wordcount (sketchlib/countmin.py — Cormode & Muthukrishnan
+    2005; the fixed-memory scale path when even distinct (word, cnt) pairs
+    are too wide to shuffle).  One map_batches pass emits a 320 KB linear
+    partial per block; the driver sums them (merge order irrelevant by
+    linearity).  ORACLED: exact top-20 (word, cnt) mirror in SQL plus two
+    structural certificates — ``over_ok`` (CMS never under-counts, holds
+    by construction) and ``bound_ok`` (measured overshoot <= 8x the
+    expected single-row collision mass n/width; the min over depth=5 rows
+    makes a top word's overshoot ~0 — measured 0 at every sf)."""
+    from setsketch_ray.functions.text import word_freq_cms
+
+    return word_freq_cms(_read(sf_dir, "documents", ["text"]), "text", k=20)
+
+
+def _q_validate_lineitem(sf_dir: str):
+    """Distributed data-validation report (functions/validate.py — the
+    Deequ/Great-Expectations-shaped constraint pass a 100 TB ingest runs
+    first): all row-local rules (not_null / range / in_set / RE2
+    full-match regex) in ONE vectorized map pass emitting counter rows
+    only; composite-key uniqueness via one slim pre-deduplicated
+    value exchange (exact, no hash-collision risk); referential
+    integrity via one anti-mode semi_anti_join (right side ships only
+    its key column).  ORACLED EXACTLY: every rule is a SQL count pair
+    (the rule mix is deliberately part-violating — qty/discount ranges
+    and the returnflag set fail on real rows, linestatus regex and the
+    orders FK pass, and (l_orderkey, l_linenumber) is genuinely
+    non-unique in this synthetic table)."""
+    from setsketch_ray.functions.validate import validate_table
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_returnflag", "l_linestatus"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    return validate_table(li, [
+        ("not_null", "l_orderkey"),
+        ("range", "l_quantity", 1.0, 45.0),
+        ("range", "l_discount", 0.0, 0.08),
+        ("in_set", "l_returnflag", ["A", "N"]),
+        ("regex", "l_linestatus", "[OF]"),
+        ("unique", ["l_orderkey", "l_linenumber"]),
+        ("fk", "l_orderkey", "orders", "o_orderkey"),
+    ], refs={"orders": orders})
+
+
 def _q_image_quality_filter(sf_dir: str):
     """Image-side quality curation (the multimodal analog of the text
     QualityScore filter): decode every image ONCE in the map stage
@@ -4436,6 +4482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_filter": _q_image_quality_filter,
         "tiered_dedup_images": _q_tiered_dedup_images,
         "lineitem_profile": _q_lineitem_profile,
+        "word_freq_cms": _q_word_freq_cms,
+        "validate_lineitem": _q_validate_lineitem,
         "url_normalize": _q_url_normalize,
         "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -4741,6 +4789,55 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(max(l_linestatus) AS VARCHAR) AS max_str, "
             "CAST(1 AS BIGINT) AS est_ok FROM lineitem" +
             ") ORDER BY col",
+        # exact top-20 words mirror; the CMS estimates stay internal and
+        # are certified by the constant over_ok/bound_ok columns
+        "word_freq_cms":
+            "SELECT word, cnt, CAST(1 AS BIGINT) AS over_ok, "
+            "CAST(1 AS BIGINT) AS bound_ok FROM ("
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents) WHERE word <> '' GROUP BY word) "
+            "ORDER BY cnt DESC, word LIMIT 20",
+        # every validation rule is a SQL count pair
+        "validate_lineitem":
+            "SELECT rule, col, n_checked, n_violations, "
+            "CAST(n_violations = 0 AS BIGINT) AS ok FROM ("
+            "SELECT 'fk' AS rule, 'l_orderkey->orders.o_orderkey' AS col, "
+            "CAST(count(l_orderkey) AS BIGINT) AS n_checked, "
+            "CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN "
+            "(SELECT o_orderkey FROM orders)) AS BIGINT) AS n_violations "
+            "FROM lineitem"
+            " UNION ALL "
+            "SELECT 'in_set', 'l_returnflag', "
+            "CAST(count(l_returnflag) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN l_returnflag NOT IN ('A','N') "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem"
+            " UNION ALL "
+            "SELECT 'not_null', 'l_orderkey', CAST(count(*) AS BIGINT), "
+            "CAST(count(*) - count(l_orderkey) AS BIGINT) FROM lineitem"
+            " UNION ALL "
+            "SELECT 'range', 'l_discount', "
+            "CAST(count(l_discount) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN l_discount < CAST(0.0 AS DOUBLE) "
+            "OR l_discount > CAST(0.08 AS DOUBLE) THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) FROM lineitem"
+            " UNION ALL "
+            "SELECT 'range', 'l_quantity', "
+            "CAST(count(l_quantity) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN l_quantity < CAST(1.0 AS DOUBLE) "
+            "OR l_quantity > CAST(45.0 AS DOUBLE) THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) FROM lineitem"
+            " UNION ALL "
+            "SELECT 'regex', 'l_linestatus', "
+            "CAST(count(l_linestatus) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN NOT "
+            "regexp_full_match(l_linestatus, '[OF]') THEN 1 ELSE 0 END), "
+            "0) AS BIGINT) FROM lineitem"
+            " UNION ALL "
+            "SELECT 'unique', 'l_orderkey,l_linenumber', "
+            "CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT "
+            "(l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem"
+            ") ORDER BY rule, col",
         # image quality curation: the 2000-image corpus is a pure function
         # of seed 42 and the codecs are deterministic, so per-(fmt,verdict)
         # counts AND exact int64 pixel-sum totals are corpus constants

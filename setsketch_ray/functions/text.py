@@ -1124,3 +1124,69 @@ def html_to_text(ds, html_col: str = "html"):
             .append_column("title", title_s)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def word_freq_cms(ds, text_col: str, k: int = 20,
+                  width: int = 1 << 13, depth: int = 5,
+                  seed: int = 0) -> pa.Table:
+    """Count-Min approximate word frequencies, certified against the exact
+    distributed wordcount (``sketchlib/countmin.py``; Cormode &
+    Muthukrishnan 2005).
+
+    Two streaming passes over ``text_col`` (split on single spaces, empty
+    tokens dropped — the same tokenization contract as :func:`word_topk`,
+    SQL ``unnest(string_split(text, ' '))``):
+
+    1. exact global top-``k`` words via :func:`word_topk` (one slim
+       (word, cnt) shuffle);
+    2. one ``map_batches`` pass emitting a fixed-size CMS blob per block
+       (local (word, cnt) combine first, so ``add_flat`` sees distinct
+       words); the driver sums the linear partials — merge order is
+       irrelevant by linearity, sorted anyway per repo convention.
+
+    Returns one row per top-k word: ``word``, exact ``cnt``, and two
+    certificate columns a constant-SQL oracle can mirror —
+    ``over_ok = est >= cnt`` (CMS never under-counts: structural, holds
+    always) and ``bound_ok = (est - cnt) * width <= 8 * n_words`` (8x the
+    expected single-row collision mass n/width; the min over ``depth``
+    rows makes the measured overshoot of a top word ~0).  The estimates
+    themselves stay internal (not SQL-computable), exactly like the knn
+    rank trick."""
+    from ..sketchlib.countmin import CountMinSketch
+
+    exact = word_topk(ds, text_col, k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = CountMinSketch(width, depth, seed)
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        flat = pc.list_flatten(pc.split_pattern(pc.fill_null(txt, ""), " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat):
+            agg = pa.table({"word": flat}).group_by(["word"]).aggregate(
+                [([], "count_all")])
+            cnt_name = [n for n in agg.column_names if n != "word"][0]
+            words = agg["word"]
+            words = words.combine_chunks() if \
+                isinstance(words, pa.ChunkedArray) else words
+            sk.add_flat(hash_str_u64(words),
+                        agg[cnt_name].to_numpy().astype(np.int64))
+        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+
+    blobs = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    sk = CountMinSketch(width, depth, seed)
+    for blob in sorted(r["blob"] for r in blobs):
+        sk = sk.merge(CountMinSketch.from_bytes(blob))
+
+    words = exact["word"]
+    words = words.combine_chunks() if \
+        isinstance(words, pa.ChunkedArray) else words
+    est = sk.estimate(hash_str_u64(words)) if len(words) else \
+        np.empty(0, np.int64)
+    cnt = exact["cnt"].to_numpy()
+    over_ok = (est >= cnt).astype(np.int64)
+    bound_ok = ((est - cnt) * width <= 8 * sk.n).astype(np.int64)
+    return pa.table({"word": words, "cnt": exact["cnt"],
+                     "over_ok": pa.array(over_ok, pa.int64()),
+                     "bound_ok": pa.array(bound_ok, pa.int64())})

@@ -2688,3 +2688,63 @@ def test_ssjoin_empty_corpus(rd):
     # Ray behavior) — the stable contract is schema() + count()
     assert out.count() == 0
     assert out.schema().names == ["id_a", "id_b", "n_shared", "n_union"]
+
+
+def test_validate_table_rules(rd):
+    """Every rule kind of functions/validate.validate_table on a toy table
+    with known violations: null id, duplicate key, out-of-range values,
+    out-of-set category, regex mismatch, dangling FK."""
+    from setsketch_ray.functions.validate import validate_table
+
+    t = pa.table({
+        "id": [1, 2, 3, 4, 5, 5, 7, None],
+        "qty": [1.0, 50.0, 51.0, -1.0, 10.0, 10.0, None, 3.0],
+        "flag": ["A", "N", "R", "A", "N", "X", None, "A"],
+        "code": ["ab", "cd", "e1", "zz", "ab", "cd", "ab", "q!"],
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    ref = rd.from_arrow(pa.table({"rid": [1, 2, 3, 4, 7]}))
+    res = validate_table(ds, [
+        ("not_null", "id"),
+        ("range", "qty", 0.0, 50.0),
+        ("in_set", "flag", ["A", "N", "R"]),
+        ("regex", "code", "[a-z]{2}"),
+        ("unique", ["id"]),
+        ("fk", "id", "ref", "rid"),
+    ], refs={"ref": ref})
+    rows = {(r["rule"], r["col"]): (r["n_checked"], r["n_violations"],
+                                    r["ok"]) for r in res.to_pylist()}
+    assert rows[("not_null", "id")] == (8, 1, 0)
+    assert rows[("range", "qty")] == (7, 2, 0)            # 51, -1
+    assert rows[("in_set", "flag")] == (7, 1, 0)          # X (null skipped)
+    assert rows[("regex", "code")] == (8, 2, 0)           # e1, q!
+    # distinct ids: {1,2,3,4,5,7,null} -> 7 of 8
+    assert rows[("unique", "id")] == (8, 1, 0)
+    # non-null ids 1,2,3,4,5,5,7; 5 has no ref match (x2)
+    assert rows[("fk", "id->ref.rid")] == (7, 2, 0)
+
+    # all-clean rules report ok=1
+    clean = validate_table(ds, [("regex", "code", ".*")])
+    assert clean.to_pylist()[0]["ok"] == 1
+
+
+def test_word_freq_cms_certificates(rd):
+    """word_freq_cms: exact counts match a local wordcount; both CMS
+    certificates hold; estimates are deterministic across block layouts."""
+    from collections import Counter
+
+    from setsketch_ray.functions.text import word_freq_cms
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+            for _ in range(300)]
+    exact = Counter(w for d in docs for w in d.split())
+    t = pa.table({"text": docs})
+    for parts in (2, 7):
+        res = word_freq_cms(rd.from_arrow(t).repartition(parts),
+                            "text", k=15).to_pylist()
+        assert len(res) == 15
+        top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+        assert [(r["word"], r["cnt"]) for r in res] == top
+        assert all(r["over_ok"] == 1 and r["bound_ok"] == 1 for r in res)

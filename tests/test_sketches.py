@@ -227,3 +227,53 @@ def test_kll_quantile_sketch():
         KllSketch(200).add_flat(np.array([1.0, np.nan]))
     with pytest.raises(ValueError):
         KllSketch(200).merge(KllSketch(100))
+
+
+def test_countmin_properties():
+    """CMS: one-sided error, linear merge == bulk, weighted == repeated,
+    serialization round trip, deterministic across add order."""
+    import numpy as np
+
+    from setsketch_ray.sketchlib.countmin import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    keys = (rng.zipf(1.3, 100000) % 30000).astype(np.uint64)
+    sk = CountMinSketch(1 << 12, 5, seed=3)
+    sk.add_flat(keys)
+    uq, cnt = np.unique(keys, return_counts=True)
+    est = sk.estimate(uq)
+    assert (est >= cnt).all()                        # never under-counts
+    assert sk.n == len(keys)
+    # expected per-row collision mass is n/width; min over 5 rows stays
+    # well under 8x that for every key on this distribution
+    assert int((est - cnt).max()) * (1 << 12) <= 8 * sk.n
+
+    # linearity: partials summed == bulk, any split, any merge order
+    a = CountMinSketch(1 << 12, 5, seed=3)
+    b = CountMinSketch(1 << 12, 5, seed=3)
+    a.add_flat(keys[:41737])
+    b.add_flat(keys[41737:])
+    for m in (a.merge(b), b.merge(a)):
+        assert (m.table == sk.table).all() and m.n == sk.n
+
+    # weighted add == repeated add
+    w1 = CountMinSketch(256, 3, seed=1)
+    w1.add_flat(np.array([5, 9, 5, 5], np.uint64))
+    w2 = CountMinSketch(256, 3, seed=1)
+    w2.add_flat(np.array([9, 5], np.uint64), np.array([1, 3]))
+    assert (w1.table == w2.table).all()
+
+    # bytes round trip
+    rt = CountMinSketch.from_bytes(sk.to_bytes())
+    assert (rt.table == sk.table).all() and rt.n == sk.n \
+        and (rt.width, rt.depth, rt.seed) == (sk.width, sk.depth, sk.seed)
+
+    # order invariance (pure function of the multiset)
+    sh = CountMinSketch(1 << 12, 5, seed=3)
+    sh.add_flat(keys[::-1].copy())
+    assert (sh.table == sk.table).all()
+
+    # config mismatch refuses to merge
+    import pytest
+    with pytest.raises(ValueError):
+        sk.merge(CountMinSketch(1 << 11, 5, seed=3))
