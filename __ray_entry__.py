@@ -3723,6 +3723,44 @@ def _q_word_freq_cms(sf_dir: str):
     return word_freq_cms(_read(sf_dir, "documents", ["text"]), "text", k=20)
 
 
+def _q_table_diff_docs(sf_dir: str):
+    """Keyed snapshot diff (functions/diff.py — the data-versioning
+    primitive): documents vs a deterministically perturbed next version
+    (drop doc_id%97==0, append ' MOD' to text of doc_id%89==0, add new
+    rows at doc_id+10M for doc_id%101==0), classified added / removed /
+    changed / unchanged in one slim (key, content-hash) co-partition
+    exchange — payloads never move.  ORACLED EXACTLY: the oracle builds
+    the SAME version-B with identical integer arithmetic and classifies
+    via FULL OUTER JOIN; per-class row count + key checksum (sum of
+    doc_ids, < 2^53) pin every key to its class."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.diff import diff_tables
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_b(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        mod = pc.if_else(pa.array(did % 89 == 0),
+                         pc.binary_join_element_wise(
+                             t["text"], pa.scalar(" MOD"), ""),
+                         t["text"])
+        base = pa.table({"doc_id": t["doc_id"], "text": mod}) \
+            .filter(pa.array(did % 97 != 0))
+        new_ids = did[did % 101 == 0] + 10_000_000
+        added = pa.table({
+            "doc_id": pa.array(new_ids, pa.int64()),
+            "text": pa.array(["new row"] * len(new_ids), pa.string())})
+        return pa.concat_tables([base, added])
+
+    b = docs.map_batches(make_b, batch_format="pyarrow")
+    d = diff_tables(docs, b, "doc_id", ["text"])
+    g = grouped_aggregate(d, ["status"], {
+        "n": ("count", None), "key_sum": ("sum", "doc_id")}, final="ray")
+    return g.sort("status")
+
+
 def _q_validate_lineitem(sf_dir: str):
     """Distributed data-validation report (functions/validate.py — the
     Deequ/Great-Expectations-shaped constraint pass a 100 TB ingest runs
@@ -4484,6 +4522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,
         "word_freq_cms": _q_word_freq_cms,
         "validate_lineitem": _q_validate_lineitem,
+        "table_diff_docs": _q_table_diff_docs,
         "url_normalize": _q_url_normalize,
         "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -4798,6 +4837,24 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents) WHERE word <> '' GROUP BY word) "
             "ORDER BY cnt DESC, word LIMIT 20",
+        # the oracle constructs the same version-B snapshot and
+        # classifies via FULL OUTER JOIN
+        "table_diff_docs":
+            "WITH b AS ("
+            "SELECT doc_id, CASE WHEN doc_id % 89 = 0 THEN text || ' MOD' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 97 <> 0"
+            " UNION ALL "
+            "SELECT doc_id + 10000000 AS doc_id, 'new row' AS text "
+            "FROM documents WHERE doc_id % 101 = 0) "
+            "SELECT status, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(k) AS BIGINT) AS key_sum FROM ("
+            "SELECT coalesce(a.doc_id, b.doc_id) AS k, "
+            "CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.text = b.text THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+            "GROUP BY status ORDER BY status",
         # every validation rule is a SQL count pair
         "validate_lineitem":
             "SELECT rule, col, n_checked, n_violations, "

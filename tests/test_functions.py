@@ -2748,3 +2748,47 @@ def test_word_freq_cms_certificates(rd):
         top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
         assert [(r["word"], r["cnt"]) for r in res] == top
         assert all(r["over_ok"] == 1 and r["bound_ok"] == 1 for r in res)
+
+
+def test_diff_tables_classification(rd):
+    """diff_tables: added/removed/changed/unchanged over int AND string
+    keys, against a brute-force dict diff; per-key rows, exactly one row
+    per distinct key."""
+    from setsketch_ray.functions.diff import diff_tables
+
+    rng = np.random.default_rng(11)
+    n = 500
+    keys = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 1000, n)
+    a = pa.table({"k": keys, "v": vals,
+                  "s": [f"s{v}" for v in vals]})
+    # b: drop k%7==0, change v of k%5==0, add 100 new keys
+    mask = keys % 7 != 0
+    bk = keys[mask]
+    bv = vals[mask].copy()
+    bv[bk % 5 == 0] += 1
+    bk = np.concatenate([bk, np.arange(n, n + 100, dtype=np.int64)])
+    bv = np.concatenate([bv, np.zeros(100, np.int64)])
+    b = pa.table({"k": bk, "v": bv, "s": [f"s{v}" for v in bv]})
+
+    out = diff_tables(rd.from_arrow(a).repartition(4),
+                      rd.from_arrow(b).repartition(3),
+                      "k", ["v", "s"], num_partitions=8)
+    got = {r["k"]: r["status"] for r in out.take_all()}
+    assert len(got) == len(set(keys) | set(bk.tolist()))
+    for k in range(n):
+        if k % 7 == 0:
+            assert got[k] == "removed"
+        elif k % 5 == 0:
+            assert got[k] == "changed"
+        else:
+            assert got[k] == "unchanged"
+    assert all(got[k] == "added" for k in range(n, n + 100))
+
+    # string keys ride the same path
+    sa = pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+    sb = pa.table({"k": ["b", "c", "d"], "v": [2, 9, 4]})
+    got2 = {r["k"]: r["status"] for r in diff_tables(
+        rd.from_arrow(sa), rd.from_arrow(sb), "k", ["v"]).take_all()}
+    assert got2 == {"a": "removed", "b": "unchanged",
+                    "c": "changed", "d": "added"}
