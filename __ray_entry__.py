@@ -3723,6 +3723,30 @@ def _q_word_freq_cms(sf_dir: str):
     return word_freq_cms(_read(sf_dir, "documents", ["text"]), "text", k=20)
 
 
+def _q_events_outliers(sf_dir: str):
+    """Per-group 3-sigma outlier counts (functions/validate.zscore_outliers
+    — the distribution-shaped data-quality rule where the bound itself
+    comes from the data): integer sufficient statistics per event_type,
+    then one broadcast map pass counting ``(n*v - sum)^2 > 9*(n*sumsq -
+    sum^2)`` — |v - mean| > 3 sigma with every division cleared.  ORACLED
+    EXACTLY: the comparison is the IDENTICAL float expression tree on
+    both engines over int64 operands < 2^53 (the value_variance_by_type
+    convention), so the verdict bit matches row for row."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.validate import zscore_outliers
+
+    def scaled(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "v_c": pc.round(pc.multiply(t["value"], 100.0))
+            .cast(pa.int64())})
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    return zscore_outliers(ev, "event_type", "v_c", k_sigma=3.0)
+
+
 def _q_table_diff_docs(sf_dir: str):
     """Keyed snapshot diff (functions/diff.py — the data-versioning
     primitive): documents vs a deterministically perturbed next version
@@ -4523,6 +4547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_cms": _q_word_freq_cms,
         "validate_lineitem": _q_validate_lineitem,
         "table_diff_docs": _q_table_diff_docs,
+        "events_outliers": _q_events_outliers,
         "url_normalize": _q_url_normalize,
         "domain_cap_docs": _q_domain_cap_docs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -4837,6 +4862,27 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents) WHERE word <> '' GROUP BY word) "
             "ORDER BY cnt DESC, word LIMIT 20",
+        # identical float expression tree over int64 sufficient stats
+        # < 2^53 on both sides (value_variance_by_type convention)
+        "events_outliers":
+            "WITH s AS (SELECT event_type, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_c, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT) * "
+            "CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sumsq_c "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_type, min(s.n) AS n, "
+            "CAST(coalesce(sum(CASE WHEN "
+            "CAST(s.n * CAST(round(e.value*100) AS BIGINT) - s.sum_c "
+            "AS DOUBLE) * "
+            "CAST(s.n * CAST(round(e.value*100) AS BIGINT) - s.sum_c "
+            "AS DOUBLE) > "
+            "9.0 * (CAST(s.n AS DOUBLE) * CAST(s.sumsq_c AS DOUBLE) - "
+            "CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)) "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers "
+            "FROM events e JOIN s ON e.event_type = s.event_type "
+            "GROUP BY e.event_type ORDER BY e.event_type",
         # the oracle constructs the same version-B snapshot and
         # classifies via FULL OUTER JOIN
         "table_diff_docs":

@@ -414,6 +414,21 @@ def run_benchmarks() -> dict:
         entrymod._q_image_quality_filter(SF_DIR).count()
         timings["image_quality_filter"] = time.time() - t0
 
+        # --- round-4 final additions (CMS word frequencies, constraint
+        # validation report, keyed snapshot diff)
+        t0 = time.time()
+        entrymod._q_word_freq_cms(SF_DIR).num_rows
+        timings["word_freq_cms"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_validate_lineitem(SF_DIR).num_rows
+        timings["validate_lineitem"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_table_diff_docs(SF_DIR).count()
+        timings["table_diff_docs"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_events_outliers(SF_DIR).num_rows
+        timings["events_outliers"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

@@ -167,3 +167,74 @@ def validate_table(ds, rules: list[tuple], refs: dict | None = None,
         "n_checked": pa.array([r[2] for r in out_rows], pa.int64()),
         "n_violations": pa.array([r[3] for r in out_rows], pa.int64()),
         "ok": pa.array([int(r[3] == 0) for r in out_rows], pa.int64())})
+
+
+def zscore_outliers(ds, group_col: str, value_col: str,
+                    k_sigma: float = 3.0) -> pa.Table:
+    """Per-group 3-sigma outlier counts over an INTEGER-SCALED value
+    column (the distribution-shaped data-quality rule that
+    :func:`validate_table`'s row-local bounds can't express: the bound
+    itself is computed from the data).
+
+    Two passes: (1) one grouped partial-aggregate collects integer
+    sufficient statistics (n, sum, sum of squares) per group — exact
+    int64, every value < 2^53; (2) one broadcast map pass counts rows
+    with ``(n*v - sum)^2 > k^2 * (n*sumsq - sum^2)`` — i.e.
+    ``|v - mean| > k * sigma_pop`` cleared of every division.  The left
+    side is exact int64 cast to double; the right side is the IDENTICAL
+    float expression tree a SQL oracle can mirror (each int operand
+    < 2^53, so the doubles are exact and every IEEE op matches bit-
+    for-bit — the ``value_variance_by_type`` convention).
+
+    Returns (group, n, n_outliers) sorted by group."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy().astype(np.int64)
+        g = t[group_col]
+        agg = pa.table({group_col: g,
+                        "n1": pa.array(np.ones(len(v), np.int64)),
+                        "s": pa.array(v, pa.int64()),
+                        "ss": pa.array(v * v, pa.int64())}) \
+            .group_by([group_col]).aggregate(
+            [("n1", "sum"), ("s", "sum"), ("ss", "sum")])
+        return agg.rename_columns([group_col, "n", "sum_c", "sumsq_c"])
+
+    parts = pa.concat_tables(
+        [pa.table(b) for b in
+         ds.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)])
+    stats = parts.group_by([group_col]).aggregate(
+        [("n", "sum"), ("sum_c", "sum"), ("sumsq_c", "sum")])
+    group_keys = stats[group_col].combine_chunks()
+    ns_arr = stats["n_sum"].to_numpy().astype(np.int64)
+    sum_arr = stats["sum_c_sum"].to_numpy().astype(np.int64)
+    ssq_arr = stats["sumsq_c_sum"].to_numpy().astype(np.int64)
+    k2 = float(k_sigma) * float(k_sigma)
+
+    def count_out(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy().astype(np.int64)
+        gi = pc.index_in(t[group_col], value_set=group_keys) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = ns_arr[gi]
+        sums = sum_arr[gi]
+        ssqs = ssq_arr[gi]
+        lhs = (ns * v - sums).astype(np.float64)
+        rhs = k2 * (ns.astype(np.float64) * ssqs.astype(np.float64)
+                    - sums.astype(np.float64) * sums.astype(np.float64))
+        out = (lhs * lhs > rhs).astype(np.int64)
+        return pa.table({group_col: t[group_col],
+                         "o": pa.array(out, pa.int64())}) \
+            .group_by([group_col]).aggregate([("o", "sum")]) \
+            .rename_columns([group_col, "n_outliers"])
+
+    outs = pa.concat_tables(
+        [pa.table(b) for b in
+         ds.map_batches(count_out, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)])
+    fin = outs.group_by([group_col]).aggregate([("n_outliers", "sum")])
+    n_map = dict(zip(group_keys.to_pylist(), ns_arr.tolist()))
+    keys = fin[group_col].to_pylist()
+    return pa.table({
+        group_col: pa.array(keys, stats[group_col].type),
+        "n": pa.array([n_map[k] for k in keys], pa.int64()),
+        "n_outliers": fin["n_outliers_sum"].cast(pa.int64()),
+    }).sort_by(group_col)

@@ -2792,3 +2792,23 @@ def test_diff_tables_classification(rd):
         rd.from_arrow(sa), rd.from_arrow(sb), "k", ["v"]).take_all()}
     assert got2 == {"a": "removed", "b": "unchanged",
                     "c": "changed", "d": "added"}
+
+
+def test_zscore_outliers_matches_numpy(rd):
+    """zscore_outliers == brute-force |v - mean| > 3*sigma_pop per group
+    (population sigma, division-free integer/float-parity form)."""
+    from setsketch_ray.functions.validate import zscore_outliers
+
+    rng = np.random.default_rng(3)
+    g = np.repeat(["a", "b", "c"], 400)
+    v = rng.integers(90, 110, 1200).astype(np.int64)
+    v[::97] += 300                      # planted outliers
+    t = pa.table({"g": g, "v": v})
+    out = zscore_outliers(rd.from_arrow(t).repartition(5), "g", "v",
+                          k_sigma=3.0)
+    got = {r["g"]: (r["n"], r["n_outliers"]) for r in out.to_pylist()}
+    for key in ("a", "b", "c"):
+        vals = v[g == key].astype(np.float64)
+        mu, sd = vals.mean(), vals.std()
+        expect = int((np.abs(vals - mu) > 3.0 * sd).sum())
+        assert got[key] == (len(vals), expect)
