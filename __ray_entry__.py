@@ -202,6 +202,47 @@ def _q_orc_roundtrip(sf_dir: str):
                             batch_format="pyarrow").sort("doc_id")
 
 
+def _q_avro_roundtrip(sf_dir: str):
+    """Documents round-tripped through deterministic hash-sharded Apache
+    Avro container files (sources/avro.py: pure-Python spec codec —
+    zigzag varints, deflate blocks, sync markers; write_avro_shards ->
+    read_corpus dispatch, one writer/reader task per shard).  ORACLED:
+    the round trip is lossless, so per-doc byte counts and lang match
+    strlen(text) straight off the parquet — any encode/decode, varint or
+    shard-assignment bug breaks the hash.  Shards build once per sf_dir
+    under /tmp behind a _SUCCESS marker (partial dirs wiped+rebuilt)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sources.avro import write_avro_shards
+    from setsketch_ray.sources.readers import read_corpus
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|avro8".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/avro_shards_{fp}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_avro_shards(ds, root, key_col="doc_id", num_shards=8)
+        with open(marker, "w") as fh:
+            fh.write("8 shards\n")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(t["text"], pa.binary())), pa.int64())})
+
+    back = read_corpus(root, columns=["doc_id", "text", "lang"])
+    return back.map_batches(summarize,
+                            batch_format="pyarrow").sort("doc_id")
+
+
 def _q_bpe_tokenize(sf_dir: str):
     """Distributed BPE tokenizer (functions/text.train_bpe + BpeEncode —
     Sennrich et al. 2016): learn 64 merges from the corpus word histogram
@@ -4470,6 +4511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_pairs": _q_ssjoin_pairs,
         "bpe_tokenize": _q_bpe_tokenize,
         "orc_roundtrip": _q_orc_roundtrip,
+        "avro_roundtrip": _q_avro_roundtrip,
         "phrase_search": _q_phrase_search,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "decontaminate": _q_decontaminate,
@@ -4809,6 +4851,9 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "  # bytes
             "AS n_bytes FROM documents ORDER BY doc_id",
         "orc_roundtrip":
+            "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
+            "AS n_bytes FROM documents ORDER BY doc_id",
+        "avro_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         "warc_roundtrip":

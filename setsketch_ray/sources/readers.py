@@ -92,6 +92,13 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
 
         return read_orc(path, columns=columns,
                         override_num_blocks=override_num_blocks)
+    if path.endswith(".avro") or (
+            os.path.isdir(path) and any(n.endswith(".avro")
+                                        for n in os.listdir(path))):
+        from .avro import read_avro
+
+        return read_avro(path, columns=columns,
+                         override_num_blocks=override_num_blocks)
     if path.endswith((".arrow", ".feather")):
         # Arrow IPC file (= Feather v2); one file per read task
         def parse_ipc(t):
