@@ -202,6 +202,22 @@ def _q_orc_roundtrip(sf_dir: str):
                             batch_format="pyarrow").sort("doc_id")
 
 
+def _q_containment_docs(sf_dir: str):
+    """Directional window-containment join (functions/dedup.
+    containment_pairs — clone/quote detection, the asymmetric complement
+    of Jaccard dedup): (id_a, id_b) where doc b contains >= 9/10 of doc
+    a's distinct 16-token windows, scored by the exact integer
+    inequality 10*shared >= 9*n_w_a.  Candidates from shared-window
+    buckets (recall 1 by construction, UNCAPPED per the certificate
+    lesson), both directions of each candidate scored.  ORACLED EXACTLY:
+    pairs AND integer scores mirror as a distinct-window self-join."""
+    from setsketch_ray.functions.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(ds, "doc_id", "text", window=16,
+                             num=9, den=10).sort(["id_a", "id_b"])
+
+
 def _q_avro_roundtrip(sf_dir: str):
     """Documents round-tripped through deterministic hash-sharded Apache
     Avro container files (sources/avro.py: pure-Python spec codec —
@@ -4512,6 +4528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "orc_roundtrip": _q_orc_roundtrip,
         "avro_roundtrip": _q_avro_roundtrip,
+        "containment_docs": _q_containment_docs,
         "phrase_search": _q_phrase_search,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "decontaminate": _q_decontaminate,
@@ -4684,6 +4701,26 @@ def _oracle_sql_base() -> dict[str, str]:
         # exact set-similarity join: pairs AND integer scores, same
         # prefix/length/positional-filtered plan on both sides
         "ssjoin_pairs": _ssjoin_oracle_sql(17, 20),
+        # directional containment: same distinct-window machinery as the
+        # tiered mirror, threshold on the CONTAINED side's window count
+        "containment_docs":
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "string_split(text, ' '), t -> t <> '') AS tk "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, tk, unnest(generate_series(1, "
+            "len(tk) - 15)) AS i FROM toks WHERE len(tk) >= 16), "
+            "w AS (SELECT doc_id, array_to_string(tk[i:i+15], ' ') AS win "
+            "FROM idx), "
+            "wd AS (SELECT DISTINCT doc_id, win FROM w), "
+            "nw AS (SELECT doc_id, count(*) AS n FROM wd GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) "
+            "AS sw FROM wd a JOIN wd b ON a.win = b.win AND "
+            "a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT p.ia AS id_a, p.ib AS id_b, "
+            "CAST(p.sw AS BIGINT) AS shared_w, "
+            "CAST(na.n AS BIGINT) AS n_w_a "
+            "FROM pairs p JOIN nw na ON na.doc_id = p.ia "
+            "WHERE 10 * p.sw >= 9 * na.n ORDER BY id_a, id_b",
         # invariant rows: per-doc n_words exact SQL; the segmentation
         # roundtrip and token-count bounds certificates computed Ray-side
         "bpe_tokenize":

@@ -1214,6 +1214,57 @@ def semantic_dedup(ds, n_centroids: int | None = None,
         .groupby("group").map_groups(prune, batch_format="pyarrow")
 
 
+def distinct_window_counts(ds, id_col: str, text_col: str = "text",
+                           window: int = 16):
+    """Per-doc DISTINCT ``window``-token shingle-window counts as a
+    Dataset of ``(id_col, nw)`` — row-local (no shuffle), the
+    denominator side of window-Jaccard / window-containment scores
+    (tiered_dedup tier 2, containment_pairs)."""
+    def add_nw(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        counts = np.zeros(nrows, np.int64)
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        arr = pc.fill_null(arr, "")
+        toks = pc.utf8_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(nrows), np.diff(offs))
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            th = hash_str_u64(enc.dictionary)[
+                enc.indices.to_numpy(zero_copy_only=False)]
+            keys = th.copy()
+            for j in range(1, window):
+                shifted = np.zeros_like(th)
+                if j < len(th):
+                    shifted[:len(th) - j] = th[j:]
+                keys = mix2(keys, shifted)
+            valid = np.zeros(len(th), dtype=bool)
+            if len(th) >= window:
+                valid[:len(th) - window + 1] = \
+                    row_of[:len(th) - window + 1] == row_of[window - 1:]
+            keys, rows = keys[valid], row_of[valid]
+            if len(keys):
+                order = np.lexsort((keys, rows))
+                keys, rows = keys[order], rows[order]
+                keep = np.ones(len(keys), dtype=bool)
+                keep[1:] = (keys[1:] != keys[:-1]) | (rows[1:] != rows[:-1])
+                counts = np.bincount(rows[keep],
+                                     minlength=nrows).astype(np.int64)
+        return pa.table({id_col: t[id_col],
+                         "nw": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(add_nw, batch_format="pyarrow")
+
+
 def tiered_dedup(ds, id_col: str, text_col: str = "text", window: int = 16,
                  jaccard_num: int = 1, jaccard_den: int = 2,
                  num_partitions: int | None = None, bucket_cap: int = 256):
@@ -1300,49 +1351,7 @@ def tiered_dedup(ds, id_col: str, text_col: str = "text", window: int = 16,
         .map_batches(keep_survivors, batch_format="pyarrow")
 
     # ---- per-doc distinct window counts (row-local, no shuffle) -------
-    def add_nw(t: pa.Table) -> pa.Table:
-        nrows = t.num_rows
-        counts = np.zeros(nrows, np.int64)
-        arr = t[text_col]
-        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
-            else arr
-        arr = pc.fill_null(arr, "")
-        toks = pc.utf8_split_whitespace(arr)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        row_of = np.repeat(np.arange(nrows), np.diff(offs))
-        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
-        if len(flat):
-            enc = pc.dictionary_encode(flat)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            th = hash_str_u64(enc.dictionary)[
-                enc.indices.to_numpy(zero_copy_only=False)]
-            keys = th.copy()
-            for j in range(1, window):
-                shifted = np.zeros_like(th)
-                if j < len(th):
-                    shifted[:len(th) - j] = th[j:]
-                keys = mix2(keys, shifted)
-            valid = np.zeros(len(th), dtype=bool)
-            if len(th) >= window:
-                valid[:len(th) - window + 1] = \
-                    row_of[:len(th) - window + 1] == row_of[window - 1:]
-            keys, rows = keys[valid], row_of[valid]
-            if len(keys):
-                order = np.lexsort((keys, rows))
-                keys, rows = keys[order], rows[order]
-                keep = np.ones(len(keys), dtype=bool)
-                keep[1:] = (keys[1:] != keys[:-1]) | (rows[1:] != rows[:-1])
-                counts = np.bincount(rows[keep],
-                                     minlength=nrows).astype(np.int64)
-        return pa.table({id_col: t[id_col],
-                         "nw": pa.array(counts, pa.int64())})
-
-    nw = surv.map_batches(add_nw, batch_format="pyarrow")
+    nw = distinct_window_counts(surv, id_col, text_col, window)
 
     # ---- tier 2: shared-window candidates + exact integer Jaccard -----
     pairs = substring_dup_pairs(surv, id_col, text_col, window=window,
@@ -1644,3 +1653,62 @@ def ssjoin_jaccard_pairs(ds, id_col: str, text_col: str = "text",
         "n_shared": pa.array([], pa.int64()),
         "n_union": pa.array([], pa.int64())}))
     return out.union(anchor)
+
+
+def containment_pairs(ds, id_col: str, text_col: str = "text",
+                      window: int = 16, num: int = 9, den: int = 10,
+                      num_partitions: int = 64,
+                      bucket_cap: int | None = None):
+    """DIRECTIONAL window-containment join (clone/quote detection — the
+    asymmetric complement of window-Jaccard dedup): emit ``(id_a, id_b)``
+    when document ``id_b`` contains at least ``num/den`` of ``id_a``'s
+    distinct ``window``-token shingle windows — ``C(A in B) =
+    shared/|W(A)| >= num/den`` as the exact integer inequality
+    ``den * shared >= num * n_w_a``.  Jaccard misses these pairs when the
+    container is much longer than the contained doc (J -> 0 as |B| grows
+    while C stays 1), which is exactly the quotation / boilerplate-
+    wrapping case.
+
+    Candidates come from shared-window buckets (:func:`substring_dup_pairs`
+    — recall 1 by construction for any positive threshold, since C > 0
+    requires a shared window; ``bucket_cap`` defaults to UNCAPPED because
+    completeness needs the all-pairs emit, per the simhash certificate
+    lesson).  Each unordered candidate is scored in both directions.
+    Returns ``(id_a, id_b, shared_w, n_w_a)`` with ``id_a`` the contained
+    document — integer-exact, so pairs AND scores are SQL-oracle-able.
+    """
+    from .relational import lookup_join
+
+    pairs = substring_dup_pairs(ds, id_col, text_col, window=window,
+                                num_partitions=num_partitions,
+                                bucket_cap=bucket_cap
+                                if bucket_cap is not None else (1 << 30))
+    nw = distinct_window_counts(ds.select_columns([id_col, text_col]),
+                                id_col, text_col, window)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        sw = t["shared_windows"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pa.array(np.concatenate([ia, ib]), pa.int64()),
+            "id_b": pa.array(np.concatenate([ib, ia]), pa.int64()),
+            "shared_w": pa.array(np.concatenate([sw, sw]), pa.int64())})
+
+    directed = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    nwa = nw.map_batches(lambda t: t.rename_columns(["id_a", "n_w_a"]),
+                         batch_format="pyarrow")
+    scored = lookup_join(
+        directed, nwa, "id_a", "id_a",
+        left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("shared_w", pa.int64())]),
+        right_schema=pa.schema([("id_a", pa.int64()),
+                                ("n_w_a", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def keep(t: pa.Table) -> pa.Table:
+        sw = t["shared_w"].to_numpy(zero_copy_only=False)
+        na = t["n_w_a"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(den * sw >= num * na))
+
+    return scored.map_batches(keep, batch_format="pyarrow")

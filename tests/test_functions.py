@@ -2812,3 +2812,26 @@ def test_zscore_outliers_matches_numpy(rd):
         mu, sd = vals.mean(), vals.std()
         expect = int((np.abs(vals - mu) > 3.0 * sd).sum())
         assert got[key] == (len(vals), expect)
+
+
+def test_containment_pairs_directional(rd):
+    """containment_pairs: a short doc fully embedded in a much longer one
+    is found in the contained->container direction only (Jaccard would
+    miss it); unrelated docs stay out; scores are exact."""
+    from setsketch_ray.functions.dedup import containment_pairs
+
+    core = " ".join(f"tok{i}" for i in range(30))          # 30 tokens
+    filler = " ".join(f"pad{i}" for i in range(300))       # long wrapper
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([core,                       # contained
+                          filler + " " + core + " " + filler,  # container
+                          " ".join(f"z{i}" for i in range(100))],
+                         pa.string())})
+    out = containment_pairs(rd.from_arrow(t).repartition(2), "doc_id",
+                            "text", window=16, num=9, den=10,
+                            num_partitions=4).take_all()
+    got = {(r["id_a"], r["id_b"]): (r["shared_w"], r["n_w_a"])
+           for r in out}
+    # doc 1 has 15 distinct 16-token windows, all inside doc 2
+    assert got == {(1, 2): (15, 15)}
