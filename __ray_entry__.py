@@ -202,6 +202,49 @@ def _q_orc_roundtrip(sf_dir: str):
                             batch_format="pyarrow").sort("doc_id")
 
 
+def _q_tfrecord_roundtrip(sf_dir: str):
+    """Documents round-tripped through deterministic hash-sharded TFRecord
+    files of tf.Example records (sources/tfrecord.py: pure-NumPy codec —
+    masked-CRC32C framing with BOTH checksums of every record verified on
+    read, CRC vectorized ACROSS records; hand-rolled example.proto wire
+    format; Ray's own read_tfrecords needs tensorflow, absent here).
+    ORACLED: lossless round trip, so per-doc byte counts and lang match
+    strlen(text) straight off the parquet.  Shards build once per sf_dir
+    under /tmp behind a _SUCCESS marker."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sources.tfrecord import (read_tfrecord_files,
+                                                write_tfrecord_shards)
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|tfr8".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/tfrecord_shards_{fp}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_tfrecord_shards(ds, root, key_col="doc_id", num_shards=8)
+        with open(marker, "w") as fh:
+            fh.write("8 shards\n")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(t["text"], pa.binary())), pa.int64())})
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    back = read_tfrecord_files(root, schema=schema)
+    return back.map_batches(summarize,
+                            batch_format="pyarrow").sort("doc_id")
+
+
 def _q_containment_docs(sf_dir: str):
     """Directional window-containment join (functions/dedup.
     containment_pairs — clone/quote detection, the asymmetric complement
@@ -4529,6 +4572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "avro_roundtrip": _q_avro_roundtrip,
         "containment_docs": _q_containment_docs,
+        "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "phrase_search": _q_phrase_search,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "decontaminate": _q_decontaminate,
@@ -4891,6 +4935,9 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         "avro_roundtrip":
+            "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
+            "AS n_bytes FROM documents ORDER BY doc_id",
+        "tfrecord_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         "warc_roundtrip":

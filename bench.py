@@ -434,6 +434,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_containment_docs(SF_DIR).count()
         timings["containment_docs"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_tfrecord_roundtrip(SF_DIR).count()
+        timings["tfrecord_roundtrip"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

@@ -92,6 +92,18 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
 
         return read_orc(path, columns=columns,
                         override_num_blocks=override_num_blocks)
+    if path.endswith(".tfrecord") or (
+            os.path.isdir(path) and any(n.endswith(".tfrecord")
+                                        for n in os.listdir(path))):
+        from .tfrecord import read_tfrecord_files
+
+        # TFRecord carries no schema; callers needing typed columns use
+        # sources/tfrecord.read_tfrecord_files(path, schema=...) directly
+        ds = read_tfrecord_files(path,
+                                 override_num_blocks=override_num_blocks)
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
+        return ds
     if path.endswith(".avro") or (
             os.path.isdir(path) and any(n.endswith(".avro")
                                         for n in os.listdir(path))):
