@@ -106,6 +106,53 @@ def cmd_gen_images(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Constraint report over any read_corpus-able table.  Rules arrive
+    as a JSON list of rule arrays (the validate_table tuple forms), e.g.
+    ``[["not_null","id"], ["range","qty",1,45], ["unique",["a","b"]],
+    ["fk","id","orders","o_orderkey"]]``; ``--ref name=path`` supplies FK
+    reference tables."""
+    _init_ray()
+    from .functions.validate import validate_table
+    from .sources.readers import read_corpus
+
+    rules = [tuple(r) for r in json.loads(
+        open(args.rules).read() if os.path.exists(args.rules)
+        else args.rules)]
+    refs = {}
+    for spec in args.ref or []:
+        name, path = spec.split("=", 1)
+        refs[name] = read_corpus(path)
+    report = validate_table(read_corpus(args.input), rules, refs=refs)
+    print(json.dumps(report.to_pylist()))
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(report, args.output)
+    return 0 if min(report["ok"].to_pylist(), default=1) == 1 \
+        else args.exit_code
+
+
+def cmd_diff(args) -> int:
+    """Keyed snapshot diff between two read_corpus-able tables; prints
+    per-class counts, optionally writes the per-key (key, status) rows."""
+    _init_ray()
+    from .functions.diff import diff_tables
+    from .sources.readers import read_corpus
+
+    cols = args.columns.split(",")
+    d = diff_tables(read_corpus(args.a), read_corpus(args.b),
+                    args.key, cols, num_partitions=args.num_partitions)
+    if args.output:
+        d.write_parquet(args.output)
+        d = __import__("ray").data.read_parquet(args.output)
+    counts: dict[str, int] = {}
+    for row in d.groupby("status").count().take_all():
+        counts[row["status"]] = row["count()"]
+    print(json.dumps(counts))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="setsketch-ray",
@@ -149,6 +196,31 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--size", type=int, default=32)
     gi.add_argument("--parallelism", type=int, default=32)
     gi.set_defaults(fn=cmd_gen_images)
+
+    va = sub.add_parser("validate",
+                        help="data-quality constraint report (exit 1 on "
+                             "violations with --exit-code 1)")
+    va.add_argument("--input", required=True,
+                    help="table path (parquet/orc/avro/tfrecord/csv/...)")
+    va.add_argument("--rules", required=True,
+                    help="JSON list of rule arrays, inline or a file path")
+    va.add_argument("--ref", action="append", metavar="NAME=PATH",
+                    help="FK reference table (repeatable)")
+    va.add_argument("--output", help="also write the report as parquet")
+    va.add_argument("--exit-code", type=int, default=0,
+                    help="process exit code when any rule fails")
+    va.set_defaults(fn=cmd_validate)
+
+    df = sub.add_parser("diff", help="keyed snapshot diff (added/removed/"
+                                     "changed/unchanged)")
+    df.add_argument("--a", required=True, help="old snapshot path")
+    df.add_argument("--b", required=True, help="new snapshot path")
+    df.add_argument("--key", required=True)
+    df.add_argument("--columns", required=True,
+                    help="comma-separated content columns to compare")
+    df.add_argument("--num-partitions", type=int, default=32)
+    df.add_argument("--output", help="write per-key (key, status) parquet")
+    df.set_defaults(fn=cmd_diff)
     return p
 
 

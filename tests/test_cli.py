@@ -60,3 +60,38 @@ def test_resubmit_resumes_from_checkpoint(cli_env):
     # all partitions present -> nothing recomputed; edges identical
     assert first["n_dup_edges"] > 0
     assert resumed_wall < 30  # resume skips decode+sketch+pairs entirely
+
+
+def test_cli_validate_and_diff(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = pa.table({"id": [1, 2, 3, 4], "v": [10, 20, 99, 40]})
+    b = pa.table({"id": [2, 3, 4, 5], "v": [20, 31, 40, 50]})
+    ref = pa.table({"rid": [1, 2, 3]})
+    pa_dir = tmp_path
+    pq.write_table(a, str(pa_dir / "a.parquet"))
+    pq.write_table(b, str(pa_dir / "b.parquet"))
+    pq.write_table(ref, str(pa_dir / "ref.parquet"))
+
+    rc = main(["validate", "--input", str(pa_dir / "a.parquet"),
+               "--rules", json.dumps([["not_null", "id"],
+                                      ["range", "v", 0, 50],
+                                      ["unique", ["id"]],
+                                      ["fk", "id", "r", "rid"]]),
+               "--ref", f"r={pa_dir / 'ref.parquet'}",
+               "--exit-code", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = {(r["rule"], r["col"]): r for r in out}
+    assert rows[("range", "v")]["n_violations"] == 1          # 99
+    assert rows[("fk", "id->r.rid")]["n_violations"] == 1     # id 4
+    assert rows[("unique", "id")]["n_violations"] == 0
+    assert rc == 3                                            # failing rules
+
+    rc = main(["diff", "--a", str(pa_dir / "a.parquet"),
+               "--b", str(pa_dir / "b.parquet"),
+               "--key", "id", "--columns", "v"])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts == {"added": 1, "changed": 1, "removed": 1,
+                      "unchanged": 2}
