@@ -3823,6 +3823,25 @@ def _q_word_freq_cms(sf_dir: str):
     return word_freq_cms(_read(sf_dir, "documents", ["text"]), "text", k=20)
 
 
+def _q_line_dedup_docs(sf_dir: str):
+    """Corpus-level duplicated-line removal (functions/text.line_dedup —
+    the CCNet / RefinedWeb curation step: boilerplate lines repeated
+    across pages are dropped from EVERY carrying doc).  Lines are
+    10-word windows of the single-spaced corpus; a line duplicated in
+    >= 2 DISTINCT docs is removed everywhere and each doc's text is
+    rebuilt from its kept lines.  Two slim all-to-all exchanges (by
+    hash(line) then hash(doc_id)); each line string ships at most once,
+    dropped occurrences travel as (id, line_no, NULL) tombstones — no
+    driver set, no broadcast of the (corpus-sized at 100 TB) dup-line
+    head.  ORACLED EXACTLY: pure string/integer ops, mirrored by the
+    SQL list-slice + string_agg reconstruction."""
+    from setsketch_ray.functions.text import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(ds, "doc_id", "text", words_per_line=10,
+                      min_docs=2).sort("doc_id")
+
+
 def _q_events_outliers(sf_dir: str):
     """Per-group 3-sigma outlier counts (functions/validate.zscore_outliers
     — the distribution-shaped data-quality rule where the bound itself
@@ -4648,6 +4667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup_images": _q_tiered_dedup_images,
         "lineitem_profile": _q_lineitem_profile,
         "word_freq_cms": _q_word_freq_cms,
+        "line_dedup_docs": _q_line_dedup_docs,
         "validate_lineitem": _q_validate_lineitem,
         "table_diff_docs": _q_table_diff_docs,
         "events_outliers": _q_events_outliers,
@@ -4991,6 +5011,25 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents) WHERE word <> '' GROUP BY word) "
             "ORDER BY cnt DESC, word LIMIT 20",
+        # pure string/integer ops: 10-word line windows via list slices,
+        # dup = line in >=2 distinct docs, docs rebuilt by string_agg
+        "line_dedup_docs":
+            "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, ln AS line_no, "
+            "array_to_string(w[ln*10+1 : least((ln+1)*10, len(w))], ' ') "
+            "AS line "
+            "FROM ws, LATERAL (SELECT unnest(range((len(w)+9)//10)) AS ln"
+            ") t), "
+            "dup AS (SELECT line FROM lines GROUP BY line "
+            "HAVING count(DISTINCT doc_id) >= 2) "
+            "SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(count(*) FILTER (WHERE d.line IS NOT NULL) AS BIGINT) "
+            "AS n_dropped, "
+            "coalesce(string_agg(l.line, ' ' ORDER BY l.line_no) "
+            "FILTER (WHERE d.line IS NULL), '') AS text_dedup "
+            "FROM lines l LEFT JOIN dup d USING (line) "
+            "GROUP BY l.doc_id ORDER BY l.doc_id",
         # identical float expression tree over int64 sufficient stats
         # < 2^53 on both sides (value_variance_by_type convention)
         "events_outliers":

@@ -1126,6 +1126,145 @@ def html_to_text(ds, html_col: str = "html"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               words_per_line: int = 10, min_docs: int = 2,
+               num_partitions: int = 32):
+    """Corpus-level duplicated-line removal (the CCNet / RefinedWeb text
+    curation step: boilerplate lines repeated across pages are dropped from
+    EVERY document that carries them).
+
+    A "line" is a window of ``words_per_line`` consecutive whitespace tokens
+    (the single-spaced corpus contract; a corpus with real newlines would
+    split on those instead — same code path, different separator).  A line is
+    duplicated when it occurs in >= ``min_docs`` DISTINCT documents.
+
+    Scale shape — two slim all-to-all exchanges, each line string shipped at
+    most once, no driver materialization, no broadcast of the (potentially
+    huge) duplicated-line set:
+
+    1. one vectorized ``map_batches`` derives (id, line_no, line) per doc
+       (Arrow list offsets arithmetic + ``pc.binary_join``; no Python per
+       row), partitioned by ``hash_str_u64(line)`` — every occurrence of a
+       line lands in one partition, so the distinct-doc count is local;
+       dropped occurrences forward as (id, line_no, NULL) tombstones (the
+       string is not re-shipped);
+    2. survivors + tombstones repartition by ``hash(id)``; each partition
+       rebuilds ``text_dedup`` (kept lines ordered by line_no, joined by
+       ' ') plus exact ``n_lines`` / ``n_dropped`` counters.
+
+    Returns a Dataset of (id, n_lines, n_dropped, text_dedup).  Exactly
+    SQL-expressible (pure string/integer ops) — see the driver oracle.
+    """
+    from ..sketchlib.hashing import mix64
+
+    w = int(words_per_line)
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        offs = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values
+        nw = np.diff(offs)
+        nlines = (nw + w - 1) // w
+        total = int(nlines.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "line_no": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string()),
+                             "__part": pa.array([], pa.uint32())})
+        doc_of = np.repeat(np.arange(len(nw)), nlines)
+        first = np.cumsum(nlines) - nlines
+        line_no = np.arange(total, dtype=np.int64) - first[doc_of]
+        starts = offs[doc_of] + w * line_no
+        # line k of doc d ends where line k+1 starts; the last line of doc d
+        # ends at offs[d+1] == the first line start of doc d+1, so the line
+        # start array IS a valid Arrow offsets array over the flat words.
+        lofs = np.append(starts, offs[-1])
+        lines = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(lofs, pa.int64()), flat), " ")
+        part = (hash_str_u64(lines) % num_partitions).astype(np.uint32)
+        return pa.table({id_col: ids.take(pa.array(doc_of, pa.int64())),
+                         "line_no": pa.array(line_no, pa.int64()),
+                         "line": lines,
+                         "__part": pa.array(part, pa.uint32())})
+
+    def count_and_mark(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        order = pc.sort_indices(t, sort_keys=[("line", "ascending"),
+                                              (id_col, "ascending")])
+        t = t.take(order)
+        lines = t["line"]
+        lines = lines.combine_chunks() if \
+            isinstance(lines, pa.ChunkedArray) else lines
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table({id_col: t[id_col], "line_no": t["line_no"],
+                             "line": t["line"],
+                             "__part": pa.array([], pa.uint32())})
+        new_line = np.ones(n, bool)
+        if n > 1:
+            new_line[1:] = ~pc.equal(
+                lines.slice(1), lines.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False)
+        gid = np.cumsum(new_line) - 1
+        new_doc = new_line.copy()
+        if n > 1:
+            new_doc[1:] |= ids[1:] != ids[:-1]
+        ndocs = np.bincount(gid[new_doc], minlength=int(gid[-1]) + 1)
+        drop_row = (ndocs >= min_docs)[gid]
+        kept_line = pc.if_else(pa.array(drop_row),
+                               pa.scalar(None, pa.string()), lines)
+        part2 = (mix64(ids.astype(np.uint64)) % num_partitions) \
+            .astype(np.uint32)
+        return pa.table({id_col: t[id_col], "line_no": t["line_no"],
+                         "line": kept_line,
+                         "__part": pa.array(part2, pa.uint32())})
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending"),
+                                              ("line_no", "ascending")])
+        t = t.take(order)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lines = t["line"]
+        lines = lines.combine_chunks() if \
+            isinstance(lines, pa.ChunkedArray) else lines
+        n = len(ids)
+        if n == 0:
+            return pa.table({id_col: t[id_col],
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_dropped": pa.array([], pa.int64()),
+                             "text_dedup": pa.array([], pa.string())})
+        new_doc = np.ones(n, bool)
+        if n > 1:
+            new_doc[1:] = ids[1:] != ids[:-1]
+        did = np.cumsum(new_doc) - 1
+        ndocs = int(did[-1]) + 1 if n else 0
+        n_lines = np.bincount(did, minlength=ndocs)
+        valid = pc.is_valid(lines).to_numpy(zero_copy_only=False)
+        n_drop = n_lines - np.bincount(did[valid], minlength=ndocs)
+        kept = lines.filter(pa.array(valid))
+        kofs = np.zeros(ndocs + 1, np.int64)
+        np.cumsum(np.bincount(did[valid], minlength=ndocs), out=kofs[1:])
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(kofs, pa.int64()), kept), " ")
+        return pa.table({
+            id_col: t[id_col].take(pa.array(np.flatnonzero(new_doc),
+                                            pa.int64())),
+            "n_lines": pa.array(n_lines.astype(np.int64), pa.int64()),
+            "n_dropped": pa.array(n_drop.astype(np.int64), pa.int64()),
+            "text_dedup": text})
+
+    marked = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("__part").map_groups(count_and_mark, batch_format="pyarrow")
+    return marked.groupby("__part").map_groups(rebuild,
+                                               batch_format="pyarrow")
+
+
 def word_freq_cms(ds, text_col: str, k: int = 20,
                   width: int = 1 << 13, depth: int = 5,
                   seed: int = 0) -> pa.Table:

@@ -81,3 +81,58 @@ def test_html_to_text_cases(ray_session):
     for raw, want_text, want_title in cases:
         assert out[raw]["text_extracted"] == want_text, raw
         assert out[raw]["title"] == want_title, raw
+
+
+# ------------------------------------------------------------ line dedup
+def test_line_dedup_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.text import line_dedup
+
+    boiler = "subscribe to our newsletter now for more great daily content here"
+    uniq = [f"unique words only in document {i} appear here once total ok"
+            for i in range(6)]
+    # doc i = its unique line + the shared boilerplate line (+ a second
+    # boilerplate copy in doc 0: within-doc dups of a cross-doc line drop
+    # everywhere); doc 5 is boilerplate-only (rebuilds to '')
+    texts = [f"{uniq[0]} {boiler} {boiler}",
+             f"{uniq[1]} {boiler}",
+             f"{boiler} {uniq[2]}",
+             f"{uniq[3]} {uniq[3]}",  # within-doc dup only: NOT dropped
+             uniq[4],
+             boiler]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = {r["doc_id"]: r
+           for r in line_dedup(ds, words_per_line=11).take_all()}
+    assert out[0] == {"doc_id": 0, "n_lines": 3, "n_dropped": 2,
+                      "text_dedup": uniq[0]}
+    assert out[1]["text_dedup"] == uniq[1]
+    assert out[2]["text_dedup"] == uniq[2]
+    assert out[3] == {"doc_id": 3, "n_lines": 2, "n_dropped": 0,
+                      "text_dedup": f"{uniq[3]} {uniq[3]}"}
+    assert out[4]["text_dedup"] == uniq[4]
+    assert out[5] == {"doc_id": 5, "n_lines": 1, "n_dropped": 1,
+                      "text_dedup": ""}
+
+
+def test_line_dedup_short_tail_lines(ray_session):
+    """Docs whose word count is not a multiple of words_per_line: the tail
+    window is shorter and only matches an identical short tail."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.text import line_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e", "a b c d e", "a b c"], pa.string())}))
+    out = {r["doc_id"]: r for r in line_dedup(ds, words_per_line=3).take_all()}
+    # lines: doc1/doc2 = ['a b c', 'd e'], doc3 = ['a b c']
+    assert out[1] == {"doc_id": 1, "n_lines": 2, "n_dropped": 2,
+                      "text_dedup": ""}
+    assert out[2]["text_dedup"] == ""
+    assert out[3] == {"doc_id": 3, "n_lines": 1, "n_dropped": 1,
+                      "text_dedup": ""}
