@@ -24,6 +24,9 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
       file per task);
     * ``*.orc`` file or a directory of ORC files -> ``sources/orc.read_orc``
       (one file per task, column pruning at the in-task decode);
+    * ``*.sqlite`` / ``*.db`` file or directory ->
+      ``sources/sqlite.read_sqlite_files`` (one DB per task, column pruning
+      pushed into the SELECT list);
     * ``*.arrow`` / ``*.feather`` -> Arrow IPC via ``read_binary_files`` +
       a zero-copy in-task ``RecordBatchFileReader`` (one file per task);
     * parquet file or directory -> ``ray.data.read_parquet``.
@@ -111,6 +114,13 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
 
         return read_avro(path, columns=columns,
                          override_num_blocks=override_num_blocks)
+    if path.endswith((".sqlite", ".db")) or (
+            os.path.isdir(path) and any(n.endswith((".sqlite", ".db"))
+                                        for n in os.listdir(path))):
+        from .sqlite import read_sqlite_files
+
+        return read_sqlite_files(path, columns=columns,
+                                 override_num_blocks=override_num_blocks)
     if path.endswith((".arrow", ".feather")):
         # Arrow IPC file (= Feather v2); one file per read task
         def parse_ipc(t):
