@@ -1689,6 +1689,22 @@ def _q_approx_key_overlap(sf_dir: str):
         "est_ok": pa.array([ok], pa.int64())})
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Exact edit-distance<=1 pair discovery over distinct supplier names
+    (functions/fuzzy.edit_distance_pairs — deletion-variant blocking, the
+    SymSpell / Mor-Fraenkel single-error dictionary method): variants give
+    EXACT d<=1 recall without all-pairs comparison; candidates verify with
+    a vectorized padded-byte-matrix distance check.  The (variant, value)
+    exchange is vocabulary-sized, not corpus-sized.  ORACLED EXACTLY: the
+    DuckDB self-join on levenshtein(a,b) <= 1 over distinct names (ASCII
+    contract: byte distance == character distance)."""
+    from setsketch_ray.functions.fuzzy import edit_distance_pairs
+
+    ds = _read(sf_dir, "supplier", ["s_name"])
+    return edit_distance_pairs(ds, "s_name").sort(
+        ["value_a", "value_b"])
+
+
 def _q_theta_setops_orders(sf_dir: str):
     """KMV/theta sketch set algebra (sketchlib/theta.py, Beyer et al. 2007
     / DataSketches theta shape; aggregates.theta_key_setops): union,
@@ -4739,6 +4755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_cont": _q_value_quantiles_cont,
         "approx_key_overlap": _q_approx_key_overlap,
         "theta_setops_orders": _q_theta_setops_orders,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -5364,6 +5381,13 @@ def _oracle_sql_base() -> dict[str, str]:
             "na.n - ni.n AS exact_diff_left, "
             "nb.n - ni.n AS exact_diff_right, "
             "CAST(1 AS BIGINT) AS est_ok FROM na, nb, ni",
+        # exact d<=1 self-join over the distinct name vocabulary
+        "fuzzy_name_pairs":
+            "WITH v AS (SELECT DISTINCT s_name FROM supplier) "
+            "SELECT a.s_name AS value_a, b.s_name AS value_b "
+            "FROM v a JOIN v b ON a.s_name < b.s_name "
+            "AND levenshtein(a.s_name, b.s_name) <= 1 "
+            "ORDER BY value_a, value_b",
         # rank CERTIFICATES: n exact on both sides; rank_ok computed
         # Ray-side from a distributed value_ranks pass over the KLL answers
         "value_quantiles_kll":
