@@ -1689,6 +1689,23 @@ def _q_approx_key_overlap(sf_dir: str):
         "est_ok": pa.array([ok], pa.int64())})
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Distributed EXACT Gram matrix of the embeddings table
+    (functions/knn.embedding_gram) — the covariance/PCA sufficient
+    statistic: per-block int64 matmuls over floor(x*1e6+0.5)-fixed
+    elements, upper-triangle (i, j, sumprod_c) partials through one
+    combiner-tree grouped sum; the vectors never shuffle.  Diagonal rows
+    carry the per-dimension sums and the (0,0) row the count, so
+    cov = G/n - mean mean^T reconstructs downstream.  ORACLED EXACTLY:
+    integer arithmetic end-to-end (the rounding is the repo's oracle
+    convention, identical float tree both engines; sums < 2^63)."""
+    from setsketch_ray.functions.knn import embedding_gram
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_gram(ds, "embedding").sort_by(
+        [("i", "ascending"), ("j", "ascending")])
+
+
 def _q_fuzzy_name_pairs(sf_dir: str):
     """Exact edit-distance<=1 pair discovery over distinct supplier names
     (functions/fuzzy.edit_distance_pairs — deletion-variant blocking, the
@@ -4756,6 +4773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_key_overlap": _q_approx_key_overlap,
         "theta_setops_orders": _q_theta_setops_orders,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "embedding_gram": _q_embedding_gram,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -5381,6 +5399,23 @@ def _oracle_sql_base() -> dict[str, str]:
             "na.n - ni.n AS exact_diff_left, "
             "nb.n - ni.n AS exact_diff_right, "
             "CAST(1 AS BIGINT) AS est_ok FROM na, nb, ni",
+        # integer-fixed Gram matrix: identical floor(x*1e6+0.5) fixing on
+        # both engines, then pure BIGINT products/sums (< 2^63)
+        "embedding_gram":
+            "WITH e AS (SELECT vec_id, unnest(embedding) AS v, "
+            "unnest(range(len(embedding))) AS i FROM embeddings), "
+            "c AS (SELECT vec_id, CAST(i AS BIGINT) AS i, "
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+            "AS cv FROM e), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings) "
+            "SELECT a.i AS i, b.i AS j, "
+            "CAST(sum(a.cv * b.cv) AS BIGINT) AS sumprod_c, "
+            "CASE WHEN a.i = b.i THEN CAST(sum(a.cv) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS sum_i_c, "
+            "CASE WHEN a.i = 0 AND b.i = 0 THEN (SELECT n FROM nn) "
+            "ELSE CAST(0 AS BIGINT) END AS n "
+            "FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY a.i, b.i ORDER BY i, j",
         # exact d<=1 self-join over the distinct name vocabulary
         "fuzzy_name_pairs":
             "WITH v AS (SELECT DISTINCT s_name FROM supplier) "

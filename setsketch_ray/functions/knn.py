@@ -820,3 +820,55 @@ def knn_ivfpq_pruned(index_root: str, corpus_ds, query_vec: np.ndarray,
     return pa.table({
         id_col: pa.array(ids[order], pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())})
+
+
+def embedding_gram(ds, emb_col: str = "embedding", scale: int = 1_000_000,
+                   with_mean_counts: bool = True):
+    """Distributed EXACT Gram matrix over an embedding column — the
+    sufficient statistic for covariance / PCA / whitening in a feature
+    pipeline (cov = G/n - mean mean^T), computed without any float-sum
+    association hazard: elements fix to integers ``floor(x*scale + 0.5)``
+    (the repo's oracled-rounding convention) and every partial is an exact
+    int64 matmul, so the result is a pure function of the row SET.
+
+    One ``map_batches`` pass emits the upper triangle (i, j, sumprod_c)
+    plus per-dimension sums as d(d+1)/2 + d slim rows per block; a
+    combiner-tree grouped sum folds them.  The data never shuffles.
+
+    Overflow bound: |x*scale| <= S implies a partial fits int64 while
+    n_block * S^2 < 2^63 and the global sum while n * S^2 < 2^63 — at
+    larger n, lower ``scale`` (the oracle scales identically).  Returns a
+    Dataset of (i, j, sumprod_c[, sum_i_c, n]) with i <= j.
+    """
+    from .relational import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(t[emb_col])
+        if emb.shape[0] == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sumprod_c": pa.array([], pa.int64()),
+                             "sum_i_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = np.floor(emb * scale + 0.5).astype(np.int64)
+        g = c.T @ c
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        sums = c.sum(axis=0)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "sumprod_c": pa.array(g[iu, ju], pa.int64()),
+            "sum_i_c": pa.array(np.where(iu == ju, sums[iu], 0),
+                                pa.int64()),
+            "n": pa.array(np.where((iu == 0) & (ju == 0),
+                                   emb.shape[0], 0), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = grouped_aggregate(parts, ["i", "j"], {
+        "sumprod_c": ("sum", "sumprod_c"),
+        "sum_i_c": ("sum", "sum_i_c"),
+        "n": ("sum", "n")})
+    if not with_mean_counts:
+        out = out.drop_columns(["sum_i_c", "n"])
+    return out

@@ -2835,3 +2835,37 @@ def test_containment_pairs_directional(rd):
            for r in out}
     # doc 1 has 15 distinct 16-token windows, all inside doc 2
     assert got == {(1, 2): (15, 15)}
+
+
+def test_embedding_gram_exact_and_layout_independent(ray_session):
+    """embedding_gram == single-shot numpy Gram over fixed ints, identical
+    at different block layouts (int64 partials are association-free)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.knn import embedding_gram
+
+    rng = np.random.default_rng(17)
+    n, d = 257, 9
+    emb = rng.normal(scale=0.3, size=(n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float32()), d).cast(
+                pa.list_(pa.float32()))})
+    c = np.floor(emb.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    want = c.T @ c
+    results = []
+    for blocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = embedding_gram(ds, "embedding").sort_by(
+            [("i", "ascending"), ("j", "ascending")])
+        results.append(got)
+        iu, ju = got["i"].to_numpy(), got["j"].to_numpy()
+        assert (got["sumprod_c"].to_numpy() == want[iu, ju]).all()
+        diag = iu == ju
+        assert (got["sum_i_c"].to_numpy()[diag] == c.sum(axis=0)).all()
+        assert (got["sum_i_c"].to_numpy()[~diag] == 0).all()
+        assert got["n"].to_numpy().sum() == n
+    assert results[0].equals(results[1])
