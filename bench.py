@@ -438,6 +438,24 @@ def run_benchmarks() -> dict:
         entrymod._q_tfrecord_roundtrip(SF_DIR).count()
         timings["tfrecord_roundtrip"] = time.time() - t0
 
+        # --- round-4 closing-session additions (line dedup, theta set
+        # algebra, sqlite round trip, fuzzy pairs, exact Gram)
+        t0 = time.time()
+        entrymod._q_line_dedup_docs(SF_DIR).count()
+        timings["line_dedup_docs"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_theta_setops_orders(SF_DIR).num_rows
+        timings["theta_setops_orders"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_sqlite_roundtrip(SF_DIR).count()
+        timings["sqlite_roundtrip"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_fuzzy_name_pairs(SF_DIR).count()
+        timings["fuzzy_name_pairs"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_embedding_gram(SF_DIR).num_rows
+        timings["embedding_gram"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

@@ -15,8 +15,9 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
 
     * ``*.lance`` / Lance dataset directories -> ``ray.data.read_lance``
       (requires the ``lance`` package; production path);
-    * ``*.csv`` -> ``ray.data.read_csv``;
-    * ``*.jsonl`` / ``*.json`` -> ``ray.data.read_json`` (newline-delimited);
+    * ``*.csv`` / ``*.csv.gz`` -> ``ray.data.read_csv``;
+    * ``*.jsonl`` / ``*.json`` (+ ``.gz``) -> ``ray.data.read_json``
+      (newline-delimited; gzip streams decompress in-task);
     * ``*.tar`` file or a directory of tar shards -> WebDataset samples
       (``sources/webdataset.read_wds_shards``; one shard per task);
     * ``*.warc`` / ``*.warc.gz`` file or directory -> WARC records
@@ -56,17 +57,23 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         # task.  Zero-copy; fuses with the read operator.
         return ds.map_batches(_strip_schema_metadata,
                               batch_format="pyarrow")
-    if path.endswith(".csv"):
+    if path.endswith((".csv", ".csv.gz")):
         # delimited text: no binary payload columns; column pruning happens
-        # post-parse (CSV has no column projection at the read)
+        # post-parse (CSV has no column projection at the read); .gz
+        # variants stream through Arrow's gzip input stream (a compressed
+        # file is one task — the natural unit, gzip is not splittable)
+        extra = {"arrow_open_stream_args": {"compression": "gzip"}} \
+            if path.endswith(".gz") else {}
         ds = rd.read_csv(path, **{k: v for k, v in kwargs.items()
-                                  if k != "columns"})
+                                  if k != "columns"}, **extra)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
-    if path.endswith((".jsonl", ".json")):
+    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        extra = {"arrow_open_stream_args": {"compression": "gzip"}} \
+            if path.endswith(".gz") else {}
         ds = rd.read_json(path, **{k: v for k, v in kwargs.items()
-                                   if k != "columns"})
+                                   if k != "columns"}, **extra)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")

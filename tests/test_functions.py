@@ -513,6 +513,23 @@ def test_read_corpus_csv_and_jsonl_roundtrip(rd, tmp_path):
     assert list(got2.columns) == ["doc_id", "text"]
     assert got2["text"].tolist() == t["text"].to_pylist()
 
+    # gzip variants: same values through Arrow's in-task gzip stream
+    import gzip as _gzip
+
+    gz_jsonl = str(tmp_path / "docs.jsonl.gz")
+    with open(jsonl_path, "rb") as src, _gzip.open(gz_jsonl, "wb") as dst:
+        dst.write(src.read())
+    got3 = read_corpus(gz_jsonl, columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got3.equals(got2)
+
+    gz_csv = str(tmp_path / "docs.csv.gz")
+    with open(csv_path, "rb") as src, _gzip.open(gz_csv, "wb") as dst:
+        dst.write(src.read())
+    got4 = read_corpus(gz_csv).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got4["text"].tolist() == t["text"].to_pylist()
+
 
 def test_top_k_per_group(rd):
     import pandas as pd
