@@ -153,6 +153,47 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Corpus format conversion: any read_corpus-able source -> one of the
+    shard sinks.  The shard sinks are deterministic (counter-mode key-hash
+    assignment, in-shard key sort, atomic renames), so a re-run of the same
+    conversion is idempotent and a crashed run leaves no torn shard."""
+    _init_ray()
+    from .sources.readers import read_corpus
+
+    cols = args.columns.split(",") if args.columns else None
+    ds = read_corpus(args.input, columns=cols)
+    fmt = args.format
+    if fmt == "parquet":
+        ds.write_parquet(args.output)
+        manifest = [{"shard": "parquet", "n_rows": "see files"}]
+    elif fmt == "sqlite":
+        from .sources.sqlite import write_sqlite_shards
+
+        manifest = write_sqlite_shards(ds, args.output, args.key_col,
+                                       num_shards=args.num_shards)
+    elif fmt == "avro":
+        from .sources.avro import write_avro_shards
+
+        manifest = write_avro_shards(ds, args.output, args.key_col,
+                                     num_shards=args.num_shards)
+    elif fmt == "tfrecord":
+        from .sources.tfrecord import write_tfrecord_shards
+
+        manifest = write_tfrecord_shards(ds, args.output, args.key_col,
+                                         num_shards=args.num_shards)
+    elif fmt == "wds":
+        from .sources.webdataset import write_wds_shards
+
+        comps = {c: c for c in ds.schema().names if c != args.key_col}
+        manifest = write_wds_shards(ds, args.output, args.key_col, comps,
+                                    num_shards=args.num_shards)
+    else:  # pragma: no cover — argparse choices guard
+        raise ValueError(fmt)
+    print(json.dumps(manifest, default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="setsketch-ray",
@@ -221,6 +262,21 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--num-partitions", type=int, default=32)
     df.add_argument("--output", help="write per-key (key, status) parquet")
     df.set_defaults(fn=cmd_diff)
+
+    cv = sub.add_parser("convert", help="corpus format conversion "
+                                        "(any source -> shard sink)")
+    cv.add_argument("--input", required=True,
+                    help="source path (parquet/orc/avro/tfrecord/csv/"
+                         "jsonl[.gz]/tar/warc/sqlite/arrow)")
+    cv.add_argument("--output", required=True, help="sink directory")
+    cv.add_argument("--format", required=True,
+                    choices=["parquet", "sqlite", "avro", "tfrecord",
+                             "wds"])
+    cv.add_argument("--key-col", default="doc_id",
+                    help="shard-assignment key column")
+    cv.add_argument("--columns", help="comma-separated column pruning")
+    cv.add_argument("--num-shards", type=int, default=16)
+    cv.set_defaults(fn=cmd_convert)
     return p
 
 

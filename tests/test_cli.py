@@ -95,3 +95,42 @@ def test_cli_validate_and_diff(ray_session, tmp_path, capsys):
     counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert counts == {"added": 1, "changed": 1, "removed": 1,
                       "unchanged": 2}
+
+
+def test_cli_convert_roundtrips(ray_session, tmp_path, capsys):
+    """convert: jsonl -> sqlite -> parquet chain preserves rows; wds sink
+    writes tar shards readable by read_corpus."""
+    import json
+
+    import pyarrow as pa
+
+    from setsketch_ray.cli import main
+    from setsketch_ray.sources.readers import read_corpus
+
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as f:
+        for i in range(40):
+            f.write(json.dumps({"doc_id": i, "text": f"body {i}"}) + "\n")
+
+    sq = str(tmp_path / "sq")
+    assert main(["convert", "--input", str(src), "--output", sq,
+                 "--format", "sqlite", "--num-shards", "3"]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["n_rows"] for r in manifest) == 40
+
+    pq_dir = str(tmp_path / "pq")
+    assert main(["convert", "--input", sq, "--output", pq_dir,
+                 "--format", "parquet"]) == 0
+    capsys.readouterr()
+    got = pa.concat_tables(list(read_corpus(pq_dir).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20))).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == list(range(40))
+    assert got["text"].to_pylist() == [f"body {i}" for i in range(40)]
+
+    wds = str(tmp_path / "wds")
+    assert main(["convert", "--input", str(src), "--output", wds,
+                 "--format", "wds", "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    back = pa.concat_tables(list(read_corpus(wds).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    assert back.num_rows == 40 and "text" in back.column_names
