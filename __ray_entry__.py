@@ -1689,6 +1689,21 @@ def _q_approx_key_overlap(sf_dir: str):
         "est_ok": pa.array([ok], pa.int64())})
 
 
+def _q_word_cooccurrence(sf_dir: str):
+    """Collocation mining (functions/text.word_cooccurrence): top-20 word
+    pairs by distinct-document co-occurrence over the exact top-64
+    vocabulary.  The co-occurrence matrix is computed as the Gram matrix
+    of the binary doc x vocab membership matrix — one V x V int64 matmul
+    partial per block, V(V+1)/2 slim rows through a combiner tree; tokens
+    never shuffle, the pair space never explodes.  ORACLED EXACTLY:
+    integer counts, deterministic (n_docs desc, word_a, word_b) top-k on
+    both engines."""
+    from setsketch_ray.functions.text import word_cooccurrence
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return word_cooccurrence(ds, "text", vocab_size=64, k=20)
+
+
 def _q_embedding_gram(sf_dir: str):
     """Distributed EXACT Gram matrix of the embeddings table
     (functions/knn.embedding_gram) — the covariance/PCA sufficient
@@ -4774,6 +4789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_setops_orders": _q_theta_setops_orders,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "embedding_gram": _q_embedding_gram,
+        "word_cooccurrence": _q_word_cooccurrence,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -5399,6 +5415,22 @@ def _oracle_sql_base() -> dict[str, str]:
             "na.n - ni.n AS exact_diff_left, "
             "nb.n - ni.n AS exact_diff_right, "
             "CAST(1 AS BIGINT) AS est_ok FROM na, nb, ni",
+        # distinct-doc co-occurrence counts over the exact top-64 vocab;
+        # deterministic (cnt desc, word) orderings on both engines
+        "word_cooccurrence":
+            "WITH v AS (SELECT word FROM (SELECT word, count(*) AS cnt "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents) WHERE word <> '' GROUP BY word) "
+            "ORDER BY cnt DESC, word LIMIT 64), "
+            "dw AS (SELECT DISTINCT doc_id, word FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            "FROM documents) WHERE word IN (SELECT word FROM v)) "
+            "SELECT a.word AS word_a, b.word AS word_b, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM dw a JOIN dw b ON a.doc_id = b.doc_id "
+            "AND a.word < b.word "
+            "GROUP BY a.word, b.word "
+            "ORDER BY n_docs DESC, word_a, word_b LIMIT 20",
         # integer-fixed Gram matrix: identical floor(x*1e6+0.5) fixing on
         # both engines, then pure BIGINT products/sums (< 2^63)
         "embedding_gram":

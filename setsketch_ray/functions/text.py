@@ -1126,6 +1126,73 @@ def html_to_text(ds, html_col: str = "html"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def word_cooccurrence(ds, text_col: str = "text", vocab_size: int = 64,
+                      k: int = 20):
+    """Collocation mining: top-``k`` word pairs by DISTINCT-document
+    co-occurrence count, over the exact global top-``vocab_size``
+    vocabulary (the classic corpus-analysis primitive behind PMI /
+    collocation tables; counts stay integers so the result is exactly
+    SQL-expressible).
+
+    Scale shape — the pair space never explodes: the co-occurrence matrix
+    IS the Gram matrix of the binary doc x vocab membership matrix, so
+    each block contributes one V x V int64 matmul partial (V*(V+1)/2 slim
+    rows) and the pairs aggregate in a combiner tree.  The vocabulary is
+    the exact distributed :func:`word_topk` (one slim (word, cnt)
+    exchange), broadcast into the map stage; tokens never shuffle.
+
+    Returns a pyarrow Table (word_a, word_b, n_docs) — the top-k by
+    (n_docs desc, word_a, word_b), deterministic under ties.
+    """
+    from .relational import grouped_aggregate
+
+    vocab_t = word_topk(ds, text_col, vocab_size)
+    vocab = vocab_t["word"]
+    vocab = vocab.combine_chunks() if isinstance(vocab, pa.ChunkedArray) \
+        else vocab
+    v = len(vocab)
+    if v == 0:
+        return pa.table({"word_a": pa.array([], pa.string()),
+                         "word_b": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        offs = words.offsets.to_numpy().astype(np.int64)
+        ii = pc.index_in(words.values, value_set=vocab)
+        hit = pc.is_valid(ii).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(ii, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        m = np.zeros((len(offs) - 1, v), np.int64)
+        m[row_of[hit], idx[hit]] = 1  # distinct per doc by assignment
+        g = m.T @ m
+        iu, ju = np.triu_indices(v, k=1)
+        cnt = g[iu, ju]
+        nz = cnt > 0
+        return pa.table({
+            "i": pa.array(iu[nz].astype(np.int64), pa.int64()),
+            "j": pa.array(ju[nz].astype(np.int64), pa.int64()),
+            "n_docs": pa.array(cnt[nz], pa.int64())})
+
+    agg = grouped_aggregate(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["i", "j"], {"n_docs": ("sum", "n_docs")})
+    # final top-k over <= V*(V-1)/2 rows (driver-side by construction)
+    wa = pc.take(vocab, agg["i"])
+    wb = pc.take(vocab, agg["j"])
+    lo = pc.min_element_wise(wa, wb)
+    hi = pc.max_element_wise(wa, wb)
+    out = pa.table({"word_a": lo, "word_b": hi, "n_docs": agg["n_docs"]})
+    out = out.sort_by([("n_docs", "descending"), ("word_a", "ascending"),
+                       ("word_b", "ascending")])
+    return out.slice(0, k)
+
+
 def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                words_per_line: int = 10, min_docs: int = 2,
                num_partitions: int = 32):

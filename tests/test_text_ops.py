@@ -136,3 +136,37 @@ def test_line_dedup_short_tail_lines(ray_session):
     assert out[2]["text_dedup"] == ""
     assert out[3] == {"doc_id": 3, "n_lines": 1, "n_dropped": 1,
                       "text_dedup": ""}
+
+
+# ----------------------------------------------------------- co-occurrence
+def test_word_cooccurrence_bruteforce(ray_session):
+    """word_cooccurrence == brute-force distinct-doc pair counts; repeats
+    within a doc count once; block layout independent."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.text import word_cooccurrence
+
+    docs = ["a b c a b", "b c d", "a d d d", "e e e", "a b", "c a b"]
+    want = {}
+    for d in docs:
+        ws = sorted(set(d.split()))
+        for x, y in itertools.combinations(ws, 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    want_rows = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    for blocks in (1, 3):
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs)})) \
+            .repartition(blocks)
+        got = word_cooccurrence(ds, "text", vocab_size=64, k=100)
+        rows = list(zip(got["word_a"].to_pylist(),
+                        got["word_b"].to_pylist(),
+                        got["n_docs"].to_pylist()))
+        assert rows == [(a, b, c) for (a, b), c in want_rows]
+
+    # vocab restriction: vocab_size=2 keeps only the 2 most frequent words
+    got2 = word_cooccurrence(
+        rd.from_arrow(pa.table({"text": pa.array(docs)})),
+        "text", vocab_size=2, k=100)
+    assert got2.num_rows == 1  # only one pair possible within a 2-word vocab
