@@ -455,6 +455,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_embedding_gram(SF_DIR).num_rows
         timings["embedding_gram"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_word_cooccurrence(SF_DIR).num_rows
+        timings["word_cooccurrence"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

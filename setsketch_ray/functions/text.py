@@ -1221,6 +1221,16 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     Returns a Dataset of (id, n_lines, n_dropped, text_dedup).  Exactly
     SQL-expressible (pure string/integer ops) — see the driver oracle.
+
+    Skew note (100 TB): every occurrence of a line co-locates in one
+    partition, so a pathological universal line (an empty line, a
+    boilerplate footer in billions of docs) makes a hot partition.  The
+    verdict itself needs only the distinct-doc COUNT, which could be
+    pre-reduced with doc-salted two-level combining; the per-occurrence
+    verdict delivery, however, is inherently a co-partition by line — the
+    production mitigation is a first pass that identifies the head (a
+    Misra-Gries heavy-hitter pass, as in ``heavy_users``) and broadcasts
+    its verdicts, leaving only the long tail to this exchange.
     """
     from ..sketchlib.hashing import mix64
 
