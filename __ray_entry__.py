@@ -1689,6 +1689,19 @@ def _q_approx_key_overlap(sf_dir: str):
         "est_ok": pa.array([ok], pa.int64())})
 
 
+def _q_events_mad_by_type(sf_dir: str):
+    """Per-group median + MAD (functions/relational.grouped_mad_fixedpoint
+    — the robust dispersion statistic for skewed distributions, composed
+    from two exact grouped-quantile passes over distinct (group, value)
+    counts; medians broadcast into a vectorized |v - median| map between
+    them).  ORACLED EXACTLY: integer cents end-to-end, quantile_disc rule
+    on both engines."""
+    from setsketch_ray.functions.relational import grouped_mad_fixedpoint
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_mad_fixedpoint(ev, "event_type", "value", scale=100)
+
+
 def _q_word_cooccurrence(sf_dir: str):
     """Collocation mining (functions/text.word_cooccurrence): top-20 word
     pairs by distinct-document co-occurrence over the exact top-64
@@ -4790,6 +4803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "embedding_gram": _q_embedding_gram,
         "word_cooccurrence": _q_word_cooccurrence,
+        "events_mad_by_type": _q_events_mad_by_type,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -5415,6 +5429,19 @@ def _oracle_sql_base() -> dict[str, str]:
             "na.n - ni.n AS exact_diff_left, "
             "nb.n - ni.n AS exact_diff_right, "
             "CAST(1 AS BIGINT) AS est_ok FROM na, nb, ni",
+        # exact integer-cents median + MAD per group (quantile_disc rule)
+        "events_mad_by_type":
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value*100) AS BIGINT) AS v_c FROM events), "
+            "m AS (SELECT event_type, "
+            "CAST(quantile_disc(v_c, 0.5) AS BIGINT) AS median_c "
+            "FROM c GROUP BY event_type), "
+            "d AS (SELECT c.event_type, abs(c.v_c - m.median_c) AS dev "
+            "FROM c JOIN m USING (event_type)) "
+            "SELECT m.event_type, m.median_c, "
+            "CAST(quantile_disc(d.dev, 0.5) AS BIGINT) AS mad_c "
+            "FROM d JOIN m USING (event_type) "
+            "GROUP BY m.event_type, m.median_c ORDER BY m.event_type",
         # distinct-doc co-occurrence counts over the exact top-64 vocab;
         # deterministic (cnt desc, word) orderings on both engines
         "word_cooccurrence":

@@ -1125,6 +1125,55 @@ def grouped_quantiles_fixedpoint(ds, key_col: str, column: str,
                      "value": pa.array(out_v, pa.float64())})
 
 
+def grouped_mad_fixedpoint(ds, key_col: str, column: str,
+                           scale: int = 100) -> pa.Table:
+    """Per-group MEDIAN and MAD (median absolute deviation — the robust
+    dispersion statistic outlier rules should use instead of sigma when
+    the distribution is skewed), exact on the fixed-point integer domain.
+
+    Two passes over the same machinery as
+    :func:`grouped_quantiles_fixedpoint` (``quantile_disc`` rule, distinct
+    (group, value)-count shuffles — never rows): pass 1 takes each group's
+    median in scaled-integer form; pass 2 re-scans with a vectorized
+    ``|v_c - median_c|`` map (medians broadcast as a tiny per-group array,
+    looked up via ``pc.index_in``) and takes the median of the deviations.
+
+    Returns ``pa.table({key_col, median_c: int64, mad_c: int64})`` —
+    integer cents, exactly SQL-expressible.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    med = grouped_quantiles_fixedpoint(ds, key_col, column, [0.5],
+                                       scale=scale)
+    gkeys = med[key_col].combine_chunks() if \
+        isinstance(med[key_col], pa.ChunkedArray) else med[key_col]
+    med_c = np.round(med["value"].to_numpy() * scale).astype(np.int64)
+
+    def dev(t: pa.Table) -> pa.Table:
+        v_c = pc.round(pc.multiply(t[column], pa.scalar(float(scale)))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gi = pc.index_in(t[key_col], value_set=gkeys) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(v_c - med_c[gi]).astype(np.float64)
+        return pa.table({key_col: t[key_col],
+                         "dev": pa.array(d, pa.float64())})
+
+    mad = grouped_quantiles_fixedpoint(
+        ds.map_batches(dev, batch_format="pyarrow"), key_col, "dev",
+        [0.5], scale=1)
+    med = med.sort_by(key_col)
+    mad = mad.sort_by(key_col)
+    assert med[key_col].to_pylist() == mad[key_col].to_pylist()
+    return pa.table({
+        key_col: med[key_col],
+        "median_c": pa.array(
+            np.round(med["value"].to_numpy() * scale).astype(np.int64),
+            pa.int64()),
+        "mad_c": pa.array(np.round(mad["value"].to_numpy()).astype(
+            np.int64), pa.int64())})
+
+
 def pivot_aggregate(ds, key_col: str, pivot_col: str,
                     pivot_values: list, value_col: str | None = None,
                     value_scale: int = 100, prefix: str = "n_") -> pa.Table:

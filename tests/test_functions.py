@@ -2886,3 +2886,30 @@ def test_embedding_gram_exact_and_layout_independent(ray_session):
         assert (got["sum_i_c"].to_numpy()[~diag] == 0).all()
         assert got["n"].to_numpy().sum() == n
     assert results[0].equals(results[1])
+
+
+def test_grouped_mad_fixedpoint_bruteforce(ray_session):
+    """grouped_mad == per-group numpy median/MAD under the quantile_disc
+    rule (index ceil(0.5 n)-1 of the sorted values)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.relational import grouped_mad_fixedpoint
+
+    rng = np.random.default_rng(23)
+    keys = rng.choice(["a", "b", "c"], size=501)
+    vals = np.round(rng.normal(10, 3, size=501) * 100) / 100
+
+    def disc_median(x):
+        xs = np.sort(x)
+        return xs[int(np.ceil(0.5 * len(xs))) - 1]
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys),
+                                 "value": pa.array(vals, pa.float64())}))
+    got = grouped_mad_fixedpoint(ds, "k", "value", scale=100)
+    for row in got.to_pylist():
+        x = np.round(vals[keys == row["k"]] * 100).astype(np.int64)
+        m = disc_median(x)
+        assert row["median_c"] == m
+        assert row["mad_c"] == disc_median(np.abs(x - m))
