@@ -398,6 +398,19 @@ def _cardinality_grid_sql() -> str:
             f"FROM (VALUES {vals}) c(cardinality) ORDER BY c.cardinality")
 
 
+def _audio_truth_sql() -> str:
+    """Constant-SQL mirror of _q_near_dup_audio: the planted-truth pair
+    count is analytic (sources/av.truth_audio_pairs — pure function of
+    the corpus construction, no audio synthesis); the exact-set-equality
+    certificates are computed Ray-side."""
+    from setsketch_ray.sources.av import truth_audio_pairs
+
+    n = truth_audio_pairs(192).num_rows
+    return (f"SELECT CAST({n} AS BIGINT) AS n_true_pairs, "
+            "CAST(1 AS BIGINT) AS recall_ok, "
+            "CAST(1 AS BIGINT) AS precision_ok")
+
+
 def _video_truth_sql() -> str:
     """Constant-SQL mirror of _q_near_dup_videos: the planted-truth pair
     count is analytic (sources/av.truth_video_pairs — pure function of the
@@ -3688,6 +3701,35 @@ def _q_near_dup_videos(sf_dir: str):
         "precision_ok": pa.array([int(got <= ts)], pa.int64())})
 
 
+def _q_near_dup_audio(sf_dir: str):
+    """Near-duplicate audio detection (pipelines/audiodedup.py — the audio
+    member of the modality family): real-codec decode (WAV PCM/G.711/
+    ADPCM + FLAC + FLAC-in-Ogg) -> fixed-grid spectral fingerprint (top
+    peak + top-64 sparse spectrum) -> two-shifted-grid frequency-cell LSH
+    (EXACT recall for peak drift <= 2 Hz; measured drift <= 0.01 Hz) ->
+    sparse spectral cosine verify via the broadcast worker-cache pool
+    (measured gap: true pairs >= 0.991, false <= 0.845; threshold 0.92).
+    Catches G.711/ADPCM lossy re-encodes, codec swaps and 50 ms head
+    trims.  ORACLED as invariant rows: codecs + FFT are not
+    SQL-expressible, but the planted truth is analytic
+    (sources/av.truth_audio_pairs — a pure function of the corpus
+    construction, mirrored into the oracle's pair count);
+    recall_ok/precision_ok certify exact pair-set equality."""
+    from setsketch_ray.pipelines.audiodedup import near_dup_audio
+    from setsketch_ray.sources.av import audio_dedup_dataset, \
+        truth_audio_pairs
+
+    n = 192
+    pairs = near_dup_audio(audio_dedup_dataset(n, parallelism=8)).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    truth = truth_audio_pairs(n)
+    ts = set(zip(truth["id_a"].to_pylist(), truth["id_b"].to_pylist()))
+    return pa.table({
+        "n_true_pairs": pa.array([len(ts)], pa.int64()),
+        "recall_ok": pa.array([int(ts <= got)], pa.int64()),
+        "precision_ok": pa.array([int(got <= ts)], pa.int64())})
+
+
 def _q_audio_fingerprint(sf_dir: str):
     """Audio feature extraction over a 6-codec corpus — PCM16, G.711
     mu-law, G.711 A-law, IMA ADPCM (sources/audio.py; ADPCM advances every
@@ -4814,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_images": _q_near_dup_images,
         "video_frame_phash": _q_video_frame_phash,
         "near_dup_videos": _q_near_dup_videos,
+        "near_dup_audio": _q_near_dup_audio,
         "media_probe": _q_media_probe,
         "wds_roundtrip": _q_wds_roundtrip,
         "sqlite_roundtrip": _q_sqlite_roundtrip,
@@ -4995,6 +5038,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # certificates (recall AND precision 1.0 across re-encode /
         # container-swap / trim variants)
         "near_dup_videos": _video_truth_sql(),
+        "near_dup_audio": _audio_truth_sql(),
         # per-(container, kind) blob counts of the deterministic 208-blob
         # mixed corpus; parse/codec/dims/duration/frames/decodability
         # certificates vs the generation parameters computed Ray-side

@@ -458,6 +458,12 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_word_cooccurrence(SF_DIR).num_rows
         timings["word_cooccurrence"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_events_mad_by_type(SF_DIR).num_rows
+        timings["events_mad_by_type"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_near_dup_audio(SF_DIR).num_rows
+        timings["near_dup_audio"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

@@ -170,16 +170,21 @@ _AUDIO_ENC = {"pcm16": encode_wav_pcm16, "ulaw": encode_wav_ulaw,
               "flac": encode_flac, "oggflac": encode_ogg_flac}
 
 
-def audio_signal(seed: int, idx: int, rate: int = 8000,
+def _tone_signal(h: int, rate: int = 8000,
                  seconds: float = 0.5) -> np.ndarray:
-    """Deterministic 2-tone int16 signal for row ``idx``."""
-    h = int(_u(seed, idx, 21))
+    """Deterministic 2-tone int16 signal from a 64-bit key."""
     f1 = 150.0 + (h % 1800)
     f2 = 150.0 + ((h >> 16) % 1800)
     amp = 12000 + (h >> 32) % 12000
     t = np.arange(int(rate * seconds)) / rate
     sig = 0.7 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
     return np.round(amp * sig).astype(np.int16)
+
+
+def audio_signal(seed: int, idx: int, rate: int = 8000,
+                 seconds: float = 0.5) -> np.ndarray:
+    """Deterministic 2-tone int16 signal for row ``idx``."""
+    return _tone_signal(int(_u(seed, idx, 21)), rate, seconds)
 
 
 def generate_audio_rows(indices, seed: int = 42, rate: int = 8000) -> pa.Table:
@@ -205,6 +210,95 @@ def audio_dataset(n_rows: int, seed: int = 42, rate: int = 8000,
 
     def gen(batch: pa.Table) -> pa.Table:
         return generate_audio_rows(batch["id"].to_numpy(), seed, rate)
+
+    return rd.range(n_rows, override_num_blocks=parallelism).map_batches(
+        gen, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------- audio dedup corpus
+_ADBLOCK = 8
+
+
+def _acluster_size(seed: int, block: int) -> int:
+    h = int(_u(seed, block, 555))
+    return 1 if h % 100 < 65 else 2 + (h // 100) % 3  # 2..4
+
+
+def _audio_role(seed: int, idx: int):
+    """-> (base_key, variant, cluster_id or -1) — the video-corpus block
+    scheme over audio clips."""
+    block = idx // _ADBLOCK
+    pos = idx % _ADBLOCK
+    s = _acluster_size(seed, block)
+    if s >= 2 and pos < s:
+        return int(_u(seed, block, 666)), pos, block
+    return int(_u(seed, idx, 777)), 0, -1
+
+
+def audio_dedup_clip(seed: int, idx: int, rate: int = 8000):
+    """Waveform + codec for the dedup corpus row ``idx``.
+
+    Cluster members share the base waveform (pure function of the block
+    key, 1 Hz tone granularity): v0 = PCM16 original, v1 = lossy G.711
+    mu-law re-encode, v2 = IMA ADPCM re-encode, v3 = 50 ms head trim
+    (PCM16).  Singletons rotate through all six codecs for diversity."""
+    base_key, variant, cluster = _audio_role(seed, idx)
+    sig = _tone_signal(base_key, rate)
+    if variant == 1:
+        return sig, "ulaw"
+    if variant == 2:
+        return sig, "ima"
+    if variant == 3:
+        return sig[int(rate * 0.05):], "pcm16"
+    if cluster < 0:
+        return sig, _AUDIO_FMTS[int(_u(seed, idx, 888)) % len(_AUDIO_FMTS)]
+    return sig, "pcm16"
+
+
+def generate_audio_dedup_rows(indices, seed: int = 42,
+                              rate: int = 8000) -> pa.Table:
+    ids, blobs, fmts = [], [], []
+    for idx in np.asarray(indices, dtype=np.int64):
+        idx = int(idx)
+        sig, fmt = audio_dedup_clip(seed, idx, rate)
+        blobs.append(_AUDIO_ENC[fmt](sig, rate))
+        ids.append(f"aud{idx:010d}")
+        fmts.append(fmt)
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(fmts, pa.string()),
+        "rate": pa.array([rate] * len(ids), pa.int32()),
+    })
+
+
+def truth_audio_pairs(n_rows: int, seed: int = 42) -> pa.Table:
+    """All intra-cluster (id_a < id_b) pairs — analytic, no synthesis."""
+    id_a, id_b, cid = [], [], []
+    for block in range((n_rows + _ADBLOCK - 1) // _ADBLOCK):
+        s = _acluster_size(seed, block)
+        if s < 2:
+            continue
+        members = [block * _ADBLOCK + p for p in range(s)
+                   if block * _ADBLOCK + p < n_rows]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                id_a.append(f"aud{members[i]:010d}")
+                id_b.append(f"aud{members[j]:010d}")
+                cid.append(block)
+    return pa.table({
+        "id_a": pa.array(id_a, pa.string()),
+        "id_b": pa.array(id_b, pa.string()),
+        "cluster_id": pa.array(cid, pa.int64()),
+    })
+
+
+def audio_dedup_dataset(n_rows: int, seed: int = 42, rate: int = 8000,
+                        parallelism: int = 16):
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_audio_dedup_rows(batch["id"].to_numpy(), seed, rate)
 
     return rd.range(n_rows, override_num_blocks=parallelism).map_batches(
         gen, batch_format="pyarrow", batch_size=None)
