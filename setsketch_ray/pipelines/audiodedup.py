@@ -137,12 +137,15 @@ def _sparse_cosine(ba, ma, bb, mb) -> float:
 def near_dup_audio(ds, id_col: str = "audio_id", bytes_col: str = "bytes",
                    cell_hz: float = 4.0, min_cosine: float = 0.92,
                    num_partitions: int = 32, bucket_cap: int = 256,
-                   concurrency=None):
+                   concurrency=None, join_strategy: str = "broadcast"):
     """Near-dup clip pairs (id_a, id_b, cosine_milli >= min_cosine*1000).
 
     Exact-recall candidate generation for peak drift <= ``cell_hz/2``
     (two shifted grids), sparse spectral cosine verify via the broadcast
-    worker-cache pool."""
+    worker-cache pool.  ``join_strategy="hash"`` swaps the broadcast for
+    two ``lookup_join`` co-partition passes (fingerprints packed as
+    binary) — the beyond-broadcast-memory catalog path, bit-identical
+    output (parity tested)."""
     import ray
 
     fp = audio_fingerprints(ds, id_col, bytes_col,
@@ -227,6 +230,12 @@ def near_dup_audio(ds, id_col: str = "audio_id", bytes_col: str = "bytes",
     pairs = pairs.map_batches(add_pp, batch_format="pyarrow") \
         .groupby("pp").map_groups(dedup, batch_format="pyarrow")
 
+    if join_strategy == "hash":
+        return _verify_cosine_hash(fp, pairs, id_col, min_cosine,
+                                   num_partitions)
+    if join_strategy != "broadcast":
+        raise ValueError(f"unknown join_strategy {join_strategy!r}")
+
     lookup_ref = ray.put(pa.concat_tables(
         fp.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
 
@@ -274,3 +283,83 @@ def near_dup_audio(ds, id_col: str = "audio_id", bytes_col: str = "bytes",
         })
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _pack_fp(t: pa.Table, id_col: str, suffix: str) -> pa.Table:
+    """(bins int32[], mags float32[]) -> one binary column per side:
+    n * (4B bin + 4B mag) little-endian pairs."""
+    sb = t["spec_bins"].combine_chunks() if \
+        isinstance(t["spec_bins"], pa.ChunkedArray) else t["spec_bins"]
+    sm = t["spec_mags"].combine_chunks() if \
+        isinstance(t["spec_mags"], pa.ChunkedArray) else t["spec_mags"]
+    bo = np.asarray(sb.offsets, np.int64)
+    bins_flat = np.asarray(sb.values, np.int32)
+    mags_flat = np.asarray(sm.values, np.float32)
+    parts = []
+    for r in range(len(sb)):
+        b = bins_flat[bo[r]:bo[r + 1]].astype("<i4").tobytes()
+        m = mags_flat[bo[r]:bo[r + 1]].astype("<f4").tobytes()
+        parts.append(b + m)
+    offs = np.zeros(len(parts) + 1, np.int32)
+    np.cumsum([len(p) for p in parts], out=offs[1:])
+    bin_arr = pa.Array.from_buffers(
+        pa.binary(), len(parts),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(b"".join(parts))])
+    return pa.table({id_col: t[id_col], f"fp{suffix}": bin_arr})
+
+
+def _unpack_fp(blob: bytes):
+    half = len(blob) // 2
+    return (np.frombuffer(blob[:half], "<i4"),
+            np.frombuffer(blob[half:], "<f4"))
+
+
+def _verify_cosine_hash(fp, pairs, id_col: str, min_cosine: float,
+                        num_partitions: int):
+    """Beyond-broadcast verify: fingerprints attach to both pair sides via
+    two lookup_join co-partition passes, then the same sparse-cosine score
+    as the broadcast path (bit-identical output)."""
+    from ..functions.relational import lookup_join
+
+    pairs_schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
+    right_a = fp.map_batches(lambda t: _pack_fp(t, id_col, "_a"),
+                             batch_format="pyarrow")
+    right_b = fp.map_batches(lambda t: _pack_fp(t, id_col, "_b"),
+                             batch_format="pyarrow")
+    npart = max(num_partitions // 4, 8)
+    pairs = pairs.materialize()  # sparse edge list; consumed by two joins
+    out = lookup_join(pairs, right_a, "id_a", id_col,
+                      num_partitions=npart, left_schema=pairs_schema,
+                      right_schema=pa.schema([(id_col, pa.string()),
+                                              ("fp_a", pa.binary())]))
+    mid = pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                     ("fp_a", pa.binary())])
+    out = lookup_join(out, right_b, "id_b", id_col,
+                      num_partitions=npart, left_schema=mid,
+                      right_schema=pa.schema([(id_col, pa.string()),
+                                              ("fp_b", pa.binary())]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.string()),
+                          "id_b": pa.array([], pa.string()),
+                          "cosine_milli": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        scores = np.zeros(batch.num_rows, np.int64)
+        for r, (ba_, bb_) in enumerate(zip(batch["fp_a"].to_pylist(),
+                                           batch["fp_b"].to_pylist())):
+            if ba_ is None or bb_ is None:
+                continue
+            ba, ma = _unpack_fp(ba_)
+            bb, mb = _unpack_fp(bb_)
+            c = _sparse_cosine(ba, ma, bb, mb)
+            scores[r] = int(np.floor(c * 1000 + 0.5))
+        keep = scores >= int(np.floor(min_cosine * 1000 + 0.5))
+        kept = batch.filter(pa.array(keep))
+        return pa.table({
+            "id_a": kept["id_a"],
+            "id_b": kept["id_b"],
+            "cosine_milli": pa.array(scores[keep], pa.int64()),
+        })
+
+    return out.map_batches(verify, batch_format="pyarrow")

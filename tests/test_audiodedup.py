@@ -61,3 +61,20 @@ def test_audio_dedup_corpus_separability():
                 continue
             d = max(abs(ks[i][0] - ks[j][0]), abs(ks[i][1] - ks[j][1]))
             assert d > 4.0, (i, j, d)
+
+
+def test_near_dup_audio_hash_join_parity(ray_session):
+    """join_strategy='hash' (lookup_join co-partition attach) is
+    bit-identical to the broadcast pool path."""
+    from setsketch_ray.pipelines.audiodedup import near_dup_audio
+    from setsketch_ray.sources.av import audio_dedup_dataset
+
+    n = 96
+    def run(strategy):
+        out = near_dup_audio(audio_dedup_dataset(n, parallelism=4),
+                             join_strategy=strategy).take_all()
+        return sorted((r["id_a"], r["id_b"], r["cosine_milli"])
+                      for r in out)
+
+    a, b = run("broadcast"), run("hash")
+    assert a == b and len(a) > 0
