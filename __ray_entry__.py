@@ -1702,6 +1702,23 @@ def _q_approx_key_overlap(sf_dir: str):
         "est_ok": pa.array([ok], pa.int64())})
 
 
+def _q_events_debounce(sf_dir: str):
+    """Event debouncing (functions/streaming.debounce — the
+    stream-curation step collapsing repeat-fire events): drop an event
+    whose previous (user_id, event_type) occurrence is within 1 hour,
+    plain LAG semantics.  One composite-key hash exchange, one vectorized
+    lexsort + shifted compare per partition; group identity compares the
+    real key columns, never a 64-bit hash.  ORACLED EXACTLY: the SQL
+    lag() window filter with the identical (ts, event_id) tiebreak."""
+    from setsketch_ray.functions.streaming import debounce
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    out = debounce(ev, ["user_id", "event_type"], "ts", "event_id",
+                   window_seconds=3600.0)
+    return out.sort("event_id")
+
+
 def _q_events_mad_by_type(sf_dir: str):
     """Per-group median + MAD (functions/relational.grouped_mad_fixedpoint
     — the robust dispersion statistic for skewed distributions, composed
@@ -4846,6 +4863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "word_cooccurrence": _q_word_cooccurrence,
         "events_mad_by_type": _q_events_mad_by_type,
+        "events_debounce": _q_events_debounce,
         "value_histogram": _q_value_histogram,
         "orders_cube": _q_orders_cube,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -5473,6 +5491,15 @@ def _oracle_sql_base() -> dict[str, str]:
             "na.n - ni.n AS exact_diff_left, "
             "nb.n - ni.n AS exact_diff_right, "
             "CAST(1 AS BIGINT) AS est_ok FROM na, nb, ni",
+        # LAG-window debounce filter, identical tiebreak both engines
+        "events_debounce":
+            "SELECT event_id, user_id, event_type, ts FROM ("
+            "SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS pts FROM events) "
+            "WHERE pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > CAST(3600 AS BIGINT)*1000000 "
+            "ORDER BY event_id",
         # exact integer-cents median + MAD per group (quantile_disc rule)
         "events_mad_by_type":
             "WITH c AS (SELECT event_type, "

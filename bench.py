@@ -464,6 +464,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_near_dup_audio(SF_DIR).num_rows
         timings["near_dup_audio"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_events_debounce(SF_DIR).count()
+        timings["events_debounce"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

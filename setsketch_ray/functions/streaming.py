@@ -257,6 +257,73 @@ def lag_lead(ds, key_col: str, ts_col: str, value_col: str,
                                            batch_format="pyarrow")
 
 
+def debounce(ds, key_cols: list, ts_col: str, order_tiebreak: str,
+             window_seconds: float, num_partitions: int = 32):
+    """Event debouncing / throttling: drop a row whose PREVIOUS occurrence
+    in its composite-key group is within ``window_seconds`` (the SQL
+    ``lag(ts) OVER (PARTITION BY keys ORDER BY ts, tiebreak)`` filter —
+    the stream-curation step that collapses repeat-fire events before
+    they inflate downstream counts).
+
+    Plain LAG semantics: each row compares against its immediate
+    predecessor whether or not that predecessor was itself kept (exactly
+    what the SQL window expresses; a kept-predecessor "strict debounce"
+    chain is sequential by nature and intentionally not this operator).
+
+    Scale shape: hash-partition by the composite key (one slim exchange
+    of the selected columns), ONE vectorized lexsort + shifted compare
+    per partition.  Returns the kept rows with original columns.
+    """
+    from ..sketchlib.hashing import hash_str_u64, mix2, mix64
+
+    win_us = int(round(window_seconds * 1_000_000))
+
+    def _key_hash(t: pa.Table) -> np.ndarray:
+        h = None
+        for c in key_cols:
+            arr = t[c]
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+                else arr
+            vals = arr.to_numpy(zero_copy_only=False)
+            hc = mix64(vals.astype(np.uint64)) if vals.dtype.kind in "iu" \
+                else hash_str_u64(arr)
+            h = hc if h is None else mix2(h, hc)
+        return h
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = _key_hash(t)
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = t.num_rows
+        if n == 0:
+            return t
+        # group identity compares the REAL key columns (never a 64-bit
+        # hash — collision-free by construction, repo convention)
+        order = pc.sort_indices(t, sort_keys=[
+            (c, "ascending") for c in key_cols]
+            + [(ts_col, "ascending"), (order_tiebreak, "ascending")])
+        t = t.take(order)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = np.ones(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        for c in key_cols:
+            arr = t[c]
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+                else arr
+            same &= pc.equal(arr.slice(1), arr.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+        keep = np.ones(n, bool)
+        if n > 1:
+            keep[1:] = ~(same & (ts[1:] - ts[:-1] <= win_us))
+        return t.filter(pa.array(keep))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(per_partition,
+                                           batch_format="pyarrow")
+
+
 def window_rank(ds, key_col: str, ts_col: str, order_tiebreak: str,
                 num_partitions: int = 32):
     """Per-key ROW_NUMBER + PERCENT_RANK window (the SQL ``row_number()

@@ -2913,3 +2913,42 @@ def test_grouped_mad_fixedpoint_bruteforce(ray_session):
         m = disc_median(x)
         assert row["median_c"] == m
         assert row["mad_c"] == disc_median(np.abs(x - m))
+
+
+def test_debounce_bruteforce(ray_session):
+    """debounce == per-group LAG filter computed brute-force; ties at
+    equal ts resolve by the tiebreak column; layout independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.streaming import debounce
+
+    rng = np.random.default_rng(31)
+    n = 400
+    keys = rng.choice(["u1", "u2", "u3"], size=n)
+    types = rng.choice(["a", "b"], size=n)
+    ts = np.sort(rng.integers(0, 10_000, size=n)).astype("datetime64[s]") \
+        .astype("datetime64[us]")
+    eid = np.arange(n)
+    rng.shuffle(eid)  # tiebreak column not in ts order
+
+    rows = sorted(zip(keys, types, ts, eid),
+                  key=lambda r: (r[0], r[1], r[2], r[3]))
+    win = np.timedelta64(300, "s")
+    want = set()
+    prev = {}
+    for k, ty, t, e in rows:
+        p = prev.get((k, ty))
+        if p is None or t - p > win:
+            want.add(int(e))
+        prev[(k, ty)] = t
+
+    t_in = pa.table({"user": pa.array(keys), "etype": pa.array(types),
+                     "ts": pa.array(ts, pa.timestamp("us")),
+                     "event_id": pa.array(eid, pa.int64())})
+    for blocks in (1, 5):
+        ds = rd.from_arrow(t_in).repartition(blocks)
+        out = debounce(ds, ["user", "etype"], "ts", "event_id", 300.0)
+        got = {r["event_id"] for r in out.take_all()}
+        assert got == want
