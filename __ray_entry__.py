@@ -3834,6 +3834,46 @@ def _q_audio_fingerprint(sf_dir: str):
             [int(stats[f]["band"]) for f in fmts], pa.int64())})
 
 
+def _q_arrow_roundtrip(sf_dir: str):
+    """Documents round-tripped through Arrow IPC (Feather v2) shards
+    (sources/arrow_ipc.py write + the read_corpus ``*.arrow`` source):
+    hash-assigned deterministic shards, one writer task per shard, atomic
+    renames; reads are one-file-per-task with an in-task zero-copy
+    RecordBatchFileReader.  ORACLED: lossless round trip — per-doc byte
+    counts and lang match strlen(text) straight off the parquet.  Shards
+    build once per sf_dir under /tmp behind a _SUCCESS marker."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sources.arrow_ipc import write_arrow_shards
+    from setsketch_ray.sources.readers import read_corpus
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|arrow8".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/arrow_shards_{fp}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_arrow_shards(ds, root, key_col="doc_id", num_shards=8)
+        with open(marker, "w") as fh:
+            fh.write("8 shards\n")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(t["text"], pa.binary())), pa.int64())})
+
+    return read_corpus(root).map_batches(
+        summarize, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_sqlite_roundtrip(sf_dir: str):
     """Documents round-tripped through SQLite shard DBs (sources/sqlite.py
     — stdlib codec over the public SQLite file format; the layout many
@@ -4878,6 +4918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": _q_media_probe,
         "wds_roundtrip": _q_wds_roundtrip,
         "sqlite_roundtrip": _q_sqlite_roundtrip,
+        "arrow_roundtrip": _q_arrow_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "html_extract": _q_html_extract,
         "web_pipeline": _q_web_pipeline,
@@ -5177,6 +5218,9 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         "sqlite_roundtrip":
+            "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
+            "AS n_bytes FROM documents ORDER BY doc_id",
+        "arrow_roundtrip":
             "SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) "
             "AS n_bytes FROM documents ORDER BY doc_id",
         "tfrecord_roundtrip":

@@ -467,6 +467,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_events_debounce(SF_DIR).count()
         timings["events_debounce"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_arrow_roundtrip(SF_DIR).count()
+        timings["arrow_roundtrip"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

@@ -182,6 +182,11 @@ def cmd_convert(args) -> int:
 
         manifest = write_tfrecord_shards(ds, args.output, args.key_col,
                                          num_shards=args.num_shards)
+    elif fmt == "arrow":
+        from .sources.arrow_ipc import write_arrow_shards
+
+        manifest = write_arrow_shards(ds, args.output, args.key_col,
+                                      num_shards=args.num_shards)
     elif fmt == "wds":
         from .sources.webdataset import write_wds_shards
 
@@ -271,7 +276,7 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--output", required=True, help="sink directory")
     cv.add_argument("--format", required=True,
                     choices=["parquet", "sqlite", "avro", "tfrecord",
-                             "wds"])
+                             "arrow", "wds"])
     cv.add_argument("--key-col", default="doc_id",
                     help="shard-assignment key column")
     cv.add_argument("--columns", help="comma-separated column pruning")

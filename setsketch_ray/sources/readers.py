@@ -128,8 +128,10 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
 
         return read_sqlite_files(path, columns=columns,
                                  override_num_blocks=override_num_blocks)
-    if path.endswith((".arrow", ".feather")):
-        # Arrow IPC file (= Feather v2); one file per read task
+    if path.endswith((".arrow", ".feather")) or (
+            os.path.isdir(path) and any(n.endswith((".arrow", ".feather"))
+                                        for n in os.listdir(path))):
+        # Arrow IPC file(s) (= Feather v2); one file per read task
         def parse_ipc(t):
             import io as _io
 
@@ -145,7 +147,11 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
                 tables.append(rb)
             return pa.concat_tables(tables, promote_options="default")
 
-        blobs = rd.read_binary_files([path])
+        paths = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith((".arrow", ".feather"))) \
+            if os.path.isdir(path) else [path]
+        blobs = rd.read_binary_files(paths)
         return blobs.map_batches(parse_ipc, batch_format="pyarrow",
                                  batch_size=None)
     # parquet: pass an explicit metadata-stripped schema so blocks come out

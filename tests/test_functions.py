@@ -2952,3 +2952,41 @@ def test_debounce_bruteforce(ray_session):
         out = debounce(ds, ["user", "etype"], "ts", "event_id", 300.0)
         got = {r["event_id"] for r in out.take_all()}
         assert got == want
+
+
+def test_arrow_ipc_shard_roundtrip(ray_session, tmp_path):
+    """write_arrow_shards -> read_corpus dir dispatch: lossless typed
+    round trip, deterministic shard bytes on rewrite."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from setsketch_ray.sources.arrow_ipc import write_arrow_shards
+    from setsketch_ray.sources.readers import read_corpus
+
+    t = pa.table({
+        "doc_id": pa.array(range(37), pa.int64()),
+        "text": pa.array([f"body {i}" for i in range(37)]),
+        "score": pa.array(np.linspace(-1, 1, 37), pa.float64())})
+    root = str(tmp_path / "ipc")
+    m = write_arrow_shards(rd.from_arrow(t), root, "doc_id", num_shards=3)
+    assert sum(r["n_rows"] for r in m) == 37
+    back = pa.concat_tables(list(read_corpus(root).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20))).sort_by("doc_id")
+    assert back.equals(t)
+    got2 = pa.concat_tables(list(
+        read_corpus(root, columns=["doc_id"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+    assert got2.column_names == ["doc_id"]
+
+    def hashes():
+        return {n: hashlib.sha1(
+            open(os.path.join(root, n), "rb").read()).hexdigest()
+            for n in sorted(os.listdir(root))}
+
+    h1 = hashes()
+    shutil.rmtree(root)
+    write_arrow_shards(rd.from_arrow(t), root, "doc_id", num_shards=3)
+    assert hashes() == h1
