@@ -199,6 +199,31 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Column profile (data card) over any read_corpus-able table: per
+    column — rows, nulls, min/max, exact distinct + GHLL approximate
+    (``functions.relational.profile_columns``)."""
+    _init_ray()
+    from .functions.relational import profile_columns
+    from .sources.readers import read_corpus
+
+    cols = args.columns.split(",") if args.columns else None
+    ds = read_corpus(args.input, columns=cols)
+    if cols is None:
+        sch = ds.schema()
+        import pyarrow as pa_
+
+        cols = [n for n, t in zip(sch.names, sch.types)
+                if pa_.types.is_integer(t) or pa_.types.is_string(t)]
+    report = profile_columns(ds, cols)
+    print(json.dumps(report.to_pylist(), default=str))
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(report, args.output)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="setsketch-ray",
@@ -282,6 +307,14 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--columns", help="comma-separated column pruning")
     cv.add_argument("--num-shards", type=int, default=16)
     cv.set_defaults(fn=cmd_convert)
+
+    st = sub.add_parser("stats", help="column profile / data card over "
+                                      "any corpus source")
+    st.add_argument("--input", required=True)
+    st.add_argument("--columns",
+                    help="comma-separated (default: all int/string cols)")
+    st.add_argument("--output", help="also write the profile as parquet")
+    st.set_defaults(fn=cmd_stats)
     return p
 
 

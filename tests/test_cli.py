@@ -134,3 +134,25 @@ def test_cli_convert_roundtrips(ray_session, tmp_path, capsys):
     back = pa.concat_tables(list(read_corpus(wds).iter_batches(
         batch_format="pyarrow", batch_size=1 << 20)))
     assert back.num_rows == 40 and "text" in back.column_names
+
+
+def test_cli_stats(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.cli import main
+
+    t = pa.table({"id": pa.array([1, 2, 2, None], pa.int64()),
+                  "s": pa.array(["a", "b", "b", "b"], pa.string()),
+                  "f": pa.array([0.5, 1.0, 1.5, 2.0], pa.float64())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    assert main(["stats", "--input", p]) == 0
+    rows = {r["column"]: r for r in json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])}
+    assert set(rows) == {"id", "s"}  # float column auto-excluded
+    assert rows["id"]["n"] == 4 and rows["id"]["n_null"] == 1
+    assert rows["id"]["n_distinct"] == 2
+    assert rows["s"]["n_distinct"] == 2 and rows["s"]["min_str"] == "a"
