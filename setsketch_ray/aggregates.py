@@ -233,25 +233,44 @@ def approx_key_overlap(left, left_col: str, right, right_col: str,
     }
 
 
-def theta_sketch_union(ds, column: str, k: int = 1024) -> "ThetaSketch":
+def theta_sketch_union(ds, column: str, k: int = 1024,
+                       num_combiners: int = 32) -> "ThetaSketch":
     """Distributed KMV/theta sketch of a column's distinct key set
     (``sketchlib/theta.py``): one ``map_batches`` pass emits a <=8k-byte
-    bottom-k partial per block; the driver folds them (the bottom-k of a
-    union stream equals the bottom-k of the per-block bottom-k union, so
-    the fold is EXACT and order-free — sorted anyway per repo convention).
-    The data never shuffles; deterministic counter-mode hashing."""
+    bottom-k partial per block, a combiner level folds them
+    ``num_combiners``-ways (so the driver sees a BOUNDED blob count at
+    any block count — the 100 TB shape), and the driver folds the
+    survivors.  Every fold is EXACT and order-free (the bottom-k of a
+    union stream equals the bottom-k of the per-block bottom-k union);
+    blobs fold in sorted order per repo convention, though the result is
+    order-independent by construction.  The data never shuffles;
+    deterministic counter-mode hashing."""
+    import numpy as np
     import pyarrow as pa
 
+    from .sketchlib.hashing import hash_str_u64
     from .sketchlib.theta import ThetaSketch
 
     def partial(t: pa.Table) -> pa.Table:
         sk = ThetaSketch.from_hashed(k, _column_u64(t, column))
-        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+        b = sk.to_bytes()
+        part = int(hash_str_u64([b], seed=53)[0] % num_combiners)
+        return pa.table({"blob": pa.array([b], pa.binary()),
+                         "__part": pa.array([part], pa.uint32())})
 
-    blobs = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def combine(t: pa.Table) -> pa.Table:
+        sk = ThetaSketch(k)
+        for b in sorted(t["blob"].to_pylist()):
+            sk = sk.merge(ThetaSketch.from_bytes(k, b))
+        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary()),
+                         "__part": pa.array([0], pa.uint32())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__part").map_groups(combine, batch_format="pyarrow") \
+        .take_all()
     sk = ThetaSketch(k)
-    for b in sorted(r["blob"] for r in blobs):
-        sk = sk.merge(ThetaSketch.from_bytes(k, b))
+    for r in sorted(blobs, key=lambda r: r["blob"]):
+        sk = sk.merge(ThetaSketch.from_bytes(k, r["blob"]))
     return sk
 
 
