@@ -1195,7 +1195,8 @@ def word_cooccurrence(ds, text_col: str = "text", vocab_size: int = 64,
 
 def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                words_per_line: int = 10, min_docs: int = 2,
-               num_partitions: int = 32):
+               num_partitions: int = 32, head_broadcast: bool = False,
+               head_k: int = 1024):
     """Corpus-level duplicated-line removal (the CCNet / RefinedWeb text
     curation step: boilerplate lines repeated across pages are dropped from
     EVERY document that carries them).
@@ -1222,15 +1223,19 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     Returns a Dataset of (id, n_lines, n_dropped, text_dedup).  Exactly
     SQL-expressible (pure string/integer ops) — see the driver oracle.
 
-    Skew note (100 TB): every occurrence of a line co-locates in one
-    partition, so a pathological universal line (an empty line, a
-    boilerplate footer in billions of docs) makes a hot partition.  The
-    verdict itself needs only the distinct-doc COUNT, which could be
-    pre-reduced with doc-salted two-level combining; the per-occurrence
-    verdict delivery, however, is inherently a co-partition by line — the
-    production mitigation is a first pass that identifies the head (a
-    Misra-Gries heavy-hitter pass, as in ``heavy_users``) and broadcasts
-    its verdicts, leaving only the long tail to this exchange.
+    Skew (100 TB): every occurrence of a line co-locates in one partition,
+    so a universal boilerplate line (an empty line, a shared footer in
+    billions of docs) makes the plain path's line exchange hot.
+    ``head_broadcast=True`` removes that hot partition: a first pass takes
+    the exact top-``head_k`` lines by occurrence (slim (line, cnt)
+    combine, the ``word_topk`` plan), a second counts their distinct docs
+    EXACTLY in a doc-partitioned exchange (distinct doc sets are disjoint
+    across doc partitions, so per-partition counts ADD — no line ever
+    co-locates), and the main pass resolves head-line occurrences from
+    the broadcast verdict map while only the long tail rides the line
+    exchange.  Output is partition-identical to the plain path (tested);
+    the cost is two extra passes over the derived lines (the derived
+    Dataset is materialized once and reused).
     """
     from ..sketchlib.hashing import mix64
 
@@ -1336,8 +1341,120 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             "n_dropped": pa.array(n_drop.astype(np.int64), pa.int64()),
             "text_dedup": text})
 
-    marked = ds.map_batches(derive, batch_format="pyarrow") \
-        .groupby("__part").map_groups(count_and_mark, batch_format="pyarrow")
+    if not head_broadcast:
+        marked = ds.map_batches(derive, batch_format="pyarrow") \
+            .groupby("__part").map_groups(count_and_mark,
+                                          batch_format="pyarrow")
+        return marked.groupby("__part").map_groups(rebuild,
+                                                   batch_format="pyarrow")
+
+    lines_ds = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    # pass A: exact global top-head_k lines by occurrence count
+    def block_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"line": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.uint32())})
+        agg = pa.table({"line": t["line"]}).group_by(["line"]) \
+            .aggregate([([], "count_all")])
+        cnt_name = [n for n in agg.column_names if n != "line"][0]
+        lv = agg["line"].combine_chunks() if \
+            isinstance(agg["line"], pa.ChunkedArray) else agg["line"]
+        part = (hash_str_u64(lv) % num_partitions).astype(np.uint32)
+        return pa.table({"line": agg["line"],
+                         "cnt": agg[cnt_name].cast(pa.int64()),
+                         "__part": pa.array(part, pa.uint32())})
+
+    def part_topk(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        agg = t.group_by(["line"]).aggregate([("cnt", "sum")])
+        agg = agg.sort_by([("cnt_sum", "descending"),
+                           ("line", "ascending")])
+        return pa.table({"line": agg["line"].slice(0, head_k),
+                         "cnt": agg["cnt_sum"].slice(0, head_k)})
+
+    cand = lines_ds.map_batches(block_counts, batch_format="pyarrow") \
+        .groupby("__part").map_groups(part_topk, batch_format="pyarrow")
+    cand_t = pa.concat_tables(list(cand.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    cand_t = cand_t.sort_by([("cnt", "descending"), ("line", "ascending")])
+    head_lines = cand_t["line"].slice(0, head_k).combine_chunks()
+
+    # pass B: exact distinct-doc counts for the head, doc-partitioned —
+    # distinct doc sets are disjoint across doc partitions so counts ADD
+    def head_pairs(t: pa.Table) -> pa.Table:
+        hidx = pc.index_in(t["line"], value_set=head_lines)
+        mask = pc.is_valid(hidx)
+        hi = pc.fill_null(hidx, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = hi >= 0
+        docs = t[id_col].to_numpy(zero_copy_only=False)[sel]
+        hi = hi[sel]
+        # block-local (head-line, doc) pre-dedup cuts the exchange to
+        # distinct pairs — REAL value compares, never a hash identity
+        order = np.lexsort((docs, hi))
+        hi, docs = hi[order], docs[order]
+        keep = np.ones(len(hi), bool)
+        if len(hi) > 1:
+            keep[1:] = (hi[1:] != hi[:-1]) | (docs[1:] != docs[:-1])
+        hi, docs = hi[keep], docs[keep]
+        part = (mix64(docs.astype(np.uint64)) % num_partitions) \
+            .astype(np.uint32)
+        return pa.table({
+            "hidx": pa.array(hi, pa.int64()),
+            "doc": pa.array(docs),
+            "__part": pa.array(part, pa.uint32())})
+
+    def part_doc_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"hidx": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        agg = pa.table({"hidx": t["hidx"], "doc": t["doc"]}) \
+            .group_by(["hidx", "doc"]).aggregate([]) \
+            .group_by(["hidx"]).aggregate([([], "count_all")])
+        cnt_name = [n for n in agg.column_names if n != "hidx"][0]
+        return pa.table({"hidx": agg["hidx"],
+                         "cnt": agg[cnt_name].cast(pa.int64())})
+
+    hc = pa.concat_tables(list(
+        lines_ds.map_batches(head_pairs, batch_format="pyarrow")
+        .groupby("__part").map_groups(part_doc_counts,
+                                      batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    head_docs = np.zeros(len(head_lines), np.int64)
+    if hc.num_rows:
+        np.add.at(head_docs, hc["hidx"].to_numpy(), hc["cnt"].to_numpy())
+    head_dup = head_docs >= min_docs
+
+    # main pass: head rows resolve from the broadcast verdicts (no line
+    # exchange), tail rows ride the plain count partition
+    def head_mark(t: pa.Table) -> pa.Table:
+        hidx = pc.index_in(t["line"], value_set=head_lines)
+        t = t.filter(pc.is_valid(hidx))
+        idxs = pc.drop_null(hidx).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        drop = head_dup[idxs]
+        lines = t["line"].combine_chunks() if \
+            isinstance(t["line"], pa.ChunkedArray) else t["line"]
+        kept_line = pc.if_else(pa.array(drop),
+                               pa.scalar(None, pa.string()), lines)
+        docs = t[id_col].to_numpy(zero_copy_only=False)
+        part2 = (mix64(docs.astype(np.uint64)) % num_partitions) \
+            .astype(np.uint32)
+        return pa.table({id_col: t[id_col], "line_no": t["line_no"],
+                         "line": kept_line,
+                         "__part": pa.array(part2, pa.uint32())})
+
+    def tail_filter(t: pa.Table) -> pa.Table:
+        hidx = pc.index_in(t["line"], value_set=head_lines)
+        return t.filter(pc.is_null(hidx))
+
+    tail_marked = lines_ds.map_batches(tail_filter, batch_format="pyarrow") \
+        .groupby("__part").map_groups(count_and_mark,
+                                      batch_format="pyarrow")
+    head_marked = lines_ds.map_batches(head_mark, batch_format="pyarrow")
+    marked = tail_marked.union(head_marked)
     return marked.groupby("__part").map_groups(rebuild,
                                                batch_format="pyarrow")
 

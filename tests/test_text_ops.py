@@ -170,3 +170,45 @@ def test_word_cooccurrence_bruteforce(ray_session):
         rd.from_arrow(pa.table({"text": pa.array(docs)})),
         "text", vocab_size=2, k=100)
     assert got2.num_rows == 1  # only one pair possible within a 2-word vocab
+
+
+def test_line_dedup_head_broadcast_partition_identical(ray_session):
+    """head_broadcast=True (hot-line skew mitigation) produces output
+    identical to the plain line-exchange path, including with a universal
+    boilerplate line carried by EVERY doc and a head_k small enough that
+    real duplicated lines remain in the tail."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.text import line_dedup
+
+    rng = np.random.default_rng(41)
+    boiler = " ".join(f"b{i}" for i in range(10))        # universal line
+    shared = [" ".join(f"s{k}w{i}" for i in range(10)) for k in range(6)]
+    texts = []
+    for d in range(80):
+        parts = [boiler]
+        parts.append(" ".join(
+            f"u{d}x{i}" for i in range(10)))             # unique line
+        if d % 3 == 0:
+            parts.append(shared[d % len(shared)])        # tail dup lines
+        rng.shuffle(parts)
+        texts.append(" ".join(parts))
+    ds_t = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                     "text": pa.array(texts)})
+
+    def run(**kw):
+        out = line_dedup(rd.from_arrow(ds_t).repartition(5), **kw)
+        return sorted((r["doc_id"], r["n_lines"], r["n_dropped"],
+                       r["text_dedup"]) for r in out.take_all())
+
+    plain = run()
+    # head_k=3: the boilerplate + at most 2 shared lines go head; the
+    # remaining shared lines exercise the tail exchange
+    headed = run(head_broadcast=True, head_k=3)
+    assert headed == plain
+    # sanity: the universal line was actually dropped everywhere
+    assert all("b0" not in row[3] for row in plain)
+    # full-head variant (everything fits the head) also identical
+    assert run(head_broadcast=True, head_k=10_000) == plain
