@@ -4073,6 +4073,22 @@ def _q_word_freq_cms(sf_dir: str):
     return word_freq_cms(_read(sf_dir, "documents", ["text"]), "text", k=20)
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined chunking dedup statistics (functions/dedup.
+    cdc_chunk_stats — the rsync/LBFS storage-dedup primitive): docs split
+    at content-defined word boundaries (insertion-stable, unlike fixed
+    blocks), chunks deduped corpus-wide; top-10 chunks by occurrence plus
+    the global total/distinct chunk counts.  One vectorized derive pass
+    (the line_dedup offsets trick), per-block (chunk, doc, cnt) combine,
+    ONE slim hash(chunk) exchange.  ORACLED EXACTLY: the boundary rule is
+    a word regexp, so the SQL window-sum reconstruction mirrors it
+    bit-for-bit (integer counts, deterministic top-k tiebreak)."""
+    from setsketch_ray.functions.dedup import cdc_chunk_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_chunk_stats(ds, "doc_id", "text")
+
+
 def _q_line_dedup_docs(sf_dir: str):
     """Corpus-level duplicated-line removal (functions/text.line_dedup —
     the CCNet / RefinedWeb curation step: boilerplate lines repeated
@@ -4927,6 +4943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,
         "word_freq_cms": _q_word_freq_cms,
         "line_dedup_docs": _q_line_dedup_docs,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "validate_lineitem": _q_validate_lineitem,
         "table_diff_docs": _q_table_diff_docs,
         "events_outliers": _q_events_outliers,
@@ -5277,6 +5294,30 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents) WHERE word <> '' GROUP BY word) "
             "ORDER BY cnt DESC, word LIMIT 20",
+        # CDC chunks via the window-sum boundary reconstruction; integer
+        # counts, (n_occ desc, chunk) top-k tiebreak on both engines
+        "cdc_chunk_stats":
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word, "
+            "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+            "FROM documents), "
+            "b AS (SELECT doc_id, word, pos, CASE WHEN "
+            "regexp_matches(word, '[aeiou]$') THEN 1 ELSE 0 END AS isb "
+            "FROM w), "
+            "c AS (SELECT doc_id, word, pos, coalesce(sum(isb) OVER ("
+            "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS chunk_no FROM b), "
+            "chunks AS (SELECT doc_id, chunk_no, "
+            "string_agg(word, ' ' ORDER BY pos) AS chunk FROM c "
+            "GROUP BY doc_id, chunk_no), "
+            "stats AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM chunks GROUP BY chunk), "
+            "summ AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total_chunks, "
+            "CAST(count(*) AS BIGINT) AS distinct_chunks FROM stats) "
+            "SELECT s.chunk, s.n_occ, s.n_docs, m.total_chunks, "
+            "m.distinct_chunks FROM stats s, summ m "
+            "ORDER BY s.n_occ DESC, s.chunk LIMIT 10",
         # pure string/integer ops: 10-word line windows via list slices,
         # dup = line in >=2 distinct docs, docs rebuilt by string_agg
         "line_dedup_docs":

@@ -1712,3 +1712,116 @@ def containment_pairs(ds, id_col: str, text_col: str = "text",
         return t.filter(pa.array(den * sw >= num * na))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def cdc_chunk_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                    boundary_regex: str = "[aeiou]$", top_k: int = 10,
+                    num_partitions: int = 32) -> pa.Table:
+    """Content-defined chunking dedup statistics — the storage-dedup
+    primitive (rsync / LBFS / restic family): documents split at
+    CONTENT-DEFINED boundaries, so an insertion early in a doc does not
+    shift every later chunk (the failure mode of fixed-size blocks), and
+    repeated passages dedup across the corpus at chunk granularity.
+
+    The boundary predicate here is a word-content rule (a word matching
+    ``boundary_regex`` ends its chunk) rather than a Rabin/Gear byte hash
+    — same semantics, and exactly SQL-expressible, so the whole operator
+    is oracled (a production byte-CDC swaps the predicate, nothing else).
+
+    Scale shape: chunk derivation is one vectorized ``map_batches``
+    (the ``line_dedup`` offsets trick — the chunk-start index array IS a
+    valid Arrow offsets array over the flat words); per-block
+    (chunk, doc, cnt) combine; ONE slim hash(chunk) exchange; exact
+    per-chunk occurrence + distinct-doc counts and per-partition local
+    top-k (a global top-k chunk is the top-k of its single partition);
+    the driver merges <= top_k * num_partitions survivor rows plus one
+    summary row per partition.
+
+    Returns a pyarrow Table of the global top-``top_k`` chunks by
+    (n_occ desc, chunk asc): (chunk, n_occ, n_docs, total_chunks,
+    distinct_chunks) — the two summary columns are corpus-global.
+    """
+    def derive(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        offs = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values
+        total = int(offs[-1] - offs[0])
+        if total == 0:
+            return pa.table({"chunk": pa.array([], pa.string()),
+                             "doc": pa.array([], ids.type),
+                             "cnt": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.uint32())})
+        nw = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(nw)), nw)
+        isb = pc.match_substring_regex(flat, boundary_regex) \
+            .to_numpy(zero_copy_only=False)
+        # a chunk starts at each doc's first word and after each boundary
+        start = np.zeros(total, bool)
+        start[offs[:-1][nw > 0] - offs[0]] = True
+        start[1:] |= isb[:-1] & (doc_of[1:] == doc_of[:-1])
+        sidx = np.flatnonzero(start)
+        cofs = np.append(sidx + offs[0], offs[-1])
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(cofs, pa.int64()), flat),
+            " ")
+        docs = ids.take(pa.array(doc_of[sidx], pa.int64()))
+        # block-local (chunk, doc) combine: distinct rows + counts
+        agg = pa.table({"chunk": chunks, "doc": docs}) \
+            .group_by(["chunk", "doc"]).aggregate([([], "count_all")])
+        cnt_name = [n for n in agg.column_names
+                    if n not in ("chunk", "doc")][0]
+        cv = agg["chunk"].combine_chunks() if \
+            isinstance(agg["chunk"], pa.ChunkedArray) else agg["chunk"]
+        part = (hash_str_u64(cv) % num_partitions).astype(np.uint32)
+        return pa.table({"chunk": agg["chunk"], "doc": agg["doc"],
+                         "cnt": agg[cnt_name].cast(pa.int64()),
+                         "__part": pa.array(part, pa.uint32())})
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"chunk": pa.array([], pa.string()),
+                             "n_occ": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "p_total": pa.array([], pa.int64()),
+                             "p_distinct": pa.array([], pa.int64())})
+        # re-combine (chunk, doc) rows arriving from different blocks
+        # BEFORE the doc count, or repeats would inflate n_docs
+        agg0 = t.group_by(["chunk", "doc"]).aggregate([("cnt", "sum")])
+        agg = agg0.group_by(["chunk"]).aggregate(
+            [("cnt_sum", "sum"), ("doc", "count")])
+        occ = agg["cnt_sum_sum"].to_numpy()
+        p_total = int(occ.sum())
+        p_distinct = agg.num_rows
+        agg = agg.sort_by([("cnt_sum_sum", "descending"),
+                           ("chunk", "ascending")]).slice(0, top_k)
+        k = agg.num_rows
+        return pa.table({
+            "chunk": agg["chunk"],
+            "n_occ": agg["cnt_sum_sum"].cast(pa.int64()),
+            "n_docs": agg["doc_count"].cast(pa.int64()),
+            # summary partials ride the FIRST row of each partition
+            "p_total": pa.array([p_total] + [0] * (k - 1), pa.int64()),
+            "p_distinct": pa.array([p_distinct] + [0] * (k - 1),
+                                   pa.int64())})
+
+    parts = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("__part").map_groups(part_stats, batch_format="pyarrow")
+    t = pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow",
+                                                 batch_size=1 << 20)))
+    total = int(t["p_total"].to_numpy().sum()) if t.num_rows else 0
+    distinct = int(t["p_distinct"].to_numpy().sum()) if t.num_rows else 0
+    t = t.sort_by([("n_occ", "descending"), ("chunk", "ascending")]) \
+        .slice(0, top_k)
+    return pa.table({
+        "chunk": t["chunk"],
+        "n_occ": t["n_occ"],
+        "n_docs": t["n_docs"],
+        "total_chunks": pa.array([total] * t.num_rows, pa.int64()),
+        "distinct_chunks": pa.array([distinct] * t.num_rows, pa.int64())})

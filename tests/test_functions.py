@@ -2990,3 +2990,51 @@ def test_arrow_ipc_shard_roundtrip(ray_session, tmp_path):
     shutil.rmtree(root)
     write_arrow_shards(rd.from_arrow(t), root, "doc_id", num_shards=3)
     assert hashes() == h1
+
+
+def test_cdc_chunk_stats_bruteforce(ray_session):
+    """cdc_chunk_stats == brute-force content-defined chunking: boundary
+    after a word matching the regex; insertion-stability demonstrated
+    (chunks after the insertion point are unchanged)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.dedup import cdc_chunk_stats
+
+    docs = {1: "foo bar baza qux nee",   # baza ends 'a' -> boundary
+            2: "tip baza qux nee",
+            3: "foo bar baza tip extra"}
+
+    def chunks_of(text):
+        out, cur = [], []
+        for w in text.split():
+            cur.append(w)
+            if re.search("[aeiou]$", w):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    want = {}
+    for d, text in docs.items():
+        for c in chunks_of(text):
+            occ, ds_ = want.get(c, (0, set()))
+            ds_.add(d)
+            want[c] = (occ + 1, ds_)
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()))})).repartition(2)
+    got = cdc_chunk_stats(ds, top_k=100)
+    assert got["total_chunks"][0].as_py() == sum(
+        v[0] for v in want.values())
+    assert got["distinct_chunks"][0].as_py() == len(want)
+    rows = {r["chunk"]: (r["n_occ"], r["n_docs"])
+            for r in got.to_pylist()}
+    assert rows == {c: (occ, len(dset)) for c, (occ, dset) in want.items()}
+    # insertion stability: "qux nee" appears in docs 1 AND 2 even though
+    # doc 2's prefix differs — a fixed-size blocker would have missed it
+    assert rows["qux nee"] == (2, 2)
