@@ -4073,6 +4073,37 @@ def _q_word_freq_cms(sf_dir: str):
     return word_freq_cms(_read(sf_dir, "documents", ["text"]), "text", k=20)
 
 
+def _q_cdc_bytes_images(sf_dir: str):
+    """Byte-domain gear-hash CDC dedup stats over the deterministic
+    256-image binary corpus (functions/dedup.gear_cdc_boundaries /
+    cdc_bytes_stats — the FastCDC storage-dedup primitive, Xia et al.
+    2016; the word-domain sibling `cdc_chunk_stats` carries the exact SQL
+    oracle, this one exercises the production byte predicate).  The gear
+    recurrence is vectorized via the 64-shift window identity.  ORACLED
+    as invariant rows: the gear hash is not SQL-expressible, so the
+    certificates are (a) vectorized hashes == the independent per-byte
+    scalar reference on a deterministic 1/4 blob subsample, (b) chunks
+    reassemble bit-exactly to every blob, (c) all sizes within the
+    [avg/4, 4*avg] FastCDC bounds, (d) count/byte consistency; n_blobs
+    mirrors the corpus constant."""
+    from setsketch_ray.functions.dedup import cdc_bytes_stats
+    from setsketch_ray.sources.images import images_dataset
+
+    res = cdc_bytes_stats(images_dataset(256, seed=42, parallelism=8),
+                          "image_id", "bytes", avg_bits=9,
+                          scalar_check_mod=4)
+    consistent = int(
+        res["distinct_chunks"] <= res["total_chunks"]
+        and res["distinct_bytes"] <= res["total_bytes"]
+        and res["total_chunks"] > 0)
+    return pa.table({
+        "n_blobs": pa.array([res["n_blobs"]], pa.int64()),
+        "reassembly_ok": pa.array([res["reassembly_ok"]], pa.int64()),
+        "bounds_ok": pa.array([res["bounds_ok"]], pa.int64()),
+        "vec_scalar_ok": pa.array([res["vec_scalar_ok"]], pa.int64()),
+        "dedup_consistent": pa.array([consistent], pa.int64())})
+
+
 def _q_cdc_chunk_stats(sf_dir: str):
     """Content-defined chunking dedup statistics (functions/dedup.
     cdc_chunk_stats — the rsync/LBFS storage-dedup primitive): docs split
@@ -4944,6 +4975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_cms": _q_word_freq_cms,
         "line_dedup_docs": _q_line_dedup_docs,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "cdc_bytes_images": _q_cdc_bytes_images,
         "validate_lineitem": _q_validate_lineitem,
         "table_diff_docs": _q_table_diff_docs,
         "events_outliers": _q_events_outliers,
@@ -5294,6 +5326,14 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents) WHERE word <> '' GROUP BY word) "
             "ORDER BY cnt DESC, word LIMIT 20",
+        # byte-CDC certificates: scalar-reference parity, reassembly,
+        # FastCDC size bounds; n_blobs is the corpus constant
+        "cdc_bytes_images":
+            "SELECT CAST(256 AS BIGINT) AS n_blobs, "
+            "CAST(1 AS BIGINT) AS reassembly_ok, "
+            "CAST(1 AS BIGINT) AS bounds_ok, "
+            "CAST(1 AS BIGINT) AS vec_scalar_ok, "
+            "CAST(1 AS BIGINT) AS dedup_consistent",
         # CDC chunks via the window-sum boundary reconstruction; integer
         # counts, (n_occ desc, chunk) top-k tiebreak on both engines
         "cdc_chunk_stats":

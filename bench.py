@@ -473,6 +473,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_cdc_chunk_stats(SF_DIR).num_rows
         timings["cdc_chunk_stats"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_cdc_bytes_images(SF_DIR).num_rows
+        timings["cdc_bytes_images"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

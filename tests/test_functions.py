@@ -3038,3 +3038,47 @@ def test_cdc_chunk_stats_bruteforce(ray_session):
     # insertion stability: "qux nee" appears in docs 1 AND 2 even though
     # doc 2's prefix differs — a fixed-size blocker would have missed it
     assert rows["qux nee"] == (2, 2)
+
+
+def test_gear_cdc_properties(ray_session):
+    """Gear CDC: vectorized == scalar reference, boundaries respect
+    min/max, chunks reassemble, insertion stability, corpus stats find
+    the planted duplicate blob."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from setsketch_ray.functions.dedup import (_gear_hashes_scalar,
+                                               cdc_bytes_stats,
+                                               gear_cdc_boundaries,
+                                               gear_hashes)
+
+    rng = np.random.default_rng(13)
+    d = rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes()
+    assert (gear_hashes(d) == _gear_hashes_scalar(d)).all()
+
+    cuts = gear_cdc_boundaries(d, avg_bits=9)
+    sizes = np.diff(np.concatenate([[0], cuts]))
+    assert int(cuts[-1]) == len(d)
+    assert (sizes <= 4 * 512).all() and (sizes[:-1] >= 512 // 4).all()
+
+    # insertion stability: cuts after the edit realign (shifted) exactly
+    cuts2 = gear_cdc_boundaries(b"PREFIX!!" + d, avg_bits=9)
+    tail = {int(c) for c in cuts}
+    tail2 = {int(c) - 8 for c in cuts2}
+    assert len(tail & tail2) >= len(tail) - 4
+
+    # corpus stats: one blob duplicated 3x -> distinct < total by >= its
+    # chunk count; certificates all pass
+    blobs = [d, d, d,
+             rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()]
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(range(4), pa.int64()),
+        "bytes": pa.array(blobs, pa.binary())})).repartition(2)
+    res = cdc_bytes_stats(ds, "image_id", "bytes", avg_bits=9,
+                          scalar_check_mod=1)
+    assert res["n_blobs"] == 4
+    assert res["reassembly_ok"] and res["bounds_ok"] \
+        and res["vec_scalar_ok"]
+    assert res["total_chunks"] - res["distinct_chunks"] >= 2 * len(cuts)
+    assert res["total_bytes"] == sum(len(b) for b in blobs)
+    assert res["distinct_bytes"] <= res["total_bytes"] - 2 * len(d)
