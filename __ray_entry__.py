@@ -4879,8 +4879,34 @@ def _q_value_quantiles_sampled(sf_dir: str):
                                 scale=100)
 
 
+def _q_parts_skyline(sf_dir: str):
+    """Skyline / Pareto frontier (relational.skyline — the classic
+    multi-criteria optimization operator: parts where no other part is
+    both cheaper AND larger): minimize retail price (integer cents),
+    maximize size.  Shuffle-FREE distributed plan — skyline(union) is a
+    subset of union(local skylines), so each block emits its local
+    frontier and one driver pass finishes.  ORACLED EXACTLY: on the
+    DISTINCT (price_c, p_size) point set sorted (price asc, size desc),
+    a point is dominated iff max(size) over the strict prefix >= its
+    size — one window function, pure integers."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import skyline
+
+    def scaled(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "price_c": pc.round(pc.multiply(t["p_retailprice"], 100.0))
+            .cast(pa.int64()),
+            "p_size": t["p_size"].cast(pa.int64())})
+
+    ds = _read(sf_dir, "part", ["p_retailprice", "p_size"]) \
+        .map_batches(scaled, batch_format="pyarrow")
+    return skyline(ds, [("price_c", "min"), ("p_size", "max")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "parts_skyline": _q_parts_skyline,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
         "ssjoin_pairs": _q_ssjoin_pairs,
@@ -5044,6 +5070,18 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # skyline over DISTINCT points: sorted (price asc, size desc),
+        # dominated iff prefix-max(size) >= size (pure-integer window)
+        "parts_skyline":
+            "WITH d AS (SELECT DISTINCT "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+            "CAST(p_size AS BIGINT) AS p_size FROM part), "
+            "m AS (SELECT price_c, p_size, max(p_size) OVER ("
+            "ORDER BY price_c ASC, p_size DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM d) "
+            "SELECT price_c, p_size FROM m "
+            "WHERE pm IS NULL OR pm < p_size ORDER BY price_c",
         "exact_dedup_docs":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         # tiered cascade: window-fn exact dedup, then the same distinct-

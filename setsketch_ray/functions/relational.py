@@ -2140,3 +2140,84 @@ def _typed_max(cols, ci, a: str, b: str) -> str:
         return a if int(a) >= int(b) else b
     except ValueError:
         return a if a >= b else b
+
+
+# --------------------------------------------------------------------- skyline
+def _pareto_front(pts):
+    """Lex-sorted distinct rows of ``pts`` that are Pareto-minimal.
+
+    All dimensions minimize.  Exactness hinges on two facts: (a) among
+    DISTINCT points, a dominator is strictly lex-smaller than every point
+    it dominates, so a single lex-order sweep sees dominators first; and
+    (b) dominance is transitive, so testing against already-dominated
+    rows never produces a false positive.  2-D gets the classic O(n log n)
+    cummin sweep; d > 2 a chunked frontier test (each chunk compares
+    against the running frontier with one broadcast, then intra-chunk
+    with one (c x c x d) matrix).
+    """
+    import numpy as np
+
+    p = np.unique(pts, axis=0)          # distinct + lex-sorted
+    n, d = p.shape
+    if n == 0:
+        return p
+    keep = np.ones(n, bool)
+    if d == 2:
+        cm = np.minimum.accumulate(p[:, 1])
+        keep[1:] = p[1:, 1] < cm[:-1]
+        return p[keep]
+    front = np.empty((0, d), p.dtype)
+    out = []
+    for s in range(0, n, 512):
+        c = p[s:s + 512]
+        dom = (front[None, :, :] <= c[:, None, :]).all(2).any(1) \
+            if len(front) else np.zeros(len(c), bool)
+        m = (c[None, :, :] <= c[:, None, :]).all(2)   # m[i, j]: j <= i
+        dom |= np.tril(m, -1).any(1)
+        survivors = c[~dom]
+        out.append(survivors)
+        front = np.concatenate([front, survivors])
+    return np.concatenate(out)
+
+
+def skyline(ds, dims: list[tuple[str, str]]) -> pa.Table:
+    """Distributed skyline (Pareto frontier) over ``dims`` —
+    ``[(col, 'min'|'max'), ...]``; returns the DISTINCT non-dominated
+    points as a lex-sorted Arrow table.
+
+    Exactly mergeable with no shuffle at all: skyline(A + B) is a subset
+    of skyline(A) + skyline(B), so each block emits its local frontier
+    (a map_batches partial, typically ~sqrt-of-block-size rows for
+    anti-correlated dims) and one final pass over the concatenated
+    partials finishes on the driver.  At 100 TB the partials stay tiny
+    relative to blocks; a tree-combine level could be inserted like
+    aggregates.multi_sketch_union if frontiers ever grew, but frontier
+    size is data- not scale-bound (it never exceeds the true skyline
+    times the block count).
+
+    Integer dims only (the repo's fixed-point convention) so dominance
+    comparisons are exact on both engines.
+    """
+    import numpy as np
+
+    cols = [c for c, _ in dims]
+    signs = np.array([1 if s == "min" else -1 for _, s in dims],
+                     dtype=np.int64)
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        pts = np.stack([t[c].to_numpy().astype(np.int64) for c in cols],
+                       axis=1) * signs
+        f = _pareto_front(pts) * signs
+        return pa.table({c: pa.array(f[:, i], pa.int64())
+                         for i, c in enumerate(cols)})
+
+    parts = ds.map_batches(local, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    pts = np.stack([np.array([r[c] for r in parts], dtype=np.int64)
+                    for c in cols], axis=1) * signs
+    f = _pareto_front(pts) * signs
+    return pa.table({c: pa.array(f[:, i], pa.int64())
+                     for i, c in enumerate(cols)})

@@ -3082,3 +3082,26 @@ def test_gear_cdc_properties(ray_session):
     assert res["total_chunks"] - res["distinct_chunks"] >= 2 * len(cuts)
     assert res["total_bytes"] == sum(len(b) for b in blobs)
     assert res["distinct_bytes"] <= res["total_bytes"] - 2 * len(d)
+
+
+def test_skyline_matches_bruteforce(rd):
+    """skyline == brute-force Pareto frontier on distinct points, across
+    min/max direction mixes and a multi-block layout (merge exactness)."""
+    from setsketch_ray.functions.relational import skyline
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 40, 600).astype(np.int64)
+    y = rng.integers(0, 40, 600).astype(np.int64)
+    z = rng.integers(0, 8, 600).astype(np.int64)
+    t = pa.table({"x": x, "y": y, "z": z})
+    for dims in ([("x", "min"), ("y", "max")],
+                 [("x", "max"), ("y", "min"), ("z", "max")]):
+        got = skyline(rd.from_arrow(t).repartition(7), dims)
+        sign = np.array([1 if s == "min" else -1 for _, s in dims])
+        pts = np.unique(
+            np.stack([t[c].to_numpy() for c, _ in dims], 1) * sign, axis=0)
+        dom = ((pts[None, :, :] <= pts[:, None, :]).all(2)
+               & (pts[None, :, :] < pts[:, None, :]).any(2)).any(1)
+        want = pts[~dom] * sign
+        have = np.stack([got[c].to_numpy() for c, _ in dims], 1)
+        assert np.array_equal(np.sort(have, 0), np.sort(want, 0))
