@@ -4904,9 +4904,42 @@ def _q_parts_skyline(sf_dir: str):
     return skyline(ds, [("price_c", "min"), ("p_size", "max")])
 
 
+def _q_orders_geo_pairs(sf_dir: str):
+    """Spatial within-radius pair join (functions/spatial.grid_radius_pairs
+    — the geo-dedup / proximity-blocking primitive): orders get
+    deterministic fixed-point coordinates from an SQL-expressible
+    xor-fold hash (Knuth multiply, fold the high half down, remix — the
+    plain Knuth lattice puts consecutive keys on a LINE and the pair set
+    explodes 100x), then ALL pairs within L-inf radius 2000 come out of
+    one slim grid-cell exchange (5 replicas/point, half-stencil — no
+    pair dedup needed).  ORACLED EXACTLY: same integer coordinates in
+    SQL (xor()/>>/% keep every product < 2^63), DuckDB IEJoin on the two
+    BETWEEN ranges."""
+    from setsketch_ray.functions.spatial import grid_radius_pairs
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.uint64)
+        m32, a, b = np.uint64(1 << 32), np.uint64(2654435761), \
+            np.uint64(40503)
+        h = (k * a) % m32
+        x = ((h ^ (h >> np.uint64(16))) * b) % m32 % np.uint64(1_000_000)
+        h2 = ((k + np.uint64(1000003)) * a) % m32
+        y = ((h2 ^ (h2 >> np.uint64(16))) * b) % m32 \
+            % np.uint64(1_000_000)
+        return pa.table({"id": t["o_orderkey"],
+                         "x": pa.array(x.astype(np.int64), pa.int64()),
+                         "y": pa.array(y.astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return grid_radius_pairs(ds, "id", "x", "y", radius=2000,
+                             metric="linf")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parts_skyline": _q_parts_skyline,
+        "orders_geo_pairs": _q_orders_geo_pairs,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
         "ssjoin_pairs": _q_ssjoin_pairs,
@@ -5070,6 +5103,26 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # same xor-fold coordinates both sides; IEJoin on the ranges
+        "orders_geo_pairs":
+            "WITH h AS (SELECT o_orderkey AS id, "
+            "(o_orderkey * 2654435761) % 4294967296 AS h1, "
+            "((o_orderkey + 1000003) * 2654435761) % 4294967296 AS h2 "
+            "FROM orders), "
+            "p AS (SELECT id, "
+            "(xor(h1, h1 >> 16) * 40503) % 4294967296 % 1000000 AS x, "
+            "(xor(h2, h2 >> 16) * 40503) % 4294967296 % 1000000 AS y "
+            "FROM h), "
+            "c AS (SELECT id, x, y, x // 2000 AS cx, y // 2000 AS cy "
+            "FROM p), "
+            "o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)), "
+            "r AS (SELECT c.id, c.x, c.y, c.cx + o.dx AS gx, "
+            "c.cy + o.dy AS gy FROM c, o) "
+            "SELECT a.id AS id_a, b.id AS id_b "
+            "FROM c a JOIN r b ON a.cx = b.gx AND a.cy = b.gy "
+            "WHERE a.id < b.id AND abs(a.x - b.x) <= 2000 "
+            "AND abs(a.y - b.y) <= 2000 ORDER BY id_a, id_b",
         # skyline over DISTINCT points: sorted (price asc, size desc),
         # dominated iff prefix-max(size) >= size (pure-integer window)
         "parts_skyline":

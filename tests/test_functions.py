@@ -3105,3 +3105,32 @@ def test_skyline_matches_bruteforce(rd):
         want = pts[~dom] * sign
         have = np.stack([got[c].to_numpy() for c, _ in dims], 1)
         assert np.array_equal(np.sort(have, 0), np.sort(want, 0))
+
+
+def test_grid_radius_pairs_bruteforce(rd):
+    """grid_radius_pairs == brute-force within-radius pair set for both
+    metrics, across a multi-block layout, with coordinate ties and
+    cell-border points present."""
+    from setsketch_ray.functions.spatial import grid_radius_pairs
+
+    rng = np.random.default_rng(11)
+    n, r = 900, 50
+    x = rng.integers(0, 2000, n).astype(np.int64)
+    y = rng.integers(0, 2000, n).astype(np.int64)
+    x[::37] = (x[::37] // r) * r            # exact cell borders
+    x[1] , y[1] = x[0], y[0]                # duplicate coordinates
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    t = pa.table({"id": ids, "x": x, "y": y})
+    dx = np.abs(x[:, None] - x[None, :])
+    dy = np.abs(y[:, None] - y[None, :])
+    for metric in ("linf", "l2"):
+        got = grid_radius_pairs(
+            rd.from_arrow(t).repartition(6), "id", "x", "y", r,
+            metric=metric, num_partitions=8).to_pandas()
+        m = (np.maximum(dx, dy) <= r) if metric == "linf" else \
+            (dx.astype(np.int64) ** 2 + dy.astype(np.int64) ** 2 <= r * r)
+        ia, ib = np.nonzero(np.triu(m, 1))
+        want = set(zip(np.minimum(ids[ia], ids[ib]),
+                       np.maximum(ids[ia], ids[ib])))
+        have = set(zip(got["id_a"], got["id_b"]))
+        assert have == want and len(got) == len(have)
