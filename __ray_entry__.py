@@ -4936,10 +4936,34 @@ def _q_orders_geo_pairs(sf_dir: str):
                              metric="linf")
 
 
+def _q_part_triangles(sf_dir: str):
+    """Distributed triangle counting (functions/graph.py — the classic
+    wide graph kernel) over the part co-purchase graph (distinct part
+    pairs sharing an order, parts restricted to partkey%10==0 to keep
+    the graph sparse-but-triangled at every sf): degree-ORIENTED wedge
+    generation bounds per-node fan-out at O(sqrt(m)) — the celebrity-
+    node explosion that kills a naive groupby — then wedges close
+    against the edge set in one co-partitioned key exchange; only int64
+    keys ever shuffle.  ORACLED EXACTLY: edges/wedges/triangles are pure
+    integer set algebra (DISTINCT self-join + 3-way equi-join)."""
+    from setsketch_ray.functions.graph import (cooccurrence_edges,
+                                               triangle_count)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = t["l_partkey"].to_numpy() % 10 == 0
+        return t.filter(pa.array(m))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges, "u", "v")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parts_skyline": _q_parts_skyline,
         "orders_geo_pairs": _q_orders_geo_pairs,
+        "part_triangles": _q_part_triangles,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
         "ssjoin_pairs": _q_ssjoin_pairs,
@@ -5103,6 +5127,21 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # triangles = canonical edges joined 3-ways; wedges = sum C(d,2)
+        "part_triangles":
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_partkey % 10 = 0), "
+            "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+            "JOIN li b ON a.o = b.o AND a.p < b.p), "
+            "deg AS (SELECT x, count(*) AS d FROM ("
+            "SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) "
+            "GROUP BY x) "
+            "SELECT (SELECT count(*) FROM deg) AS n_nodes, "
+            "(SELECT count(*) FROM e) AS n_edges, "
+            "(SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) "
+            "AS n_wedges, "
+            "(SELECT count(*) FROM e e1 JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles",
         # same xor-fold coordinates both sides; IEJoin on the ranges
         "orders_geo_pairs":
             "WITH h AS (SELECT o_orderkey AS id, "

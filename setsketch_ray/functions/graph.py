@@ -1,0 +1,190 @@
+"""Distributed graph operators: co-occurrence edges + triangle counting.
+
+Triangle counting is the canonical "wide" graph kernel: the naive plan
+joins the edge table against itself twice (all-to-all on a potentially
+skewed key).  The scale-safe plan used here is degree orientation
+(Cohen / "node-iterator++"): orient every edge from its lower-(degree,
+id) endpoint to the higher one, so every node's OUT-degree is at most
+O(sqrt(m)) regardless of how skewed the in-degrees are, and the number
+of generated wedges is bounded by sum C(outdeg, 2) <= O(m^1.5) — the hot
+celebrity node that would explode a groupby stays bounded.  Wedges then
+close against the distinct edge set in one co-partitioned hash exchange;
+nothing ever materializes on the driver except per-partition counters.
+
+All exchanges carry only int64 keys (u, v packed as (u << 32) | v), so
+the operator is exactly SQL-oracle-able (edges/wedges/triangles are pure
+integer set algebra).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from setsketch_ray.functions.spatial import _segment_cross
+
+_KNUTH = np.uint64(2654435761)
+
+
+def _part_of(key: np.ndarray, num_partitions: int) -> np.ndarray:
+    return (((key.astype(np.uint64) * _KNUTH) >> np.uint64(16))
+            % np.uint64(num_partitions)).astype(np.uint32)
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_partitions: int = 64):
+    """DISTINCT canonical (u < v) item pairs co-occurring in a group
+    (market-basket / co-purchase edge derivation).  Two slim exchanges:
+    co-locate rows by group, emit per-group distinct-item pairs, then
+    dedup edges by edge-key partition.  Group fan-out is C(k, 2) per
+    group — callers cap pathological group sizes upstream."""
+
+    def tag_group(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy().astype(np.int64)
+        return pa.table({
+            "g": pa.array(g, pa.int64()),
+            "i": pa.array(t[item_col].to_numpy().astype(np.int64),
+                          pa.int64()),
+            "__part": pa.array(_part_of(g, num_partitions), pa.uint32())})
+
+    edge_empty = pa.table({"u": pa.array([], pa.int64()),
+                           "v": pa.array([], pa.int64()),
+                           "__part": pa.array([], pa.uint32())})
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_empty
+        g = t["g"].to_numpy()
+        i = t["i"].to_numpy()
+        # distinct (g, i), grouped by g via the lex sort inside unique
+        gi = np.unique(np.stack([g, i], axis=1), axis=0)
+        g, i = gi[:, 0], gi[:, 1]
+        off = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1])
+        cnt = np.diff(np.concatenate([off, [len(g)]]))
+        ia, ib = _segment_cross(off, cnt, off, cnt)
+        keep = ia < ib
+        u, v = i[ia[keep]], i[ib[keep]]   # sorted within group => u < v
+        key = u * (1 << 32) + v
+        return pa.table({
+            "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+            "__part": pa.array(_part_of(key, num_partitions), pa.uint32())})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_empty.drop_columns(["__part"])
+        key = t["u"].to_numpy() * (1 << 32) + t["v"].to_numpy()
+        k = np.unique(key)
+        return pa.table({"u": pa.array(k >> 32, pa.int64()),
+                         "v": pa.array(k & ((1 << 32) - 1), pa.int64())})
+
+    co = ds.map_batches(tag_group, batch_format="pyarrow") \
+        .groupby("__part").map_groups(emit, batch_format="pyarrow")
+    return co.groupby("__part").map_groups(dedup, batch_format="pyarrow")
+
+
+def triangle_count(edges, u_col: str = "u", v_col: str = "v",
+                   num_partitions: int = 64) -> pa.Table:
+    """Exact triangle / wedge / edge / node counts over a DISTINCT
+    canonical (u < v) edge dataset.  Returns one row: n_nodes, n_edges,
+    n_wedges (sum C(deg, 2) — orientation-free), n_triangles."""
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    edges = edges.materialize()   # consumed three times below
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t[u_col].to_numpy(), t[v_col].to_numpy()])
+        return pa.table({"node": pa.array(n.astype(np.int64), pa.int64())})
+
+    deg = grouped_aggregate(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        ["node"], {"d": ("count", None)}, final="ray")
+
+    deg = deg.materialize()
+
+    def _ren(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["node", name])
+        return fn
+
+    ed = lookup_join(edges, deg.map_batches(_ren("d_u"),
+                                            batch_format="pyarrow"),
+                     u_col, "node", how="inner")
+    ed = lookup_join(ed, deg.map_batches(_ren("d_v"),
+                                         batch_format="pyarrow"),
+                     v_col, "node", how="inner")
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t[u_col].to_numpy().astype(np.int64)
+        v = t[v_col].to_numpy().astype(np.int64)
+        du = t["d_u"].to_numpy().astype(np.int64)
+        dv = t["d_v"].to_numpy().astype(np.int64)
+        # lower (degree, id) endpoint becomes the wedge source
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(fwd, u, v)
+        dst = np.where(fwd, v, u)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "__part": pa.array(_part_of(src, num_partitions), pa.uint32())})
+
+    probe_empty = pa.table({"k": pa.array([], pa.int64()),
+                            "side": pa.array([], pa.int8()),
+                            "__part": pa.array([], pa.uint32())})
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return probe_empty
+        sd = np.unique(np.stack([t["src"].to_numpy(),
+                                 t["dst"].to_numpy()], axis=1), axis=0)
+        s, d = sd[:, 0], sd[:, 1]
+        off = np.concatenate([[0], np.nonzero(np.diff(s))[0] + 1])
+        cnt = np.diff(np.concatenate([off, [len(s)]]))
+        ia, ib = _segment_cross(off, cnt, off, cnt)
+        keep = ia < ib
+        a, b = d[ia[keep]], d[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        k = lo * (1 << 32) + hi
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "__part": pa.array(_part_of(k, num_partitions), pa.uint32())})
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        k = t[u_col].to_numpy().astype(np.int64) * (1 << 32) \
+            + t[v_col].to_numpy().astype(np.int64)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "__part": pa.array(_part_of(k, num_partitions), pa.uint32())})
+
+    count_empty = pa.table({"n": pa.array([], pa.int64())})
+
+    def close_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return count_empty
+        side = t["side"].to_numpy()
+        k = t["k"].to_numpy()
+        ek = np.unique(k[side == 0])
+        wk = k[side == 1]
+        pos = np.searchsorted(ek, wk)
+        pos[pos >= len(ek)] = 0 if len(ek) else 0
+        n = int((ek[pos] == wk).sum()) if len(ek) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    w = ed.map_batches(orient, batch_format="pyarrow") \
+        .groupby("__part").map_groups(wedges, batch_format="pyarrow")
+    e = edges.map_batches(edge_keys, batch_format="pyarrow")
+    tri = int(sum(r["n"] for r in
+                  w.union(e).groupby("__part")
+                  .map_groups(close_count, batch_format="pyarrow")
+                  .take_all()))
+
+    dtab = deg.to_pandas() if hasattr(deg, "to_pandas") else deg
+    dvals = np.asarray(dtab["d"], dtype=np.int64)
+    return pa.table({
+        "n_nodes": pa.array([len(dvals)], pa.int64()),
+        "n_edges": pa.array([int(edges.count())], pa.int64()),
+        "n_wedges": pa.array([int((dvals * (dvals - 1) // 2).sum())],
+                             pa.int64()),
+        "n_triangles": pa.array([tri], pa.int64())})

@@ -3134,3 +3134,39 @@ def test_grid_radius_pairs_bruteforce(rd):
                        np.maximum(ids[ia], ids[ib])))
         have = set(zip(got["id_a"], got["id_b"]))
         assert have == want and len(got) == len(have)
+
+
+def test_triangle_count_bruteforce(rd):
+    """triangle_count == adjacency-matrix trace/6 on a random graph;
+    wedge count == sum C(deg,2); cooccurrence_edges derives the distinct
+    canonical pair set (duplicate group memberships collapse)."""
+    from setsketch_ray.functions.graph import (cooccurrence_edges,
+                                               triangle_count)
+
+    rng = np.random.default_rng(5)
+    pairs = set()
+    while len(pairs) < 300:
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    u = np.array([p[0] for p in sorted(pairs)], np.int64)
+    v = np.array([p[1] for p in sorted(pairs)], np.int64)
+    adj = np.zeros((60, 60), np.int64)
+    adj[u, v] = adj[v, u] = 1
+    deg = adj.sum(1)
+    out = triangle_count(
+        rd.from_arrow(pa.table({"u": u, "v": v})).repartition(5),
+        "u", "v", num_partitions=8).to_pydict()
+    assert out == {
+        "n_nodes": [int((deg > 0).sum())], "n_edges": [len(pairs)],
+        "n_wedges": [int((deg * (deg - 1) // 2).sum())],
+        "n_triangles": [int(np.trace(adj @ adj @ adj)) // 6]}
+
+    # co-occurrence edge derivation: groups -> distinct item pairs
+    g = np.array([1, 1, 1, 2, 2, 2, 3, 3], np.int64)
+    i = np.array([10, 11, 10, 11, 12, 11, 10, 12], np.int64)
+    e = cooccurrence_edges(
+        rd.from_arrow(pa.table({"g": g, "i": i})).repartition(3),
+        "g", "i", num_partitions=4).to_pandas()
+    have = set(zip(e["u"], e["v"]))
+    assert have == {(10, 11), (11, 12), (10, 12)}
