@@ -4959,9 +4959,63 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges, "u", "v")
 
 
+def _q_pagerank_parts(sf_dir: str):
+    """Distributed PageRank (functions/graph.pagerank_fixedpoint) over the
+    same part co-purchase graph as part_triangles, 3 power iterations in
+    PURE-INTEGER fixpoint arithmetic (rank scale 1e12, damping 85/100,
+    floor division everywhere) so the whole iteration chain is exactly
+    SQL-oracle-able as unrolled CTEs.  Per iteration: ONE slim
+    co-partitioned lookup_join (ranks are (node, r) int64 pairs) + a
+    combiner-first hash-partitioned sum — per-node state never collapses
+    to a single block or the driver.  Top-20 by (pr DESC, node ASC)."""
+    from setsketch_ray.functions.graph import (cooccurrence_edges,
+                                               pagerank_fixedpoint)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = t["l_partkey"].to_numpy() % 10 == 0
+        return t.filter(pa.array(m))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # the co-purchase graph is node-sparse at every sf (parts%10==0):
+    # 16 rank partitions keep the 3 per-iteration exchanges task-light;
+    # at real scale callers raise num_partitions with the node count
+    return pagerank_fixedpoint(edges, iters=3, num_partitions=16)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-fixpoint PageRank CTE chain mirroring
+    functions/graph.pagerank_fixedpoint over the part co-purchase graph.
+    All arithmetic stays integral (HUGEINT sums, floor division) until the
+    final BIGINT cast — no float association, engine-exact."""
+    sql = (
+        "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey % 10 = 0), "
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+        "JOIN li b ON a.o = b.o AND a.p < b.p), "
+        "de AS (SELECT u AS s, v AS d FROM e "
+        "UNION ALL SELECT v AS s, u AS d FROM e), "
+        "dg AS (SELECT s, count(*) AS dg FROM de GROUP BY s), "
+        "cc AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS rr, "
+        "CAST(15 * (1000000000000 // count(*)) // 100 AS BIGINT) AS bb "
+        "FROM dg), "
+        "r0 AS (SELECT s AS node, (SELECT rr FROM cc) AS r FROM dg)")
+    for i in range(1, iters + 1):
+        sql += (
+            f", r{i} AS (SELECT de.d AS node, "
+            f"CAST((SELECT bb FROM cc) + 85 * sum(r{i - 1}.r // dg.dg) "
+            f"// 100 AS BIGINT) AS r FROM de "
+            f"JOIN r{i - 1} ON r{i - 1}.node = de.s "
+            f"JOIN dg ON dg.s = de.s GROUP BY de.d)")
+    return sql + (f" SELECT node, r AS pr FROM r{iters} "
+                  "ORDER BY pr DESC, node LIMIT 20")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parts_skyline": _q_parts_skyline,
+        "pagerank_parts": _q_pagerank_parts,
         "orders_geo_pairs": _q_orders_geo_pairs,
         "part_triangles": _q_part_triangles,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -5127,6 +5181,8 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # integer-fixpoint power iteration, unrolled CTE per iteration
+        "pagerank_parts": _pagerank_oracle(3),
         # triangles = canonical edges joined 3-ways; wedges = sum C(d,2)
         "part_triangles":
             "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "

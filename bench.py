@@ -477,6 +477,11 @@ def run_benchmarks() -> dict:
         entrymod._q_cdc_bytes_images(SF_DIR).num_rows
         timings["cdc_bytes_images"] = time.time() - t0
 
+        # --- round-4 session-III additions
+        t0 = time.time()
+        entrymod._q_pagerank_parts(SF_DIR).count()
+        timings["pagerank_parts"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)

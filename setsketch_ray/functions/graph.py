@@ -82,6 +82,116 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
     return co.groupby("__part").map_groups(dedup, batch_format="pyarrow")
 
 
+def pagerank_fixedpoint(edges, iters: int = 3, scale: int = 10 ** 12,
+                        damping: tuple[int, int] = (85, 100),
+                        num_partitions: int = 64, top_k: int = 20):
+    """Distributed PageRank power iteration over an undirected DISTINCT
+    canonical (u < v) edge dataset, in PURE-INTEGER fixpoint arithmetic so
+    every iteration is exactly SQL-oracle-able (unrolled CTEs).
+
+    Spec (deterministic, engine-independent):
+        n       = number of nodes;  r0 = scale // n  for every node
+        base    = (dnum_c * (scale // n)) // dden  with (dnum, dden) =
+                  damping and dnum_c = dden - dnum (teleport mass)
+        r'[v]   = base + (dnum * sum_{(u,v) in E} (r[u] // deg[u])) // dden
+    Integer floor division makes the fixpoint a pure function of the edge
+    set — no float association, no HUGEINT-to-DOUBLE hazard (the oracle
+    keeps DuckDB's HUGEINT sums integral until the final BIGINT cast).
+
+    Scale shape: the directed edge table (16 B/edge + outdeg) is built and
+    hash-partitioned ONCE; each iteration is one slim co-partitioned
+    ``lookup_join`` (ranks are (node, r) int64 pairs) plus one combiner
+    ``grouped_aggregate`` — per-node state never touches the driver.  The
+    undirected expansion gives every node out-degree >= 1, so there is no
+    dangling-mass redistribution exchange.
+
+    Returns the top ``top_k`` (node, pr) rows by (pr DESC, node ASC) as a
+    sorted Ray Dataset.  Reference framing: standard power-iteration
+    PageRank (Brin & Page 1998), re-expressed as Ray Data exchanges.
+    """
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        return pa.table({
+            "s": pa.array(np.concatenate([u, v]), pa.int64()),
+            "d": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    de = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    deg = grouped_aggregate(de, ["s"], {"dg": ("count", None)}, final="ray") \
+        .materialize()
+    n_nodes = int(deg.count())
+    if n_nodes == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "pr": pa.array([], pa.int64())})
+    dnum, dden = damping
+    r0 = scale // n_nodes
+    base = (dden - dnum) * r0 // dden
+
+    de_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    dg_schema = pa.schema([("s", pa.int64()), ("dg", pa.int64())])
+    edg_schema = pa.schema([("s", pa.int64()), ("d", pa.int64()),
+                            ("dg", pa.int64())])
+    rank_schema = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+
+    # outdeg rides the edge table once — never re-attached per iteration
+    de_dg = lookup_join(de, deg, "s", "s",
+                        num_partitions=num_partitions,
+                        left_schema=de_schema, right_schema=dg_schema) \
+        .materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["s"],
+            "r": pa.array(np.full(t.num_rows, r0, np.int64), pa.int64())})
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow")
+
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        """Per-batch combiner: sum contributions by destination BEFORE the
+        shuffle, tag with the destination's hash partition."""
+        r = t["r"].to_numpy().astype(np.int64)
+        dg = t["dg"].to_numpy().astype(np.int64)
+        part = pa.table({"d": t["d"],
+                         "c": pa.array(r // dg, pa.int64())}) \
+            .group_by(["d"]).aggregate([("c", "sum")])
+        dst = part["d"].to_numpy().astype(np.int64)
+        return pa.table({
+            "d": part["d"], "c": part["c_sum"],
+            "__part": pa.array(_part_of(dst, num_partitions), pa.uint32())})
+
+    rank_empty = pa.table({"node": pa.array([], pa.int64()),
+                           "r": pa.array([], pa.int64())})
+
+    def finish_partition(t: pa.Table) -> pa.Table:
+        """Per-partition final sum + damping formula — rank state stays
+        partition-parallel (never a single block / the driver)."""
+        if t.num_rows == 0:
+            return rank_empty
+        agg = t.group_by(["d"]).aggregate([("c", "sum")])
+        sc = agg["c_sum"].to_numpy().astype(np.int64)
+        return pa.table({
+            "node": agg["d"],
+            "r": pa.array(base + dnum * sc // dden, pa.int64())})
+
+    for _ in range(iters):
+        ed_r = lookup_join(de_dg, ranks, "s", "node",
+                           num_partitions=num_partitions,
+                           left_schema=edg_schema,
+                           right_schema=rank_schema)
+        ranks = ed_r.map_batches(contrib_partial, batch_format="pyarrow") \
+            .groupby("__part") \
+            .map_groups(finish_partition, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "pr"])
+
+    return ranks.map_batches(rename, batch_format="pyarrow") \
+        .sort(["pr", "node"], descending=[True, False]).limit(top_k)
+
+
 def triangle_count(edges, u_col: str = "u", v_col: str = "v",
                    num_partitions: int = 64) -> pa.Table:
     """Exact triangle / wedge / edge / node counts over a DISTINCT

@@ -3170,3 +3170,52 @@ def test_triangle_count_bruteforce(rd):
         "g", "i", num_partitions=4).to_pandas()
     have = set(zip(e["u"], e["v"]))
     assert have == {(10, 11), (11, 12), (10, 12)}
+
+
+def test_pagerank_fixedpoint_bruteforce(rd):
+    """pagerank_fixedpoint == a serial numpy re-derivation of the same
+    integer-fixpoint spec on a random graph (exact int64 equality), and
+    the damping sanity holds (hub node outranks leaves on a star)."""
+    from setsketch_ray.functions.graph import pagerank_fixedpoint
+
+    rng = np.random.default_rng(11)
+    pairs = set()
+    while len(pairs) < 200:
+        a, b = rng.integers(0, 50, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    u = np.array([p[0] for p in sorted(pairs)], np.int64)
+    v = np.array([p[1] for p in sorted(pairs)], np.int64)
+
+    # serial reference: identical integer-floor spec
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    idx = {int(x): i for i, x in enumerate(nodes)}
+    s = np.array([idx[int(x)] for x in np.concatenate([u, v])])
+    d = np.array([idx[int(x)] for x in np.concatenate([v, u])])
+    deg = np.bincount(s, minlength=n).astype(np.int64)
+    scale = 10 ** 12
+    r = np.full(n, scale // n, np.int64)
+    base = 15 * (scale // n) // 100
+    for _ in range(3):
+        contrib = r[s] // deg[s]
+        sums = np.zeros(n, np.int64)
+        np.add.at(sums, d, contrib)
+        r = base + 85 * sums // 100
+    order = np.lexsort((nodes, -r))[:20]
+    want = list(zip(nodes[order], r[order]))
+
+    out = pagerank_fixedpoint(
+        rd.from_arrow(pa.table({"u": u, "v": v})).repartition(5),
+        iters=3, num_partitions=8, top_k=20).to_pandas()
+    have = list(zip(out["node"], out["pr"]))
+    assert have == want
+
+    # star graph: the hub strictly outranks every leaf
+    hub_u = np.zeros(9, np.int64)
+    hub_v = np.arange(1, 10, dtype=np.int64)
+    star = pagerank_fixedpoint(
+        rd.from_arrow(pa.table({"u": hub_u, "v": hub_v})),
+        iters=3, num_partitions=4, top_k=10).to_pandas()
+    assert star["node"][0] == 0
+    assert star["pr"][0] > star["pr"][1]
