@@ -4863,6 +4863,37 @@ def _q_events_sample_bottomk(sf_dir: str):
     return bottom_k_sample(ds, "event_id", 2048)
 
 
+def _q_events_weighted_sample(sf_dir: str):
+    """Weight-biased deterministic sample
+    (relational.weighted_bottom_k_sample, integer_race mode): rank rows by
+    the pure-integer priority (knuth_hash(event_id) << 20) // w_cents and
+    keep the 1024 smallest — heavier rows (exact integer cents of
+    events.value) win the race stochastically more often.  Mergeable
+    bottom-k partials (<= k rows leave each block); the sample is a pure
+    function of the (key, weight) set, so it is partition/resume invariant
+    and the oracle reproduces it with ORDER BY priority, key LIMIT k.
+    The exact-proportional Efraimidis–Spirakis mode (float exponential
+    race) is library-side (mode="exp_race", statistical test)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import weighted_bottom_k_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        # +1 keeps the weight strictly positive (a handful of rows carry
+        # value == 0.0 at sf0.1); the oracle shifts identically
+        return pa.table({
+            "event_id": t["event_id"],
+            "w_cents": pc.add(
+                pc.round(pc.multiply(t["value"], pa.scalar(100.0)))
+                .cast(pa.int64()), pa.scalar(1, pa.int64()))})
+
+    return weighted_bottom_k_sample(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_id", "w_cents", 1024)
+
+
 def _q_value_quantiles_sampled(sf_dir: str):
     """Approximate quantiles from the bottom-k uniform sample (rank error
     O(1/sqrt(k)) vs the full data, asserted in tests) — but EXACTLY oracled,
@@ -5153,6 +5184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "events_sample_bottomk": _q_events_sample_bottomk,
+        "events_weighted_sample": _q_events_weighted_sample,
         "value_quantiles_sampled": _q_value_quantiles_sampled,
         "image_cluster_representatives": _q_image_cluster_representatives,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -6538,6 +6570,14 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT event_id, value FROM events "
             "ORDER BY (event_id * 2654435761) % 4294967296, event_id "
             "LIMIT 2048",
+        # weighted integer race: priority = (hash << 20) // weight, pure
+        # BIGINT arithmetic (hash*2^20 < 2^52), ties by key
+        "events_weighted_sample":
+            "SELECT event_id, "
+            "CAST(round(value * 100) AS BIGINT) + 1 AS w_cents FROM events "
+            "ORDER BY (((event_id * 2654435761) % 4294967296) * 1048576) "
+            "// (CAST(round(value * 100) AS BIGINT) + 1), event_id "
+            "LIMIT 1024",
         "value_quantiles_sampled":
             "WITH s AS (SELECT value FROM events "
             "ORDER BY (event_id * 2654435761) % 4294967296, event_id "

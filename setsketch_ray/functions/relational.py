@@ -200,6 +200,78 @@ def bottom_k_sample(ds, key_col: str, k: int, num_partitions: int = 32):
         .drop_columns(["__h"])
 
 
+def weighted_bottom_k_sample(ds, key_col: str, weight_col: str, k: int,
+                             mode: str = "integer_race", salt: int = 0):
+    """Deterministic weighted bottom-k sample (weighted reservoir shape).
+
+    ``mode="integer_race"`` (default — exactly SQL-oracle-able): rank each
+    row by the PURE-INTEGER priority ``p = (h << 20) // w`` where ``h`` is
+    the SQL-expressible Knuth 32-bit hash of the unique integer key and
+    ``w`` the positive int64 weight; keep the k smallest by ``(p, key)``.
+    Heavier rows draw stochastically smaller priorities (the u/w uniform
+    race), so inclusion probability rises monotonically with weight — but
+    NOT exactly proportionally (that needs the exponential race below).
+    The spec is a pure function of the (key, weight) set: mergeable,
+    partition/resume invariant, and bit-reproducible in ANSI SQL as
+    ``ORDER BY ((key*2654435761)%4294967296)*1048576 // w, key LIMIT k``.
+    ``h * 2^20 < 2^52`` keeps every product inside exact BIGINT range.
+
+    ``mode="exp_race"``: Efraimidis–Spirakis without-replacement sampling
+    with EXACT proportional inclusion: ``p = -ln((h+0.5)/2^32) / w``.
+    Float priorities — numpy's SIMD log and an engine's libm are not
+    bitwise-identical, so this mode is for library callers and statistical
+    tests, never the oracle path.  ``salt`` selects an independent replicate
+    (exp_race draws ride the NONLINEAR 64-bit mixer — the Knuth hash is
+    linear, so salted copies of it are perfectly correlated across keys and
+    useless as replicates; integer_race ignores ``salt`` nonlinearity since
+    its single draw must stay SQL-expressible).
+
+    Contract: ``key_col`` unique non-negative int64 small enough for the
+    non-wrapping hash (asserted); ``weight_col`` positive int64.
+    """
+    import numpy as np
+
+    if mode not in ("integer_race", "exp_race"):
+        raise ValueError(f"weighted_bottom_k_sample: bad mode {mode!r}")
+
+    def local_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            typ = pa.uint64() if mode == "integer_race" else pa.float64()
+            return t.append_column("__p", pa.array([], typ))
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if w.min(initial=1) <= 0:
+            raise ValueError("weighted_bottom_k_sample: weights must be > 0")
+        if mode == "integer_race":
+            ks = key + salt * 1000003
+            if ks.max(initial=0) >= (1 << 63) // int(_KNUTH) or ks.min() < 0:
+                raise ValueError(
+                    "weighted_bottom_k_sample: key outside the SQL-safe "
+                    "range")
+            h = (ks.astype(np.uint64) * np.uint64(_KNUTH)) \
+                % np.uint64(1 << 32)
+            p = ((h.astype(np.int64) << 20) // w).astype(np.uint64)
+            parr = pa.array(p, pa.uint64())
+        else:
+            from ..sketchlib.hashing import mix64
+
+            h = mix64(key.astype(np.uint64)
+                      ^ np.uint64(salt * 0x9E3779B97F4A7C15 % (1 << 64)))
+            u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) \
+                / float(1 << 53)
+            p = -np.log(u) / w
+            parr = pa.array(p, pa.float64())
+        if t.num_rows > k:
+            order = np.lexsort((key, p))[:k]
+            t = t.take(pa.array(order))
+            parr = parr.take(pa.array(order))
+        return t.append_column("__p", parr)
+
+    partials = ds.map_batches(local_k, batch_format="pyarrow")
+    return partials.sort(key=["__p", key_col]).limit(k) \
+        .drop_columns(["__p"])
+
+
 def stratified_sample(ds, group_col: str, key_col: str, k: int,
                       num_partitions: int = 32):
     """Deterministic stratified sample: the k hash-smallest rows of EVERY

@@ -3219,3 +3219,49 @@ def test_pagerank_fixedpoint_bruteforce(rd):
         iters=3, num_partitions=4, top_k=10).to_pandas()
     assert star["node"][0] == 0
     assert star["pr"][0] > star["pr"][1]
+
+
+def test_weighted_bottom_k_sample(rd):
+    """integer_race: partition-invariant, equals a serial re-derivation of
+    the same integer spec.  exp_race: Efraimidis-Spirakis inclusion
+    frequencies are proportional to weight across salt replicates."""
+    from setsketch_ray.functions.relational import weighted_bottom_k_sample
+
+    key = np.arange(1, 401, dtype=np.int64)
+    w = ((key * 7) % 50 + 1).astype(np.int64)
+    t = pa.table({"k": key, "w": w})
+
+    h = (key.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    p = (h.astype(np.int64) << 20) // w
+    want = key[np.lexsort((key, p))[:32]].tolist()
+
+    for nparts in (1, 4, 13):
+        got = weighted_bottom_k_sample(
+            rd.from_arrow(t).repartition(nparts), "k", "w", 32).to_pandas()
+        assert got["k"].tolist() == want
+
+    # exp_race through Ray == the serial numpy re-derivation (same formula,
+    # same draws -> bit-exact), partition-invariant
+    from setsketch_ray.sketchlib.hashing import mix64
+
+    def exp_priorities(keys, ws, s):
+        h = mix64(keys.astype(np.uint64)
+                  ^ np.uint64(s * 0x9E3779B97F4A7C15 % (1 << 64)))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        return -np.log(u) / ws
+
+    pe = exp_priorities(key, w, 7)
+    want_e = key[np.lexsort((key, pe))[:32]].tolist()
+    got_e = weighted_bottom_k_sample(
+        rd.from_arrow(t).repartition(6), "k", "w", 32,
+        mode="exp_race", salt=7).to_pandas()
+    assert got_e["k"].tolist() == want_e
+
+    # Efraimidis-Spirakis proportionality (serial replicates of the same
+    # formula): weights 1 vs 3 -> heavier row wins the k=1 race ~3/4
+    k2 = np.array([1, 2], np.int64)
+    w2 = np.array([1, 3], np.int64)
+    wins = sum(int(np.argmin(exp_priorities(k2, w2, s)) == 1)
+               for s in range(4096))
+    frac = wins / 4096
+    assert 0.72 <= frac <= 0.78, frac
