@@ -4967,6 +4967,88 @@ def _q_orders_geo_pairs(sf_dir: str):
                              metric="linf")
 
 
+def _q_zorder_scan_orders(sf_dir: str):
+    """Z-order layout + zone-map data skipping (functions/layout.py — the
+    Delta/Iceberg OPTIMIZE ZORDER BY + skipping-statistics pattern, built
+    from Ray Data primitives): orders get the same xor-fold integer
+    coordinates as orders_geo_pairs, the table is written as 64 Morton-
+    tiled parquet files (file id = z // 2^34, a PURE FUNCTION of the row
+    — layout is partition/resume invariant), and a box query reads ONLY
+    the files whose zone-map rectangle intersects the box.  ORACLED
+    EXACTLY: the interleave is unrolled BIGINT bit arithmetic, the prune
+    is min/max set algebra, so n_rows / sum_id / n_files_scanned /
+    n_files_total all reproduce in SQL — the oracle certifies both the
+    ANSWER and the SKIPPING."""
+    import hashlib
+    import os
+
+    from setsketch_ray.functions.layout import write_zordered, zonemap_scan
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.uint64)
+        m32, a, b = np.uint64(1 << 32), np.uint64(2654435761), \
+            np.uint64(40503)
+        h = (k * a) % m32
+        x = ((h ^ (h >> np.uint64(16))) * b) % m32 % np.uint64(1_000_000)
+        h2 = ((k + np.uint64(1000003)) * a) % m32
+        y = ((h2 ^ (h2 >> np.uint64(16))) * b) % m32 \
+            % np.uint64(1_000_000)
+        return pa.table({"id": t["o_orderkey"],
+                         "x": pa.array(x.astype(np.int64), pa.int64()),
+                         "y": pa.array(y.astype(np.int64), pa.int64())})
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|zorder1".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/zorder_orders_{fp}"
+    if not os.path.exists(f"{root}/_SUCCESS"):
+        ds = _read(sf_dir, "orders", ["o_orderkey"]) \
+            .map_batches(coords, batch_format="pyarrow")
+        write_zordered(ds, root, "x", "y", bits=20, num_files=64)
+
+    rows, n_scanned, n_total = zonemap_scan(
+        root, "x", "y", (200_000, 400_000), (500_000, 800_000))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "s": pa.array([int(ids.sum())], pa.int64())})
+
+    parts = rows.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_rows": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+        "sum_id": pa.array([sum(r["s"] for r in parts)], pa.int64()),
+        "n_files_scanned": pa.array([n_scanned], pa.int64()),
+        "n_files_total": pa.array([n_total], pa.int64())})
+
+
+def _zorder_scan_oracle() -> str:
+    """SQL mirror of _q_zorder_scan_orders: unrolled Morton interleave,
+    equal-width z-range file assignment, min/max zone-map prune."""
+    from setsketch_ray.functions.layout import zorder_sql
+
+    z = zorder_sql("x", "y", 20)
+    step = (1 << 40) // 64
+    box = ("x BETWEEN 200000 AND 400000 AND y BETWEEN 500000 AND 800000")
+    return (
+        "WITH h AS (SELECT o_orderkey AS id, "
+        "(o_orderkey * 2654435761) % 4294967296 AS h1, "
+        "((o_orderkey + 1000003) * 2654435761) % 4294967296 AS h2 "
+        "FROM orders), "
+        "p AS (SELECT id, "
+        "(xor(h1, h1 >> 16) * 40503) % 4294967296 % 1000000 AS x, "
+        "(xor(h2, h2 >> 16) * 40503) % 4294967296 % 1000000 AS y "
+        "FROM h), "
+        f"zf AS (SELECT id, x, y, {z} // {step} AS f FROM p), "
+        "zm AS (SELECT f, min(x) AS mnx, max(x) AS mxx, "
+        "min(y) AS mny, max(y) AS mxy FROM zf GROUP BY f) "
+        f"SELECT (SELECT count(*) FROM zf WHERE {box}) AS n_rows, "
+        f"(SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM zf "
+        f"WHERE {box}) AS sum_id, "
+        "(SELECT count(*) FROM zm WHERE mxx >= 200000 AND mnx <= 400000 "
+        "AND mxy >= 500000 AND mny <= 800000) AS n_files_scanned, "
+        "(SELECT count(*) FROM zm) AS n_files_total")
+
+
 def _q_part_triangles(sf_dir: str):
     """Distributed triangle counting (functions/graph.py — the classic
     wide graph kernel) over the part co-purchase graph (distinct part
@@ -5047,6 +5129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parts_skyline": _q_parts_skyline,
         "pagerank_parts": _q_pagerank_parts,
+        "zorder_scan_orders": _q_zorder_scan_orders,
         "orders_geo_pairs": _q_orders_geo_pairs,
         "part_triangles": _q_part_triangles,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -5215,6 +5298,8 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         # integer-fixpoint power iteration, unrolled CTE per iteration
         "pagerank_parts": _pagerank_oracle(3),
+        # unrolled Morton interleave + zone-map prune, both sides
+        "zorder_scan_orders": _zorder_scan_oracle(),
         # triangles = canonical edges joined 3-ways; wedges = sum C(d,2)
         "part_triangles":
             "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "

@@ -484,6 +484,9 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         entrymod._q_events_weighted_sample(SF_DIR).count()
         timings["events_weighted_sample"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_zorder_scan_orders(SF_DIR).num_rows
+        timings["zorder_scan_orders"] = time.time() - t0
 
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's

@@ -3265,3 +3265,65 @@ def test_weighted_bottom_k_sample(rd):
                for s in range(4096))
     frac = wins / 4096
     assert 0.72 <= frac <= 0.78, frac
+
+
+def test_zorder_layout_and_zonemap_scan(rd, tmp_path):
+    """zorder_key == naive per-bit interleave; write_zordered produces a
+    partition-invariant layout whose zone-map scan returns exactly the
+    box rows while skipping non-intersecting files; a partial directory
+    (no _SUCCESS) is wiped and rebuilt."""
+    from setsketch_ray.functions.layout import (write_zordered,
+                                                zonemap_scan, zorder_key)
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 12, 500).astype(np.int64)
+    y = rng.integers(0, 1 << 12, 500).astype(np.int64)
+
+    def naive(xv, yv):
+        z = 0
+        for i in range(32):
+            z |= ((int(xv) >> i) & 1) << (2 * i)
+            z |= ((int(yv) >> i) & 1) << (2 * i + 1)
+        return z
+
+    zk = zorder_key(x, y)
+    assert zk.tolist() == [naive(a, b) for a, b in zip(x, y)]
+
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"id": ids, "x": x, "y": y})
+    root = str(tmp_path / "zl")
+    man = write_zordered(rd.from_arrow(t).repartition(7), root,
+                         "x", "y", bits=12, num_files=16)
+    assert int(man["n"].to_numpy().sum()) == 500
+
+    box_x, box_y = (500, 2000), (1000, 3000)
+    got, n_scan, n_total = zonemap_scan(root, "x", "y", box_x, box_y)
+    gdf = got.to_pandas().sort_values("id").reset_index(drop=True)
+    m = (x >= 500) & (x <= 2000) & (y >= 1000) & (y <= 3000)
+    assert gdf["id"].tolist() == ids[m].tolist()
+    assert 0 < n_scan <= n_total == man.num_rows
+
+    # layout invariance: different partitioning -> identical file bytes
+    import hashlib
+    import os
+    h1 = {f: hashlib.sha1(open(os.path.join(root, f), "rb").read())
+          .hexdigest() for f in sorted(os.listdir(root))
+          if f.endswith(".parquet") and not f.startswith("_")}
+    root2 = str(tmp_path / "zl2")
+    write_zordered(rd.from_arrow(t).repartition(2), root2,
+                   "x", "y", bits=12, num_files=16)
+    h2 = {f: hashlib.sha1(open(os.path.join(root2, f), "rb").read())
+          .hexdigest() for f in sorted(os.listdir(root2))
+          if f.endswith(".parquet") and not f.startswith("_")}
+    assert h1 == h2
+
+    # crash resume: remove _SUCCESS + corrupt a file -> rebuild is clean
+    os.remove(f"{root}/_SUCCESS")
+    victim = next(f for f in sorted(os.listdir(root))
+                  if f.endswith(".parquet") and not f.startswith("_"))
+    with open(os.path.join(root, victim), "wb") as fh:
+        fh.write(b"garbage")
+    write_zordered(rd.from_arrow(t), root, "x", "y",
+                   bits=12, num_files=16)
+    got2, _, _ = zonemap_scan(root, "x", "y", box_x, box_y)
+    assert sorted(got2.to_pandas()["id"]) == ids[m].tolist()
