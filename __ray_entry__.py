@@ -5125,8 +5125,39 @@ def _pagerank_oracle(iters: int = 3) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_events_props_extract(sf_dir: str):
+    """JSON payload extraction (functions/semistructured.json_extract — the
+    typed-column flattening step for telemetry/event payload columns): one
+    RE2 ``pc.extract_regex`` pass per key per batch, never a per-row
+    json.loads loop (the loads fallback serves only escaped/nested rows —
+    zero on this corpus), then a grouped integer aggregate keyed by
+    (event_type, k % 16) so every extracted value is pinned through
+    sum/min/max.  ORACLED EXACTLY: DuckDB ``json_extract_string`` + CAST
+    with identical integer aggregates."""
+    from setsketch_ray.functions.relational import grouped_aggregate
+    from setsketch_ray.functions.semistructured import json_extract
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ev = json_extract(ev, "props", {"k": ("k", pa.int64())}, drop=True)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        return batch.append_column("k_bucket", pa.array(k % 16, pa.int64()))
+
+    ev = ev.map_batches(bucket, batch_format="pyarrow")
+    out = grouped_aggregate(ev, ["event_type", "k_bucket"], {
+        "n": ("count", None),
+        "k_sum": ("sum", "k"),
+        "k_min": ("min", "k"),
+        "k_max": ("max", "k"),
+    })
+    return out.sort_by([("event_type", "ascending"),
+                        ("k_bucket", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_props_extract": _q_events_props_extract,
         "parts_skyline": _q_parts_skyline,
         "pagerank_parts": _q_pagerank_parts,
         "zorder_scan_orders": _q_zorder_scan_orders,
@@ -5296,6 +5327,19 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # vectorized JSON field extraction vs DuckDB json_extract_string;
+        # every extracted value pinned through integer aggregates
+        "events_props_extract":
+            "WITH p AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, k % 16 AS k_bucket, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(k) AS BIGINT) AS k_sum, "
+            "CAST(min(k) AS BIGINT) AS k_min, "
+            "CAST(max(k) AS BIGINT) AS k_max "
+            "FROM p GROUP BY event_type, k_bucket "
+            "ORDER BY event_type, k_bucket",
         # integer-fixpoint power iteration, unrolled CTE per iteration
         "pagerank_parts": _pagerank_oracle(3),
         # unrolled Morton interleave + zone-map prune, both sides
