@@ -5155,8 +5155,97 @@ def _q_events_props_extract(sf_dir: str):
                         ("k_bucket", "ascending")])
 
 
+def _q_merge_orders_changes(sf_dir: str):
+    """MERGE INTO / CDC apply (functions/merge.merge_changes — the lakehouse
+    upsert step): a deterministically derived change stream (price-bump
+    upserts for keys %10==3, deletes for %10==7, a SECOND higher-seq
+    full-row upsert for %20==3 proving latest-wins-replace rather than
+    fold, and brand-new inserted keys for %10==1) applies to the orders
+    base table via ONE key-hash co-partition exchange + one vectorized
+    (key asc, seq desc) sort per partition.  ORACLED EXACTLY: SQL
+    row_number-latest FULL OUTER JOIN merge, integer cents."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.merge import merge_changes
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"])
+
+    def to_base(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "price_c": pa.array(np.floor(price * 100 + 0.5).astype(np.int64),
+                                pa.int64())})
+
+    base = orders.map_batches(to_base, batch_format="pyarrow")
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        t = to_base(t)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        parts = []
+        m3 = k % 10 == 3
+        if m3.any():
+            s = t.filter(pa.array(m3))
+            parts.append(pa.table({
+                "o_orderkey": s["o_orderkey"],
+                "o_custkey": s["o_custkey"],
+                "o_orderstatus": s["o_orderstatus"],
+                "price_c": pc.add(s["price_c"], pa.scalar(100000, pa.int64())),
+                "seq": pa.array(np.ones(s.num_rows, np.int64)),
+                "op": pa.array(["upsert"] * s.num_rows, pa.string())}))
+        m7 = k % 10 == 7
+        if m7.any():
+            s = t.filter(pa.array(m7))
+            parts.append(pa.table({
+                "o_orderkey": s["o_orderkey"],
+                "o_custkey": pa.nulls(s.num_rows, pa.int64()),
+                "o_orderstatus": pa.nulls(s.num_rows, pa.string()),
+                "price_c": pa.nulls(s.num_rows, pa.int64()),
+                "seq": pa.array(np.ones(s.num_rows, np.int64)),
+                "op": pa.array(["delete"] * s.num_rows, pa.string())}))
+        m20 = k % 20 == 3
+        if m20.any():
+            s = t.filter(pa.array(m20))
+            parts.append(pa.table({
+                "o_orderkey": s["o_orderkey"],
+                "o_custkey": s["o_custkey"],
+                "o_orderstatus": pa.array(["X"] * s.num_rows, pa.string()),
+                "price_c": s["price_c"],
+                "seq": pa.array(np.full(s.num_rows, 2, np.int64)),
+                "op": pa.array(["upsert"] * s.num_rows, pa.string())}))
+        m1 = k % 10 == 1
+        if m1.any():
+            s = t.filter(pa.array(m1))
+            parts.append(pa.table({
+                "o_orderkey": pc.add(s["o_orderkey"],
+                                     pa.scalar(1_000_000_000, pa.int64())),
+                "o_custkey": s["o_custkey"],
+                "o_orderstatus": pa.array(["N"] * s.num_rows, pa.string()),
+                "price_c": pa.array(np.full(s.num_rows, 12345, np.int64)),
+                "seq": pa.array(np.ones(s.num_rows, np.int64)),
+                "op": pa.array(["upsert"] * s.num_rows, pa.string())}))
+        if not parts:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "price_c": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    changes = orders.map_batches(to_changes, batch_format="pyarrow")
+    merged = merge_changes(base, changes, "o_orderkey")
+    return merged.sort("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "merge_orders_changes": _q_merge_orders_changes,
         "events_props_extract": _q_events_props_extract,
         "parts_skyline": _q_parts_skyline,
         "pagerank_parts": _q_pagerank_parts,
@@ -5327,6 +5416,36 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # MERGE/CDC apply: latest-seq-wins full-row replace, FULL OUTER
+        # JOIN merge in SQL; change stream derived from orders on both sides
+        "merge_orders_changes":
+            "WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c "
+            "FROM orders), "
+            "ch AS ("
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "price_c + 100000 AS price_c, 1 AS seq, 'upsert' AS op "
+            "FROM b WHERE o_orderkey % 10 = 3 "
+            "UNION ALL SELECT o_orderkey, CAST(NULL AS BIGINT), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 1, 'delete' "
+            "FROM b WHERE o_orderkey % 10 = 7 "
+            "UNION ALL SELECT o_orderkey, o_custkey, 'X', price_c, 2, "
+            "'upsert' FROM b WHERE o_orderkey % 20 = 3 "
+            "UNION ALL SELECT o_orderkey + 1000000000, o_custkey, 'N', "
+            "12345, 1, 'upsert' FROM b WHERE o_orderkey % 10 = 1), "
+            "latest AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch) "
+            "WHERE rn = 1) "
+            "SELECT o_orderkey, "
+            "CASE WHEN l.op IS NOT NULL THEN l.o_custkey "
+            "ELSE b.o_custkey END AS o_custkey, "
+            "CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus "
+            "ELSE b.o_orderstatus END AS o_orderstatus, "
+            "CASE WHEN l.op IS NOT NULL THEN l.price_c "
+            "ELSE b.price_c END AS price_c "
+            "FROM b FULL OUTER JOIN latest l USING (o_orderkey) "
+            "WHERE l.op IS NULL OR l.op <> 'delete' "
+            "ORDER BY o_orderkey",
         # vectorized JSON field extraction vs DuckDB json_extract_string;
         # every extracted value pinned through integer aggregates
         "events_props_extract":
