@@ -5243,8 +5243,26 @@ def _q_merge_orders_changes(sf_dir: str):
     return merged.sort("o_orderkey")
 
 
+def _q_events_gapfill(sf_dir: str):
+    """Time-series resample + gap fill + forward fill
+    (functions/streaming.gap_fill_ffill — the SQL generate_series grid +
+    last_value(IGNORE NULLS) window): per event_type, 60-second buckets
+    over the key's occupied range; empty buckets emit n=0 with the last
+    occupied bucket's integer-cents value sum carried forward.  Per-block
+    partial aggregation BEFORE the exchange (raw events never shuffle),
+    one key-hash co-partition, one vectorized grid expansion + ffill per
+    partition.  ORACLED EXACTLY: integer cents, identical bucket rule."""
+    from setsketch_ray.functions.streaming import gap_fill_ffill
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = gap_fill_ffill(ev, "event_type", "ts", "value",
+                         every_seconds=60, scale=100)
+    return out.sort(["event_type", "bucket"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_gapfill": _q_events_gapfill,
         "merge_orders_changes": _q_merge_orders_changes,
         "events_props_extract": _q_events_props_extract,
         "parts_skyline": _q_parts_skyline,
@@ -5416,6 +5434,24 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # generate_series grid + IGNORE-NULLS forward fill, integer cents
+        "events_gapfill":
+            "WITH agg AS (SELECT event_type, "
+            "epoch_us(ts) // 60000000 AS b, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS s FROM events GROUP BY event_type, b), "
+            "bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1 "
+            "FROM agg GROUP BY event_type), "
+            "grid AS (SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket "
+            "FROM bounds), "
+            "j AS (SELECT g.event_type, g.bucket, coalesce(a.n, 0) AS n, "
+            "a.s FROM grid g LEFT JOIN agg a "
+            "ON g.event_type = a.event_type AND g.bucket = a.b) "
+            "SELECT event_type, bucket, n, "
+            "last_value(s IGNORE NULLS) OVER (PARTITION BY event_type "
+            "ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS v_sum_c "
+            "FROM j ORDER BY event_type, bucket",
         # MERGE/CDC apply: latest-seq-wins full-row replace, FULL OUTER
         # JOIN merge in SQL; change stream derived from orders on both sides
         "merge_orders_changes":

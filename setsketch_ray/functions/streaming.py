@@ -915,3 +915,116 @@ def pack_sequences(ds, order_col: str, token_col: str, budget: int,
             "chunk_id": pa.array(start // budget, pa.int64())})
 
     return out.map_batches(chunk, batch_format="pyarrow")
+
+
+def gap_fill_ffill(ds, key_col: str, ts_col: str, value_col: str,
+                   every_seconds: float, scale: int = 100,
+                   num_partitions: int = 32):
+    """Time-series resample with gap filling + forward fill (the SQL
+    ``generate_series`` grid + ``last_value(x IGNORE NULLS)`` window): per
+    key, bucket rows into fixed epoch-aligned windows of ``every_seconds``,
+    then emit EVERY bucket in the key's [min, max] occupied range — empty
+    buckets carry ``n = 0`` and the last occupied bucket's value sum
+    (forward fill).  Output: ``(key, bucket, n, v_sum_c)`` with the value
+    integer-scaled by ``scale`` (oracle convention: floor(v*scale+0.5)).
+
+    Scale shape: per-block partial aggregation to (key, bucket, n, s) slim
+    rows BEFORE the exchange (the raw event table never shuffles), one
+    key-hash co-partition exchange of those partials, then one vectorized
+    sort + np.repeat grid expansion + maximum.accumulate forward fill per
+    partition.  Grid size is bounded by the key's active time span over
+    ``every_seconds`` — the caller picks a bucket width that keeps
+    span/width sane (a 100 TB event log at 1-minute buckets is ~0.5M rows
+    per key-year: fine).  The first grid slot of every key is occupied by
+    construction (the range starts at the min occupied bucket), so the
+    forward fill never crosses a key boundary.
+    """
+    from ..sketchlib.hashing import hash_str_u64, mix64
+
+    every_us = int(round(every_seconds * 1_000_000))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], t.schema.field(key_col).type),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        # normalize to µs FIRST — a bare int64 cast yields the column's own
+        # unit (a timestamp[s] column would come out in seconds)
+        ts = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            key_col: t[key_col],
+            "b": pa.array(ts // every_us, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": pa.array(np.floor(v * scale + 0.5).astype(np.int64)),
+        })
+        agg = tbl.group_by([key_col, "b"]).aggregate([("n", "sum"),
+                                                      ("s", "sum")])
+        return pa.table({key_col: agg[key_col], "b": agg["b"],
+                         "n": agg["n_sum"], "s": agg["s_sum"]})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        arr = t[key_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        vals = arr.to_numpy(zero_copy_only=False) \
+            if not pa.types.is_string(arr.type) else None
+        h = hash_str_u64(arr) if vals is None else \
+            mix64(vals.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        empty = pa.table({key_col: pa.array([], t.schema.field(key_col).type),
+                          "bucket": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "v_sum_c": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # final combine of the per-block partials, then sort by (key, b)
+        agg = t.group_by([key_col, "b"]).aggregate([("n", "sum"),
+                                                    ("s", "sum")])
+        agg = agg.sort_by([(key_col, "ascending"), ("b", "ascending")])
+        key = agg[key_col].combine_chunks() if isinstance(
+            agg[key_col], pa.ChunkedArray) else agg[key_col]
+        b = agg["b"].to_numpy(zero_copy_only=False)
+        n = agg["n_sum"].to_numpy(zero_copy_only=False)
+        s = agg["s_sum"].to_numpy(zero_copy_only=False)
+        m = len(b)
+        starts = np.ones(m, bool)
+        if m > 1:
+            starts[1:] = ~pc.equal(key.slice(1), key.slice(0, m - 1)) \
+                .to_numpy(zero_copy_only=False)
+        start_idx = np.nonzero(starts)[0]
+        end_idx = np.append(start_idx[1:], m) - 1
+        b0, b1 = b[start_idx], b[end_idx]
+        counts = b1 - b0 + 1
+        total = int(counts.sum())
+        ngroups = len(start_idx)
+        cumstarts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # full grid: bucket = b0[g] + offset within group
+        grp_of_slot = np.repeat(np.arange(ngroups), counts)
+        bucket = np.repeat(b0, counts) + \
+            (np.arange(total) - np.repeat(cumstarts, counts))
+        # scatter occupied rows into their grid slots
+        grp_of_row = np.repeat(np.arange(ngroups), end_idx - start_idx + 1)
+        pos = cumstarts[grp_of_row] + (b - b0[grp_of_row])
+        n_full = np.zeros(total, np.int64)
+        n_full[pos] = n
+        s_full = np.zeros(total, np.int64)
+        s_full[pos] = s
+        valid = np.zeros(total, bool)
+        valid[pos] = True
+        last = np.maximum.accumulate(np.where(valid, np.arange(total), -1))
+        out_key = key.take(pa.array(start_idx)).take(pa.array(grp_of_slot))
+        return pa.table({key_col: out_key,
+                         "bucket": pa.array(bucket, pa.int64()),
+                         "n": pa.array(n_full, pa.int64()),
+                         "v_sum_c": pa.array(s_full[last], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.map_batches(add_part, batch_format="pyarrow")
+    return partials.groupby("__part").map_groups(per_partition,
+                                                 batch_format="pyarrow")
