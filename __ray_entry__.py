@@ -5097,6 +5097,49 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank_fixedpoint(edges, iters=3, num_partitions=16)
 
 
+def _q_part_components(sf_dir: str):
+    """Connected components by distributed min-label propagation
+    (functions/graph.connected_components_sweeps) over the same part
+    co-purchase graph as part_triangles/pagerank_parts: 5 fixed sweeps of
+    label_{i+1}(v) = min(label_i(v), min_{(u,v)} label_i(u)); per sweep
+    ONE slim (node, label) co-partitioned lookup_join with a per-batch
+    min combiner before the exchange.  The fixed sweep count makes the
+    labels a pure function of the edge set on both engines — ORACLED
+    EXACTLY as 5 unrolled UNION ALL + GROUP BY min CTEs."""
+    from setsketch_ray.functions.graph import (connected_components_sweeps,
+                                               cooccurrence_edges)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = t["l_partkey"].to_numpy() % 10 == 0
+        return t.filter(pa.array(m))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return connected_components_sweeps(edges, iters=5, num_partitions=16)
+
+
+def _components_oracle(iters: int = 5) -> str:
+    """Unrolled min-label-propagation CTE chain mirroring
+    functions/graph.connected_components_sweeps over the part co-purchase
+    graph: one UNION ALL + GROUP BY min per sweep — pure int64, exact."""
+    sql = (
+        "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey % 10 = 0), "
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+        "JOIN li b ON a.o = b.o AND a.p < b.p), "
+        "de AS (SELECT u AS s, v AS d FROM e "
+        "UNION ALL SELECT v AS s, u AS d FROM e), "
+        "l0 AS (SELECT DISTINCT s AS node, s AS l FROM de)")
+    for i in range(1, iters + 1):
+        sql += (
+            f", l{i} AS (SELECT node, min(l) AS l FROM ("
+            f"SELECT node, l FROM l{i - 1} "
+            f"UNION ALL SELECT de.d AS node, p.l AS l FROM de "
+            f"JOIN l{i - 1} p ON p.node = de.s) GROUP BY node)")
+    return sql + (f" SELECT node, l AS label FROM l{iters} ORDER BY node")
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled integer-fixpoint PageRank CTE chain mirroring
     functions/graph.pagerank_fixedpoint over the part co-purchase graph.
@@ -5263,6 +5306,7 @@ def _q_events_gapfill(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_gapfill": _q_events_gapfill,
+        "part_components": _q_part_components,
         "merge_orders_changes": _q_merge_orders_changes,
         "events_props_extract": _q_events_props_extract,
         "parts_skyline": _q_parts_skyline,
@@ -5497,6 +5541,8 @@ def _oracle_sql_base() -> dict[str, str]:
             "ORDER BY event_type, k_bucket",
         # integer-fixpoint power iteration, unrolled CTE per iteration
         "pagerank_parts": _pagerank_oracle(3),
+        # unrolled min-label propagation, one CTE per sweep
+        "part_components": _components_oracle(5),
         # unrolled Morton interleave + zone-map prune, both sides
         "zorder_scan_orders": _zorder_scan_oracle(),
         # triangles = canonical edges joined 3-ways; wedges = sum C(d,2)

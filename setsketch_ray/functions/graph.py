@@ -298,3 +298,87 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
         "n_wedges": pa.array([int((dvals * (dvals - 1) // 2).sum())],
                              pa.int64()),
         "n_triangles": pa.array([tri], pa.int64())})
+
+
+def connected_components_sweeps(edges, iters: int = 5,
+                                num_partitions: int = 64):
+    """Distributed min-label propagation over a DISTINCT canonical (u < v)
+    edge dataset: ``label_0(v) = v``; each sweep sets ``label_{i+1}(v) =
+    min(label_i(v), min over neighbors u of label_i(u))``.  After
+    ``diameter`` sweeps the labels are the connected components; running a
+    FIXED ``iters`` sweeps keeps the result an exact pure function of the
+    edge set on both engines (the SQL oracle unrolls one UNION-ALL + GROUP
+    BY min CTE per sweep), converged or not — the caller sizes ``iters``
+    to the expected diameter.  (Near-dup clustering's label propagation in
+    ``stages/cluster.py`` is the doubling variant of the same fixpoint;
+    this is the graph-query surface over explicit edges.)
+
+    Scale shape: the directed edge table is built and hash-partitioned
+    ONCE; each sweep is one slim co-partitioned ``lookup_join`` of (node,
+    label) int64 pairs, a per-batch min combiner BEFORE the exchange, and
+    a per-partition final min — label state never touches the driver.
+
+    Returns a Ray Dataset of (node, label) sorted by node.
+    """
+    from setsketch_ray.functions.relational import (grouped_aggregate,
+                                                    lookup_join)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        return pa.table({
+            "s": pa.array(np.concatenate([u, v]), pa.int64()),
+            "d": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    de = edges.map_batches(both_dirs, batch_format="pyarrow")
+    nodes = grouped_aggregate(de, ["s"], {"_n": ("count", None)},
+                              final="ray").materialize()
+
+    def self_loops(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t["s"], "d": t["s"]})
+
+    # self-loops fold the node's OWN label into the same neighbor-min pass,
+    # so each sweep consumes the label state exactly once (no union side,
+    # no per-sweep materialize, no double-execution of the lazy lineage)
+    de = de.union(nodes.map_batches(self_loops, batch_format="pyarrow")) \
+        .materialize()
+
+    de_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    lab_schema = pa.schema([("node", pa.int64()), ("l", pa.int64())])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["s"], "l": t["s"]})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow")
+
+    def neighbor_partial(t: pa.Table) -> pa.Table:
+        """Neighbor label mins by destination BEFORE the shuffle (the
+        node's own label rides the same pass via its self-loop edge)."""
+        lab = pa.table({"d": t["d"], "c": t["l"]}) \
+            .group_by(["d"]).aggregate([("c", "min")])
+        dst = lab["d"].to_numpy().astype(np.int64)
+        return pa.table({
+            "d": lab["d"], "c": lab["c_min"],
+            "__part": pa.array(_part_of(dst, num_partitions), pa.uint32())})
+
+    lab_empty = pa.table({"node": pa.array([], pa.int64()),
+                          "l": pa.array([], pa.int64())})
+
+    def finish_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lab_empty
+        agg = t.group_by(["d"]).aggregate([("c", "min")])
+        return pa.table({"node": agg["d"], "l": agg["c_min"]})
+
+    for _ in range(iters):
+        ed_l = lookup_join(de, labels, "s", "node",
+                           num_partitions=num_partitions,
+                           left_schema=de_schema, right_schema=lab_schema)
+        labels = ed_l.map_batches(neighbor_partial, batch_format="pyarrow") \
+            .groupby("__part") \
+            .map_groups(finish_partition, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "label"])
+
+    return labels.map_batches(rename, batch_format="pyarrow").sort("node")
