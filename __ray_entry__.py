@@ -5303,8 +5303,22 @@ def _q_events_gapfill(sf_dir: str):
     return out.sort(["event_type", "bucket"])
 
 
+def _q_top_words_by_lang(sf_dir: str):
+    """Grouped heavy hitters (functions/text.word_topk_by_group): exact
+    top-5 words per language over documents.  Per-block (lang, word, cnt)
+    partials, ONE composite-key hash exchange (tokens never shuffle),
+    per-partition combine + per-group rank filter, driver re-rank of the
+    <= k*partitions survivors.  ORACLED EXACTLY: row_number window with
+    the identical (cnt DESC, word ASC) tiebreak."""
+    from setsketch_ray.functions.text import word_topk_by_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return word_topk_by_group(ds, "text", "lang", k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "top_words_by_lang": _q_top_words_by_lang,
         "events_gapfill": _q_events_gapfill,
         "part_components": _q_part_components,
         "merge_orders_changes": _q_merge_orders_changes,
@@ -5478,6 +5492,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # grouped heavy hitters: row_number window, identical tiebreak
+        "top_words_by_lang":
+            "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word "
+            "FROM documents), "
+            "c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM w WHERE word <> '' GROUP BY lang, word) "
+            "SELECT lang, word, cnt FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM c) "
+            "WHERE rn <= 5 ORDER BY lang, cnt DESC, word",
         # generate_series grid + IGNORE-NULLS forward fill, integer cents
         "events_gapfill":
             "WITH agg AS (SELECT event_type, "

@@ -1523,3 +1523,84 @@ def word_freq_cms(ds, text_col: str, k: int = 20,
     return pa.table({"word": words, "cnt": exact["cnt"],
                      "over_ok": pa.array(over_ok, pa.int64()),
                      "bound_ok": pa.array(bound_ok, pa.int64())})
+
+
+def word_topk_by_group(ds, text_col: str, group_col: str, k: int,
+                       num_partitions: int = 32) -> pa.Table:
+    """Grouped heavy hitters: exact top-k words per group (top terms per
+    language / source — the per-slice vocabulary profile).  Same exactness
+    argument as :func:`word_topk`, per group: hash-partition the per-block
+    (group, word, cnt) partials by the COMPOSITE (group, word) key so each
+    pair's partials meet exactly once; a group's true top-k word is a top-k
+    word of its (single) partition slice, so the per-partition per-group
+    top-k survivors (<= k * partitions rows per group) contain the answer
+    and a driver-side re-rank finishes.  Only distinct (group, word, cnt)
+    rows cross the shuffle — never tokens.  Ties broken by word ascending.
+
+    Returns a pyarrow Table (group, word, cnt) sorted by
+    (group asc, cnt desc, word asc), k rows per group.
+    """
+    from ..sketchlib.hashing import mix2
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        lists = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        grp = t[group_col]
+        grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
+        grp = grp.take(parent)
+        keep = pc.not_equal(flat, "")
+        flat, grp = flat.filter(keep), grp.filter(keep)
+        agg = pa.table({"g": grp, "word": flat}) \
+            .group_by(["g", "word"]).aggregate([([], "count_all")])
+        cnt_name = [n for n in agg.column_names if n not in ("g", "word")][0]
+        words = agg["word"].combine_chunks() if isinstance(
+            agg["word"], pa.ChunkedArray) else agg["word"]
+        gout = agg["g"].combine_chunks() if isinstance(
+            agg["g"], pa.ChunkedArray) else agg["g"]
+        h = mix2(hash_str_u64(gout), hash_str_u64(words))
+        return pa.table({"g": gout, "word": words,
+                         "cnt": agg[cnt_name].cast(pa.int64()),
+                         "__part": pa.array(
+                             (h % np.uint64(num_partitions)).astype(
+                                 np.uint32), pa.uint32())})
+
+    empty = pa.table({"g": pa.array([], pa.string()),
+                      "word": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def _rank_filter(t: pa.Table) -> pa.Table:
+        """Keep rank < k within each group of a (g asc, cnt desc, word asc)
+        sorted table — vectorized group-boundary rank, no per-group loop."""
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("g", "ascending"), ("cnt", "descending"), ("word", "ascending")]))
+        g = t["g"].combine_chunks() if isinstance(
+            t["g"], pa.ChunkedArray) else t["g"]
+        n = len(g)
+        new_g = np.ones(n, bool)
+        if n > 1:
+            new_g[1:] = ~pc.equal(g.slice(1), g.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        start = np.maximum.accumulate(np.where(new_g, idx, 0))
+        return t.filter(pa.array(idx - start < k))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        comb = t.drop_columns(["__part"]).group_by(["g", "word"]) \
+            .aggregate([("cnt", "sum")])
+        comb = pa.table({"g": comb["g"], "word": comb["word"],
+                         "cnt": comb["cnt_sum"].cast(pa.int64())})
+        return _rank_filter(comb)
+
+    parts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    if merged.num_rows == 0:
+        return empty.rename_columns([group_col, "word", "cnt"])
+    return _rank_filter(merged).rename_columns([group_col, "word", "cnt"]) \
+        .combine_chunks()

@@ -212,3 +212,23 @@ def test_line_dedup_head_broadcast_partition_identical(ray_session):
     assert all("b0" not in row[3] for row in plain)
     # full-head variant (everything fits the head) also identical
     assert run(head_broadcast=True, head_k=10_000) == plain
+
+
+def test_word_topk_by_group_exact_and_ties(ray_session):
+    import ray.data as rd
+
+    from setsketch_ray.functions.text import word_topk_by_group
+
+    rows = [
+        {"g": "en", "t": "a a a b b c"},
+        {"g": "en", "t": "b c d"},
+        {"g": "fr", "t": "x"},          # fewer words than k
+        {"g": "de", "t": "p q p q"},    # tie -> word ascending
+    ]
+    out = word_topk_by_group(rd.from_items(rows), "t", "g", k=2,
+                             num_partitions=8)
+    got = list(zip(out["g"].to_pylist(), out["word"].to_pylist(),
+                   out["cnt"].to_pylist()))
+    assert got == [("de", "p", 2), ("de", "q", 2),
+                   ("en", "a", 3), ("en", "b", 3),
+                   ("fr", "x", 1)]
