@@ -488,6 +488,23 @@ def run_benchmarks() -> dict:
         entrymod._q_zorder_scan_orders(SF_DIR).num_rows
         timings["zorder_scan_orders"] = time.time() - t0
 
+        # --- round-4 session-IV additions
+        t0 = time.time()
+        entrymod._q_events_props_extract(SF_DIR).num_rows
+        timings["events_props_extract"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_merge_orders_changes(SF_DIR).count()
+        timings["merge_orders_changes"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_events_gapfill(SF_DIR).count()
+        timings["events_gapfill"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_part_components(SF_DIR).count()
+        timings["part_components"] = time.time() - t0
+        t0 = time.time()
+        entrymod._q_top_words_by_lang(SF_DIR).num_rows
+        timings["top_words_by_lang"] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
