@@ -5316,8 +5316,30 @@ def _q_top_words_by_lang(sf_dir: str):
     return word_topk_by_group(ds, "text", "lang", k=5)
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 top-20 retrieval over documents for the fixed query set
+    {hash, merge, scan, window} (functions/search.bm25_topk — the ranked-
+    retrieval counterpart of phrase_search, Lucene idf variant
+    ln(1 + (N-df+0.5)/(df+0.5))).  ONE tokenize pass emits a slim
+    (doc_id, dl, tf_j) table consumed twice: 1-row-per-block stats
+    partials folded on the driver (N, sum_dl, df_j — no shuffle), then a
+    broadcast-scalar scoring map with per-block top-k (the text never
+    crosses an exchange and nothing sorts globally).  ORACLED EXACTLY:
+    idf's ln is the same glibc libm call on both engines, every constant
+    is the same double literal (CAST(1.2 AS DOUBLE) — never a DECIMAL
+    literal), per-term contributions add in fixed term order, and the
+    score fixed-points as floor(score*1e6 + 0.5) (per-row rational
+    arithmetic is IEEE-exact across engines)."""
+    from setsketch_ray.functions.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "doc_id", "text",
+                     ["hash", "merge", "scan", "window"], k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "bm25_search": _q_bm25_search,
         "top_words_by_lang": _q_top_words_by_lang,
         "events_gapfill": _q_events_gapfill,
         "part_components": _q_part_components,
@@ -5492,6 +5514,59 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # BM25 (Lucene idf): same libm ln, same double literals, fixed
+        # term-order adds, floor(score*1e6+0.5) fixed point on both sides
+        "bm25_search":
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "wn AS (SELECT doc_id, word FROM w WHERE word <> ''), "
+            "tf AS (SELECT doc_id, "
+            "CAST(sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS tf0, "
+            "CAST(sum(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS tf1, "
+            "CAST(sum(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS tf2, "
+            "CAST(sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS tf3, "
+            "CAST(count(*) AS BIGINT) AS dl FROM wn GROUP BY doc_id), "
+            "g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) "
+            "AS n, CAST(count(*) AS BIGINT) AS sum_dl FROM wn), "
+            "s AS (SELECT CAST(g.sum_dl AS DOUBLE) / CAST(g.n AS DOUBLE) "
+            "AS avgdl, "
+            "ln(1 + (CAST(g.n - (SELECT count(*) FROM tf WHERE tf0 > 0) "
+            "AS DOUBLE) + 0.5) / (CAST((SELECT count(*) FROM tf "
+            "WHERE tf0 > 0) AS DOUBLE) + 0.5)) AS idf0, "
+            "ln(1 + (CAST(g.n - (SELECT count(*) FROM tf WHERE tf1 > 0) "
+            "AS DOUBLE) + 0.5) / (CAST((SELECT count(*) FROM tf "
+            "WHERE tf1 > 0) AS DOUBLE) + 0.5)) AS idf1, "
+            "ln(1 + (CAST(g.n - (SELECT count(*) FROM tf WHERE tf2 > 0) "
+            "AS DOUBLE) + 0.5) / (CAST((SELECT count(*) FROM tf "
+            "WHERE tf2 > 0) AS DOUBLE) + 0.5)) AS idf2, "
+            "ln(1 + (CAST(g.n - (SELECT count(*) FROM tf WHERE tf3 > 0) "
+            "AS DOUBLE) + 0.5) / (CAST((SELECT count(*) FROM tf "
+            "WHERE tf3 > 0) AS DOUBLE) + 0.5)) AS idf3 FROM g), "
+            "sc AS (SELECT tf.doc_id, tf.dl, CAST(floor(("
+            "(s.idf0 * (CAST(tf.tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)))"
+            " / (CAST(tf.tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+            "((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * "
+            "(CAST(tf.dl AS DOUBLE) / s.avgdl))) + "
+            "(s.idf1 * (CAST(tf.tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)))"
+            " / (CAST(tf.tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+            "((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * "
+            "(CAST(tf.dl AS DOUBLE) / s.avgdl))) + "
+            "(s.idf2 * (CAST(tf.tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)))"
+            " / (CAST(tf.tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+            "((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * "
+            "(CAST(tf.dl AS DOUBLE) / s.avgdl))) + "
+            "(s.idf3 * (CAST(tf.tf3 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)))"
+            " / (CAST(tf.tf3 AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+            "((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * "
+            "(CAST(tf.dl AS DOUBLE) / s.avgdl)))"
+            ") * 1000000 + 0.5) AS BIGINT) AS score_c "
+            "FROM tf, s WHERE tf.tf0 + tf.tf1 + tf.tf2 + tf.tf3 > 0) "
+            "SELECT doc_id, dl, score_c FROM sc "
+            "ORDER BY score_c DESC, doc_id LIMIT 20",
         # grouped heavy hitters: row_number window, identical tiebreak
         "top_words_by_lang":
             "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word "

@@ -162,3 +162,126 @@ def phrase_search(index_dir: str, phrase: str, num_buckets: int = 32,
 
     return all_postings.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(intersect, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- BM25 retrieval
+def bm25_topk(ds, id_col: str, text_col: str, terms: list,
+              k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k retrieval (Lucene variant: idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    always positive) — the ranked-retrieval counterpart of ``phrase_search``.
+
+    Distributed shape (the 100 TB contract):
+    1. ONE tokenize pass emits a slim per-doc row ``(id, dl, tf_0..tf_m)``
+       (8 + 8*(m+1) bytes/doc — the text never leaves the map stage).  The
+       slim table is materialized once and consumed twice.
+    2. Global stats (N, sum_dl, df per term) come from 1-row-per-block
+       partials folded on the driver — no shuffle.
+    3. Scoring is a broadcast-scalar map over the slim table; per-block
+       top-k keeps only ``k`` rows per block, the driver merges k*blocks
+       rows.  Nothing global ever sorts.
+
+    Float contract (oracle parity): idf via ``math.log`` (glibc, same libm
+    DuckDB's ``ln`` calls), all constants materialized as the same double
+    literals on both sides, per-term contributions added in fixed term
+    order, final score fixed-pointed as ``floor(score*1e6 + 0.5)``.  A
+    zero tf contributes exactly ``0.0`` (no branch needed: the denominator
+    is strictly positive).
+
+    Returns a pa.Table ``(id_col, dl, score_c)`` of the k highest-scoring
+    docs among those containing >= 1 query term (ties broken by id).
+    """
+    import math
+
+    m = len(terms)
+    if m == 0:
+        raise ValueError("bm25_topk: empty term list")
+    k1 = np.float64(k1)
+    b = np.float64(b)
+
+    tf_names = [f"__tf{j}" for j in range(m)]
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        sizes = np.diff(offs)
+        row_of = np.repeat(np.arange(t.num_rows), sizes)
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        dl = np.bincount(row_of, minlength=t.num_rows).astype(np.int64)
+        cols = {id_col: t[id_col],
+                "dl": pa.array(dl, pa.int64())}
+        for j, term in enumerate(terms):
+            mask = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row_of[mask],
+                             minlength=t.num_rows).astype(np.int64)
+            cols[tf_names[j]] = pa.array(tf, pa.int64())
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([t.num_rows], pa.int64()),
+                "sum_dl": pa.array(
+                    [int(np.sum(t["dl"].to_numpy(zero_copy_only=False)))],
+                    pa.int64())}
+        for j in range(m):
+            tf = t[tf_names[j]].to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = pa.array([int(np.count_nonzero(tf))], pa.int64())
+        return pa.table(cols)
+
+    slim = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+    parts = pa.concat_tables(list(
+        slim.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+    n_docs = int(np.sum(parts["n"].to_numpy(zero_copy_only=False)))
+    sum_dl = int(np.sum(parts["sum_dl"].to_numpy(zero_copy_only=False)))
+    dfs = [int(np.sum(parts[f"df{j}"].to_numpy(zero_copy_only=False)))
+           for j in range(m)]
+    if n_docs == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "dl": pa.array([], pa.int64()),
+                         "score_c": pa.array([], pa.int64())})
+    avgdl = np.float64(float(sum_dl) / float(n_docs))
+    idfs = [np.float64(math.log(
+        1.0 + (float(n_docs - df) + 0.5) / (float(df) + 0.5)))
+        for df in dfs]
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64()),
+                             "score_c": pa.array([], pa.int64())})
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # denominator factor: (1 - b) + b * (dl / avgdl), matching the SQL
+        # parse of "1 - b + b * (dl / avgdl)" term for term
+        norm = (np.float64(1.0) - b) + b * (dl / avgdl)
+        score = np.zeros(t.num_rows, np.float64)
+        any_tf = np.zeros(t.num_rows, bool)
+        for j in range(m):
+            tf = t[tf_names[j]].to_numpy(zero_copy_only=False)
+            any_tf |= tf > 0
+            tff = tf.astype(np.float64)
+            score = score + (idfs[j] * (tff * (k1 + 1))) / (tff + k1 * norm)
+        score_c = np.floor(score * 1e6 + 0.5).astype(np.int64)
+        out = pa.table({id_col: t[id_col],
+                        "dl": t["dl"],
+                        "score_c": pa.array(score_c, pa.int64())})
+        out = out.filter(pa.array(any_tf))
+        out = out.take(pc.sort_indices(out, sort_keys=[
+            ("score_c", "descending"), (id_col, "ascending")]))
+        return out.slice(0, k)
+
+    top = pa.concat_tables(list(
+        slim.map_batches(score_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+    if top.num_rows == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "dl": pa.array([], pa.int64()),
+                         "score_c": pa.array([], pa.int64())})
+    top = top.take(pc.sort_indices(top, sort_keys=[
+        ("score_c", "descending"), (id_col, "ascending")]))
+    return top.slice(0, k).combine_chunks()

@@ -3327,3 +3327,56 @@ def test_zorder_layout_and_zonemap_scan(rd, tmp_path):
                    bits=12, num_files=16)
     got2, _, _ = zonemap_scan(root, "x", "y", box_x, box_y)
     assert sorted(got2.to_pandas()["id"]) == ids[m].tolist()
+
+
+def test_bm25_topk_matches_scalar_reference(rd):
+    """bm25_topk == a scalar pure-Python BM25 (same idf variant, same
+    fixed-point rule), including tie handling and repartition
+    invariance; docs without any query term never appear."""
+    import math
+
+    from setsketch_ray.functions.search import bm25_topk
+
+    rng = np.random.default_rng(7)
+    vocab = ["hash", "merge", "scan", "window", "row", "table", "fast"]
+    texts, ids = [], []
+    for i in range(60):
+        n = int(rng.integers(3, 30))
+        texts.append(" ".join(rng.choice(vocab, n)))
+        ids.append(i)
+    texts[5] = "row table fast row"          # no query terms -> excluded
+    texts[6] = ""                            # empty doc -> dl 0, excluded
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    terms = ["hash", "merge", "scan", "window"]
+    k1, b = 1.2, 0.75
+
+    toks = [[w for w in s.split(" ") if w] for s in texts]
+    dl = [len(ws) for ws in toks]
+    n_docs = len(texts)
+    sum_dl = sum(dl)
+    avgdl = float(sum_dl) / float(n_docs)
+    tfs = [[ws.count(term) for ws in toks] for term in terms]
+    dfs = [sum(1 for v in tf if v > 0) for tf in tfs]
+    idfs = [math.log(1.0 + (float(n_docs - df) + 0.5) / (float(df) + 0.5))
+            for df in dfs]
+    expect = []
+    for i in range(n_docs):
+        if sum(tf[i] for tf in tfs) == 0:
+            continue
+        s = 0.0
+        for j in range(len(terms)):
+            tff = float(tfs[j][i])
+            s = s + (idfs[j] * (tff * (k1 + 1))) / (
+                tff + k1 * ((1.0 - b) + b * (dl[i] / avgdl)))
+        expect.append((i, dl[i], int(math.floor(s * 1e6 + 0.5))))
+    expect.sort(key=lambda r: (-r[2], r[0]))
+    expect = expect[:10]
+
+    for nparts in (1, 4):
+        out = bm25_topk(rd.from_arrow(t).repartition(nparts),
+                        "doc_id", "text", terms, k=10)
+        got = list(zip(out["doc_id"].to_pylist(), out["dl"].to_pylist(),
+                       out["score_c"].to_pylist()))
+        assert got == expect
