@@ -5337,8 +5337,25 @@ def _q_bm25_search(sf_dir: str):
                      ["hash", "merge", "scan", "window"], k=20)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """RAG sliding-window chunker (functions/text.chunk_documents):
+    40-word windows advancing by 30 (10-word overlap), last chunk
+    truncated — the retrieval-ingestion shape.  SHUFFLE-FREE: the same
+    map task that tokenizes gathers the flat word buffer with a
+    repeat/arange index (overlapping windows can't share one offsets
+    array) and rebuilds chunk texts via ListArray offsets +
+    binary_join.  ORACLED EXACTLY: DuckDB 1-based inclusive list slices
+    ws[start+1 : least(start+40, n)] + array_to_string, chunk counts by
+    the identical floor-division formula."""
+    from setsketch_ray.functions.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, "doc_id", "text", window=40, stride=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "chunk_documents": _q_chunk_documents,
         "bm25_search": _q_bm25_search,
         "top_words_by_lang": _q_top_words_by_lang,
         "events_gapfill": _q_events_gapfill,
@@ -5514,6 +5531,21 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # sliding-window chunker: identical floor-division chunk count,
+        # 1-based inclusive list slices + array_to_string
+        "chunk_documents":
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+            "FROM documents), "
+            "n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n "
+            "FROM w WHERE len(ws) >= 1), "
+            "c AS (SELECT doc_id, ws, n, unnest(range(0, "
+            "1 + greatest(0, (n - 40 + 29) // 30))) AS chunk_id FROM n) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(least(chunk_id * 30 + 40, n) - chunk_id * 30 AS BIGINT) "
+            "AS n_words, "
+            "array_to_string(ws[chunk_id * 30 + 1 : "
+            "least(chunk_id * 30 + 40, n)], ' ') AS chunk_text FROM c",
         # BM25 (Lucene idf): same libm ln, same double literals, fixed
         # term-order adds, floor(score*1e6+0.5) fixed point on both sides
         "bm25_search":

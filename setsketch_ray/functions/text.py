@@ -1604,3 +1604,81 @@ def word_topk_by_group(ds, text_col: str, group_col: str, k: int,
         return empty.rename_columns([group_col, "word", "cnt"])
     return _rank_filter(merged).rename_columns([group_col, "word", "cnt"]) \
         .combine_chunks()
+
+
+# ----------------------------------------------------------- RAG chunking
+def chunk_documents(ds, id_col: str, text_col: str,
+                    window: int = 40, stride: int = 30):
+    """Sliding-window document chunker (the RAG ingestion shape): split
+    each document into word windows of ``window`` tokens advancing by
+    ``stride`` (overlap = window - stride), last chunk truncated.  A doc
+    with n >= 1 words yields ``1 + max(0, ceil((n - window)/stride))``
+    chunks; empty docs yield none.
+
+    Fully vectorized and SHUFFLE-FREE — chunks are emitted by the same
+    map task that tokenizes (overlapping windows can't ride a single
+    offsets array, so the flat word buffer is gathered once per batch
+    with a repeat/arange index, then rebuilt as a ListArray whose
+    offsets are the cumulative chunk lengths and joined with ' ').
+    At 100 TB this operator is embarrassingly parallel: nothing crosses
+    an exchange, output size ~ window/stride x input.
+
+    Returns a Dataset of (id_col, chunk_id, n_words, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("chunk_documents: window and stride must be >= 1")
+
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "n_words": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(offs)
+        row_of = np.repeat(np.arange(t.num_rows), sizes)
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat, row_of = flat.filter(pa.array(ne)), row_of[ne]
+        n = np.bincount(row_of, minlength=t.num_rows).astype(np.int64)
+        roffs = np.concatenate([[0], np.cumsum(n)])  # doc start in flat
+        n_chunks = np.where(
+            n >= 1, 1 + np.maximum(0, (n - window + stride - 1) // stride),
+            0).astype(np.int64)
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(t.num_rows), n_chunks)
+        # per-doc chunk counter: arange minus each doc's running start
+        cstart = np.concatenate([[0], np.cumsum(n_chunks)])
+        chunk_id = np.arange(total_chunks, dtype=np.int64) - \
+            np.repeat(cstart[:-1], n_chunks)
+        starts = chunk_id * stride
+        lens = np.minimum(starts + window, n[doc_idx]) - starts
+        base = roffs[doc_idx] + starts
+        total_words = int(lens.sum())
+        lstart = np.concatenate([[0], np.cumsum(lens)])
+        intra = np.arange(total_words, dtype=np.int64) - \
+            np.repeat(lstart[:-1], lens)
+        gathered = flat.take(pa.array(np.repeat(base, lens) + intra))
+        if total_words < (1 << 31):
+            chunks_list = pa.ListArray.from_arrays(
+                pa.array(lstart, pa.int32()), gathered)
+        else:  # blocks this large never occur at sane block sizes
+            chunks_list = pa.LargeListArray.from_arrays(
+                pa.array(lstart, pa.int64()), gathered)
+        chunk_text = pc.binary_join(chunks_list, " ")
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_idx)),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "n_words": pa.array(lens, pa.int64()),
+            "chunk_text": chunk_text})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

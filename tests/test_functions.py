@@ -3380,3 +3380,41 @@ def test_bm25_topk_matches_scalar_reference(rd):
         got = list(zip(out["doc_id"].to_pylist(), out["dl"].to_pylist(),
                        out["score_c"].to_pylist()))
         assert got == expect
+
+
+def test_chunk_documents_matches_scalar_reference(rd):
+    """chunk_documents == scalar sliding-window reference across the
+    boundary cases (empty, shorter-than-window, exact window, window+1,
+    multi-chunk), repartition-invariant."""
+    from setsketch_ray.functions.text import chunk_documents
+
+    rng = np.random.default_rng(11)
+    vocab = ["a", "b", "c", "d", "e"]
+    lengths = [0, 1, 5, 39, 40, 41, 70, 71, 100, 130]
+    lengths += [int(rng.integers(1, 120)) for _ in range(30)]
+    texts = [" ".join(rng.choice(vocab, n)) for n in lengths]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    W, S = 40, 30
+    expect = []
+    for i, s in enumerate(texts):
+        ws = [w for w in s.split(" ") if w]
+        n = len(ws)
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, -((-(n - W)) // S) if n > W else 0)
+        for c in range(n_chunks):
+            st = c * S
+            en = min(st + W, n)
+            expect.append((i, c, en - st, " ".join(ws[st:en])))
+
+    for nparts in (1, 4):
+        out = chunk_documents(rd.from_arrow(t).repartition(nparts),
+                              "doc_id", "text", window=W, stride=S)
+        tb = pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        got = sorted(zip(tb["doc_id"].to_pylist(), tb["chunk_id"].to_pylist(),
+                         tb["n_words"].to_pylist(),
+                         tb["chunk_text"].to_pylist()))
+        assert got == sorted(expect)
