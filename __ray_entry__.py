@@ -5353,8 +5353,25 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, "doc_id", "text", window=40, stride=30)
 
 
+def _q_word_moments(sf_dir: str):
+    """Frequency moments of the corpus word distribution (functions/
+    text.word_moments): exact F0/F1/F2 via one slim (word, cnt) partial
+    exchange + per-partition Python-int fold, AND an AMS tug-of-war F2
+    estimate (sketchlib/ams.py — the classic STOC'96 linear sketch; the
+    s1*s2=2304-entry partial vector folds componentwise with NO shuffle
+    of its own).  ORACLED EXACTLY: f0/f1/f2 match SQL group counts
+    bit-for-bit; ams_ok certifies |median-of-means - F2| <= 20% of F2 in
+    pure integer arithmetic (deterministic counter-mode signs, so the
+    certificate is stable across runs and block layouts)."""
+    from setsketch_ray.functions.text import word_moments
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return word_moments(ds, "text", s1=256, s2=9, rel_err_pct=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "word_moments": _q_word_moments,
         "chunk_documents": _q_chunk_documents,
         "bm25_search": _q_bm25_search,
         "top_words_by_lang": _q_top_words_by_lang,
@@ -5531,6 +5548,17 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # frequency moments: exact integer f0/f1/f2; ams_ok is the
+        # Ray-side integer certificate (constant 1 mirror)
+        "word_moments":
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), "
+            "c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w "
+            "WHERE word <> '' GROUP BY word) "
+            "SELECT CAST(count(*) AS BIGINT) AS f0, "
+            "CAST(sum(cnt) AS BIGINT) AS f1, "
+            "CAST(sum(cnt * cnt) AS BIGINT) AS f2, "
+            "CAST(1 AS BIGINT) AS ams_ok FROM c",
         # sliding-window chunker: identical floor-division chunk count,
         # 1-based inclusive list slices + array_to_string
         "chunk_documents":

@@ -1682,3 +1682,86 @@ def chunk_documents(ds, id_col: str, text_col: str,
             "chunk_text": chunk_text})
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- frequency moments
+def word_moments(ds, text_col: str, s1: int = 256, s2: int = 9,
+                 rel_err_pct: int = 20, num_partitions: int = 32):
+    """Exact frequency moments of the word distribution — F0 (distinct
+    words), F1 (total words), F2 (sum of squared counts) — plus an AMS
+    tug-of-war estimate of F2 (sketchlib/ams.py) certified against the
+    exact value.
+
+    Shape: per-block (word, cnt) partials (tokens shuffle once as slim
+    count pairs, text never moves), word-hash co-partition combines to
+    full per-word counts, each partition emits ONE row of integer moment
+    partials + its s1*s2-entry AMS partial vector (linear — partials over
+    a partition of the word space sum exactly), driver folds Python-int
+    exact.  Returns a 1-row pa.Table (f0, f1, f2, ams_ok) where ams_ok
+    certifies |ams_est - F2| <= rel_err_pct% of F2 in pure integer
+    arithmetic: |num - s1*F2| * 100 <= s1*F2 * rel_err_pct.
+    """
+    from ..sketchlib.ams import ams_median_numerator, ams_partial
+
+    n_est = s1 * s2
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        agg = pa.table({"word": flat}).group_by(["word"]) \
+            .aggregate([([], "count_all")])
+        w = agg["word"]
+        w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+        h = hash_str_u64(w)
+        return pa.table({
+            "word": w, "cnt": agg["count_all"].cast(pa.int64()),
+            "__part": pa.array((h % np.uint64(num_partitions)).astype(
+                np.uint32), pa.uint32())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "f0": pa.array([0], pa.int64()),
+                "f1": pa.array([0], pa.int64()),
+                "f2": pa.array([0], pa.int64()),
+                "ams": pa.array([np.zeros(n_est, np.int64).tobytes()],
+                                pa.binary())})
+        comb = t.select(["word", "cnt"]).group_by(["word"]) \
+            .aggregate([("cnt", "sum")])
+        c = comb["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = comb["word"]
+        w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+        vec = ams_partial(w, c, s1=s1, s2=s2)
+        return pa.table({
+            "f0": pa.array([len(c)], pa.int64()),
+            "f1": pa.array([int(c.sum())], pa.int64()),
+            "f2": pa.array([int(np.sum(c.astype(object) * c.astype(
+                object)))], pa.int64()),
+            "ams": pa.array([vec.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+    rows = pa.concat_tables(list(parts.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    f0 = int(np.sum(rows["f0"].to_numpy(zero_copy_only=False))) \
+        if rows.num_rows else 0
+    f1 = int(np.sum(rows["f1"].to_numpy(zero_copy_only=False))) \
+        if rows.num_rows else 0
+    f2 = sum(int(v) for v in rows["f2"].to_pylist()) if rows.num_rows else 0
+    acc = [0] * n_est
+    for blob in rows["ams"].to_pylist():
+        v = np.frombuffer(blob, np.int64)
+        for i in range(n_est):
+            acc[i] += int(v[i])
+    num = ams_median_numerator(acc, s1=s1, s2=s2)
+    ok = 1 if abs(num - s1 * f2) * 100 <= s1 * f2 * rel_err_pct else 0
+    return pa.table({"f0": pa.array([f0], pa.int64()),
+                     "f1": pa.array([f1], pa.int64()),
+                     "f2": pa.array([f2], pa.int64()),
+                     "ams_ok": pa.array([ok], pa.int64())})

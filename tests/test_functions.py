@@ -3418,3 +3418,57 @@ def test_chunk_documents_matches_scalar_reference(rd):
                          tb["n_words"].to_pylist(),
                          tb["chunk_text"].to_pylist()))
         assert got == sorted(expect)
+
+
+def test_ams_sketch_linearity_and_estimate():
+    """AMS partial vectors are linear (disjoint word sets AND split
+    counts of the same word fold exactly) and the median-of-means
+    numerator lands within the theoretical band on a skewed planted
+    distribution."""
+    from setsketch_ray.sketchlib.ams import ams_median_numerator, ams_partial
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(400)]
+    cnts = np.sort(rng.integers(1, 500, 400))[::-1].astype(np.int64)
+    whole = ams_partial(pa.array(words), cnts)
+
+    # disjoint split
+    a = ams_partial(pa.array(words[:150]), cnts[:150])
+    b = ams_partial(pa.array(words[150:]), cnts[150:])
+    assert np.array_equal(a + b, whole)
+
+    # split counts of the SAME words (partial counts per block)
+    c1 = cnts // 3
+    c2 = cnts - c1
+    p1 = ams_partial(pa.array(words), c1)
+    p2 = ams_partial(pa.array(words), c2)
+    assert np.array_equal(p1 + p2, whole)
+
+    f2 = int(np.sum(cnts.astype(object) * cnts.astype(object)))
+    num = ams_median_numerator(whole)
+    assert abs(num - 256 * f2) * 100 <= 256 * f2 * 20
+
+
+def test_word_moments_exact_and_certified(rd):
+    """word_moments == scalar moment computation, layout-invariant, and
+    the AMS certificate holds."""
+    from setsketch_ray.functions.text import word_moments
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(1, 60))))
+             for _ in range(300)] + [""]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+
+    from collections import Counter
+    cnt = Counter(w for s in texts for w in s.split(" ") if w)
+    f0 = len(cnt)
+    f1 = sum(cnt.values())
+    f2 = sum(v * v for v in cnt.values())
+
+    for nparts in (1, 5):
+        out = word_moments(rd.from_arrow(t).repartition(nparts), "text")
+        assert out["f0"][0].as_py() == f0
+        assert out["f1"][0].as_py() == f1
+        assert out["f2"][0].as_py() == f2
+        assert out["ams_ok"][0].as_py() == 1
