@@ -5369,8 +5369,62 @@ def _q_word_moments(sf_dir: str):
     return word_moments(ds, "text", s1=256, s2=9, rel_err_pct=20)
 
 
+def _q_image_exif(sf_dir: str):
+    """Exif APP1 metadata probe over a real-JPEG corpus (sources/exif.py —
+    CIPA DC-008 TIFF-IFD wire format, built on the TIFF parser's IFD value
+    decoder): a map stage splices a deterministic Exif APP1 into each
+    encoded JPEG (pure byte insert after SOI — entropy untouched,
+    decode-parity tested), then the probe walks segments to SOS and parses
+    IFD0 + the 0x8769 sub-IFD WITHOUT any pixel decode — the 100 TB
+    catalog shape (read heads, never payloads).  Alternating II/MM endian,
+    inline (<=4 byte) and pointer value paths both exercised.  ORACLED
+    EXACTLY per row: every field derives from the image index, so the SQL
+    CONSTRUCTS the expected values from the same idx arithmetic the engine
+    PARSES out of the bytes (url_normalize precedent)."""
+    from setsketch_ray.sources.exif import (build_exif_app1, exif_info,
+                                            inject_app1)
+    from setsketch_ray.sources.images import images_dataset
+
+    def inject_probe(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        cols = {k: [] for k in
+                ("endian", "make", "model", "orientation", "xres_num",
+                 "xres_den", "datetime", "iso", "datetime_original")}
+        for iid, blob in zip(ids, blobs):
+            idx = int(iid[3:])
+            dt = f"2024:01:{1 + idx % 28:02d} 12:{idx % 60:02d}:00"
+            dto = f"2024:01:{1 + idx % 28:02d} 11:{idx % 60:02d}:59"
+            app1 = build_exif_app1(
+                make=f"CAM{idx % 5}", model=f"M{idx % 7}",
+                orientation=1 + idx % 8, xres=(72 + idx % 4, 1),
+                datetime=dt, iso=100 * (1 + idx % 16),
+                datetime_original=dto,
+                endian="<" if idx % 2 == 0 else ">")
+            info = exif_info(inject_app1(blob, app1))
+            for k in cols:
+                cols[k].append(info[k])
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "endian": pa.array(cols["endian"], pa.string()),
+            "make": pa.array(cols["make"], pa.string()),
+            "model": pa.array(cols["model"], pa.string()),
+            "orientation": pa.array(cols["orientation"], pa.int64()),
+            "xres_num": pa.array(cols["xres_num"], pa.int64()),
+            "xres_den": pa.array(cols["xres_den"], pa.int64()),
+            "datetime": pa.array(cols["datetime"], pa.string()),
+            "iso": pa.array(cols["iso"], pa.int64()),
+            "datetime_original": pa.array(cols["datetime_original"],
+                                          pa.string())})
+
+    ds = images_dataset(160, parallelism=8, fmt_profile="jpeg")
+    return ds.map_batches(inject_probe, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "image_exif": _q_image_exif,
         "word_moments": _q_word_moments,
         "chunk_documents": _q_chunk_documents,
         "bm25_search": _q_bm25_search,
@@ -5548,6 +5602,25 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # Exif probe: SQL constructs every field from the same idx
+        # arithmetic the engine parses out of the APP1 bytes
+        "image_exif":
+            "WITH i AS (SELECT unnest(range(160)) AS idx) "
+            "SELECT 'img' || lpad(CAST(idx AS VARCHAR), 12, '0') "
+            "AS image_id, "
+            "CASE WHEN idx % 2 = 0 THEN 'II' ELSE 'MM' END AS endian, "
+            "'CAM' || CAST(idx % 5 AS VARCHAR) AS make, "
+            "'M' || CAST(idx % 7 AS VARCHAR) AS model, "
+            "CAST(1 + idx % 8 AS BIGINT) AS orientation, "
+            "CAST(72 + idx % 4 AS BIGINT) AS xres_num, "
+            "CAST(1 AS BIGINT) AS xres_den, "
+            "'2024:01:' || lpad(CAST(1 + idx % 28 AS VARCHAR), 2, '0') || "
+            "' 12:' || lpad(CAST(idx % 60 AS VARCHAR), 2, '0') || ':00' "
+            "AS datetime, "
+            "CAST(100 * (1 + idx % 16) AS BIGINT) AS iso, "
+            "'2024:01:' || lpad(CAST(1 + idx % 28 AS VARCHAR), 2, '0') || "
+            "' 11:' || lpad(CAST(idx % 60 AS VARCHAR), 2, '0') || ':59' "
+            "AS datetime_original FROM i",
         # frequency moments: exact integer f0/f1/f2; ams_ok is the
         # Ray-side integer certificate (constant 1 mirror)
         "word_moments":
