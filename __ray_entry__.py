@@ -5119,6 +5119,60 @@ def _q_part_components(sf_dir: str):
     return connected_components_sweeps(edges, iters=5, num_partitions=16)
 
 
+def _q_part_kcore(sf_dir: str):
+    """k-core decomposition (k=6) by distributed fixed-sweep peeling
+    (functions/graph.k_core_sweeps) over the same part co-purchase graph
+    as part_components/pagerank_parts: each of the 3 sweeps recomputes
+    alive-restricted degrees via ONE slim co-partitioned lookup_join
+    (self-loop rows carry the node's own alive state in the same stream,
+    cnt=0 so they never count as degree) + per-batch degree partials
+    before the exchange.  The fixed sweep count is a pure function of the
+    edge set on both engines — ORACLED EXACTLY as 3 unrolled LEFT JOIN +
+    alive-filtered-count CTEs; the per-node `stable` flag (sweep 4 ==
+    sweep 3, constant-1 mirror) certifies the peeling actually reached
+    the k-core fixpoint (measured: fixpoint in <= 3 sweeps at every sf)."""
+    from setsketch_ray.functions.graph import (cooccurrence_edges,
+                                               k_core_sweeps)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = t["l_partkey"].to_numpy() % 10 == 0
+        return t.filter(pa.array(m))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return k_core_sweeps(edges, k=6, iters=3, num_partitions=8)
+
+
+def _kcore_oracle(k: int = 6, iters: int = 5) -> str:
+    """Unrolled peeling CTE chain mirroring functions/graph.k_core_sweeps
+    over the part co-purchase graph: per sweep one LEFT JOIN against the
+    alive-filtered degree count — pure int64, exact.  The final SELECT
+    joins sweep iters against sweep iters+1 for the stable certificate."""
+    sql = (
+        "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey % 10 = 0), "
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+        "JOIN li b ON a.o = b.o AND a.p < b.p), "
+        "de AS (SELECT u AS s, v AS d FROM e "
+        "UNION ALL SELECT v AS s, u AS d FROM e), "
+        "a0 AS (SELECT DISTINCT s AS node, 1 AS a FROM de)")
+    for i in range(1, iters + 2):
+        sql += (
+            f", a{i} AS (SELECT n.node, CASE WHEN n.a = 1 AND "
+            f"coalesce(dg.c, 0) >= {k} THEN 1 ELSE 0 END AS a "
+            f"FROM a{i - 1} n LEFT JOIN ("
+            f"SELECT de.d AS node, count(*) AS c FROM de "
+            f"JOIN a{i - 1} x ON x.node = de.s AND x.a = 1 "
+            f"GROUP BY de.d) dg ON dg.node = n.node)")
+    return sql + (
+        f" SELECT a{iters}.node, CAST(a{iters}.a AS BIGINT) AS in_core, "
+        f"CAST(CASE WHEN a{iters}.a = a{iters + 1}.a THEN 1 ELSE 0 END "
+        f"AS BIGINT) AS stable FROM a{iters} "
+        f"JOIN a{iters + 1} ON a{iters}.node = a{iters + 1}.node "
+        f"ORDER BY a{iters}.node")
+
+
 def _components_oracle(iters: int = 5) -> str:
     """Unrolled min-label-propagation CTE chain mirroring
     functions/graph.connected_components_sweeps over the part co-purchase
@@ -5431,6 +5485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_by_lang": _q_top_words_by_lang,
         "events_gapfill": _q_events_gapfill,
         "part_components": _q_part_components,
+        "part_kcore": _q_part_kcore,
         "merge_orders_changes": _q_merge_orders_changes,
         "events_props_extract": _q_events_props_extract,
         "parts_skyline": _q_parts_skyline,
@@ -5774,6 +5829,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "pagerank_parts": _pagerank_oracle(3),
         # unrolled min-label propagation, one CTE per sweep
         "part_components": _components_oracle(5),
+        "part_kcore": _kcore_oracle(6, 3),
         # unrolled Morton interleave + zone-map prune, both sides
         "zorder_scan_orders": _zorder_scan_oracle(),
         # triangles = canonical edges joined 3-ways; wedges = sum C(d,2)

@@ -382,3 +382,127 @@ def connected_components_sweeps(edges, iters: int = 5,
         return t.rename_columns(["node", "label"])
 
     return labels.map_batches(rename, batch_format="pyarrow").sort("node")
+
+
+def k_core_sweeps(edges, k: int, iters: int = 5, num_partitions: int = 64):
+    """Distributed k-core decomposition by fixed-sweep peeling over a
+    DISTINCT canonical (u < v) edge dataset: ``alive_0(v) = 1``; each
+    sweep recomputes the degree RESTRICTED to alive endpoints and sets
+    ``alive_{i+1}(v) = alive_i(v) AND deg_alive_i(v) >= k``.  Running a
+    FIXED ``iters`` sweeps keeps the result an exact pure function of the
+    edge set on both engines (the SQL oracle unrolls one LEFT JOIN +
+    filtered count CTE per sweep); the returned per-node ``stable`` flag
+    certifies local convergence (sweep iters+1 agrees with sweep iters),
+    so an under-sized ``iters`` turns the row red instead of silently
+    shipping a non-core.
+
+    Scale shape (same contract as connected_components_sweeps): the
+    directed edge table is built and hash-partitioned ONCE with self-loop
+    rows so each node's own alive state rides the same co-partitioned
+    ``lookup_join`` stream as its neighbors' — per sweep ONE slim (s, d,
+    a) join + per-batch degree partials BEFORE the exchange; alive state
+    never touches the driver.  Self-loops carry cnt=0 (they mark state,
+    never degree).
+
+    Returns a Ray Dataset of (node, in_core, stable) sorted by node.
+    """
+    from .relational import grouped_aggregate, lookup_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        return pa.table({
+            "s": pa.array(np.concatenate([u, v]), pa.int64()),
+            "d": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    de = edges.map_batches(both_dirs, batch_format="pyarrow")
+    nodes = grouped_aggregate(de, ["s"], {"_n": ("count", None)},
+                              final="ray").materialize()
+
+    def self_loops(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t["s"], "d": t["s"]})
+
+    de = de.union(nodes.map_batches(self_loops, batch_format="pyarrow")) \
+        .materialize()
+
+    de_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    st_schema = pa.schema([("node", pa.int64()), ("a", pa.int64())])
+
+    def init_alive(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["s"],
+                         "a": pa.array(np.ones(t.num_rows, np.int64),
+                                       pa.int64())})
+
+    alive = nodes.map_batches(init_alive, batch_format="pyarrow")
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        """Per-batch: self-loop rows become state markers (cnt 0,
+        st = a+1); alive-source edges pre-count by destination."""
+        s = t["s"].to_numpy().astype(np.int64)
+        d = t["d"].to_numpy().astype(np.int64)
+        a = t["a"].to_numpy().astype(np.int64)
+        selfm = s == d
+        state = pa.table({
+            "d": pa.array(d[selfm], pa.int64()),
+            "cnt": pa.array(np.zeros(int(selfm.sum()), np.int64),
+                            pa.int64()),
+            "st": pa.array(a[selfm] + 1, pa.int64())})
+        em = (~selfm) & (a == 1)
+        if em.any():
+            agg = pa.table({"d": pa.array(d[em], pa.int64())}) \
+                .group_by(["d"]).aggregate([([], "count_all")])
+            deg = pa.table({
+                "d": agg["d"], "cnt": agg["count_all"].cast(pa.int64()),
+                "st": pa.array(np.zeros(agg.num_rows, np.int64),
+                               pa.int64())})
+            out = pa.concat_tables([state, deg])
+        else:
+            out = state
+        dst = out["d"].to_numpy().astype(np.int64)
+        return out.append_column(
+            "__part", pa.array(_part_of(dst, num_partitions), pa.uint32()))
+
+    st_empty = pa.table({"node": pa.array([], pa.int64()),
+                         "a": pa.array([], pa.int64())})
+
+    def finish_partition(t: pa.Table, _k=k) -> pa.Table:
+        if t.num_rows == 0:
+            return st_empty
+        agg = t.group_by(["d"]).aggregate([("cnt", "sum"), ("st", "max")])
+        a_old = agg["st_max"].to_numpy().astype(np.int64) - 1
+        deg = agg["cnt_sum"].to_numpy().astype(np.int64)
+        new_a = ((a_old == 1) & (deg >= _k)).astype(np.int64)
+        return pa.table({"node": agg["d"],
+                         "a": pa.array(new_a, pa.int64())})
+
+    def sweep(state):
+        ed = lookup_join(de, state, "s", "node",
+                         num_partitions=num_partitions,
+                         left_schema=de_schema, right_schema=st_schema)
+        return ed.map_batches(degree_partial, batch_format="pyarrow") \
+            .groupby("__part") \
+            .map_groups(finish_partition, batch_format="pyarrow")
+
+    for _ in range(iters):
+        alive = sweep(alive)
+    alive = alive.materialize()      # consumed twice below
+    nxt = sweep(alive)
+
+    def ren_next(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "a_next"])
+
+    nxt_schema = pa.schema([("node", pa.int64()), ("a_next", pa.int64())])
+    joined = lookup_join(alive, nxt.map_batches(ren_next,
+                                                batch_format="pyarrow"),
+                         "node", "node", num_partitions=num_partitions,
+                         left_schema=st_schema, right_schema=nxt_schema)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        an = t["a_next"].to_numpy().astype(np.int64)
+        return pa.table({
+            "node": t["node"],
+            "in_core": pa.array(a, pa.int64()),
+            "stable": pa.array((a == an).astype(np.int64), pa.int64())})
+
+    return joined.map_batches(finalize, batch_format="pyarrow").sort("node")
