@@ -5476,8 +5476,26 @@ def _q_image_exif(sf_dir: str):
                           batch_size=None)
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Per-language embedding centroids (functions/knn.
+    embedding_group_centroids): ONE co-partitioned lookup_join attaches
+    documents.lang to each vector (inner — the SQL JOIN drops unlabeled
+    ids at sf0.1 where embeddings is a subset), then per-block group-wise
+    int64 column sums over floor(x*1e6+0.5)-fixed elements; the exchange
+    carries 5 langs x 64 dims slim rows per block, vectors never shuffle.
+    ORACLED EXACTLY: integer sums both sides (DuckDB parallel unnest zip,
+    embedding CAST to DOUBLE before scaling — the list<float> caveat);
+    mean is the one IEEE division of identical operands."""
+    from setsketch_ray.functions.knn import embedding_group_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return embedding_group_centroids(emb, docs, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "embedding_centroids": _q_embedding_centroids,
         "image_exif": _q_image_exif,
         "word_moments": _q_word_moments,
         "chunk_documents": _q_chunk_documents,
@@ -5657,6 +5675,18 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # grouped centroids: integer fixed-point sums, one IEEE division
+        "embedding_centroids":
+            "WITH e AS (SELECT vec_id, unnest(embedding) AS v, "
+            "unnest(range(len(embedding))) AS dim FROM embeddings), "
+            "j AS (SELECT d.lang, CAST(e.dim AS BIGINT) AS dim, "
+            "CAST(floor(CAST(e.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+            "AS cv FROM e JOIN documents d ON e.vec_id = d.doc_id) "
+            "SELECT lang, dim, CAST(sum(cv) AS BIGINT) AS sum_c, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(CAST(sum(cv) AS BIGINT) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) AS mean "
+            "FROM j GROUP BY lang, dim ORDER BY lang, dim",
         # Exif probe: SQL constructs every field from the same idx
         # arithmetic the engine parses out of the APP1 bytes
         "image_exif":

@@ -872,3 +872,68 @@ def embedding_gram(ds, emb_col: str = "embedding", scale: int = 1_000_000,
     if not with_mean_counts:
         out = out.drop_columns(["sum_i_c", "n"])
     return out
+
+
+def embedding_group_centroids(ds, group_ds, id_col: str = "vec_id",
+                              group_key: str = "doc_id",
+                              group_col: str = "lang",
+                              emb_col: str = "embedding",
+                              scale: int = 1_000_000,
+                              num_partitions: int = 32):
+    """Per-group embedding centroids (the class-prototype / topic-centroid
+    shape): attach each vector's group label via ONE co-partitioned
+    ``lookup_join`` (inner — unlabeled vectors drop, the SQL JOIN), then
+    per-block group-wise column sums over ``floor(x*scale + 0.5)``-fixed
+    elements (the repo's oracled-rounding convention) so every partial is
+    exact int64 — the final (group, dim) grouped sum is a pure function of
+    the row set, float-association-free.  The vectors themselves never
+    shuffle: the exchange carries n_groups * dim slim int rows per block.
+
+    Returns a pa.Table of (group_col, dim, sum_c, n, mean) sorted by
+    (group, dim) — n_groups * dim rows, driver-small by construction —
+    where mean = sum_c / n as ONE IEEE double division (identical
+    expression tree in the oracle).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_aggregate, lookup_join
+
+    joined = lookup_join(ds, group_ds, id_col, group_key,
+                         num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(t[emb_col])
+        if emb.shape[0] == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = np.floor(emb * scale + 0.5).astype(np.int64)
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        enc = g.dictionary_encode()
+        gidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        k, d = len(uniq), c.shape[1]
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, gidx, c)
+        cnt = np.bincount(gidx, minlength=k).astype(np.int64)
+        return pa.table({
+            group_col: uniq.take(pa.array(np.repeat(np.arange(k), d))),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k),
+                            pa.int64()),
+            "sum_c": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64())})
+
+    agg = grouped_aggregate(joined.map_batches(partial,
+                                               batch_format="pyarrow"),
+                            [group_col, "dim"],
+                            {"sum_c": ("sum", "sum_c"), "n": ("sum", "n")})
+
+    # grouped_aggregate(final="driver") hands back a pa.Table — the result
+    # is n_groups * dim rows, driver-small by construction
+    s = agg["sum_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = agg.append_column("mean", pa.array(s / n, pa.float64()))
+    return out.take(pc.sort_indices(out, sort_keys=[
+        (group_col, "ascending"), ("dim", "ascending")])).combine_chunks()

@@ -3472,3 +3472,39 @@ def test_word_moments_exact_and_certified(rd):
         assert out["f1"][0].as_py() == f1
         assert out["f2"][0].as_py() == f2
         assert out["ams_ok"][0].as_py() == 1
+
+
+def test_embedding_group_centroids_exact(rd):
+    """Grouped centroids == scalar fixed-point reference; inner-join
+    semantics drop unlabeled vectors; layout-invariant."""
+    from setsketch_ray.functions.knn import embedding_group_centroids
+
+    rng = np.random.default_rng(9)
+    n, d = 120, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    labels = [f"g{i % 3}" for i in range(90)]  # ids 90..119 unlabeled
+    emb = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32()))})
+    grp = pa.table({"doc_id": pa.array(range(90), pa.int64()),
+                    "lang": pa.array(labels, pa.string())})
+
+    c = np.floor(vecs[:90].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    expect = {}
+    for g in ("g0", "g1", "g2"):
+        idx = [i for i in range(90) if labels[i] == g]
+        expect[g] = (c[idx].sum(axis=0), len(idx))
+
+    for nparts in (1, 4):
+        out = embedding_group_centroids(
+            rd.from_arrow(emb).repartition(nparts), rd.from_arrow(grp),
+            num_partitions=8)
+        assert out.num_rows == 3 * d
+        for g in ("g0", "g1", "g2"):
+            sub = out.filter(pa.compute.equal(out["lang"], g))
+            s, cnt = expect[g]
+            assert sub["sum_c"].to_pylist() == s.tolist()
+            assert sub["n"].to_pylist() == [cnt] * d
+            got_mean = np.array(sub["mean"].to_pylist())
+            ref_mean = s.astype(np.float64) / np.float64(cnt)
+            assert np.array_equal(got_mean, ref_mean)
