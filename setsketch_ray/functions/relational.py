@@ -2293,3 +2293,109 @@ def skyline(ds, dims: list[tuple[str, str]]) -> pa.Table:
     f = _pareto_front(pts) * signs
     return pa.table({c: pa.array(f[:, i], pa.int64())
                      for i, c in enumerate(cols)})
+
+
+def join_size_estimate(ds_a, ds_b, key_a: str, key_b: str,
+                       s1: int = 256, s2: int = 9, rel_err_pct: int = 25,
+                       num_partitions: int = 32):
+    """Exact equi-join cardinality |A JOIN B ON key| = sum_k a_k * b_k
+    (the query-optimizer statistic) plus an AMS inner-product estimate
+    (sketchlib/ams.ams_inner_numerator — both sides sketched with the
+    SAME counter-mode sign draw, so E[X_e Y_e] is exactly the join size)
+    certified against the exact value in pure integer arithmetic.
+
+    Shape: per-block (key, ca, cb) count partials from each side (rows
+    never cross — only slim count pairs), ONE key-hash co-partition
+    combines to full per-key counts, each partition emits one row of
+    integer partials (join-size / F2 sums + its two linear AMS vectors);
+    the driver folds Python-int exact.  The AMS vectors are what you'd
+    keep at 100 TB to estimate join sizes WITHOUT the exchange — here the
+    exact pass doubles as the certificate's ground truth.
+
+    Returns a 1-row pa.Table (join_size, f2_a, f2_b, ams_ok).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sketchlib.ams import ams_inner_numerator, ams_partial
+    from ..sketchlib.hashing import mix64
+
+    n_est = s1 * s2
+
+    def _count_partial(side: int):
+        key = key_a if side == 0 else key_b
+
+        def fn(t: pa.Table) -> pa.Table:
+            agg = t.select([key]).group_by([key]) \
+                .aggregate([([], "count_all")])
+            k = agg[key]
+            k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+            c = agg["count_all"].cast(pa.int64())
+            z = pa.array(np.zeros(agg.num_rows, np.int64), pa.int64())
+            h = mix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            return pa.table({
+                "k": k.cast(pa.int64()),
+                "ca": c if side == 0 else z,
+                "cb": z if side == 0 else c,
+                "__part": pa.array((h % np.uint64(num_partitions)).astype(
+                    np.uint32), pa.uint32())})
+        return fn
+
+    both = ds_a.map_batches(_count_partial(0), batch_format="pyarrow") \
+        .union(ds_b.map_batches(_count_partial(1), batch_format="pyarrow"))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty_vec = np.zeros(n_est, np.int64).tobytes()
+        if t.num_rows == 0:
+            return pa.table({"js": pa.array([0], pa.int64()),
+                             "f2a": pa.array([0], pa.int64()),
+                             "f2b": pa.array([0], pa.int64()),
+                             "ams_a": pa.array([empty_vec], pa.binary()),
+                             "ams_b": pa.array([empty_vec], pa.binary())})
+        comb = t.select(["k", "ca", "cb"]).group_by(["k"]) \
+            .aggregate([("ca", "sum"), ("cb", "sum")])
+        k = comb["k"]
+        k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        ca = comb["ca_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = comb["cb_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        js = int(np.sum(ca.astype(object) * cb.astype(object)))
+        f2a = int(np.sum(ca.astype(object) * ca.astype(object)))
+        f2b = int(np.sum(cb.astype(object) * cb.astype(object)))
+        va = ams_partial(k.to_numpy(zero_copy_only=False), ca, s1=s1, s2=s2)
+        vb = ams_partial(k.to_numpy(zero_copy_only=False), cb, s1=s1, s2=s2)
+        return pa.table({"js": pa.array([js], pa.int64()),
+                         "f2a": pa.array([f2a], pa.int64()),
+                         "f2b": pa.array([f2b], pa.int64()),
+                         "ams_a": pa.array([va.tobytes()], pa.binary()),
+                         "ams_b": pa.array([vb.tobytes()], pa.binary())})
+
+    rows = pa.concat_tables(list(
+        both.groupby("__part").map_groups(per_partition,
+                                          batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    js = sum(int(v) for v in rows["js"].to_pylist())
+    f2a = sum(int(v) for v in rows["f2a"].to_pylist())
+    f2b = sum(int(v) for v in rows["f2b"].to_pylist())
+    acc_a = [0] * n_est
+    acc_b = [0] * n_est
+    for blob_a, blob_b in zip(rows["ams_a"].to_pylist(),
+                              rows["ams_b"].to_pylist()):
+        va = np.frombuffer(blob_a, np.int64)
+        vb = np.frombuffer(blob_b, np.int64)
+        for i in range(n_est):
+            acc_a[i] += int(va[i])
+            acc_b[i] += int(vb[i])
+    num = ams_inner_numerator(acc_a, acc_b, s1=s1, s2=s2)
+    if js > 0:
+        ok = 1 if abs(num - s1 * js) * 100 <= s1 * js * rel_err_pct else 0
+    else:
+        # zero (or disjoint-domain) join: the estimate is zero-mean with
+        # std <= sqrt(F2(a) F2(b) / s1) — certify against that scale
+        import math
+
+        bound = s1 * (3 * math.isqrt(f2a * f2b) // max(1, math.isqrt(s1)))
+        ok = 1 if abs(num) <= max(bound, 1) else 0
+    return pa.table({"join_size": pa.array([js], pa.int64()),
+                     "f2_a": pa.array([f2a], pa.int64()),
+                     "f2_b": pa.array([f2b], pa.int64()),
+                     "ams_ok": pa.array([ok], pa.int64())})

@@ -26,6 +26,22 @@ from .hashing import hash_str_u64, mix2
 AMS_SEED = 0xA535_5EED
 
 
+def _key_hash(arr) -> np.ndarray:
+    """uint64 key hash: counter-mode string hash for string keys, mix2
+    for integer keys — the same draw either way, a pure function of the
+    key VALUE (two tables sketching the same key domain get the same
+    signs, which is what makes cross-table inner products work)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.Array) and pa.types.is_integer(arr.type):
+        arr = arr.to_numpy(zero_copy_only=False)
+    if isinstance(arr, np.ndarray):
+        return mix2(arr.astype(np.uint64), np.uint64(AMS_SEED))
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr)
+    return hash_str_u64(arr, seed=AMS_SEED)
+
+
 def ams_partial(words, cnts: np.ndarray, s1: int = 256, s2: int = 9) -> \
         np.ndarray:
     """Partial AMS vector (length s1*s2, int64) over (word, count) pairs:
@@ -36,8 +52,7 @@ def ams_partial(words, cnts: np.ndarray, s1: int = 256, s2: int = 9) -> \
     n_grp = (n_est + 63) // 64
     if len(cnts) == 0:
         return np.zeros(n_est, np.int64)
-    arr = words if isinstance(words, pa.Array) else pa.array(words)
-    h = hash_str_u64(arr, seed=AMS_SEED)
+    h = _key_hash(words)
     c = np.ascontiguousarray(cnts, dtype=np.int64)
     total = int(c.sum())
     out = np.empty(n_grp * 64, np.int64)
@@ -59,5 +74,21 @@ def ams_median_numerator(acc, s1: int = 256, s2: int = 9) -> int:
     xs = [int(v) for v in acc]
     assert len(xs) == s1 * s2
     sums = sorted(sum(v * v for v in xs[i * s1:(i + 1) * s1])
+                  for i in range(s2))
+    return sums[s2 // 2]
+
+
+def ams_inner_numerator(acc_a, acc_b, s1: int = 256, s2: int = 9) -> int:
+    """Inner-product (equi-join size) estimate from two AMS vectors over
+    the SAME sign draw: E[X_e * Y_e] = sum_k a_k * b_k.  Returns the
+    exact integer numerator ``median_g sum_{e in g} X_e * Y_e`` (the
+    estimate is numerator / s1) — pure-integer certificates, as with
+    ams_median_numerator.  Note the numerator may be negative on tiny
+    inputs (the median of signed products)."""
+    xs = [int(v) for v in acc_a]
+    ys = [int(v) for v in acc_b]
+    assert len(xs) == len(ys) == s1 * s2
+    sums = sorted(sum(x * y for x, y in zip(xs[i * s1:(i + 1) * s1],
+                                            ys[i * s1:(i + 1) * s1]))
                   for i in range(s2))
     return sums[s2 // 2]

@@ -3508,3 +3508,39 @@ def test_embedding_group_centroids_exact(rd):
             got_mean = np.array(sub["mean"].to_pylist())
             ref_mean = s.astype(np.float64) / np.float64(cnt)
             assert np.array_equal(got_mean, ref_mean)
+
+
+def test_join_size_estimate_exact_and_certified(rd):
+    """join_size_estimate == scalar sum_k a_k*b_k on a planted skewed key
+    distribution; the AMS cross-sketch certificate holds; disjoint key
+    sets give join_size 0 with a clean certificate."""
+    from setsketch_ray.functions.relational import join_size_estimate
+
+    rng = np.random.default_rng(13)
+    ka = rng.integers(0, 60, 4000).astype(np.int64)
+    kb = np.concatenate([rng.integers(0, 60, 3000),
+                         rng.integers(100, 120, 500)]).astype(np.int64)
+    ta = pa.table({"k": pa.array(ka, pa.int64())})
+    tb = pa.table({"k": pa.array(kb, pa.int64())})
+
+    from collections import Counter
+    ca, cb = Counter(ka.tolist()), Counter(kb.tolist())
+    js = sum(v * cb.get(k, 0) for k, v in ca.items())
+    f2a = sum(v * v for v in ca.values())
+    f2b = sum(v * v for v in cb.values())
+
+    for nparts in (1, 4):
+        out = join_size_estimate(rd.from_arrow(ta).repartition(nparts),
+                                 rd.from_arrow(tb), "k", "k",
+                                 num_partitions=8)
+        assert out["join_size"][0].as_py() == js
+        assert out["f2_a"][0].as_py() == f2a
+        assert out["f2_b"][0].as_py() == f2b
+        assert out["ams_ok"][0].as_py() == 1
+
+    # disjoint key domains
+    tc = pa.table({"k": pa.array(np.arange(500, 540), pa.int64())})
+    out = join_size_estimate(rd.from_arrow(ta), rd.from_arrow(tc),
+                             "k", "k", num_partitions=8)
+    assert out["join_size"][0].as_py() == 0
+    assert out["ams_ok"][0].as_py() == 1   # 3-sigma zero-case certificate
