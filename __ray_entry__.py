@@ -5520,8 +5520,24 @@ def _q_join_size_lineitem(sf_dir: str):
                               num_partitions=16)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-document character entropy as the integer statistic n*H in e9
+    fixed point (functions/text.char_entropy_scores — the mojibake /
+    low-diversity quality filter).  Vectorized and SHUFFLE-FREE: ONE
+    bincount over the Arrow string data buffer per batch (ASCII corpus
+    contract: byte == char), with log2 evaluated once per DISTINCT
+    (cnt, n) pair through the same glibc libm call DuckDB makes — the
+    bigram-LM oracle trick, so the per-doc sums are exact integer
+    arithmetic on both engines.  ORACLED EXACTLY."""
+    from setsketch_ray.functions.text import char_entropy_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return char_entropy_scores(ds, "doc_id", "text").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "char_entropy": _q_char_entropy,
         "join_size_lineitem": _q_join_size_lineitem,
         "embedding_centroids": _q_embedding_centroids,
         "image_exif": _q_image_exif,
@@ -5703,6 +5719,21 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # n*H entropy in e9 fixed point: one libm log2 per distinct
+        # (cnt, n) pair, integer sums both sides
+        "char_entropy":
+            "WITH ch AS (SELECT doc_id, "
+            "unnest(string_split_regex(text, '')) AS c FROM documents), "
+            "cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM ch WHERE length(c) > 0 GROUP BY doc_id, c), "
+            "nn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n "
+            "FROM cc GROUP BY doc_id) "
+            "SELECT cc.doc_id, nn.n AS n_chars, "
+            "CAST(sum(cnt * CAST(floor((-log2("
+            "CAST(cnt AS DOUBLE) / CAST(nn.n AS DOUBLE))) "
+            "* 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ent_e9 "
+            "FROM cc JOIN nn USING (doc_id) GROUP BY cc.doc_id, nn.n "
+            "ORDER BY cc.doc_id",
         # exact join cardinality + F2s; ams_ok is the Ray-side integer
         # certificate (constant 1 mirror)
         "join_size_lineitem":

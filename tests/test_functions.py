@@ -3544,3 +3544,38 @@ def test_join_size_estimate_exact_and_certified(rd):
                              "k", "k", num_partitions=8)
     assert out["join_size"][0].as_py() == 0
     assert out["ams_ok"][0].as_py() == 1   # 3-sigma zero-case certificate
+
+
+def test_char_entropy_scores_matches_scalar(rd):
+    """char_entropy_scores == scalar Counter+math.log2 reference,
+    including single-class (zero-entropy) and empty-doc drop."""
+    import math
+    from collections import Counter
+
+    from setsketch_ray.functions.text import char_entropy_scores
+
+    texts = ["aaaa", "", "abab", "the quick brown fox", "zzzzzzzzzy",
+             "a b a b  ", "0123456789" * 7]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    expect = {}
+    for i, s in enumerate(texts):
+        if not s:
+            continue
+        cnt = Counter(s)
+        n = len(s)
+        expect[i] = (n, sum(
+            c * math.floor((-math.log2(c / n)) * 1e9 + 0.5)
+            for c in cnt.values()))
+
+    for nparts in (1, 3):
+        out = char_entropy_scores(rd.from_arrow(t).repartition(nparts),
+                                  "doc_id", "text")
+        tb = pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        got = {d: (n, e) for d, n, e in zip(
+            tb["doc_id"].to_pylist(), tb["n_chars"].to_pylist(),
+            tb["ent_e9"].to_pylist())}
+        assert got == expect
+    assert expect[0][1] == 0          # single class -> zero entropy
