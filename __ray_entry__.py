@@ -5535,8 +5535,35 @@ def _q_char_entropy(sf_dir: str):
     return char_entropy_scores(ds, "doc_id", "text").sort("doc_id")
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval rank fusion (functions/search.rrf_fuse, RRF —
+    Cormack et al. 2009): fuse the BM25 lexical top-20 (bm25_search's
+    exact pipeline) with the embedding cosine top-20 of query vec 0
+    (knn_bruteforce's broadcast-matmul pipeline) as fused(d) =
+    1/(60+r_bm25) + 1/(60+r_knn), absent lists contributing exactly 0.0.
+    The distributed work is producing the two rankings; fusion is k-sized
+    driver algebra.  ORACLED EXACTLY: the SQL recomputes BOTH rankings
+    (the bm25 statement inlined as a subquery, the cosine rank() window)
+    and mirrors the identical fixed-order float tree, fixed-pointed as
+    floor(s*1e9 + 0.5)."""
+    from setsketch_ray.functions.knn import knn_bruteforce
+    from setsketch_ray.functions.search import bm25_topk, rrf_fuse
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(docs, "doc_id", "text",
+                   ["hash", "merge", "scan", "window"], k=20)
+    bm_ranked = pa.table({
+        "doc_id": bm["doc_id"],
+        "r": pa.array(np.arange(1, bm.num_rows + 1), pa.int64())})
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    kn = knn_bruteforce(emb, query_vec_id=0, k=20)
+    kn_ranked = pa.table({"doc_id": kn["vec_id"], "r": kn["rank"]})
+    return rrf_fuse([bm_ranked, kn_ranked], k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "rrf_fusion": _q_rrf_fusion,
         "char_entropy": _q_char_entropy,
         "join_size_lineitem": _q_join_size_lineitem,
         "embedding_centroids": _q_embedding_centroids,
@@ -5710,10 +5737,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _compose_rrf_oracle(d: dict) -> str:
+    """RRF = FULL OUTER JOIN of the two recomputed rankings with the
+    identical fixed-order float tree (bm25 term + knn term).  The bm25
+    ranking inlines the bm25_search oracle statement as a subquery; the
+    knn ranking is the knn_bruteforce window at k=20."""
+    knn20 = (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings "
+        "WHERE vec_id = 0) "
+        "SELECT e.vec_id AS doc_id, CAST(rank() OVER (ORDER BY "
+        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) "
+        "AS BIGINT) AS r FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY r LIMIT 20")
+    return (
+        f"WITH bm AS (SELECT doc_id, CAST(row_number() OVER ("
+        f"ORDER BY score_c DESC, doc_id) AS BIGINT) AS r "
+        f"FROM ({d['bm25_search']})), "
+        f"kn AS (SELECT doc_id, r FROM ({knn20})), "
+        "u AS (SELECT coalesce(bm.doc_id, kn.doc_id) AS doc_id, "
+        "(CASE WHEN bm.r IS NULL THEN CAST(0 AS DOUBLE) ELSE "
+        "CAST(1 AS DOUBLE) / CAST(60 + bm.r AS DOUBLE) END) + "
+        "(CASE WHEN kn.r IS NULL THEN CAST(0 AS DOUBLE) ELSE "
+        "CAST(1 AS DOUBLE) / CAST(60 + kn.r AS DOUBLE) END) AS s "
+        "FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id) "
+        "SELECT doc_id, CAST(floor(s * 1000000000.0 + 0.5) AS BIGINT) "
+        "AS rrf_c FROM u ORDER BY rrf_c DESC, doc_id LIMIT 20")
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["corpus_curation"] = _compose_curation_oracle(d)
     d["web_pipeline"] = _compose_web_pipeline_oracle(d)
+    d["rrf_fusion"] = _compose_rrf_oracle(d)
     return d
 
 

@@ -285,3 +285,42 @@ def bm25_topk(ds, id_col: str, text_col: str, terms: list,
     top = top.take(pc.sort_indices(top, sort_keys=[
         ("score_c", "descending"), (id_col, "ascending")]))
     return top.slice(0, k).combine_chunks()
+
+
+def rrf_fuse(rankings: list, id_col: str = "doc_id", rank_col: str = "r",
+             k: int = 20, k_rrf: int = 60, scale: int = 10 ** 9):
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the hybrid-search
+    combiner): fused(d) = sum_i 1/(k_rrf + rank_i(d)) over the input
+    ranking tables, a document absent from a list contributing exactly
+    0.0.  The inputs are top-k tables (driver-small by construction —
+    the DISTRIBUTED work is producing them); fusion itself is k-sized.
+
+    Float contract: per-list terms are one IEEE division each, added in
+    FIXED list order (0.0 + x == x exactly, so absence never perturbs
+    bits), then fixed-pointed as floor(s*scale + 0.5) — the oracle
+    mirrors the same tree via FULL OUTER JOIN + CASE 0 terms.
+
+    Returns a pa.Table (id_col, rrf_c) of the k highest-fused docs,
+    ties by id.
+    """
+    order = {}
+    terms = {}
+    for li, tbl in enumerate(rankings):
+        ids = tbl[id_col].to_pylist()
+        rs = tbl[rank_col].to_pylist()
+        for did, r in zip(ids, rs):
+            if did not in terms:
+                order[did] = len(order)
+                terms[did] = [0.0] * len(rankings)
+            terms[did][li] = 1.0 / float(k_rrf + int(r))
+    rows = []
+    for did, ts in terms.items():
+        s = 0.0
+        for t in ts:           # fixed list order
+            s = s + t
+        rows.append((did, int(np.floor(s * scale + 0.5))))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:k]
+    return pa.table({
+        id_col: pa.array([r[0] for r in rows], pa.int64()),
+        "rrf_c": pa.array([r[1] for r in rows], pa.int64())})

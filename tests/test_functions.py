@@ -3579,3 +3579,30 @@ def test_char_entropy_scores_matches_scalar(rd):
             tb["ent_e9"].to_pylist())}
         assert got == expect
     assert expect[0][1] == 0          # single class -> zero entropy
+
+
+def test_rrf_fuse_matches_scalar():
+    """rrf_fuse == scalar fusion with absence handling, tie-by-id, and
+    exact fixed-point parity."""
+    from setsketch_ray.functions.search import rrf_fuse
+
+    a = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "r": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"doc_id": pa.array([3, 4, 1], pa.int64()),
+                  "r": pa.array([1, 2, 3], pa.int64())})
+    out = rrf_fuse([a, b], k=10)
+
+    import math
+    exp = {}
+    for did in (1, 2, 3, 4):
+        ra = {1: 1, 2: 2, 3: 3}.get(did)
+        rb = {3: 1, 4: 2, 1: 3}.get(did)
+        s = 0.0
+        s = s + (1.0 / float(60 + ra) if ra else 0.0)
+        s = s + (1.0 / float(60 + rb) if rb else 0.0)
+        exp[did] = int(math.floor(s * 1e9 + 0.5))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(out["doc_id"].to_pylist(),
+                    out["rrf_c"].to_pylist())) == want
+    # doc in both lists outranks single-list docs here
+    assert out["doc_id"][0].as_py() in (1, 3)
