@@ -5561,8 +5561,51 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([bm_ranked, kn_ranked], k=20)
 
 
+def _q_events_regression_by_type(sf_dir: str):
+    """Grouped ordinary-least-squares fit (value cents ~ hour-of-day) per
+    event_type from FOUR integer sufficient statistics (n, sx, sy, sxy,
+    sxx — associativity-proof int64 sums), finished with an identical
+    float expression tree on both engines (the value_hour_corr technique):
+    slope = (mxy - mx*my)/(mxx - mx*mx), intercept = my - slope*mx.
+    ORACLED EXACTLY — every division/multiply is the same IEEE op of the
+    same operands in the same order."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = pc.hour(t["ts"]).cast(pa.int64())
+        y = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "x": x, "y": y,
+                         "xy": pc.multiply(x, y),
+                         "xx": pc.multiply(x, x)})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]) \
+        .map_batches(stats, batch_format="pyarrow")
+    agg = grouped_aggregate(ds, ["event_type"], {
+        "n": ("count", None), "sx": ("sum", "x"), "sy": ("sum", "y"),
+        "sxy": ("sum", "xy"), "sxx": ("sum", "xx")})
+
+    def f(col):
+        return agg[col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+
+    n, sx, sy, sxy, sxx = f("n"), f("sx"), f("sy"), f("sxy"), f("sxx")
+    mx, my = sx / n, sy / n
+    mxy, mxx = sxy / n, sxx / n
+    slope = (mxy - mx * my) / (mxx - mx * mx)
+    intercept = my - slope * mx
+    out = pa.table({"event_type": agg["event_type"],
+                    "n": agg["n"].cast(pa.int64()),
+                    "slope": pa.array(slope, pa.float64()),
+                    "intercept": pa.array(intercept, pa.float64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("event_type", "ascending")])).combine_chunks()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_regression_by_type": _q_events_regression_by_type,
         "rrf_fusion": _q_rrf_fusion,
         "char_entropy": _q_char_entropy,
         "join_size_lineitem": _q_join_size_lineitem,
@@ -5774,6 +5817,26 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # grouped OLS: integer sufficient stats + identical float tree
+        "events_regression_by_type":
+            "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)) AS BIGINT) "
+            "AS sx, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sy, "
+            "CAST(sum(CAST(extract(hour FROM ts) AS BIGINT) * "
+            "CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sxy, "
+            "CAST(sum(CAST(extract(hour FROM ts) AS BIGINT) * "
+            "CAST(extract(hour FROM ts) AS BIGINT)) AS BIGINT) AS sxx "
+            "FROM events GROUP BY event_type), "
+            "m AS (SELECT event_type, n, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx, "
+            "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my, "
+            "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS mxy, "
+            "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS mxx FROM s), "
+            "r AS (SELECT event_type, n, "
+            "(mxy - mx * my) / (mxx - mx * mx) AS slope, mx, my FROM m) "
+            "SELECT event_type, n, slope, my - slope * mx AS intercept "
+            "FROM r ORDER BY event_type",
         # n*H entropy in e9 fixed point: one libm log2 per distinct
         # (cnt, n) pair, integer sums both sides
         "char_entropy":
