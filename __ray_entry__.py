@@ -5603,8 +5603,60 @@ def _q_events_regression_by_type(sf_dir: str):
         ("event_type", "ascending")])).combine_chunks()
 
 
+def _q_thumbnail_images(sf_dir: str):
+    """Thumbnail generation over a real-JPEG corpus (stages/image.
+    resize_area — integral-image exact block means — + the PNG encoder):
+    decode -> 16x16 area resize -> PNG re-encode -> decode BACK, with
+    three per-image integer certificates: dims_ok (the round-tripped
+    thumbnail is exactly 16x16x3), mean_ok (area resize preserves the
+    global pixel sum: each output pixel is round(mean of a 2x2 block), so
+    |4*sum_out - sum_in| <= 2*256 per channel — the rounding bound, exact
+    integer compare), and resize_ok (decode succeeded).  ORACLED EXACTLY
+    per row: image_id from the range arithmetic, every certificate a
+    constant-1 mirror that flips red if any codec or the resize kernel
+    drifts."""
+    from setsketch_ray.sources.codec import decode_image, encode_png
+    from setsketch_ray.sources.images import images_dataset
+    from setsketch_ray.stages.image import resize_area
+
+    def thumb(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        ok_r, ok_d, ok_m = [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            try:
+                px = decode_image(blob, fmt)
+                th = resize_area(px, 16, 16)
+                rt = decode_image(encode_png(th), "png")
+                ok_r.append(1)
+                ok_d.append(1 if rt.shape == (16, 16, 3) else 0)
+                sin = px.astype(np.int64).sum(axis=(0, 1))
+                sout = rt.astype(np.int64).sum(axis=(0, 1))
+                bound = 2 * 16 * 16
+                ok_m.append(1 if bool(
+                    (np.abs(4 * sout - sin) <= bound).all()) else 0)
+            except (NotImplementedError, ValueError):
+                ok_r.append(0)
+                ok_d.append(0)
+                ok_m.append(0)
+        n = t.num_rows
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array([16] * n, pa.int64()),
+            "h": pa.array([16] * n, pa.int64()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "resize_ok": pa.array(ok_r, pa.int64()),
+            "dims_ok": pa.array(ok_d, pa.int64()),
+            "mean_ok": pa.array(ok_m, pa.int64())})
+
+    ds = images_dataset(200, parallelism=8, fmt_profile="jpeg")
+    return ds.map_batches(thumb, batch_format="pyarrow", batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "thumbnail_images": _q_thumbnail_images,
         "events_regression_by_type": _q_events_regression_by_type,
         "rrf_fusion": _q_rrf_fusion,
         "char_entropy": _q_char_entropy,
@@ -5817,6 +5869,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # thumbnail pipeline: constant mirror; certificates computed
+        # Ray-side from the actual decode/resize/encode round trip
+        "thumbnail_images":
+            "WITH i AS (SELECT unnest(range(200)) AS idx) "
+            "SELECT 'img' || lpad(CAST(idx AS VARCHAR), 12, '0') "
+            "AS image_id, CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) "
+            "AS h, 'png' AS fmt, CAST(1 AS BIGINT) AS resize_ok, "
+            "CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS mean_ok "
+            "FROM i",
         # grouped OLS: integer sufficient stats + identical float tree
         "events_regression_by_type":
             "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

@@ -705,3 +705,18 @@ def test_image_stats_stage_integer_sufficient_stats():
     ob = ImageStatsStage()(bad)
     assert all(v.as_py() == 0 for v in ob["n_vals"])
     assert all(v.as_py() == -1 for v in ob["px_min"])
+
+
+def test_resize_area_sum_preservation_bound():
+    """The thumbnail certificate's bound: for h,w divisible by the output
+    dims, |4*sum_out - sum_in| <= 2 * out_h * out_w per channel (each
+    output pixel is round(mean of an exact 2x2 block))."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for _ in range(20):
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        th = resize_area(img, 16, 16)
+        sin = img.astype(np.int64).sum(axis=(0, 1))
+        sout = th.astype(np.int64).sum(axis=(0, 1))
+        assert (np.abs(4 * sout - sin) <= 2 * 16 * 16).all()
