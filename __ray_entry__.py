@@ -5654,8 +5654,49 @@ def _q_thumbnail_images(sf_dir: str):
     return ds.map_batches(thumb, batch_format="pyarrow", batch_size=None)
 
 
+def _q_referential_integrity(sf_dir: str):
+    """Whole-schema referential-integrity profile (the data-quality sweep
+    a warehouse runs nightly): for each of the 7 foreign keys of this
+    star schema, the child row count and the orphan count via
+    functions/relational.semi_anti_join(mode='anti') — the right side
+    ships only its key column, the per-partition merge is one pc.is_in,
+    no payload ever moves.  ORACLED EXACTLY: per-FK NOT EXISTS counts
+    (all zero on this corpus — a generator or join-machinery drift flips
+    a row nonzero and the count mismatch turns it red)."""
+    from setsketch_ray.functions.relational import semi_anti_join
+
+    fks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    names, n_child, n_orphan = [], [], []
+    for fk, child, ckey, parent, pkey in fks:
+        c = _read(sf_dir, child, [ckey])
+        p = _read(sf_dir, parent, [pkey])
+        names.append(fk)
+        n_child.append(c.count())
+        n_orphan.append(semi_anti_join(c, p, ckey, pkey, mode="anti",
+                                       num_partitions=8).count())
+    return pa.table({"fk": pa.array(names, pa.string()),
+                     "n_child": pa.array(n_child, pa.int64()),
+                     "n_orphan": pa.array(n_orphan, pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "referential_integrity": _q_referential_integrity,
         "thumbnail_images": _q_thumbnail_images,
         "events_regression_by_type": _q_events_regression_by_type,
         "rrf_fusion": _q_rrf_fusion,
@@ -5869,6 +5910,43 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # whole-schema FK profile: per-FK NOT EXISTS orphan counts
+        "referential_integrity":
+            "SELECT 'lineitem.l_orderkey->orders' AS fk, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT "
+            "EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan "
+            "UNION ALL SELECT 'lineitem.l_partkey->part', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem), "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT "
+            "EXISTS (SELECT 1 FROM part p "
+            "WHERE p.p_partkey = l.l_partkey)) "
+            "UNION ALL SELECT 'lineitem.l_suppkey->supplier', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem), "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT "
+            "EXISTS (SELECT 1 FROM supplier s "
+            "WHERE s.s_suppkey = l.l_suppkey)) "
+            "UNION ALL SELECT 'orders.o_custkey->customer', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM orders), "
+            "(SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE NOT "
+            "EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey)) "
+            "UNION ALL SELECT 'customer.c_nationkey->nation', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM customer), "
+            "(SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE NOT "
+            "EXISTS (SELECT 1 FROM nation n "
+            "WHERE n.n_nationkey = c.c_nationkey)) "
+            "UNION ALL SELECT 'supplier.s_nationkey->nation', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM supplier), "
+            "(SELECT CAST(count(*) AS BIGINT) FROM supplier s WHERE NOT "
+            "EXISTS (SELECT 1 FROM nation n "
+            "WHERE n.n_nationkey = s.s_nationkey)) "
+            "UNION ALL SELECT 'nation.n_regionkey->region', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM nation), "
+            "(SELECT CAST(count(*) AS BIGINT) FROM nation n WHERE NOT "
+            "EXISTS (SELECT 1 FROM region r "
+            "WHERE r.r_regionkey = n.n_regionkey))",
         # thumbnail pipeline: constant mirror; certificates computed
         # Ray-side from the actual decode/resize/encode round trip
         "thumbnail_images":
