@@ -5694,8 +5694,99 @@ def _q_referential_integrity(sf_dir: str):
                      "n_orphan": pa.array(n_orphan, pa.int64())})
 
 
+def _q_compact_orders_files(sf_dir: str):
+    """Small-file compaction (functions/layout.compact_parquet_files —
+    the lake-maintenance op): a 32-fragment copy of orders compacts into
+    4 row-balanced files, global row order preserved (output file f holds
+    exactly global rows [f*target, (f+1)*target)); source counts come
+    from parquet FOOTERS only, one read task per fragment, one writer
+    task per output file, _SUCCESS-committed and crash-rebuildable.
+    Certified by a DISTRIBUTED multiset checksum: per-block (count,
+    wrapping key-hash sum, cents sum) partials over source and compacted
+    layouts must fold to identical totals (content_ok).  ORACLED EXACTLY:
+    n_rows from SQL, file counts and content_ok constants that flip red
+    on any row loss, duplication, or value corruption."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.functions.layout import compact_parquet_files
+    from setsketch_ray.sketchlib.hashing import mix64
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|frag32".encode()) \
+        .hexdigest()[:12]
+    frag_dir = f"/tmp/orders_frag_{fp}"
+    if not os.path.exists(f"{frag_dir}/_SUCCESS"):
+        import shutil
+
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        os.makedirs(frag_dir, exist_ok=True)
+        src = pq.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+        n = src.num_rows
+        step = -(-n // 32)
+        for i in range(32):
+            part = src.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, f"{frag_dir}/frag-{i:05d}.parquet")
+        with open(f"{frag_dir}/_SUCCESS", "w", encoding="utf-8") as fh:
+            fh.write("ok")
+
+    files = sorted(glob.glob(f"{frag_dir}/frag-*.parquet"))
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    target = -(-total // 4)
+    dst_dir = f"/tmp/orders_compact_{fp}"
+    import shutil
+
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    manifest = compact_parquet_files(files, dst_dir, target)
+
+    def checksum(ds) -> tuple:
+        def partial(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            c = pc.round(pc.multiply(t["o_totalprice"], 100.0)) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                ks = np.bitwise_xor.reduce(mix64(k)) if len(k) else 0
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "ks": pa.array([int(ks)], pa.uint64()),
+                "cs": pa.array([int(c.sum())], pa.int64())})
+
+        rows = pa.concat_tables(list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20)))
+        n = int(np.sum(rows["n"].to_numpy(zero_copy_only=False)))
+        ks = 0
+        for v in rows["ks"].to_pylist():
+            ks ^= int(v)
+        cs = sum(int(v) for v in rows["cs"].to_pylist())
+        return n, ks, cs
+
+    import ray.data as rd
+
+    src_sum = checksum(_read(sf_dir, "orders",
+                             ["o_orderkey", "o_totalprice"]))
+    dst_files = sorted(glob.glob(f"{dst_dir}/part-*.parquet"))
+    dst_sum = checksum(rd.read_parquet(dst_files,
+                                       columns=["o_orderkey",
+                                                "o_totalprice"]))
+    content_ok = 1 if src_sum == dst_sum else 0
+    return pa.table({
+        "n_files_in": pa.array([len(files)], pa.int64()),
+        "n_files_out": pa.array([manifest.num_rows], pa.int64()),
+        "n_rows": pa.array([src_sum[0]], pa.int64()),
+        "content_ok": pa.array([content_ok], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "compact_orders_files": _q_compact_orders_files,
         "referential_integrity": _q_referential_integrity,
         "thumbnail_images": _q_thumbnail_images,
         "events_regression_by_type": _q_events_regression_by_type,
@@ -5910,6 +6001,13 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # compaction: exact row count; file counts + the distributed
+        # multiset-checksum certificate mirror as constants
+        "compact_orders_files":
+            "SELECT CAST(32 AS BIGINT) AS n_files_in, "
+            "CAST(4 AS BIGINT) AS n_files_out, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(1 AS BIGINT) AS content_ok FROM orders",
         # whole-schema FK profile: per-FK NOT EXISTS orphan counts
         "referential_integrity":
             "SELECT 'lineitem.l_orderkey->orders' AS fk, "

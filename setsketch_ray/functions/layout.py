@@ -184,3 +184,79 @@ def zonemap_scan(root: str, x_col: str, y_col: str,
     ds = rd.read_parquet(files) \
         .map_batches(residual, batch_format="pyarrow")
     return ds, len(files), n_total
+
+
+def compact_parquet_files(src_files: list, dst_dir: str,
+                          target_rows: int) -> pa.Table:
+    """Small-file compaction (the table-maintenance op every lake runs):
+    merge many small parquet files into ``ceil(total/target_rows)`` files
+    of ``target_rows`` rows each (last file short), PRESERVING global row
+    order — output file f holds exactly global rows
+    [f*target_rows, (f+1)*target_rows).
+
+    Plan: source row counts come from parquet FOOTER metadata only (no
+    data read on the driver — the file list itself is metadata-sized even
+    at 100 TB); each source file is one read task that tags its rows with
+    their global index (file offset + arange, a pure function of the
+    sorted file list); a target-file-id co-partition then writes one
+    output file per group, rows sorted by global index — bytes are
+    deterministic under any task interleaving.  A ``_SUCCESS`` marker
+    commits the layout; partial directories are wiped and rebuilt.
+
+    Returns the manifest (f, n) table.
+    """
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if target_rows <= 0:
+        raise ValueError("compact_parquet_files: target_rows must be >= 1")
+    src_files = sorted(src_files)
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in src_files]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    if os.path.isdir(dst_dir) and not os.path.exists(f"{dst_dir}/_SUCCESS"):
+        shutil.rmtree(dst_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+
+    items = [{"path": p, "off": int(o)}
+             for p, o in zip(src_files, offsets[:-1])]
+
+    def read_tag(t: pa.Table) -> pa.Table:
+        outs = []
+        for path, off in zip(t["path"].to_pylist(), t["off"].to_pylist()):
+            body = pq.read_table(path).replace_schema_metadata(None)
+            gidx = off + np.arange(body.num_rows, dtype=np.int64)
+            outs.append(body
+                        .append_column("__g", pa.array(gidx, pa.int64()))
+                        .append_column("__f", pa.array(
+                            gidx // target_rows, pa.int64())))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"__g": pa.array([], pa.int64()),
+             "__f": pa.array([], pa.int64())})
+
+    def write_file(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"f": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        f = int(t["__f"][0].as_py())
+        order = pc.sort_indices(t, sort_keys=[("__g", "ascending")])
+        body = t.take(order).drop_columns(["__g", "__f"]).combine_chunks()
+        tmp = f"{dst_dir}/.part-{f:05d}.parquet.tmp"
+        pq.write_table(body, tmp)
+        os.replace(tmp, f"{dst_dir}/part-{f:05d}.parquet")
+        return pa.table({"f": pa.array([f], pa.int64()),
+                         "n": pa.array([body.num_rows], pa.int64())})
+
+    manifest = rd.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(read_tag, batch_format="pyarrow", batch_size=None) \
+        .groupby("__f").map_groups(write_file, batch_format="pyarrow")
+    mtab = pa.concat_tables(list(manifest.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    mtab = mtab.take(pc.sort_indices(mtab, sort_keys=[("f", "ascending")]))
+    pq.write_table(mtab.combine_chunks(), f"{dst_dir}/_manifest.parquet")
+    with open(f"{dst_dir}/_SUCCESS", "w", encoding="utf-8") as fh:
+        fh.write("ok")
+    return mtab

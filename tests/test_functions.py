@@ -3606,3 +3606,49 @@ def test_rrf_fuse_matches_scalar():
                     out["rrf_c"].to_pylist())) == want
     # doc in both lists outranks single-list docs here
     assert out["doc_id"][0].as_py() in (1, 3)
+
+
+def test_compact_parquet_files_order_and_resume(rd, tmp_path):
+    """Compaction preserves exact global row order, balances file sizes
+    (last short), produces deterministic bytes, and rebuilds cleanly
+    after a simulated crash (partial dir without _SUCCESS)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.functions.layout import compact_parquet_files
+
+    rng = np.random.default_rng(17)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    vals = rng.integers(0, 10 ** 6, 1000).astype(np.int64)
+    files = []
+    off = 0
+    for i, sz in enumerate([37, 263, 100, 400, 200]):
+        t = pa.table({"k": pa.array(np.arange(off, off + sz), pa.int64()),
+                      "v": pa.array(vals[off:off + sz], pa.int64())})
+        p = str(src_dir / f"s-{i:03d}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+        off += sz
+
+    dst = str(tmp_path / "dst")
+    man = compact_parquet_files(files, dst, target_rows=300)
+    assert man["f"].to_pylist() == [0, 1, 2, 3]
+    assert man["n"].to_pylist() == [300, 300, 300, 100]
+    parts = sorted(f for f in os.listdir(dst) if f.startswith("part-"))
+    got = pa.concat_tables([pq.read_table(f"{dst}/{f}") for f in parts])
+    assert got["k"].to_pylist() == list(range(1000))
+    assert got["v"].to_pylist() == vals.tolist()
+    h1 = {f: hashlib.sha1(open(f"{dst}/{f}", "rb").read()).hexdigest()
+          for f in parts}
+
+    # crash resume: drop _SUCCESS + corrupt one part -> full clean rebuild
+    os.remove(f"{dst}/_SUCCESS")
+    with open(f"{dst}/{parts[1]}", "wb") as fh:
+        fh.write(b"garbage")
+    compact_parquet_files(files, dst, target_rows=300)
+    h2 = {f: hashlib.sha1(open(f"{dst}/{f}", "rb").read()).hexdigest()
+          for f in parts}
+    assert h1 == h2
