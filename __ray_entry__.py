@@ -5784,8 +5784,40 @@ def _q_compact_orders_files(sf_dir: str):
         "content_ok": pa.array([content_ok], pa.int64())})
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences (the
+    behavioral-model sufficient statistic): LAG of event_type within each
+    user's (ts, event_id)-ordered stream (functions/streaming.lag_lead —
+    one hash co-partition + one lexsort, pure value copies), then a
+    combiner-partial grouped count over (from_type, to_type).  ORACLED
+    EXACTLY against the LAG window + GROUP BY."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+    from setsketch_ray.functions.streaming import lag_lead
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    w = lag_lead(ds, "user_id", "ts", "event_type", "event_id",
+                 num_partitions=16)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["prev_value"])
+        t = t.filter(keep)
+        return pa.table({"from_type": t["prev_value"],
+                         "to_type": t["event_type"]})
+
+    agg = grouped_aggregate(w.map_batches(pairs, batch_format="pyarrow"),
+                            ["from_type", "to_type"],
+                            {"n": ("count", None)})
+    return agg.take(pc.sort_indices(agg, sort_keys=[
+        ("from_type", "ascending"),
+        ("to_type", "ascending")])).combine_chunks()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "event_transitions": _q_event_transitions,
         "compact_orders_files": _q_compact_orders_files,
         "referential_integrity": _q_referential_integrity,
         "thumbnail_images": _q_thumbnail_images,
@@ -6001,6 +6033,14 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # Markov transitions: LAG window + grouped count
+        "event_transitions":
+            "WITH w AS (SELECT user_id, event_type, lag(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM w WHERE prev IS NOT NULL "
+            "GROUP BY from_type, to_type ORDER BY from_type, to_type",
         # compaction: exact row count; file counts + the distributed
         # multiset-checksum certificate mirror as constants
         "compact_orders_files":
