@@ -505,6 +505,22 @@ def run_benchmarks() -> dict:
         entrymod._q_top_words_by_lang(SF_DIR).num_rows
         timings["top_words_by_lang"] = time.time() - t0
 
+        # --- round-4 session-V additions
+        for name, is_table in (
+                ("bm25_search", True), ("chunk_documents", False),
+                ("word_moments", True), ("image_exif", False),
+                ("part_kcore", False), ("embedding_centroids", True),
+                ("join_size_lineitem", True), ("char_entropy", False),
+                ("rrf_fusion", True), ("events_regression_by_type", True),
+                ("thumbnail_images", False),
+                ("referential_integrity", True),
+                ("compact_orders_files", True),
+                ("event_transitions", True)):
+            t0 = time.time()
+            res = getattr(entrymod, f"_q_{name}")(SF_DIR)
+            _ = res.num_rows if is_table else res.count()
+            timings[name] = time.time() - t0
+
     # --- sketch-construction micro-benchmark (vs BASELINE.md reference
     # numbers: single-thread elements/s of the batch kernels; the reference's
     # C++ single-thread numbers are the comparison row)
