@@ -5815,8 +5815,62 @@ def _q_event_transitions(sf_dir: str):
         ("to_type", "ascending")])).combine_chunks()
 
 
+def _q_events_iqr_outliers(sf_dir: str):
+    """Per-group Tukey-fence (1.5*IQR) outlier counts — the
+    distribution-shaped data-quality rule where the bound comes from the
+    data itself: exact grouped q1/q3 via the distinct-count quantile plan
+    (relational.grouped_quantiles_fixedpoint, quantile_disc rule), then
+    the fences ride PURE INTEGER half-cent arithmetic (2*v < 2*q1 -
+    3*(q3-q1) — the 1.5 factor never becomes a float) in one broadcast
+    filter pass with combiner partials.  ORACLED EXACTLY: identical
+    integer comparisons over quantile_disc cents on both engines."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import (
+        grouped_aggregate, grouped_quantiles_fixedpoint)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    qt = grouped_quantiles_fixedpoint(ds, "event_type", "value",
+                                      [0.25, 0.75], scale=100)
+    fences = {}
+    for et, q, v in zip(qt["event_type"].to_pylist(),
+                        qt["q"].to_pylist(), qt["value"].to_pylist()):
+        c = int(np.floor(v * 100 + 0.5))
+        fences.setdefault(et, {})[q] = c
+    keys = sorted(fences)
+    key_arr = pa.array(keys, pa.string())
+    q1_by_key = np.array([fences[k][0.25] for k in keys], np.int64)
+    q3_by_key = np.array([fences[k][0.75] for k in keys], np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        gi = pc.index_in(et, key_arr).to_numpy(zero_copy_only=False)
+        q1 = q1_by_key[gi]
+        q3 = q3_by_key[gi]
+        lo = 2 * q1 - 3 * (q3 - q1)
+        hi = 2 * q3 + 3 * (q3 - q1)
+        return pa.table({
+            "event_type": et,
+            "q1_c": pa.array(q1, pa.int64()),
+            "q3_c": pa.array(q3, pa.int64()),
+            "low": pa.array((2 * vc < lo).astype(np.int64), pa.int64()),
+            "high": pa.array((2 * vc > hi).astype(np.int64), pa.int64())})
+
+    agg = grouped_aggregate(ds.map_batches(flag, batch_format="pyarrow"),
+                            ["event_type", "q1_c", "q3_c"],
+                            {"n_low": ("sum", "low"),
+                             "n_high": ("sum", "high"),
+                             "n": ("count", None)})
+    return agg.take(pc.sort_indices(agg, sort_keys=[
+        ("event_type", "ascending")])).combine_chunks()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_iqr_outliers": _q_events_iqr_outliers,
         "event_transitions": _q_event_transitions,
         "compact_orders_files": _q_compact_orders_files,
         "referential_integrity": _q_referential_integrity,
@@ -6033,6 +6087,24 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # Tukey fences: quantile_disc cents + pure integer half-cent
+        # comparisons (the 1.5 factor never becomes a float)
+        "events_iqr_outliers":
+            "WITH q AS (SELECT event_type, "
+            "CAST(round(quantile_disc(value, 0.25) * 100) AS BIGINT) "
+            "AS q1_c, "
+            "CAST(round(quantile_disc(value, 0.75) * 100) AS BIGINT) "
+            "AS q3_c FROM events GROUP BY event_type) "
+            "SELECT e.event_type, q.q1_c, q.q3_c, "
+            "CAST(sum(CASE WHEN 2 * CAST(round(e.value * 100) AS BIGINT) "
+            "< 2 * q.q1_c - 3 * (q.q3_c - q.q1_c) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_low, "
+            "CAST(sum(CASE WHEN 2 * CAST(round(e.value * 100) AS BIGINT) "
+            "> 2 * q.q3_c + 3 * (q.q3_c - q.q1_c) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_high, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events e JOIN q USING (event_type) "
+            "GROUP BY e.event_type, q.q1_c, q.q3_c ORDER BY e.event_type",
         # Markov transitions: LAG window + grouped count
         "event_transitions":
             "WITH w AS (SELECT user_id, event_type, lag(event_type) "
