@@ -5868,8 +5868,42 @@ def _q_events_iqr_outliers(sf_dir: str):
         ("event_type", "ascending")])).combine_chunks()
 
 
+def _q_jsonl_zst_roundtrip(sf_dir: str):
+    """Zstandard-compressed JSONL shard round trip (sources/jsonl.
+    write_jsonl_shards + the generalized read_corpus codec dispatch —
+    .gz/.zst/.bz2/.br/.lz4 all stream through Arrow's codec input
+    stream, one unsplittable file per task): documents write as 8
+    deterministic .jsonl.zst shards (counter-mode key-hash assignment,
+    in-shard key sort, polars vectorized ndjson — no per-row json.dumps,
+    pinned compression level, atomic renames) and read back through
+    read_corpus.  ORACLED EXACTLY: the full row content (id, text, lang,
+    n_chars) must match the source table bit-for-bit — any serializer,
+    codec, or dispatch drift is a value mismatch."""
+    import hashlib
+    import os
+    import shutil
+
+    from setsketch_ray.sources.jsonl import write_jsonl_shards
+    from setsketch_ray.sources.readers import read_corpus
+
+    fp = hashlib.sha1(f"{os.path.abspath(sf_dir)}|jsonlzst8".encode()) \
+        .hexdigest()[:12]
+    root = f"/tmp/jsonl_zst_{fp}"
+    if not os.path.exists(f"{root}/_SUCCESS"):
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "documents",
+                   ["doc_id", "text", "lang", "n_chars"])
+        write_jsonl_shards(ds, root, "doc_id", num_shards=8,
+                           compression="zstd")
+        with open(f"{root}/_SUCCESS", "w", encoding="utf-8") as fh:
+            fh.write("ok")
+    back = read_corpus(root, columns=["doc_id", "text", "lang", "n_chars"])
+    return back.sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
         "events_iqr_outliers": _q_events_iqr_outliers,
         "event_transitions": _q_event_transitions,
         "compact_orders_files": _q_compact_orders_files,
@@ -6087,6 +6121,10 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # lossless compressed-JSONL round trip: full content equality
+        "jsonl_zst_roundtrip":
+            "SELECT doc_id, text, lang, n_chars FROM documents "
+            "ORDER BY doc_id",
         # Tukey fences: quantile_disc cents + pure integer half-cent
         # comparisons (the 1.5 factor never becomes a float)
         "events_iqr_outliers":

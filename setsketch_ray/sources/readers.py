@@ -9,15 +9,30 @@ from __future__ import annotations
 
 import os
 
+# extension suffix -> Arrow codec name for delimited-text streams
+_TEXT_CODECS = {".gz": "gzip", ".zst": "zstd", ".bz2": "bz2",
+                ".br": "brotli", ".lz4": "lz4"}
+
+
+def _text_codec(path: str) -> str | None:
+    for suf, codec in _TEXT_CODECS.items():
+        if path.endswith(suf):
+            return codec
+    return None
+
 
 def read_corpus(path: str, columns=None, override_num_blocks: int | None = None):
     """Read an image+caption corpus as a Ray Dataset.
 
     * ``*.lance`` / Lance dataset directories -> ``ray.data.read_lance``
       (requires the ``lance`` package; production path);
-    * ``*.csv`` / ``*.csv.gz`` -> ``ray.data.read_csv``;
-    * ``*.jsonl`` / ``*.json`` (+ ``.gz``) -> ``ray.data.read_json``
-      (newline-delimited; gzip streams decompress in-task);
+    * ``*.csv`` (+ ``.gz``/``.zst``/``.bz2``/``.br``/``.lz4``) ->
+      ``ray.data.read_csv``;
+    * ``*.jsonl`` / ``*.json`` (+ the same compression suffixes) ->
+      ``ray.data.read_json`` (newline-delimited; compressed streams
+      decompress in-task through Arrow's codec input stream — a
+      compressed file is one task, the natural unit since none of these
+      framings are splittable);
     * ``*.tar`` file or a directory of tar shards -> WebDataset samples
       (``sources/webdataset.read_wds_shards``; one shard per task);
     * ``*.warc`` / ``*.warc.gz`` file or directory -> WARC records
@@ -57,23 +72,44 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         # task.  Zero-copy; fuses with the read operator.
         return ds.map_batches(_strip_schema_metadata,
                               batch_format="pyarrow")
-    if path.endswith((".csv", ".csv.gz")):
+    if path.endswith(".csv") or (_text_codec(path) and
+                                 ".csv." in os.path.basename(path)):
         # delimited text: no binary payload columns; column pruning happens
-        # post-parse (CSV has no column projection at the read); .gz
-        # variants stream through Arrow's gzip input stream (a compressed
-        # file is one task — the natural unit, gzip is not splittable)
-        extra = {"arrow_open_stream_args": {"compression": "gzip"}} \
-            if path.endswith(".gz") else {}
+        # post-parse (CSV has no column projection at the read); compressed
+        # variants stream through Arrow's codec input stream (a compressed
+        # file is one task — the natural unit, these framings are not
+        # splittable)
+        codec = _text_codec(path)
+        extra = {"arrow_open_stream_args": {"compression": codec}} \
+            if codec else {}
         ds = rd.read_csv(path, **{k: v for k, v in kwargs.items()
                                   if k != "columns"}, **extra)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
-    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
-        extra = {"arrow_open_stream_args": {"compression": "gzip"}} \
-            if path.endswith(".gz") else {}
-        ds = rd.read_json(path, **{k: v for k, v in kwargs.items()
-                                   if k != "columns"}, **extra)
+    _is_jsonl = path.endswith((".jsonl", ".json")) or (
+        _text_codec(path) and (".jsonl." in os.path.basename(path) or
+                               ".json." in os.path.basename(path)))
+    _JL = tuple(".jsonl" + s for s in ("", *_TEXT_CODECS)) + \
+        tuple(".json" + s for s in ("", *_TEXT_CODECS))
+    _jsonl_dir = os.path.isdir(path) and any(
+        n.endswith(_JL) for n in os.listdir(path))
+    if _is_jsonl or _jsonl_dir:
+        if _jsonl_dir:
+            sources = sorted(
+                os.path.join(path, n) for n in os.listdir(path)
+                if n.endswith(_JL))
+            codec = _text_codec(sources[0])
+        else:
+            sources = path
+            codec = _text_codec(path)
+        extra = {"arrow_open_stream_args": {"compression": codec}} \
+            if codec else {}
+        # the dispatch above already matched suffixes; Ray's own extension
+        # filter doesn't know .bz2/.br/.lz4
+        extra["file_extensions"] = None
+        ds = rd.read_json(sources, **{k: v for k, v in kwargs.items()
+                                      if k != "columns"}, **extra)
         if columns is not None:
             ds = ds.select_columns(list(columns))
         return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
