@@ -193,6 +193,11 @@ def cmd_convert(args) -> int:
         comps = {c: c for c in ds.schema().names if c != args.key_col}
         manifest = write_wds_shards(ds, args.output, args.key_col, comps,
                                     num_shards=args.num_shards)
+    elif fmt == "jsonl":
+        from .sources.jsonl import write_jsonl_shards
+
+        manifest = write_jsonl_shards(ds, args.output, args.key_col,
+                                      num_shards=args.num_shards)
     else:  # pragma: no cover — argparse choices guard
         raise ValueError(fmt)
     print(json.dumps(manifest, default=str))
@@ -301,7 +306,7 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--output", required=True, help="sink directory")
     cv.add_argument("--format", required=True,
                     choices=["parquet", "sqlite", "avro", "tfrecord",
-                             "arrow", "wds"])
+                             "arrow", "wds", "jsonl"])
     cv.add_argument("--key-col", default="doc_id",
                     help="shard-assignment key column")
     cv.add_argument("--columns", help="comma-separated column pruning")

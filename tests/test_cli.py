@@ -135,6 +135,14 @@ def test_cli_convert_roundtrips(ray_session, tmp_path, capsys):
         batch_format="pyarrow", batch_size=1 << 20)))
     assert back.num_rows == 40 and "text" in back.column_names
 
+    jz = str(tmp_path / "jz")
+    assert main(["convert", "--input", pq_dir, "--output", jz,
+                 "--format", "jsonl", "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    jzt = pa.concat_tables(list(read_corpus(jz).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20))).sort_by("doc_id")
+    assert jzt["text"].to_pylist() == [f"body {i}" for i in range(40)]
+
 
 def test_cli_stats(ray_session, tmp_path, capsys):
     import json
