@@ -5901,8 +5901,42 @@ def _q_jsonl_zst_roundtrip(sf_dir: str):
     return back.sort("doc_id")
 
 
+def _q_events_rolling_outliers(sf_dir: str):
+    """Per-user rolling z-score anomaly flags (the streaming-monitoring
+    shape): ONE hash-partition + lexsort pass computes the window
+    count/sum/sum-of-squares sufficient statistics over the trailing 11
+    rows (functions/streaming.rolling_stats — cumulative-difference, no
+    per-row loop), then the 2-sigma test rides PURE INTEGER arithmetic:
+    (n*v - s)^2 > 4*(n*ss - s^2) — no sqrt, no float, no association
+    hazard.  ORACLED EXACTLY against the SQL window frame with the
+    identical integer comparison."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.streaming import rolling_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    w = rolling_stats(ds, "user_id", "ts", "value", "event_id",
+                      window_rows=10, value_scale=100, num_partitions=16)
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = t["rolling_n"].to_numpy(zero_copy_only=False)
+        s = t["rolling_s"].to_numpy(zero_copy_only=False)
+        ss = t["rolling_ss"].to_numpy(zero_copy_only=False)
+        d = n * v - s
+        out = (d * d > 4 * (n * ss - s * s)).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "rolling_n": t["rolling_n"],
+                         "is_outlier": pa.array(out, pa.int64())})
+
+    return w.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_rolling_outliers": _q_events_rolling_outliers,
         "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
         "events_iqr_outliers": _q_events_iqr_outliers,
         "event_transitions": _q_event_transitions,
@@ -6121,6 +6155,21 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # rolling z-score: window sufficient stats + pure integer test
+        "events_rolling_outliers":
+            "WITH w AS (SELECT event_id, user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS v, "
+            "count(*) OVER win AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT)) OVER win AS s, "
+            "sum(CAST(round(value * 100) AS BIGINT) * "
+            "CAST(round(value * 100) AS BIGINT)) OVER win AS ss "
+            "FROM events WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, user_id, CAST(n AS BIGINT) AS rolling_n, "
+            "CAST(CASE WHEN (n*v - s)*(n*v - s) > 4*(n*ss - s*s) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS is_outlier "
+            "FROM w ORDER BY event_id",
         # lossless compressed-JSONL round trip: full content equality
         "jsonl_zst_roundtrip":
             "SELECT doc_id, text, lang, n_chars FROM documents "

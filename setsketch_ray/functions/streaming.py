@@ -1028,3 +1028,58 @@ def gap_fill_ffill(ds, key_col: str, ts_col: str, value_col: str,
     partials = partials.map_batches(add_part, batch_format="pyarrow")
     return partials.groupby("__part").map_groups(per_partition,
                                                  batch_format="pyarrow")
+
+
+def rolling_stats(ds, key_col: str, ts_col: str, value_col: str,
+                  order_tiebreak: str, window_rows: int,
+                  value_scale: int = 100, num_partitions: int = 32):
+    """Per-key bounded moving count/sum/sum-of-squares in ONE pass (the
+    sufficient statistics for rolling mean/variance/z-score): the same
+    hash-partition + lexsort + cumulative-difference plan as
+    :func:`rolling_sum`, with two cumsums instead of one.  Integer-scaled
+    domain, so every statistic is exact and association-free.  Appends
+    ``rolling_n`` / ``rolling_s`` / ``rolling_ss`` (int64; the squares are
+    in scaled-units^2)."""
+    from ..sketchlib.hashing import mix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[key_col].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [(n, t.schema.field(n).type) for n in t.column_names]
+            + [("rolling_n", pa.int64()), ("rolling_s", pa.int64()),
+               ("rolling_ss", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        t = t.take(pa.array(order, pa.int64()))
+        k = keys[order]
+        v = np.rint(t[value_col].to_numpy(zero_copy_only=False)
+                    * value_scale).astype(np.int64)
+        cum = np.cumsum(v)
+        cum2 = np.cumsum(v * v)
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        lo = np.maximum(idx - window_rows, start)
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        base2 = np.where(lo > 0, cum2[np.maximum(lo - 1, 0)], 0)
+        return t.append_column(
+            "rolling_n", pa.array(idx - lo + 1, pa.int64())) \
+            .append_column("rolling_s", pa.array(cum - base, pa.int64())) \
+            .append_column("rolling_ss",
+                           pa.array(cum2 - base2, pa.int64()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition, batch_format="pyarrow")

@@ -3652,3 +3652,40 @@ def test_compact_parquet_files_order_and_resume(rd, tmp_path):
     h2 = {f: hashlib.sha1(open(f"{dst}/{f}", "rb").read()).hexdigest()
           for f in parts}
     assert h1 == h2
+
+
+def test_rolling_stats_matches_scalar(rd):
+    """rolling_stats == scalar trailing-window sufficient statistics,
+    window clamped at each key's start; layout-invariant."""
+    from setsketch_ray.functions.streaming import rolling_stats
+
+    rng = np.random.default_rng(23)
+    n = 200
+    keys = rng.integers(0, 5, n).astype(np.int64)
+    ts = rng.integers(0, 1000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    vals = (rng.integers(0, 5000, n) / 100.0)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "eid": pa.array(ids, pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+
+    expect = {}
+    for key in set(keys.tolist()):
+        rows = sorted([(ts[i], ids[i], int(round(vals[i] * 100)))
+                       for i in range(n) if keys[i] == key])
+        for i, (_, eid, _) in enumerate(rows):
+            win = rows[max(0, i - 3):i + 1]
+            vs = [r[2] for r in win]
+            expect[eid] = (len(vs), sum(vs), sum(x * x for x in vs))
+
+    for nparts in (1, 4):
+        out = rolling_stats(rd.from_arrow(t).repartition(nparts),
+                            "k", "ts", "v", "eid", window_rows=3,
+                            num_partitions=8)
+        tb = pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        got = {e: (a, b, c) for e, a, b, c in zip(
+            tb["eid"].to_pylist(), tb["rolling_n"].to_pylist(),
+            tb["rolling_s"].to_pylist(), tb["rolling_ss"].to_pylist())}
+        assert got == expect
