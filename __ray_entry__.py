@@ -5934,8 +5934,59 @@ def _q_events_rolling_outliers(sf_dir: str):
     return w.map_batches(flag, batch_format="pyarrow").sort("event_id")
 
 
+def _q_user_decay_scores(sf_dir: str):
+    """Per-user exponentially time-decayed engagement value (the
+    recommender/feature-store freshness score): term = cents *
+    floor(0.9^days_ago * 1e6 + 0.5), days_ago measured in integer epoch
+    days from the corpus max timestamp (one slim max pass, driver
+    scalar).  The decay factor is evaluated once per DISTINCT day gap
+    through glibc pow (parity vs DuckDB power probed exact over 400
+    gaps — the bigram-LM trick again), so the per-user sums are exact
+    integer arithmetic on both engines.  ORACLED EXACTLY."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    US_PER_DAY = 86_400_000_000
+    ts_ds = _read(sf_dir, "events", ["ts"])
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(
+            [int(d.max()) if len(d) else -(1 << 62)], pa.int64())})
+
+    parts = pa.concat_tables(list(ts_ds.map_batches(
+        max_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    max_day = int(np.max(parts["m"].to_numpy(
+        zero_copy_only=False))) // US_PER_DAY
+
+    def score(t: pa.Table) -> pa.Table:
+        epoch = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = max_day - epoch // US_PER_DAY
+        cents = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(days, return_inverse=True)
+        dec = np.array([math.floor(math.pow(0.9, float(d)) * 1e6 + 0.5)
+                        for d in uniq], np.int64)
+        term = cents * dec[inv]
+        return pa.table({"user_id": t["user_id"],
+                         "term": pa.array(term, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    agg = grouped_aggregate(ds.map_batches(score, batch_format="pyarrow"),
+                            ["user_id"],
+                            {"decayed_c6": ("sum", "term"),
+                             "n": ("count", None)})
+    return agg.take(pc.sort_indices(agg, sort_keys=[
+        ("user_id", "ascending")])).combine_chunks()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "user_decay_scores": _q_user_decay_scores,
         "events_rolling_outliers": _q_events_rolling_outliers,
         "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
         "events_iqr_outliers": _q_events_iqr_outliers,
@@ -6155,6 +6206,18 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # decayed engagement: per-distinct-gap libm pow, integer sums
+        "user_decay_scores":
+            "WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) AS md "
+            "FROM events), "
+            "e AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) * "
+            "CAST(floor(power(0.9, CAST(mx.md - "
+            "epoch_us(ts) // 86400000000 AS DOUBLE)) * 1000000.0 + 0.5) "
+            "AS BIGINT) AS term FROM events, mx) "
+            "SELECT user_id, CAST(sum(term) AS BIGINT) AS decayed_c6, "
+            "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY user_id "
+            "ORDER BY user_id",
         # rolling z-score: window sufficient stats + pure integer test
         "events_rolling_outliers":
             "WITH w AS (SELECT event_id, user_id, "
