@@ -515,7 +515,11 @@ def run_benchmarks() -> dict:
                 ("thumbnail_images", False),
                 ("referential_integrity", True),
                 ("compact_orders_files", True),
-                ("event_transitions", True)):
+                ("event_transitions", True),
+                ("events_iqr_outliers", True),
+                ("jsonl_zst_roundtrip", False),
+                ("events_rolling_outliers", False),
+                ("user_decay_scores", True)):
             t0 = time.time()
             res = getattr(entrymod, f"_q_{name}")(SF_DIR)
             _ = res.num_rows if is_table else res.count()
