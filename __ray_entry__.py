@@ -5222,6 +5222,59 @@ def _pagerank_oracle(iters: int = 3) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (the recommendation/proximity variant of
+    pagerank_parts): teleport mass concentrated on the seed set
+    {part : part % 50 == 0} — r0 and the per-node teleport base are
+    scale//n_seeds on seeds and 0 elsewhere (functions/graph.
+    pagerank_fixedpoint(seed_mod=50)).  Same pure-integer fixpoint and
+    exchange plan as the uniform variant (one slim co-partitioned
+    lookup_join + combiner aggregate per iteration); the seed predicate
+    stays integer arithmetic, so the oracle mirrors it as a CASE — never
+    a literal node list.  ORACLED EXACTLY via unrolled CTEs."""
+    from setsketch_ray.functions.graph import (cooccurrence_edges,
+                                               pagerank_fixedpoint)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = t["l_partkey"].to_numpy() % 10 == 0
+        return t.filter(pa.array(m))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank_fixedpoint(edges, iters=3, num_partitions=16,
+                               top_k=20, seed_mod=50, seed_rem=0)
+
+
+def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
+    """Unrolled personalized-PageRank CTE chain: identical to
+    _pagerank_oracle except r0/base become CASE node % seed_mod = 0."""
+    sql = (
+        "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey % 10 = 0), "
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+        "JOIN li b ON a.o = b.o AND a.p < b.p), "
+        "de AS (SELECT u AS s, v AS d FROM e "
+        "UNION ALL SELECT v AS s, u AS d FROM e), "
+        "dg AS (SELECT s, count(*) AS dg FROM de GROUP BY s), "
+        f"cc AS (SELECT CAST(1000000000000 // sum(CASE WHEN "
+        f"s % {seed_mod} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rr, "
+        f"CAST(15 * (1000000000000 // sum(CASE WHEN s % {seed_mod} = 0 "
+        f"THEN 1 ELSE 0 END)) // 100 AS BIGINT) AS bb FROM dg), "
+        f"r0 AS (SELECT s AS node, CASE WHEN s % {seed_mod} = 0 THEN "
+        "(SELECT rr FROM cc) ELSE 0 END AS r FROM dg)")
+    for i in range(1, iters + 1):
+        sql += (
+            f", r{i} AS (SELECT de.d AS node, "
+            f"CAST((CASE WHEN de.d % {seed_mod} = 0 THEN "
+            f"(SELECT bb FROM cc) ELSE 0 END) + "
+            f"85 * sum(r{i - 1}.r // dg.dg) // 100 AS BIGINT) AS r "
+            f"FROM de JOIN r{i - 1} ON r{i - 1}.node = de.s "
+            f"JOIN dg ON dg.s = de.s GROUP BY de.d)")
+    return sql + (f" SELECT node, r AS pr FROM r{iters} "
+                  "ORDER BY pr DESC, node LIMIT 20")
+
+
 def _q_events_props_extract(sf_dir: str):
     """JSON payload extraction (functions/semistructured.json_extract — the
     typed-column flattening step for telemetry/event payload columns): one
@@ -5986,6 +6039,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "pagerank_personalized": _q_pagerank_personalized,
         "user_decay_scores": _q_user_decay_scores,
         "events_rolling_outliers": _q_events_rolling_outliers,
         "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
@@ -6550,6 +6604,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # unrolled min-label propagation, one CTE per sweep
         "part_components": _components_oracle(5),
         "part_kcore": _kcore_oracle(6, 3),
+        "pagerank_personalized": _ppr_oracle(3, 50),
         # unrolled Morton interleave + zone-map prune, both sides
         "zorder_scan_orders": _zorder_scan_oracle(),
         # triangles = canonical edges joined 3-ways; wedges = sum C(d,2)

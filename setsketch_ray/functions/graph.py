@@ -84,7 +84,8 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
 
 def pagerank_fixedpoint(edges, iters: int = 3, scale: int = 10 ** 12,
                         damping: tuple[int, int] = (85, 100),
-                        num_partitions: int = 64, top_k: int = 20):
+                        num_partitions: int = 64, top_k: int = 20,
+                        seed_mod: int | None = None, seed_rem: int = 0):
     """Distributed PageRank power iteration over an undirected DISTINCT
     canonical (u < v) edge dataset, in PURE-INTEGER fixpoint arithmetic so
     every iteration is exactly SQL-oracle-able (unrolled CTEs).
@@ -108,6 +109,13 @@ def pagerank_fixedpoint(edges, iters: int = 3, scale: int = 10 ** 12,
     Returns the top ``top_k`` (node, pr) rows by (pr DESC, node ASC) as a
     sorted Ray Dataset.  Reference framing: standard power-iteration
     PageRank (Brin & Page 1998), re-expressed as Ray Data exchanges.
+
+    ``seed_mod``/``seed_rem`` switch to PERSONALIZED PageRank (teleport
+    mass concentrated on the seed set {v : v % seed_mod == seed_rem}
+    instead of uniform): r0 and the teleport base become per-node values
+    (scale // n_seeds on seeds, 0 elsewhere) — the seed predicate stays
+    integer arithmetic so the SQL oracle mirrors it as a CASE, never a
+    literal node list.
     """
     from setsketch_ray.functions.relational import (grouped_aggregate,
                                                     lookup_join)
@@ -127,7 +135,16 @@ def pagerank_fixedpoint(edges, iters: int = 3, scale: int = 10 ** 12,
         return pa.table({"node": pa.array([], pa.int64()),
                          "pr": pa.array([], pa.int64())})
     dnum, dden = damping
-    r0 = scale // n_nodes
+    if seed_mod is None:
+        r0 = scale // n_nodes
+    else:
+        n_seeds = int(deg.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [int(np.sum(t["s"].to_numpy() % seed_mod == seed_rem))],
+                pa.int64())}), batch_format="pyarrow").sum("c"))
+        if n_seeds == 0:
+            raise ValueError("pagerank_fixedpoint: empty seed set")
+        r0 = scale // n_seeds
     base = (dden - dnum) * r0 // dden
 
     de_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
@@ -143,9 +160,12 @@ def pagerank_fixedpoint(edges, iters: int = 3, scale: int = 10 ** 12,
         .materialize()
 
     def init_ranks(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": t["s"],
-            "r": pa.array(np.full(t.num_rows, r0, np.int64), pa.int64())})
+        if seed_mod is None:
+            r = np.full(t.num_rows, r0, np.int64)
+        else:
+            s = t["s"].to_numpy().astype(np.int64)
+            r = np.where(s % seed_mod == seed_rem, r0, 0).astype(np.int64)
+        return pa.table({"node": t["s"], "r": pa.array(r, pa.int64())})
 
     ranks = deg.map_batches(init_ranks, batch_format="pyarrow")
 
@@ -172,9 +192,14 @@ def pagerank_fixedpoint(edges, iters: int = 3, scale: int = 10 ** 12,
             return rank_empty
         agg = t.group_by(["d"]).aggregate([("c", "sum")])
         sc = agg["c_sum"].to_numpy().astype(np.int64)
+        if seed_mod is None:
+            bb = base
+        else:
+            d = agg["d"].to_numpy().astype(np.int64)
+            bb = np.where(d % seed_mod == seed_rem, base, 0)
         return pa.table({
             "node": agg["d"],
-            "r": pa.array(base + dnum * sc // dden, pa.int64())})
+            "r": pa.array(bb + dnum * sc // dden, pa.int64())})
 
     for _ in range(iters):
         ed_r = lookup_join(de_dg, ranks, "s", "node",
