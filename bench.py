@@ -519,7 +519,8 @@ def run_benchmarks() -> dict:
                 ("events_iqr_outliers", True),
                 ("jsonl_zst_roundtrip", False),
                 ("events_rolling_outliers", False),
-                ("user_decay_scores", True)):
+                ("user_decay_scores", True),
+                ("pagerank_personalized", False)):
             t0 = time.time()
             res = getattr(entrymod, f"_q_{name}")(SF_DIR)
             _ = res.num_rows if is_table else res.count()
