@@ -5275,6 +5275,46 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_events_value_percentile(sf_dir: str):
+    """Global PERCENT_RANK of every event's value WITHOUT a global sort:
+    one slim (cents, count) exchange builds the exact value distribution
+    (distinct cents, bounded domain), the driver folds it into a
+    cumulative table (driver work = O(distinct values), never O(rows)),
+    and a broadcast searchsorted map assigns each row rows_less/(n-1) —
+    one IEEE division of exact integers, identical on both engines.
+    The global-window analytic re-expressed as distribution broadcast —
+    at 100 TB this replaces an all-to-all sort with a combiner exchange.
+    ORACLED EXACTLY against PERCENT_RANK() OVER (ORDER BY value)."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"vc": pc.round(pc.multiply(t["value"], 100.0))
+                         .cast(pa.int64())})
+
+    dist = grouped_aggregate(ds.map_batches(to_cents,
+                                            batch_format="pyarrow"),
+                             ["vc"], {"cnt": ("count", None)})
+    dist = dist.take(pc.sort_indices(dist, sort_keys=[("vc", "ascending")]))
+    vals = dist["vc"].to_numpy(zero_copy_only=False)
+    cnts = dist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    less = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n_total = int(cnts.sum())
+
+    def rank(t: pa.Table) -> pa.Table:
+        vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, vc)
+        pr = less[idx].astype(np.float64) / np.float64(n_total - 1)
+        return pa.table({"event_id": t["event_id"],
+                         "pct_rank": pa.array(pr, pa.float64())})
+
+    return ds.map_batches(rank, batch_format="pyarrow").sort("event_id")
+
+
 def _q_events_props_extract(sf_dir: str):
     """JSON payload extraction (functions/semistructured.json_extract — the
     typed-column flattening step for telemetry/event payload columns): one
@@ -6039,6 +6079,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_value_percentile": _q_events_value_percentile,
         "pagerank_personalized": _q_pagerank_personalized,
         "user_decay_scores": _q_user_decay_scores,
         "events_rolling_outliers": _q_events_rolling_outliers,
@@ -6260,6 +6301,10 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # global percent_rank: one float division of identical ints
+        "events_value_percentile":
+            "SELECT event_id, percent_rank() OVER (ORDER BY value) "
+            "AS pct_rank FROM events ORDER BY event_id",
         # decayed engagement: per-distinct-gap libm pow, integer sums
         "user_decay_scores":
             "WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) AS md "
