@@ -5275,6 +5275,97 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_key_skew_profile(sf_dir: str):
+    """Shuffle-planning skew profile of the three lineitem join keys (the
+    statistic that decides salting / broadcast / co-partition at 100 TB):
+    per key column the row count, distinct keys, HOTTEST key multiplicity
+    and the F2 concentration sum(c^2) — one slim (col_id, key, cnt)
+    partial exchange for ALL columns together (lineitem_profile's
+    one-exchange trick), per-partition combine + 1-row partials, driver
+    fold.  concentration = CAST(f2 AS DOUBLE)/(n*n) is the expected
+    fraction of pair collisions — the salting decision number.  ORACLED
+    EXACTLY per column."""
+    import pyarrow.compute as pc
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    ds = _read(sf_dir, "lineitem", cols)
+    npart = 16
+
+    def explode(t: pa.Table) -> pa.Table:
+        from setsketch_ray.sketchlib.hashing import mix64
+
+        outs = []
+        for ci, c in enumerate(cols):
+            agg = t.select([c]).group_by([c]) \
+                .aggregate([([], "count_all")])
+            k = agg[c].cast(pa.int64())
+            kh = mix64(k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                       + np.uint64(ci))
+            outs.append(pa.table({
+                "col_id": pa.array(np.full(agg.num_rows, ci, np.int64),
+                                   pa.int64()),
+                "k": k,
+                "cnt": agg["count_all"].cast(pa.int64()),
+                "__part": pa.array((kh % np.uint64(npart)).astype(
+                    np.uint32), pa.uint32())}))
+        return pa.concat_tables(outs)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"col_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "max_cnt": pa.array([], pa.int64()),
+                             "f2": pa.array([], pa.int64())})
+        comb = t.select(["col_id", "k", "cnt"]) \
+            .group_by(["col_id", "k"]).aggregate([("cnt", "sum")])
+        ci = comb["col_id"].to_numpy(zero_copy_only=False)
+        c = comb["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for col in np.unique(ci):
+            m = ci == col
+            rows.append((int(col), int(c[m].sum()), int(m.sum()),
+                         int(c[m].max()),
+                         int(np.sum(c[m].astype(object) ** 2))))
+        return pa.table({
+            "col_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+            "max_cnt": pa.array([r[3] for r in rows], pa.int64()),
+            "f2": pa.array([r[4] for r in rows], pa.int64())})
+
+    parts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition,
+                                      batch_format="pyarrow")
+    rows = pa.concat_tables(list(parts.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    ci = rows["col_id"].to_numpy(zero_copy_only=False)
+    out = {"col_name": [], "n": [], "n_distinct": [], "max_cnt": [],
+           "f2": [], "concentration": []}
+    for col in range(len(cols)):
+        m = ci == col
+        n = int(np.sum(rows["n"].to_numpy(zero_copy_only=False)[m]))
+        f2 = sum(int(v) for v, keep in zip(rows["f2"].to_pylist(), m)
+                 if keep)
+        out["col_name"].append(cols[col])
+        out["n"].append(n)
+        out["n_distinct"].append(int(np.sum(
+            rows["n_distinct"].to_numpy(zero_copy_only=False)[m])))
+        out["max_cnt"].append(int(np.max(
+            rows["max_cnt"].to_numpy(zero_copy_only=False)[m])))
+        out["f2"].append(f2)
+        out["concentration"].append(
+            float(np.float64(float(f2)) /
+                  (np.float64(float(n)) * np.float64(float(n)))))
+    return pa.table({
+        "col_name": pa.array(out["col_name"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "max_cnt": pa.array(out["max_cnt"], pa.int64()),
+        "f2": pa.array(out["f2"], pa.int64()),
+        "concentration": pa.array(out["concentration"], pa.float64())})
+
+
 def _q_events_value_percentile(sf_dir: str):
     """Global PERCENT_RANK of every event's value WITHOUT a global sort:
     one slim (cents, count) exchange builds the exact value distribution
@@ -6079,6 +6170,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "key_skew_profile": _q_key_skew_profile,
         "events_value_percentile": _q_events_value_percentile,
         "pagerank_personalized": _q_pagerank_personalized,
         "user_decay_scores": _q_user_decay_scores,
@@ -6301,6 +6393,8 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # skew profile: exact per-key-column multiplicity stats
+        "key_skew_profile": """SELECT 'l_orderkey' AS col_name, n, n_distinct, max_cnt, f2, CAST(f2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS concentration FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_orderkey))  UNION ALL SELECT 'l_partkey' AS col_name, n, n_distinct, max_cnt, f2, CAST(f2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS concentration FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_partkey))  UNION ALL SELECT 'l_suppkey' AS col_name, n, n_distinct, max_cnt, f2, CAST(f2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS concentration FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey)) """,
         # global percent_rank: one float division of identical ints
         "events_value_percentile":
             "SELECT event_id, percent_rank() OVER (ORDER BY value) "
