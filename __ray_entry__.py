@@ -5275,6 +5275,57 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_augment_images(sf_dir: str):
+    """Deterministic image augmentation (flip-horizontal + rot90 — the
+    training-time augmentation ops) over a real-JPEG corpus, certified by
+    EXACT pixel algebra: flips and rotations are permutations, so (a)
+    flip(flip(x)) == x byte-for-byte, (b) rot90^4(x) == x, (c) per-channel
+    integer pixel sums are invariant under both, and (d) the augmented
+    frame PNG round-trips losslessly.  Every certificate is exact integer
+    arithmetic over the actually-decoded pixels — a codec or augmentation
+    drift flips a row red.  ORACLED per row via idx-arithmetic image_id +
+    constant certificate mirrors."""
+    from setsketch_ray.sources.codec import decode_image, encode_png
+    from setsketch_ray.sources.images import images_dataset
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        flip_ok, rot_ok, sum_ok, png_ok = [], [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            try:
+                px = decode_image(blob, fmt)
+                fl = px[:, ::-1]
+                rt = np.rot90(px)
+                flip_ok.append(1 if np.array_equal(fl[:, ::-1], px) else 0)
+                r4 = np.rot90(np.rot90(np.rot90(rt)))
+                rot_ok.append(1 if np.array_equal(r4, px) else 0)
+                s0 = px.astype(np.int64).sum(axis=(0, 1))
+                sum_ok.append(1 if np.array_equal(
+                    fl.astype(np.int64).sum(axis=(0, 1)), s0) and
+                    np.array_equal(rt.astype(np.int64).sum(axis=(0, 1)),
+                                   s0) else 0)
+                back = decode_image(encode_png(np.ascontiguousarray(fl)),
+                                    "png")
+                png_ok.append(1 if np.array_equal(back, fl) else 0)
+            except (NotImplementedError, ValueError):
+                flip_ok.append(0)
+                rot_ok.append(0)
+                sum_ok.append(0)
+                png_ok.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "flip_involution_ok": pa.array(flip_ok, pa.int64()),
+            "rot_cycle_ok": pa.array(rot_ok, pa.int64()),
+            "sum_invariant_ok": pa.array(sum_ok, pa.int64()),
+            "png_roundtrip_ok": pa.array(png_ok, pa.int64())})
+
+    ds = images_dataset(200, parallelism=8, fmt_profile="jpeg")
+    return ds.map_batches(augment, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def _q_key_skew_profile(sf_dir: str):
     """Shuffle-planning skew profile of the three lineitem join keys (the
     statistic that decides salting / broadcast / co-partition at 100 TB):
@@ -6170,6 +6221,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "augment_images": _q_augment_images,
         "key_skew_profile": _q_key_skew_profile,
         "events_value_percentile": _q_events_value_percentile,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -6393,6 +6445,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # augmentation: constant mirror; certificates are exact pixel
+        # algebra over the actually-decoded frames
+        "augment_images":
+            "WITH i AS (SELECT unnest(range(200)) AS idx) "
+            "SELECT 'img' || lpad(CAST(idx AS VARCHAR), 12, '0') "
+            "AS image_id, CAST(1 AS BIGINT) AS flip_involution_ok, "
+            "CAST(1 AS BIGINT) AS rot_cycle_ok, "
+            "CAST(1 AS BIGINT) AS sum_invariant_ok, "
+            "CAST(1 AS BIGINT) AS png_roundtrip_ok FROM i",
         # skew profile: exact per-key-column multiplicity stats
         "key_skew_profile": """SELECT 'l_orderkey' AS col_name, n, n_distinct, max_cnt, f2, CAST(f2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS concentration FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_orderkey))  UNION ALL SELECT 'l_partkey' AS col_name, n, n_distinct, max_cnt, f2, CAST(f2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS concentration FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_partkey))  UNION ALL SELECT 'l_suppkey' AS col_name, n, n_distinct, max_cnt, f2, CAST(f2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS concentration FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey)) """,
         # global percent_rank: one float division of identical ints
