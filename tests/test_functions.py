@@ -3689,3 +3689,18 @@ def test_rolling_stats_matches_scalar(rd):
             tb["eid"].to_pylist(), tb["rolling_n"].to_pylist(),
             tb["rolling_s"].to_pylist(), tb["rolling_ss"].to_pylist())}
         assert got == expect
+
+
+def test_resample_linear_identity_and_endpoints():
+    """2x-up-then-down is bit-exact identity; endpoints are preserved;
+    a constant signal stays constant under any ratio."""
+    from setsketch_ray.sources.audio import resample_linear
+
+    rng = np.random.default_rng(29)
+    sig = rng.standard_normal(1000)
+    up = resample_linear(sig, 1999)
+    assert np.array_equal(resample_linear(up, 1000), sig)
+    assert up[0] == sig[0] and up[-1] == sig[-1]
+    assert np.array_equal(up[::2], sig)          # even grid points copy
+    const = np.full(333, 0.25)
+    assert np.array_equal(resample_linear(const, 777), np.full(777, 0.25))
