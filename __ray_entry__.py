@@ -5275,6 +5275,45 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_orders_global_rank(sf_dir: str):
+    """Global row_number over (o_totalprice DESC, o_orderkey) WITHOUT a
+    global data sort: the composite order packs into ONE int64
+    ((1e8 - cents) * 2^27 + orderkey — valid while cents <= 1e8 and
+    orderkey < 2^27, asserted), then the two-pass distributed scan
+    (functions/streaming.global_prefix_sum with value 1) assigns ranks —
+    two metadata passes + one range-partitioned cumsum, the rows
+    themselves shuffle once.  ORACLED EXACTLY against the row_number
+    window."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.streaming import global_prefix_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        assert cents.max(initial=0) <= 10 ** 8 and \
+            key.max(initial=0) < (1 << 27)
+        ordv = (10 ** 8 - cents) * (1 << 27) + key
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "ord": pa.array(ordv, pa.int64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64),
+                                         pa.int64())})
+
+    ranked = global_prefix_sum(
+        ds.map_batches(pack, batch_format="pyarrow").materialize(),
+        "ord", "one", out_col="rank", num_partitions=16)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "rank": t["rank"].cast(pa.int64())})
+
+    return ranked.map_batches(emit, batch_format="pyarrow") \
+        .sort("o_orderkey")
+
+
 def _q_audio_resample(sf_dir: str):
     """Sample-rate normalization over the 6-codec audio corpus (sources/
     audio.resample_linear — the float-domain linear resampler): each clip
@@ -6266,6 +6305,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_global_rank": _q_orders_global_rank,
         "audio_resample": _q_audio_resample,
         "augment_images": _q_augment_images,
         "key_skew_profile": _q_key_skew_profile,
@@ -6491,6 +6531,11 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # global rank: row_number window, identical composite order
+        "orders_global_rank":
+            "SELECT o_orderkey, CAST(row_number() OVER ("
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
+            "FROM orders ORDER BY o_orderkey",
         # resample: constant mirror; certificates are exact grid /
         # identity / spectral-drift math over actually-decoded samples
         "audio_resample":
