@@ -520,7 +520,12 @@ def run_benchmarks() -> dict:
                 ("jsonl_zst_roundtrip", False),
                 ("events_rolling_outliers", False),
                 ("user_decay_scores", True),
-                ("pagerank_personalized", False)):
+                ("pagerank_personalized", False),
+                ("events_value_percentile", False),
+                ("key_skew_profile", True),
+                ("augment_images", False),
+                ("audio_resample", False),
+                ("orders_global_rank", False)):
             t0 = time.time()
             res = getattr(entrymod, f"_q_{name}")(SF_DIR)
             _ = res.num_rows if is_table else res.count()
