@@ -5275,6 +5275,94 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_events_ks_drift(sf_dir: str):
+    """Distribution-drift monitor: EXACT two-sample Kolmogorov-Smirnov
+    statistic of the value distribution, early vs late period, per
+    event_type.  D rides pure integer cross-multiplication —
+    max_v |cumA(v)*nB - cumB(v)*nA| over the distinct-value grid — so the
+    max is association-free; ks_milli is the one IEEE division at the
+    end.  Shape: slim (type, cents, ca, cb) count partials, ONE
+    type-hash co-partition (cumulatives need a type's values together;
+    distinct values per type are bounded), driver sees 5 rows.  ORACLED
+    EXACTLY against the SQL window-cumulative form."""
+    import pyarrow.compute as pc
+    from datetime import datetime
+
+    cutoff = pa.scalar(datetime(2024, 1, 15), pa.timestamp("us"))
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    npart = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        from setsketch_ray.sketchlib.hashing import hash_str_u64
+
+        ia = pc.less(t["ts"], cutoff).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        g = pa.table({"event_type": t["event_type"], "v": vc,
+                      "ca": pa.array(ia, pa.int64()),
+                      "cb": pa.array(1 - ia, pa.int64())}) \
+            .group_by(["event_type", "v"]) \
+            .aggregate([("ca", "sum"), ("cb", "sum")])
+        et = g["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        h = hash_str_u64(et)
+        return pa.table({
+            "event_type": et, "v": g["v"],
+            "ca": g["ca_sum"], "cb": g["cb_sum"],
+            "__part": pa.array((h % np.uint64(npart)).astype(np.uint32),
+                               pa.uint32())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "na": pa.array([], pa.int64()),
+                          "nb": pa.array([], pa.int64()),
+                          "d_num": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        comb = t.select(["event_type", "v", "ca", "cb"]) \
+            .group_by(["event_type", "v"]) \
+            .aggregate([("ca", "sum"), ("cb", "sum")])
+        comb = comb.take(pc.sort_indices(comb, sort_keys=[
+            ("event_type", "ascending"), ("v", "ascending")]))
+        et = comb["event_type"].to_pylist()
+        ca = comb["ca_sum"].to_numpy(zero_copy_only=False)
+        cb = comb["cb_sum"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "na": [], "nb": [], "d_num": []}
+        i = 0
+        n = len(et)
+        while i < n:
+            j = i
+            while j < n and et[j] == et[i]:
+                j += 1
+            cuma = np.cumsum(ca[i:j])
+            cumb = np.cumsum(cb[i:j])
+            na, nb = int(cuma[-1]), int(cumb[-1])
+            d = int(np.max(np.abs(cuma * nb - cumb * na)))
+            rows["event_type"].append(et[i])
+            rows["na"].append(na)
+            rows["nb"].append(nb)
+            rows["d_num"].append(d)
+            i = j
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "na": pa.array(rows["na"], pa.int64()),
+            "nb": pa.array(rows["nb"], pa.int64()),
+            "d_num": pa.array(rows["d_num"], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition,
+                                      batch_format="pyarrow")
+    out = pa.concat_tables(list(parts.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    d = out["d_num"].to_numpy(zero_copy_only=False).astype(np.float64)
+    na = out["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nb = out["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ks = np.floor(d / (na * nb) * 1000 + 0.5).astype(np.int64)
+    out = out.append_column("ks_milli", pa.array(ks, pa.int64()))
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("event_type", "ascending")])).combine_chunks()
+
+
 def _q_orders_global_rank(sf_dir: str):
     """Global row_number over (o_totalprice DESC, o_orderkey) WITHOUT a
     global data sort: the composite order packs into ONE int64
@@ -6305,6 +6393,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_ks_drift": _q_events_ks_drift,
         "orders_global_rank": _q_orders_global_rank,
         "audio_resample": _q_audio_resample,
         "augment_images": _q_augment_images,
@@ -6531,6 +6620,30 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # exact two-sample KS: integer cross-multiplied max, one IEEE
+        # division for the milli statistic
+        "events_ks_drift":
+            "WITH e AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS v, "
+            "CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END "
+            "AS ia FROM events), "
+            "c AS (SELECT event_type, v, CAST(sum(ia) AS BIGINT) AS ca, "
+            "CAST(sum(1 - ia) AS BIGINT) AS cb FROM e "
+            "GROUP BY event_type, v), "
+            "t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY event_type), "
+            "w AS (SELECT c.event_type, "
+            "sum(ca) OVER (PARTITION BY c.event_type ORDER BY v) AS cuma, "
+            "sum(cb) OVER (PARTITION BY c.event_type ORDER BY v) AS cumb "
+            "FROM c), "
+            "d AS (SELECT w.event_type, t.na, t.nb, "
+            "CAST(max(abs(cuma * t.nb - cumb * t.na)) AS BIGINT) AS d_num "
+            "FROM w JOIN t USING (event_type) "
+            "GROUP BY w.event_type, t.na, t.nb) "
+            "SELECT event_type, na, nb, d_num, "
+            "CAST(floor(CAST(d_num AS DOUBLE) / "
+            "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000 + 0.5) "
+            "AS BIGINT) AS ks_milli FROM d ORDER BY event_type",
         # global rank: row_number window, identical composite order
         "orders_global_rank":
             "SELECT o_orderkey, CAST(row_number() OVER ("
