@@ -5275,6 +5275,76 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_user_twap(sf_dir: str):
+    """Per-user time-weighted average value (the TWAP/metering shape):
+    trapezoid integral over consecutive event gaps — twap_num =
+    sum (v_i + v_{i+1}) * dt_s, twap_den = 2 * sum dt_s, all exact
+    integers (gaps floored to whole seconds keep the products < 2^63 at
+    any corpus scale), one hash co-partition + one lexsort per partition.
+    Users with no positive-length span drop (HAVING den > 0 both sides).
+    twap itself is the one IEEE division at the end.  ORACLED EXACTLY
+    against the LEAD-window form."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.sketchlib.hashing import mix64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    npart = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t["user_id"].to_numpy(zero_copy_only=False)
+        h = mix64(g.astype(np.uint64))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(npart)).astype(np.uint32), pa.uint32()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "twap_num": pa.array([], pa.int64()),
+                          "twap_den": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.drop_columns(["__part"])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        same = u[1:] == u[:-1]
+        dt = (ts[1:] - ts[:-1]) // 1_000_000
+        seg = (v[:-1] + v[1:]) * dt
+        num = np.zeros(len(u), np.int64)
+        den = np.zeros(len(u), np.int64)
+        np.add.at(num, np.flatnonzero(same), seg[same])
+        np.add.at(den, np.flatnonzero(same), dt[same])
+        # collapse per user (first row of each run accumulates via add.at
+        # on the PAIR index — fold by user id)
+        uniq, inv = np.unique(u, return_inverse=True)
+        num_u = np.zeros(len(uniq), np.int64)
+        den_u = np.zeros(len(uniq), np.int64)
+        np.add.at(num_u, inv, num)
+        np.add.at(den_u, inv, den)
+        keep = den_u > 0
+        return pa.table({
+            "user_id": pa.array(uniq[keep], pa.int64()),
+            "twap_num": pa.array(num_u[keep], pa.int64()),
+            "twap_den": pa.array(2 * den_u[keep], pa.int64())})
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(per_partition,
+                                      batch_format="pyarrow")
+    out = pa.concat_tables(list(parts.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    num = out["twap_num"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    den = out["twap_den"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    out = out.append_column("twap", pa.array(num / den, pa.float64()))
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("user_id", "ascending")])).combine_chunks()
+
+
 def _q_events_ks_drift(sf_dir: str):
     """Distribution-drift monitor: EXACT two-sample Kolmogorov-Smirnov
     statistic of the value distribution, early vs late period, per
@@ -6393,6 +6463,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "user_twap": _q_user_twap,
         "events_ks_drift": _q_events_ks_drift,
         "orders_global_rank": _q_orders_global_rank,
         "audio_resample": _q_audio_resample,
@@ -6620,6 +6691,22 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # TWAP: exact trapezoid integers, one IEEE division
+        "user_twap":
+            "WITH w AS (SELECT user_id, epoch_us(ts) AS t, "
+            "CAST(round(value * 100) AS BIGINT) AS v, "
+            "lead(epoch_us(ts)) OVER win AS t2, "
+            "lead(CAST(round(value * 100) AS BIGINT)) OVER win AS v2 "
+            "FROM events WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, "
+            "CAST(sum((v + v2) * ((t2 - t) // 1000000)) AS BIGINT) "
+            "AS twap_num, "
+            "CAST(2 * sum((t2 - t) // 1000000) AS BIGINT) AS twap_den "
+            "FROM w WHERE t2 IS NOT NULL GROUP BY user_id) "
+            "SELECT user_id, twap_num, twap_den, "
+            "CAST(twap_num AS DOUBLE) / CAST(twap_den AS DOUBLE) AS twap "
+            "FROM s WHERE twap_den > 0 ORDER BY user_id",
         # exact two-sample KS: integer cross-multiplied max, one IEEE
         # division for the milli statistic
         "events_ks_drift":
