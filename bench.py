@@ -525,7 +525,9 @@ def run_benchmarks() -> dict:
                 ("key_skew_profile", True),
                 ("augment_images", False),
                 ("audio_resample", False),
-                ("orders_global_rank", False)):
+                ("orders_global_rank", False),
+                ("events_ks_drift", True),
+                ("user_twap", True)):
             t0 = time.time()
             res = getattr(entrymod, f"_q_{name}")(SF_DIR)
             _ = res.num_rows if is_table else res.count()
