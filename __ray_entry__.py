@@ -5275,6 +5275,90 @@ def _ppr_oracle(iters: int = 3, seed_mod: int = 50) -> str:
                   "ORDER BY pr DESC, node LIMIT 20")
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation mining by pointwise mutual information: top-20 word
+    bigrams (c_xy >= 5) by pmi = ln(c_xy*N / (c_x*c_y)).  Two slim count
+    exchanges (bigram pairs co-partitioned by pair hash; unigram counts
+    are vocabulary-bounded and fold on the driver, then broadcast into
+    the scoring pass); the log happens once per surviving pair through
+    glibc ln (the probed-parity libm trick), everything else exact
+    integers — all products < 2^53 at this corpus scale (documented
+    bound).  ORACLED EXACTLY against the positional self-join +
+    identical ln expression."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.relational import grouped_aggregate
+    from setsketch_ray.sketchlib.hashing import hash_str_u64
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_bigrams(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(offs)
+        row_of = np.repeat(np.arange(t.num_rows), sizes)
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        if len(row_of) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        valid = (row_of[:-1] == row_of[1:]) & ne[:-1] & ne[1:]
+        idx = np.flatnonzero(valid)
+        pairs = pa.table({
+            "w1": flat.take(pa.array(idx)),
+            "w2": flat.take(pa.array(idx + 1))})
+        agg = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": agg["w1"], "w2": agg["w2"],
+                         "cnt": agg["count_all"].cast(pa.int64())})
+
+    def explode_unigrams(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        flat = pc.list_flatten(pc.split_pattern(pc.fill_null(txt, ""), " "))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        agg = pa.table({"w": flat}).group_by(["w"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"w": agg["w"],
+                         "cnt": agg["count_all"].cast(pa.int64())})
+
+    # unigram counts: vocabulary-bounded, driver fold then broadcast
+    ug = grouped_aggregate(ds.map_batches(explode_unigrams,
+                                          batch_format="pyarrow"),
+                           ["w"], {"c": ("sum", "cnt")})
+    uni = dict(zip(ug["w"].to_pylist(),
+                   (int(v) for v in ug["c"].to_pylist())))
+    n_total = sum(uni.values())
+
+    bg = grouped_aggregate(ds.map_batches(explode_bigrams,
+                                          batch_format="pyarrow"),
+                           ["w1", "w2"], {"c_xy": ("sum", "cnt")})
+    keep = pc.greater_equal(bg["c_xy"], 5)
+    bg = bg.filter(keep)
+    import math
+
+    w1 = bg["w1"].to_pylist()
+    w2 = bg["w2"].to_pylist()
+    cxy = [int(v) for v in bg["c_xy"].to_pylist()]
+    pmi = [int(math.floor(math.log(
+        float(c * n_total) / float(uni[a] * uni[b])) * 1e9 + 0.5))
+        for a, b, c in zip(w1, w2, cxy)]
+    out = pa.table({"w1": pa.array(w1, pa.string()),
+                    "w2": pa.array(w2, pa.string()),
+                    "c_xy": pa.array(cxy, pa.int64()),
+                    "pmi_e9": pa.array(pmi, pa.int64())})
+    out = out.take(pc.sort_indices(out, sort_keys=[
+        ("pmi_e9", "descending"), ("w1", "ascending"),
+        ("w2", "ascending")]))
+    return out.slice(0, 20).combine_chunks()
+
+
 def _q_user_twap(sf_dir: str):
     """Per-user time-weighted average value (the TWAP/metering shape):
     trapezoid integral over consecutive event gaps — twap_num =
@@ -6463,6 +6547,7 @@ def _q_user_decay_scores(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "bigram_pmi": _q_bigram_pmi,
         "user_twap": _q_user_twap,
         "events_ks_drift": _q_events_ks_drift,
         "orders_global_rank": _q_orders_global_rank,
@@ -6691,6 +6776,27 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        # PMI collocations: positional self-join + same-libm ln
+        "bigram_pmi":
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word, "
+            "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+            "FROM documents), "
+            "bg AS (SELECT a.word AS w1, b.word AS w2, "
+            "CAST(count(*) AS BIGINT) AS c_xy FROM w a "
+            "JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.word <> '' AND b.word <> '' GROUP BY w1, w2), "
+            "ug AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w "
+            "WHERE word <> '' GROUP BY word), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w "
+            "WHERE word <> '') "
+            "SELECT bg.w1, bg.w2, bg.c_xy, "
+            "CAST(floor(ln(CAST(bg.c_xy * nn.n AS DOUBLE) / "
+            "CAST(ua.c * ub.c AS DOUBLE)) * 1000000000.0 + 0.5) "
+            "AS BIGINT) AS pmi_e9 "
+            "FROM bg, nn JOIN ug ua ON ua.word = bg.w1 "
+            "JOIN ug ub ON ub.word = bg.w2 WHERE bg.c_xy >= 5 "
+            "ORDER BY pmi_e9 DESC, bg.w1, bg.w2 LIMIT 20",
         # TWAP: exact trapezoid integers, one IEEE division
         "user_twap":
             "WITH w AS (SELECT user_id, epoch_us(ts) AS t, "
