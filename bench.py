@@ -527,7 +527,8 @@ def run_benchmarks() -> dict:
                 ("audio_resample", False),
                 ("orders_global_rank", False),
                 ("events_ks_drift", True),
-                ("user_twap", True)):
+                ("user_twap", True),
+                ("bigram_pmi", True)):
             t0 = time.time()
             res = getattr(entrymod, f"_q_{name}")(SF_DIR)
             _ = res.num_rows if is_table else res.count()
