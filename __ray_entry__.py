@@ -5584,7 +5584,11 @@ def _q_audio_resample(sf_dir: str):
                 down = resample_linear(up, n)
                 rt_ok.append(1 if np.array_equal(down, sig) else 0)
                 f0, _, _ = _fingerprint(sig, rate)
-                f1, _, _ = _fingerprint(up, (2 * n - 1) * rate / n)
+                # the endpoint-spanning grid j*(n_in-1)/(n_out-1) preserves
+                # DURATION, so 2n-1 samples over the same span is exactly
+                # rate 2*rate — (2n-1)*rate/n would fold a spurious
+                # ~rate/(2n) bookkeeping drift into the certificate
+                f1, _, _ = _fingerprint(up, 2 * rate)
                 drift_milli = int(np.floor(abs(f1 - f0) * 1000 + 0.5))
                 fr_ok.append(1 if drift_milli <= 1000 else 0)
             except (NotImplementedError, ValueError):
@@ -6748,7 +6752,8 @@ def _compose_rrf_oracle(d: dict) -> str:
         "WITH q AS (SELECT embedding AS qv FROM embeddings "
         "WHERE vec_id = 0) "
         "SELECT e.vec_id AS doc_id, CAST(rank() OVER (ORDER BY "
-        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) "
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) "
         "AS BIGINT) AS r FROM embeddings e, q WHERE e.vec_id <> 0 "
         "ORDER BY r LIMIT 20")
     return (
@@ -7966,7 +7971,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "knn_bruteforce":
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, rank() OVER (ORDER BY "
-            "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rank "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS rank "
             "FROM embeddings e, q WHERE e.vec_id <> 0 "
             "ORDER BY rank LIMIT 10",
         "cosine_pairs":

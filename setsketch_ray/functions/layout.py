@@ -217,7 +217,12 @@ def compact_parquet_files(src_files: list, dst_dir: str,
     counts = [pq.ParquetFile(f).metadata.num_rows for f in src_files]
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
-    if os.path.isdir(dst_dir) and not os.path.exists(f"{dst_dir}/_SUCCESS"):
+    # Unconditionally wipe any existing layout (committed or partial):
+    # re-running into a previously committed dir with a different
+    # target_rows would otherwise leave stale part-*.parquet from the old
+    # layout next to the new manifest under the old _SUCCESS, and readers
+    # globbing part files would see duplicated rows.
+    if os.path.isdir(dst_dir):
         shutil.rmtree(dst_dir)
     os.makedirs(dst_dir, exist_ok=True)
 

@@ -303,14 +303,12 @@ def rrf_fuse(rankings: list, id_col: str = "doc_id", rank_col: str = "r",
     Returns a pa.Table (id_col, rrf_c) of the k highest-fused docs,
     ties by id.
     """
-    order = {}
     terms = {}
     for li, tbl in enumerate(rankings):
         ids = tbl[id_col].to_pylist()
         rs = tbl[rank_col].to_pylist()
         for did, r in zip(ids, rs):
             if did not in terms:
-                order[did] = len(order)
                 terms[did] = [0.0] * len(rankings)
             terms[did][li] = 1.0 / float(k_rrf + int(r))
     rows = []

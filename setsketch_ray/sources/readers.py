@@ -90,29 +90,8 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
     _is_jsonl = path.endswith((".jsonl", ".json")) or (
         _text_codec(path) and (".jsonl." in os.path.basename(path) or
                                ".json." in os.path.basename(path)))
-    _JL = tuple(".jsonl" + s for s in ("", *_TEXT_CODECS)) + \
-        tuple(".json" + s for s in ("", *_TEXT_CODECS))
-    _jsonl_dir = os.path.isdir(path) and any(
-        n.endswith(_JL) for n in os.listdir(path))
-    if _is_jsonl or _jsonl_dir:
-        if _jsonl_dir:
-            sources = sorted(
-                os.path.join(path, n) for n in os.listdir(path)
-                if n.endswith(_JL))
-            codec = _text_codec(sources[0])
-        else:
-            sources = path
-            codec = _text_codec(path)
-        extra = {"arrow_open_stream_args": {"compression": codec}} \
-            if codec else {}
-        # the dispatch above already matched suffixes; Ray's own extension
-        # filter doesn't know .bz2/.br/.lz4
-        extra["file_extensions"] = None
-        ds = rd.read_json(sources, **{k: v for k, v in kwargs.items()
-                                      if k != "columns"}, **extra)
-        if columns is not None:
-            ds = ds.select_columns(list(columns))
-        return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    if _is_jsonl:
+        return _read_jsonl_sources([path], columns, kwargs)
     if path.endswith(".tar") or (
             os.path.isdir(path) and any(n.endswith(".tar")
                                         for n in os.listdir(path))):
@@ -190,6 +169,18 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         blobs = rd.read_binary_files(paths)
         return blobs.map_batches(parse_ipc, batch_format="pyarrow",
                                  batch_size=None)
+    # jsonl DIRECTORIES dispatch last among the container types: a corpus
+    # dir holding a .json/.jsonl sidecar (e.g. a manifest) next to tar/
+    # warc/orc/... payload files must route to the payload reader above,
+    # not be silently swallowed by read_json.
+    _JL = tuple(".jsonl" + s for s in ("", *_TEXT_CODECS)) + \
+        tuple(".json" + s for s in ("", *_TEXT_CODECS))
+    if os.path.isdir(path) and any(
+            n.endswith(_JL) for n in os.listdir(path)):
+        sources = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith(_JL))
+        return _read_jsonl_sources(sources, columns, kwargs)
     # parquet: pass an explicit metadata-stripped schema so blocks come out
     # of ReadParquet already clean — a post-read strip map cannot reach the
     # warnings raised inside the fused ReadParquet->SplitBlocks operator
@@ -201,6 +192,33 @@ def read_corpus(path: str, columns=None, override_num_blocks: int | None = None)
         kwargs["schema"] = pa.schema(
             [full.field(n) for n in columns]) if columns else full
     ds = rd.read_parquet(path, **kwargs)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+def _read_jsonl_sources(sources, columns, kwargs):
+    """Read jsonl files, deriving the codec PER FILE: a mixed-compression
+    directory (plain + .gz + .zst ...) reads each codec group with its own
+    Arrow input-stream codec and unions the results — sources[0]'s codec
+    must never be applied to every file."""
+    import ray.data as rd
+
+    by_codec = {}
+    for p in sources:
+        by_codec.setdefault(_text_codec(p), []).append(p)
+    parts = []
+    base = {k: v for k, v in kwargs.items() if k != "columns"}
+    for codec, paths in sorted(by_codec.items(), key=lambda kv: kv[1][0]):
+        extra = {"arrow_open_stream_args": {"compression": codec}} \
+            if codec else {}
+        # the dispatch already matched suffixes; Ray's own extension
+        # filter doesn't know .bz2/.br/.lz4
+        extra["file_extensions"] = None
+        parts.append(rd.read_json(paths, **base, **extra))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 
