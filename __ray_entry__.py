@@ -875,6 +875,36 @@ def _q_knn_ivfpq(sf_dir: str):
         "milli_overlap_capped": pa.array([min(milli, 850)], pa.int64())})
 
 
+def _near_dup_docs_production(sf_dir: str):
+    """The PRODUCTION text near-dup path (MinHash-LSH + exact
+    shingle-Jaccard verify at threshold 0.85) — returned as a Dataset of
+    verified (id_a, id_b) edges so bench.py can time it WITHOUT the
+    in-query exact-truth grading (the ssjoin certificate is 4-5x the
+    production cost at test scale and belongs in a separate bench row).
+
+    32 bands x 8 rows (m=256): per-pair band-hit probability at the
+    J=0.85 boundary is 1-(1-0.85^8)^32 = 0.999963, so the expected miss
+    count over the sf truth sets (tens-hundreds of pairs) is <<1 — this
+    is what honestly backs the 0.99 recall certificate (16x8's 0.994
+    measured 0.96-1.0: one boundary pair missed occasionally)."""
+    from setsketch_ray.pipelines.dedup import (DedupConfig, candidate_pairs,
+                                               verified_edges)
+    from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    caps = ds.map_batches(_docs_as_captions, batch_format="pyarrow")
+    cfg = DedupConfig(
+        sketch=SketchConfig(modalities=(
+            Modality("cap", "shingles_cap", minhash_m=256, num_bands=32,
+                     rows_per_band=8, threshold=0.85),)),
+        use_phash=False, pair_dedup="shuffle")  # exact pair-unique output
+    # candidate_pairs APPENDS jaccard/score; verified_edges applies the
+    # threshold filter (a raw candidate set is NOT precision-guaranteed —
+    # band collisions below threshold appear at sf0.1 corpus sizes)
+    return verified_edges(candidate_pairs(caps, cfg, id_col="image_id"),
+                          cfg).select_columns(["id_a", "id_b"])
+
+
 def _q_near_dup_docs(sf_dir: str):
     """Near-dup pairs over documents (MinHash-LSH + exact shingle-Jaccard
     verify at threshold 0.85), GRADED IN-QUERY against the exact truth from
@@ -884,32 +914,16 @@ def _q_near_dup_docs(sf_dir: str):
     ``n_true_pairs`` is the exact pair count the SQL mirror recomputes
     independently; ``precision_ok`` flips to 0 if the LSH+verify path ever
     emits a pair outside the truth set (the verify is exact, so this is a
-    hard invariant); ``recall_floor_ok`` flips to 0 below 90% recall
-    (measured 0.96-1.0 per sf — 16 bands x 8 rows has per-pair band-hit
-    probability 0.994 at J = 0.85 and higher on the planted ~0.9+ dups)."""
-    import ray.data as rd
-
+    hard invariant); ``recall_floor_ok`` flips to 0 below 99% recall —
+    honest at 32 bands x 8 rows: per-pair hit probability 0.999963 at the
+    J=0.85 boundary (see _near_dup_docs_production)."""
     from setsketch_ray.functions.dedup import ssjoin_jaccard_pairs
-    from setsketch_ray.pipelines.dedup import (DedupConfig, candidate_pairs,
-                                               verified_edges)
-    from setsketch_ray.stages.sketch_stage import Modality, SketchConfig
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    caps = ds.map_batches(_docs_as_captions, batch_format="pyarrow")
-    cfg = DedupConfig(
-        sketch=SketchConfig(modalities=(
-            Modality("cap", "shingles_cap", minhash_m=128, num_bands=16,
-                     rows_per_band=8, threshold=0.85),)),
-        use_phash=False, pair_dedup="shuffle")  # exact pair-unique output
-    # candidate_pairs APPENDS jaccard/score; verified_edges applies the
-    # threshold filter (a raw candidate set is NOT precision-guaranteed —
-    # band collisions below threshold appear at sf0.1 corpus sizes)
-    lsh_rows = verified_edges(candidate_pairs(caps, cfg, id_col="image_id"),
-                              cfg).select_columns(["id_a", "id_b"]) \
-        .take_all()
+    lsh_rows = _near_dup_docs_production(sf_dir).take_all()
     # image_id format is "doc%012d" (_docs_as_captions)
     lsh = {tuple(sorted((int(r["id_a"][3:]), int(r["id_b"][3:]))))
            for r in lsh_rows}
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     truth_rows = ssjoin_jaccard_pairs(ds, "doc_id", "text",
                                       jaccard_num=17, jaccard_den=20) \
         .select_columns(["id_a", "id_b"]).take_all()
@@ -919,7 +933,7 @@ def _q_near_dup_docs(sf_dir: str):
     return pa.table({
         "n_true_pairs": pa.array([len(truth)], pa.int64()),
         "precision_ok": pa.array([int(not (lsh - truth))], pa.int64()),
-        "recall_floor_ok": pa.array([int(recall >= 0.90)], pa.int64())})
+        "recall_floor_ok": pa.array([int(recall >= 0.99)], pa.int64())})
 
 
 def _q_near_dup_images(sf_dir: str):

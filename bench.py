@@ -218,6 +218,12 @@ def run_benchmarks() -> dict:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __ray_entry__ as entrymod
 
+        # production LSH+verify path alone (the headline-comparable row);
+        # the in-query ssjoin exact-truth grading is a separate row so the
+        # certificate cost never contaminates the production figure
+        t0 = time.time()
+        entrymod._near_dup_docs_production(SF_DIR).count()
+        timings["near_dup_docs_production"] = time.time() - t0
         t0 = time.time()
         entrymod._q_near_dup_docs(SF_DIR).num_rows  # pa.Table since r4
         timings["near_dup_docs"] = time.time() - t0
