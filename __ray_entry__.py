@@ -5112,15 +5112,20 @@ def _q_pagerank_parts(sf_dir: str):
 
 
 def _q_part_components(sf_dir: str):
-    """Connected components by distributed min-label propagation
-    (functions/graph.connected_components_sweeps) over the same part
-    co-purchase graph as part_triangles/pagerank_parts: 5 fixed sweeps of
-    label_{i+1}(v) = min(label_i(v), min_{(u,v)} label_i(u)); per sweep
-    ONE slim (node, label) co-partitioned lookup_join with a per-batch
-    min combiner before the exchange.  The fixed sweep count makes the
-    labels a pure function of the edge set on both engines — ORACLED
-    EXACTLY as 5 unrolled UNION ALL + GROUP BY min CTEs."""
-    from setsketch_ray.functions.graph import (connected_components_sweeps,
+    """Connected components by distributed min-label propagation WITH
+    pointer-jump doubling (functions/graph.connected_components_doubling)
+    over the same part co-purchase graph as part_triangles/pagerank_parts:
+    4 fixed rounds of label_{i+1}(v) = min(label_i(v), min_{(u,v)}
+    label_i(u), label_i(label_i(v))) — the label-of-label term halves
+    label-tree height per round, so 4 rounds reach the fixpoint this graph
+    needs 5-6 plain sweeps for (probed per sf), and a 100x-diameter graph
+    needs only O(log d).  Per round ONE tagged co-partition exchange
+    resolves both the neighbor and the jump lookups + one min-combine
+    exchange.  The fixed round count makes the labels a pure function of
+    the edge set on both engines — ORACLED EXACTLY as 4 unrolled
+    (UNION ALL self + neighbor + labels-self-join jump) GROUP BY min
+    CTEs."""
+    from setsketch_ray.functions.graph import (connected_components_doubling,
                                                cooccurrence_edges)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -5130,7 +5135,7 @@ def _q_part_components(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
         .map_batches(keep, batch_format="pyarrow")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return connected_components_sweeps(edges, iters=5, num_partitions=16)
+    return connected_components_doubling(edges, rounds=4, num_partitions=16)
 
 
 def _q_part_kcore(sf_dir: str):
@@ -5187,10 +5192,12 @@ def _kcore_oracle(k: int = 6, iters: int = 5) -> str:
         f"ORDER BY a{iters}.node")
 
 
-def _components_oracle(iters: int = 5) -> str:
-    """Unrolled min-label-propagation CTE chain mirroring
-    functions/graph.connected_components_sweeps over the part co-purchase
-    graph: one UNION ALL + GROUP BY min per sweep — pure int64, exact."""
+def _components_oracle(rounds: int = 4) -> str:
+    """Unrolled min-label-propagation-with-doubling CTE chain mirroring
+    functions/graph.connected_components_doubling over the part
+    co-purchase graph: per round one UNION ALL of the self term, the
+    neighbor term, and the labels-self-join pointer-jump term
+    (label_i(label_i(v))), then GROUP BY min — pure int64, exact."""
     sql = (
         "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
         "FROM lineitem WHERE l_partkey % 10 = 0), "
@@ -5199,13 +5206,15 @@ def _components_oracle(iters: int = 5) -> str:
         "de AS (SELECT u AS s, v AS d FROM e "
         "UNION ALL SELECT v AS s, u AS d FROM e), "
         "l0 AS (SELECT DISTINCT s AS node, s AS l FROM de)")
-    for i in range(1, iters + 1):
+    for i in range(1, rounds + 1):
         sql += (
             f", l{i} AS (SELECT node, min(l) AS l FROM ("
             f"SELECT node, l FROM l{i - 1} "
             f"UNION ALL SELECT de.d AS node, p.l AS l FROM de "
-            f"JOIN l{i - 1} p ON p.node = de.s) GROUP BY node)")
-    return sql + (f" SELECT node, l AS label FROM l{iters} ORDER BY node")
+            f"JOIN l{i - 1} p ON p.node = de.s "
+            f"UNION ALL SELECT c.node AS node, p.l AS l FROM l{i - 1} c "
+            f"JOIN l{i - 1} p ON p.node = c.l) GROUP BY node)")
+    return sql + (f" SELECT node, l AS label FROM l{rounds} ORDER BY node")
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -7226,7 +7235,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # integer-fixpoint power iteration, unrolled CTE per iteration
         "pagerank_parts": _pagerank_oracle(3),
         # unrolled min-label propagation, one CTE per sweep
-        "part_components": _components_oracle(5),
+        "part_components": _components_oracle(4),
         "part_kcore": _kcore_oracle(6, 3),
         "pagerank_personalized": _ppr_oracle(3, 50),
         # unrolled Morton interleave + zone-map prune, both sides

@@ -1,4 +1,5 @@
-from setsketch_ray.functions.graph import connected_components_sweeps
+from setsketch_ray.functions.graph import (connected_components_doubling,
+                                           connected_components_sweeps)
 
 
 def _labels(edges, iters, ray_session):
@@ -8,6 +9,34 @@ def _labels(edges, iters, ray_session):
     out = connected_components_sweeps(ds, iters=iters, num_partitions=8) \
         .to_pandas()
     return dict(zip(out["node"], out["label"]))
+
+
+def _labels_doubling(edges, rounds, ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"u": u, "v": v} for u, v in edges])
+    out = connected_components_doubling(ds, rounds=rounds,
+                                        num_partitions=8).to_pandas()
+    return dict(zip(out["node"], out["label"]))
+
+
+def test_cc_doubling_matches_converged_sweeps(ray_session):
+    # triangle + pair: both variants at convergence give the components
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11)]
+    lab = _labels_doubling(edges, rounds=2, ray_session=ray_session)
+    assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_doubling_log_diameter(ray_session):
+    # path 1-...-15 has diameter 14: plain sweeps need 14, the pointer
+    # jump reaches it in 5 rounds (label-tree reach 1,2,4,8,16) — the
+    # O(log d) property the 100x-scale variant exists for
+    edges = [(i, i + 1) for i in range(1, 15)]
+    lab = _labels_doubling(edges, rounds=5, ray_session=ray_session)
+    assert set(lab.values()) == {1}
+    # under-iterated is a pure deterministic function too (fixed rounds)
+    lab3 = _labels_doubling(edges, rounds=3, ray_session=ray_session)
+    assert lab3[15] == 15 - 4  # reach after 3 rounds is 4
 
 
 def test_cc_two_components_converged(ray_session):
