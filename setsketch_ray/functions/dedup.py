@@ -37,7 +37,7 @@ class AddSimHash:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = simhash64(batch[self.text_col].to_pylist())
+        h = simhash64(batch[self.text_col])  # Arrow string buffers direct
         return batch.append_column("simhash",
                                    pa.array(h.astype(np.int64), pa.int64()))
 

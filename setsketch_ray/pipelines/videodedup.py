@@ -197,8 +197,8 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
     pairs = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
 
     def add_pp(t: pa.Table) -> pa.Table:
-        a = hash_str_u64(t["id_a"].to_pylist())
-        b = hash_str_u64(t["id_b"].to_pylist())
+        a = hash_str_u64(t["id_a"])   # straight off Arrow string buffers
+        b = hash_str_u64(t["id_b"])
         return t.append_column("pp", pa.array(
             (mix2(a, b) % np.uint64(16)).astype(np.uint32), pa.uint32()))
 
@@ -206,8 +206,8 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
         partition = partition.drop_columns(["pp"])
         if partition.num_rows == 0:
             return partition
-        key = mix2(hash_str_u64(partition["id_a"].to_pylist()),
-                   hash_str_u64(partition["id_b"].to_pylist()))
+        key = mix2(hash_str_u64(partition["id_a"]),
+                   hash_str_u64(partition["id_b"]))
         _, first = np.unique(key, return_index=True)
         return partition.take(pa.array(np.sort(first)))
 
@@ -235,8 +235,7 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
         if cached is None:
             table = ray.get(lookup_ref)
             keys = table[id_col].combine_chunks()
-            vals = [np.asarray(x, np.int64).astype(np.uint64)
-                    for x in table["frame_phashes"].to_pylist()]
+            vals = _list_col_u64(table["frame_phashes"])
             for k in [k for k in _WORKER_CACHE if k[0] == "vid_phash"]:
                 del _WORKER_CACHE[k]
             cached = (keys, vals)
@@ -263,14 +262,31 @@ def near_dup_videos(ds, id_col: str = "video_id", bytes_col: str = "bytes",
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def _list_col_u64(col) -> list:
+    """list<int64> column -> per-row uint64 views over ONE flat buffer
+    (Arrow list offsets, no per-element as_py)."""
+    lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]          # sliced arrays carry absolute offsets
+    flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(lst))]
+
+
 def _unpack_binary_u64(col) -> list:
-    """Binary column of packed int64-LE hash sets -> list of uint64 arrays."""
+    """Binary column of packed int64-LE hash sets -> per-row uint64 views
+    over the column's single data buffer (offsets arithmetic, no as_py).
+    Every value is a whole number of int64s, so all byte offsets are
+    multiples of 8 and the flat buffer reads as one "<i8" vector."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    out = []
-    for v in arr:
-        b = v.as_py()
-        out.append(np.frombuffer(b or b"", "<i8").astype(np.uint64))
-    return out
+    offs = np.frombuffer(arr.buffers()[1], np.int32,
+                         count=len(arr) + 1,
+                         offset=arr.offset * 4).astype(np.int64)
+    base = offs[0]
+    flat = np.frombuffer(arr.buffers()[2], "<i8",
+                         count=int(offs[-1] - base) // 8,
+                         offset=int(base)).astype(np.uint64)
+    e = (offs - base) // 8
+    return [flat[e[i]:e[i + 1]] for i in range(len(arr))]
 
 
 def _verify_overlap_hash(ph, pairs, id_col: str, max_hamming: int,
@@ -282,14 +298,19 @@ def _verify_overlap_hash(ph, pairs, id_col: str, max_hamming: int,
 
     def pack(suffix: str):
         def fn(t: pa.Table) -> pa.Table:
-            parts = [np.asarray(x, np.int64).astype("<i8").tobytes()
-                     for x in t["frame_phashes"].to_pylist()]
-            offs = np.zeros(len(parts) + 1, np.int32)
-            np.cumsum([len(p) for p in parts], out=offs[1:])
+            # the packed-binary layout IS the list layout: data = the flat
+            # int64 values as LE bytes, offsets = list offsets * 8
+            lst = t["frame_phashes"].combine_chunks() \
+                if isinstance(t["frame_phashes"], pa.ChunkedArray) \
+                else t["frame_phashes"]
+            loffs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            loffs = loffs - loffs[0]
+            flat = lst.flatten().to_numpy(zero_copy_only=False) \
+                .astype("<i8")
             bin_arr = pa.Array.from_buffers(
-                pa.binary(), len(parts),
-                [None, pa.py_buffer(offs.tobytes()),
-                 pa.py_buffer(b"".join(parts))])
+                pa.binary(), len(lst),
+                [None, pa.py_buffer((loffs * 8).astype(np.int32).tobytes()),
+                 pa.py_buffer(flat.tobytes())])
             return pa.table({id_col: t[id_col], f"ph{suffix}": bin_arr})
         return fn
 
