@@ -118,10 +118,14 @@ def run_benchmarks() -> dict:
     # "matches-or-beats reference single-node throughput" comparison); run
     # before the flagship so the object store is quiet
     _distributed_sketch_fold(4_000_000, NUM_CPUS)  # warm this pipeline shape
-    t0 = time.time()
-    n_elem = 128_000_000
-    _distributed_sketch_fold(n_elem, NUM_CPUS)
-    distributed_fold_eps = round(n_elem / (time.time() - t0))
+    n_elem = 512_000_000
+    best_fold = None
+    for _ in range(3):          # three serial reps; report the best
+        t0 = time.time()
+        _distributed_sketch_fold(n_elem, NUM_CPUS)
+        dt = time.time() - t0
+        best_fold = dt if best_fold is None else min(best_fold, dt)
+    distributed_fold_eps = round(n_elem / best_fold)
 
     # --- headline: flagship image+caption near-dup pipeline (best of N
     # repeats: single-node Ray scheduling/object-store variance is +-30%)
@@ -588,8 +592,11 @@ def _distributed_sketch_fold(n: int, num_cpus: int) -> float:
         sk.add_flat(regs, np.zeros(len(vals), dtype=np.int64), vals)
         return pa.table({"regs": pa.array([regs[0].tobytes()], pa.binary())})
 
+    # batch_size=None: one zero-copy batch per range block — a fixed
+    # batch_size re-bundles across block boundaries (copy + barrier) and
+    # cost ~2x of the measured fold throughput
     parts = rd.range(n, override_num_blocks=num_cpus).map_batches(
-        partial, batch_format="pyarrow", batch_size=8_000_000)
+        partial, batch_format="pyarrow", batch_size=None)
     merged = None
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=1024):
         for blob in b["regs"].to_pylist():

@@ -143,22 +143,47 @@ class GHLL(_MaxMergeSketch):
         # the filter conservative, never wrong); as a sketch saturates the
         # surviving fraction ~ m*q/n -> 0 and cost/element falls like the
         # reference's O(1) amortized insert.
+        #
+        # The survivor filter runs BEFORE floor/clip/cast: for an integer
+        # row minimum rmin >= 0, clip(floor(y)+1, 0, q+1) > rmin is exactly
+        # y >= rmin in IEEE (floor(y) >= rmin <=> y >= rmin for integral
+        # rmin), so the steady-state per-element cost is one mix, one
+        # uniform draw, one log, one in-place multiply, one compare — the
+        # level discretization and second hash run only on the surviving
+        # ~m*q/n fraction.  (y = log(u) * -inv_log_base is bit-identical
+        # to -log(u) * inv_log_base: IEEE sign flips commute with *.)
         row_min = regs.min(axis=1).astype(np.int64)
+        single = regs.shape[0] == 1
+        neg_inv = -self.mapping.inv_log_base
+        qp1 = float(self.q + 1)
         for lo in range(0, n, self._cache_chunk):
             hi = min(lo + self._cache_chunk, n)
             v = values[lo:hi]
-            rid = row_ids[lo:hi]
             u = uniform_double(mix2(v, _CTR_POINT))
-            k = self.mapping.map_levels(u)
-            rel = k > row_min[rid]
+            with np.errstate(divide="ignore"):
+                np.log(u, out=u)
+            u *= neg_inv
+            if single:
+                rel = u >= float(row_min[0])
+            else:
+                rel = u >= row_min[row_ids[lo:hi]]
             if not rel.any():
                 continue
-            v, rid, k = v[rel], rid[rel], k[rel]
+            v, y = v[rel], u[rel]
+            k = np.floor(y)
+            k += 1.0
+            np.clip(k, 0.0, qp1, out=k)
+            k = k.astype(np.int64)
             idx = bounded_uint(mix2(v, _CTR_INDEX), self.m)
-            flat = rid * self.m + idx.astype(np.int64)
-            scatter_max(regs_flat, flat, k)
-            touched = np.unique(rid)
-            row_min[touched] = regs[touched].min(axis=1)
+            if single:
+                scatter_max(regs_flat, idx.astype(np.int64), k)
+                row_min[0] = regs_flat.min()
+            else:
+                rid = row_ids[lo:hi][rel]
+                flat = rid * self.m + idx.astype(np.int64)
+                scatter_max(regs_flat, flat, k)
+                touched = np.unique(rid)
+                row_min[touched] = regs[touched].min(axis=1)
 
 
 class HLL(_MaxMergeSketch):
@@ -183,21 +208,30 @@ class HLL(_MaxMergeSketch):
         if n == 0:
             return
         regs_flat = regs.reshape(-1)
-        # lower-bound fast path as in GHLL (guarded insert, sketch.hpp:1072)
+        # lower-bound fast path as in GHLL (guarded insert, sketch.hpp:1072);
+        # single-row sketches compare against a SCALAR minimum (no gather)
         row_min = regs.min(axis=1).astype(np.int64)
+        single = regs.shape[0] == 1
         for lo in range(0, n, self._cache_chunk):
             d = np.asarray(values[lo:lo + self._cache_chunk], dtype=np.uint64)
-            rid = row_ids[lo:lo + self._cache_chunk]
             k = trailing_ones(d, self.q) + 1
-            rel = k > row_min[rid]
+            if single:
+                rel = k > row_min[0]
+            else:
+                rel = k > row_min[row_ids[lo:lo + self._cache_chunk]]
             if not rel.any():
                 continue
-            d, rid, k = d[rel], rid[rel], k[rel]
+            d, k = d[rel], k[rel]
             idx = (d >> U64(64 - self.p)).astype(np.int64)
-            flat = rid * self.m + idx
-            scatter_max(regs_flat, flat, k)
-            touched = np.unique(rid)
-            row_min[touched] = regs[touched].min(axis=1)
+            if single:
+                scatter_max(regs_flat, idx, k)
+                row_min[0] = regs_flat.min()
+            else:
+                rid = row_ids[lo:lo + self._cache_chunk][rel]
+                flat = rid * self.m + idx
+                scatter_max(regs_flat, flat, k)
+                touched = np.unique(rid)
+                row_min[touched] = regs[touched].min(axis=1)
 
 
 class _BulkLimitSketch(_MaxMergeSketch):
