@@ -336,12 +336,19 @@ def char_ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
 
 def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
                         window: int = 16, num_partitions: int = 64,
-                        bucket_cap: int = 256):
+                        bucket_cap: int = 256, with_counts: bool = False):
     """Long-shared-substring duplicate pairs (the distributed stand-in for
     suffix-array substring dedup): every ``window``-token rolling-hash window
     becomes a bucket key; two documents sharing ANY such window (i.e. a
     common >= window-token substring) land in a bucket together.  Output:
-    (id_a, id_b, shared_windows).
+    (id_a, id_b, shared_windows), plus (n_a, n_b) — each side's distinct
+    window count — when ``with_counts=True``.
+
+    ``with_counts`` rides the counts on the band rows for free: expand's
+    per-row dedup already IS the distinct-window count, so the Jaccard /
+    containment denominators cost 8 bytes per band row instead of a second
+    full tokenize pass plus two pair-table lookup-join exchanges (the
+    r4 tiered_dedup plan shape).
 
     Exactness: a suffix array finds shared substrings of length >= L in
     characters; windowing over tokens finds shared runs of >= ``window``
@@ -354,7 +361,9 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
         cross-row windows masked, one lexsort per-row dedup."""
         empty = pa.table({"band_key": pa.array([], pa.uint64()),
                           "part": pa.array([], pa.uint32()),
-                          id_col: pa.array([], pa.int64())})
+                          id_col: pa.array([], pa.int64()),
+                          **({"nw": pa.array([], pa.int64())}
+                             if with_counts else {})})
         arr = t[text_col]
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         arr = pc.fill_null(arr, "")
@@ -393,20 +402,31 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
         keep[1:] = (keys[1:] != keys[:-1]) | (rows[1:] != rows[:-1])
         keys, rows = keys[keep], rows[keep]
         ids = t[id_col].take(pa.array(rows))
-        return pa.table({
+        cols = {
             "band_key": pa.array(keys, pa.uint64()),
             "part": pa.array((keys % num_partitions).astype(np.uint32),
                              pa.uint32()),
             id_col: ids,
-        })
+        }
+        if with_counts:
+            # rows is the post-dedup (window, row) set, so its bincount IS
+            # the per-doc distinct-window count; each band row carries its
+            # own doc's count
+            cnts = np.bincount(rows, minlength=n).astype(np.int64)
+            cols["nw"] = pa.array(cnts[rows], pa.int64())
+        return pa.table(cols)
 
     bands = ds.select_columns([id_col, text_col]).map_batches(
         expand, batch_format="pyarrow")
 
     def emit(partition: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "shared_windows": pa.array([], pa.int64())})
+        ecols = {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "shared_windows": pa.array([], pa.int64())}
+        if with_counts:
+            ecols["n_a"] = pa.array([], pa.int64())
+            ecols["n_b"] = pa.array([], pa.int64())
+        empty = pa.table(ecols)
         if partition.num_rows < 2:
             return empty
         order = pc.sort_indices(partition,
@@ -417,6 +437,7 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
         starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
         sizes = np.diff(np.concatenate([starts, [len(keys)]]))
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        nwv = t["nw"].to_numpy(zero_copy_only=False) if with_counts else None
         ii, jj = [], []
         for s, n in zip(starts, sizes):
             if n < 2 or n > bucket_cap:
@@ -428,6 +449,7 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
             return empty
         i = np.concatenate(ii)
         j = np.concatenate(jj)
+        lo_first = ids[i] <= ids[j]
         a = np.minimum(ids[i], ids[j])
         b = np.maximum(ids[i], ids[j])
         keep = a != b
@@ -438,11 +460,18 @@ def substring_dup_pairs(ds, id_col: str, text_col: str = "text",
                                       return_counts=True)
         first = np.zeros(len(uniq), dtype=np.int64)
         first[inv[::-1]] = np.arange(len(a))[::-1]
-        return pa.table({
+        cols = {
             "id_a": pa.array(a[first]),
             "id_b": pa.array(b[first]),
             "shared_windows": pa.array(counts, pa.int64()),
-        })
+        }
+        if with_counts:
+            # counts follow the id swap so n_a always belongs to id_a
+            na = np.where(lo_first, nwv[i], nwv[j])[keep]
+            nb = np.where(lo_first, nwv[j], nwv[i])[keep]
+            cols["n_a"] = pa.array(na[first], pa.int64())
+            cols["n_b"] = pa.array(nb[first], pa.int64())
+        return pa.table(cols)
 
     pairs = bands.groupby("part").map_groups(emit, batch_format="pyarrow")
 
@@ -1350,30 +1379,15 @@ def tiered_dedup(ds, id_col: str, text_col: str = "text", window: int = 16,
                        right_schema=labels1_schema) \
         .map_batches(keep_survivors, batch_format="pyarrow")
 
-    # ---- per-doc distinct window counts (row-local, no shuffle) -------
-    nw = distinct_window_counts(surv, id_col, text_col, window)
-
     # ---- tier 2: shared-window candidates + exact integer Jaccard -----
-    pairs = substring_dup_pairs(surv, id_col, text_col, window=window,
-                                num_partitions=num_partitions,
-                                bucket_cap=bucket_cap)
-    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
-                             ("shared_windows", pa.int64())])
-    nw_schema = pa.schema([(id_col, id_type), ("nw", pa.int64())])
-    nwa = nw.map_batches(
-        lambda t: t.rename_columns(["id_a", "n_a"]),
-        batch_format="pyarrow")
-    nwb = nw.map_batches(
-        lambda t: t.rename_columns(["id_b", "n_b"]),
-        batch_format="pyarrow")
-    pa_schema = pa.schema([("id_a", id_type), ("n_a", pa.int64())])
-    pb_schema = pa.schema([("id_b", id_type), ("n_b", pa.int64())])
-    scored = lookup_join(pairs, nwa, "id_a", "id_a",
-                         left_schema=pair_schema, right_schema=pa_schema)
-    scored = lookup_join(
-        scored, nwb, "id_b", "id_b",
-        left_schema=pa.schema(list(pair_schema) + [("n_a", pa.int64())]),
-        right_schema=pb_schema)
+    # with_counts=True rides each side's distinct-window count on the band
+    # rows, so the Jaccard denominators arrive WITH the pairs — this
+    # replaces the r4 plan's separate distinct_window_counts tokenize pass
+    # plus two sequential pair-table lookup-join exchanges (the dominant
+    # stage-overhead cost at test scale; a full corpus pass at web scale)
+    scored = substring_dup_pairs(surv, id_col, text_col, window=window,
+                                 num_partitions=num_partitions,
+                                 bucket_cap=bucket_cap, with_counts=True)
 
     def t2_filter(t: pa.Table) -> pa.Table:
         sw = t["shared_windows"].to_numpy(zero_copy_only=False)
@@ -1677,41 +1691,33 @@ def containment_pairs(ds, id_col: str, text_col: str = "text",
     Returns ``(id_a, id_b, shared_w, n_w_a)`` with ``id_a`` the contained
     document — integer-exact, so pairs AND scores are SQL-oracle-able.
     """
-    from .relational import lookup_join
-
     pairs = substring_dup_pairs(ds, id_col, text_col, window=window,
                                 num_partitions=num_partitions,
                                 bucket_cap=bucket_cap
-                                if bucket_cap is not None else (1 << 30))
-    nw = distinct_window_counts(ds.select_columns([id_col, text_col]),
-                                id_col, text_col, window)
+                                if bucket_cap is not None else (1 << 30),
+                                with_counts=True)
 
     def both_dirs(t: pa.Table) -> pa.Table:
+        # each side's distinct-window count arrives WITH the pair
+        # (with_counts band rows), so both directions score locally — no
+        # denominator lookup-join, no second tokenize pass
         ia = t["id_a"].to_numpy(zero_copy_only=False)
         ib = t["id_b"].to_numpy(zero_copy_only=False)
         sw = t["shared_windows"].to_numpy(zero_copy_only=False)
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        aa = np.concatenate([ia, ib])
+        bb = np.concatenate([ib, ia])
+        ss = np.concatenate([sw, sw])
+        nn = np.concatenate([na, nb])     # contained side's count
+        hit = den * ss >= num * nn
         return pa.table({
-            "id_a": pa.array(np.concatenate([ia, ib]), pa.int64()),
-            "id_b": pa.array(np.concatenate([ib, ia]), pa.int64()),
-            "shared_w": pa.array(np.concatenate([sw, sw]), pa.int64())})
+            "id_a": pa.array(aa[hit], pa.int64()),
+            "id_b": pa.array(bb[hit], pa.int64()),
+            "shared_w": pa.array(ss[hit], pa.int64()),
+            "n_w_a": pa.array(nn[hit], pa.int64())})
 
-    directed = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    nwa = nw.map_batches(lambda t: t.rename_columns(["id_a", "n_w_a"]),
-                         batch_format="pyarrow")
-    scored = lookup_join(
-        directed, nwa, "id_a", "id_a",
-        left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                               ("shared_w", pa.int64())]),
-        right_schema=pa.schema([("id_a", pa.int64()),
-                                ("n_w_a", pa.int64())]),
-        num_partitions=num_partitions)
-
-    def keep(t: pa.Table) -> pa.Table:
-        sw = t["shared_w"].to_numpy(zero_copy_only=False)
-        na = t["n_w_a"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(den * sw >= num * na))
-
-    return scored.map_batches(keep, batch_format="pyarrow")
+    return pairs.map_batches(both_dirs, batch_format="pyarrow")
 
 
 def cdc_chunk_stats(ds, id_col: str = "doc_id", text_col: str = "text",
