@@ -838,10 +838,133 @@ def run_stress(n_images: int | None = None) -> None:
     ray.shutdown()
 
 
+def _resume_child() -> None:
+    """Child process for --resume-proof: run (or resume) the checkpointed
+    flagship on <img_path> into <root>, write canonical sorted results."""
+    import ray
+
+    img_path, root = sys.argv[2], sys.argv[3]
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from setsketch_ray.pipelines.checkpointed import run_checkpointed
+    from setsketch_ray.pipelines.dedup import DedupConfig
+
+    cfg = DedupConfig(decode=True, sketch_concurrency=max(2, NUM_CPUS // 2))
+    _clusters, edges, mapping = run_checkpointed(img_path, root, cfg,
+                                                 num_partitions=32)
+    res = os.path.join(root, "result")
+    os.makedirs(res, exist_ok=True)
+    e = edges.select(["id_a", "id_b"])
+    e = e.take(pc.sort_indices(e, sort_keys=[("id_a", "ascending"),
+                                             ("id_b", "ascending")]))
+    pq.write_table(e.combine_chunks(), os.path.join(res, "edges.parquet"))
+    items = sorted(mapping.items())
+    m = pa.table({"member": pa.array([k for k, _ in items], pa.string()),
+                  "root": pa.array([v for _, v in items], pa.string())})
+    pq.write_table(m, os.path.join(res, "mapping.parquet"))
+    ray.shutdown()
+
+
+def run_resume_proof() -> None:
+    """Checkpoint/resume proof at stress scale (the determinism contract's
+    payoff): run the checkpointed flagship, SIGKILL it mid-stage once some
+    partition dirs carry _DONE, resume to completion, and verify the
+    resumed results are BIT-IDENTICAL to a fresh-from-scratch run — while
+    reporting how many committed partitions the resume reused."""
+    import shutil
+    import signal
+    import subprocess
+
+    import ray
+
+    n = int(os.environ.get("GRAFT_RESUME_IMAGES", "500000"))
+    global BENCH_IMAGES
+    old = BENCH_IMAGES
+    BENCH_IMAGES = n
+    img_path = f"/tmp/setsketch_bench/images_v2_n{n}_sz{IMG_SIZE}.parquet"
+    os.makedirs(os.path.dirname(img_path), exist_ok=True)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _ensure_bench_images(img_path)
+    ray.shutdown()
+    BENCH_IMAGES = old
+
+    base = "/tmp/setsketch_resume_proof"
+    root_a, root_b = f"{base}/killed", f"{base}/scratch"
+    shutil.rmtree(base, ignore_errors=True)
+    cmd = [sys.executable, os.path.abspath(__file__), "--resume-child",
+           img_path]
+    logf = open(f"/tmp/setsketch_resume_proof_child.log", "w")
+
+    def done_count(root: str) -> int:
+        tot = 0
+        for stage in ("sketched", "pairs", "edges", "clusters"):
+            d = os.path.join(root, stage)
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if os.path.exists(os.path.join(d, name, "_DONE")):
+                        tot += 1
+        return tot
+
+    # phase A: launch and SIGKILL once >= 4 partitions committed (mid-stage)
+    p = subprocess.Popen(cmd + [root_a], cwd="/root/repo",
+                         stdout=logf, stderr=logf)
+    killed = False
+    deadline = time.time() + 900
+    while time.time() < deadline and p.poll() is None:
+        if done_count(root_a) >= 4:
+            p.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    p.wait()
+    reused = done_count(root_a)
+
+    # phase B: resume to completion; phase C: fresh scratch run
+    t0 = time.time()
+    subprocess.run(cmd + [root_a], cwd="/root/repo", check=True,
+                   stdout=logf, stderr=logf)
+    t_resume = time.time() - t0
+    t0 = time.time()
+    subprocess.run(cmd + [root_b], cwd="/root/repo", check=True,
+                   stdout=logf, stderr=logf)
+    t_scratch = time.time() - t0
+
+    import pyarrow.parquet as pq
+
+    eq_edges = pq.read_table(f"{root_a}/result/edges.parquet").equals(
+        pq.read_table(f"{root_b}/result/edges.parquet"))
+    eq_map = pq.read_table(f"{root_a}/result/mapping.parquet").equals(
+        pq.read_table(f"{root_b}/result/mapping.parquet"))
+    print(json.dumps({
+        "metric": f"resume-proof: {n} images, SIGKILL mid-stage then resume "
+                  "vs fresh scratch",
+        "value": round(t_resume, 1), "unit": "sec",
+        "killed_mid_stage": killed,
+        "partitions_committed_at_kill": reused,
+        "resume_sec": round(t_resume, 1),
+        "scratch_sec": round(t_scratch, 1),
+        "edges_bit_identical": eq_edges,
+        "mapping_bit_identical": eq_map,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--stress" in sys.argv:
         run_stress()
+    elif "--resume-child" in sys.argv:
+        _resume_child()
+    elif "--resume-proof" in sys.argv:
+        run_resume_proof()
     else:
         print(json.dumps(run_benchmarks()))

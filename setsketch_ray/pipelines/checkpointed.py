@@ -65,6 +65,10 @@ def run_checkpointed(input_path: str, out_root: str,
 
     def compute_sketched(missing):
         ds = read_corpus(input_path)
+        # input column names captured from the bare read: asking for the
+        # schema AFTER the lazy filter chain executes a probe block, which
+        # can return None on a resume whose first block filters empty
+        in_names = set(ds.schema().names)
 
         def add_part(t: pa.Table) -> pa.Table:
             part = _id_partition(t[id_col], num_partitions)
@@ -84,8 +88,9 @@ def run_checkpointed(input_path: str, out_root: str,
 
             ds = ds.map_batches(DecodeStage(), batch_format="pyarrow",
                                 batch_size=1024)
+        avail = in_names | ({"decode_ok"} if cfg.decode else set())
         drop = [c for c in ("bytes", "w", "h", "fmt", "decode_ok")
-                if c in ds.schema().names]
+                if c in avail]
         if drop:  # blobs dropped right after decode: bandwidth, not needed
             ds = ds.drop_columns(drop)
         ds = ds.map_batches(ShingleStage(ngrams=cfg.ngrams,
