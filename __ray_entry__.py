@@ -5579,6 +5579,54 @@ def _q_orders_global_rank(sf_dir: str):
         .sort("o_orderkey")
 
 
+def _q_events_ntile_global(sf_dir: str):
+    """Global NTILE(8) equal-frequency bucketing over all events by
+    (value, event_id) WITHOUT a global data sort: the composite order
+    packs into ONE int64 (cents * 2^37 + event_id, asserted in range),
+    the two-pass distributed scan (functions/streaming.global_prefix_sum)
+    assigns row numbers, and the NTILE bucket is pure integer arithmetic
+    on (rn, n, k) — the first n%k buckets take ceil(n/k) rows, exactly
+    the SQL NTILE contract.  ORACLED EXACTLY against the window
+    function."""
+    import pyarrow.compute as pc
+
+    from setsketch_ray.functions.streaming import global_prefix_sum
+
+    k = 8
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()
+
+    def pack(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        assert cents.max(initial=0) < (1 << 26) and \
+            eid.max(initial=0) < (1 << 37)
+        ordv = cents * (1 << 37) + eid
+        return pa.table({"event_id": t["event_id"],
+                         "ord": pa.array(ordv, pa.int64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64),
+                                         pa.int64())})
+
+    ranked = global_prefix_sum(
+        ds.map_batches(pack, batch_format="pyarrow").materialize(),
+        "ord", "one", out_col="rn", num_partitions=16)
+    q, r = divmod(n, k)
+
+    def emit(t: pa.Table) -> pa.Table:
+        rn0 = t["rn"].cast(pa.int64()).to_numpy(zero_copy_only=False) - 1
+        cut = r * (q + 1)
+        big = rn0 < cut                      # first r buckets: q+1 rows
+        tile = np.where(big, rn0 // max(q + 1, 1) + 1,
+                        r + (rn0 - cut) // max(q, 1) + 1)
+        return pa.table({"event_id": t["event_id"],
+                         "tile": pa.array(tile.astype(np.int64),
+                                          pa.int64())})
+
+    return ranked.map_batches(emit, batch_format="pyarrow") \
+        .sort("event_id")
+
+
 def _q_audio_resample(sf_dir: str):
     """Sample-rate normalization over the 6-codec audio corpus (sources/
     audio.resample_linear — the float-domain linear resampler): each clip
@@ -6582,6 +6630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_images": _q_augment_images,
         "key_skew_profile": _q_key_skew_profile,
         "events_value_percentile": _q_events_value_percentile,
+        "events_ntile_global": _q_events_ntile_global,
         "pagerank_personalized": _q_pagerank_personalized,
         "user_decay_scores": _q_user_decay_scores,
         "events_rolling_outliers": _q_events_rolling_outliers,
@@ -6893,6 +6942,13 @@ def _oracle_sql_base() -> dict[str, str]:
         "events_value_percentile":
             "SELECT event_id, percent_rank() OVER (ORDER BY value) "
             "AS pct_rank FROM events ORDER BY event_id",
+        # global NTILE via composite int64 order key + distributed scan
+        # (the pre-existing events_ntile is the PARTITIONED ntile(4); this
+        # one is the global equal-frequency bucketing over one total order)
+        "events_ntile_global":
+            "SELECT event_id, CAST(ntile(8) OVER "
+            "(ORDER BY CAST(round(value * 100) AS BIGINT), event_id) "
+            "AS BIGINT) AS tile FROM events ORDER BY event_id",
         # decayed engagement: per-distinct-gap libm pow, integer sums
         "user_decay_scores":
             "WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) AS md "
