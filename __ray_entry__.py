@@ -463,20 +463,20 @@ toks AS (
     SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos
     FROM raw) t
   WHERE w NOT IN ({sl}) AND w <> ''),
-r AS (SELECT doc_id, w,
+r AS MATERIALIZED (SELECT doc_id, w,
       row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rp FROM toks),
 uni AS (SELECT DISTINCT doc_id, 'u:' || w AS g FROM r),
 bi AS (SELECT DISTINCT a.doc_id, 'b:' || a.w || ' ' || b.w AS g
        FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rp = a.rp + 1),
-grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-sets AS (SELECT doc_id, list_sort(list(g)) AS gl, count(*) AS n
+grams AS MATERIALIZED (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+sets AS MATERIALIZED (SELECT doc_id, count(*) AS n
          FROM grams GROUP BY doc_id),
-df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+df AS MATERIALIZED (SELECT g, count(*) AS df FROM grams GROUP BY g),
 ord AS (SELECT gr.doc_id, gr.g,
         row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g)
           AS rk, s.n
         FROM grams gr JOIN df d USING (g) JOIN sets s USING (doc_id)),
-pref AS (SELECT doc_id, g, rk, n FROM ord
+pref AS MATERIALIZED (SELECT doc_id, g, rk, n FROM ord
          WHERE rk <= n - (({num}*n+{den}-1)//{den}) + 1),
 cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
                 min(a.rk) AS ra, min(b.rk) AS rb,
@@ -486,10 +486,11 @@ cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
          GROUP BY ia, ib
          HAVING {den}*(1 + least(na - ra, nb - rb))
                 >= {num}*(na + nb - (1 + least(na - ra, nb - rb)))),
-scored AS (SELECT c.ia, c.ib, len(list_intersect(sa.gl, sb.gl)) AS s,
-           c.na, c.nb FROM cand c
-           JOIN sets sa ON sa.doc_id = c.ia
-           JOIN sets sb ON sb.doc_id = c.ib)
+scored AS (SELECT c.ia, c.ib, count(*) AS s,
+           min(c.na) AS na, min(c.nb) AS nb FROM cand c
+           JOIN grams ga ON ga.doc_id = c.ia
+           JOIN grams gb ON gb.doc_id = c.ib AND gb.g = ga.g
+           GROUP BY c.ia, c.ib)
 SELECT ia AS id_a, ib AS id_b, CAST(s AS BIGINT) AS n_shared,
        CAST(na + nb - s AS BIGINT) AS n_union
 FROM scored WHERE {den}*s >= {num}*(na + nb - s) ORDER BY id_a, id_b"""
@@ -5198,17 +5199,20 @@ def _components_oracle(rounds: int = 4) -> str:
     co-purchase graph: per round one UNION ALL of the self term, the
     neighbor term, and the labels-self-join pointer-jump term
     (label_i(label_i(v))), then GROUP BY min — pure int64, exact."""
+    # every l{i} is referenced 4x by l{i+1} (self + neighbor probe + both
+    # jump sides); MATERIALIZED stops DuckDB inlining the whole chain per
+    # reference (4^rounds plan blowup — measured 19 s vs <1 s at sf0.1)
     sql = (
-        "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
-        "FROM lineitem WHERE l_partkey % 10 = 0), "
-        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem WHERE l_partkey % 10 = 0), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
         "JOIN li b ON a.o = b.o AND a.p < b.p), "
-        "de AS (SELECT u AS s, v AS d FROM e "
+        "de AS MATERIALIZED (SELECT u AS s, v AS d FROM e "
         "UNION ALL SELECT v AS s, u AS d FROM e), "
-        "l0 AS (SELECT DISTINCT s AS node, s AS l FROM de)")
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS l FROM de)")
     for i in range(1, rounds + 1):
         sql += (
-            f", l{i} AS (SELECT node, min(l) AS l FROM ("
+            f", l{i} AS MATERIALIZED (SELECT node, min(l) AS l FROM ("
             f"SELECT node, l FROM l{i - 1} "
             f"UNION ALL SELECT de.d AS node, p.l AS l FROM de "
             f"JOIN l{i - 1} p ON p.node = de.s "
