@@ -538,7 +538,8 @@ def run_benchmarks() -> dict:
                 ("orders_global_rank", False),
                 ("events_ks_drift", True),
                 ("user_twap", True),
-                ("bigram_pmi", True)):
+                ("bigram_pmi", True),
+                ("events_ntile_global", False)):
             t0 = time.time()
             res = getattr(entrymod, f"_q_{name}")(SF_DIR)
             _ = res.num_rows if is_table else res.count()
