@@ -62,6 +62,32 @@ def test_cardinality_rsd_within_bound(sketch, base, cardinality):
     assert rel_err.std() < HEADROOM * rsd_bound
 
 
+def test_cardinality_ml_batch_matches_scalar():
+    """The r5 vectorized ML path must agree with the per-row brentq oracle
+    (_ml_one) to the solver tolerance, on both correction settings and on
+    the 0 / inf sentinel rows."""
+    sketch = GHLL(m=256, base=2.0, q=62)
+    vals, offsets = _trial_sets(40, 3000, 99)
+    regs = sketch.sketch_rows(vals, offsets)
+    for corr in (True, False):
+        est = SetSketchEstimator(62, 1 / 256, 2.0, 256,
+                                 card_range_correction=corr)
+        batch = est.estimate_cardinality_ml(regs)
+        for i in range(regs.shape[0]):
+            hist = np.bincount(np.minimum(regs[i].astype(np.int64), 63),
+                               minlength=64)
+            ref = est._ml_one(hist)
+            assert abs(batch[i] - ref) <= 1e-8 * max(ref, 1.0), \
+                (corr, i, batch[i], ref)
+    # sentinels (range-corrected): all-zero regs -> 0, all-saturated -> inf
+    est = SetSketchEstimator(62, 1 / 256, 2.0, 256,
+                             card_range_correction=True)
+    sent = np.vstack([np.zeros(256, np.int64),
+                      np.full(256, 63, np.int64)])
+    got = est.estimate_cardinality_ml(sent)
+    assert got[0] == 0.0 and got[1] == math.inf
+
+
 def test_cardinality_ml_close_to_simple():
     sketch = GHLL(m=1024, base=2.0, q=62)
     vals, offsets = _trial_sets(50, 10000, 77)
