@@ -797,6 +797,15 @@ def run_stress(n_images: int | None = None) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # GRAFT_STRESS_NO_RESERVATION=1: disable Ray Data's per-operator
+    # resource reservation.  The cluster-profile chained-join DAG (16 ops,
+    # two sort exchanges, two decode chains) livelocks under reservation at
+    # 2M images — every op backpressured with zero running tasks while the
+    # scheduler spins (diagnosed via SIGUSR1 stack dumps + the debug
+    # topology: each op's budget slice is store/num_ops, too small for the
+    # 95M-row pair exchange).
+    if os.environ.get("GRAFT_STRESS_NO_RESERVATION", "0") == "1":
+        DataContext.get_current().op_resource_reservation_enabled = False
     import ray.data as rd
 
     from setsketch_ray.pipelines.dedup import (DedupConfig, evaluate_recall,
@@ -834,6 +843,112 @@ def run_stress(n_images: int | None = None) -> None:
         "true_pairs": rec["true_pairs"],
         "predicted_pairs": rec["predicted_pairs"],
         "n_edges": int(edges.num_rows),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+def run_incremental_proof() -> None:
+    """Daily-increment dedup at stress scale: sketch a 400k base ONCE
+    (checkpointed), then dedup a 100k delta against itself AND the stored
+    base signatures WITHOUT re-decoding the base — the shape a 100 TB
+    ingest actually runs.  Reports base wall, delta wall (the headline:
+    decode+sketch cost scales with the DELTA, not the corpus), recall /
+    precision of the combined mapping vs the planted truth of the full
+    corpus, and partition-equality vs a from-scratch run on the union."""
+    import shutil
+
+    import ray
+
+    n = int(os.environ.get("GRAFT_INCR_IMAGES", "500000"))
+    n_base = n * 4 // 5
+    global BENCH_IMAGES
+    old = BENCH_IMAGES
+    BENCH_IMAGES = n
+    img_path = f"/tmp/setsketch_bench/images_v2_n{n}_sz{IMG_SIZE}.parquet"
+    os.makedirs(os.path.dirname(img_path), exist_ok=True)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _ensure_bench_images(img_path)
+    BENCH_IMAGES = old
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from setsketch_ray.pipelines.checkpointed import run_checkpointed
+    from setsketch_ray.pipelines.dedup import (DedupConfig, evaluate_recall,
+                                               near_dup_pipeline)
+    from setsketch_ray.pipelines.incremental import incremental_near_dup
+    from setsketch_ray.sources.images import truth_pairs
+
+    base = "/tmp/setsketch_incr_proof"
+    shutil.rmtree(base, ignore_errors=True)
+    base_path, delta_path = f"{base}/base.parquet", f"{base}/delta.parquet"
+    # split by image_id: ids are "img%09d"-style deterministic; rows
+    # [0, n_base) form the base corpus, the rest the daily delta —
+    # planted clusters SPAN the cut, so the delta must dedup against base
+    full = rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2)
+
+    def split(keep_base: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            # ids are "img%012d" (sources/images.py)
+            idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+            m = idx < n_base if keep_base else idx >= n_base
+            return t.filter(pa.array(m))
+        return fn
+
+    full.map_batches(split(True), batch_format="pyarrow") \
+        .write_parquet(base_path)
+    full.map_batches(split(False), batch_format="pyarrow") \
+        .write_parquet(delta_path)
+
+    cfg = DedupConfig(decode=True, sketch_concurrency=max(2, NUM_CPUS // 2))
+    t0 = time.time()
+    _cl, _e, map_base = run_checkpointed(base_path, f"{base}/base_run", cfg,
+                                         num_partitions=32)
+    t_base = time.time() - t0
+    t0 = time.time()
+    edges_inc, map_inc = incremental_near_dup(f"{base}/base_run", delta_path,
+                                              cfg)
+    t_delta = time.time() - t0
+
+    rec = evaluate_recall(map_inc, truth_pairs(n))
+
+    # partition equality vs from-scratch on the union corpus
+    t0 = time.time()
+    _c2, _e2, map_full = near_dup_pipeline(
+        rd.read_parquet(img_path, override_num_blocks=NUM_CPUS * 2), cfg)
+    t_scratch = time.time() - t0
+
+    def canon(mapping: dict) -> dict:
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for k, v in mapping.items():
+            groups[v].append(k)
+        out = {}
+        for members in groups.values():
+            r = min(members)
+            for m in members:
+                out[m] = r
+        return out
+
+    partition_equal = canon(map_inc) == canon(map_full)
+    print(json.dumps({
+        "metric": f"incremental: {n - n_base} delta vs {n_base} finished "
+                  "base (sketches reused, base never re-decoded)",
+        "value": round(t_delta, 1), "unit": "sec",
+        "base_run_sec": round(t_base, 1),
+        "delta_sec": round(t_delta, 1),
+        "from_scratch_union_sec": round(t_scratch, 1),
+        "recall": round(rec["recall"], 4),
+        "precision": round(rec["precision"], 4),
+        "partition_equal_vs_scratch": partition_equal,
         "num_cpus": NUM_CPUS,
     }))
     ray.shutdown()
@@ -959,6 +1074,14 @@ def run_resume_proof() -> None:
 
 
 if __name__ == "__main__":
+    # kill -USR1 <pid> dumps all Python thread stacks (hang diagnosis on a
+    # box with no py-spy/gdb); no-op unless the signal is sent
+    import faulthandler
+    import signal as _signal
+
+    faulthandler.register(_signal.SIGUSR1,
+                          file=open("/tmp/bench_stacks.txt", "w"),
+                          all_threads=True)
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--stress" in sys.argv:
@@ -967,5 +1090,7 @@ if __name__ == "__main__":
         _resume_child()
     elif "--resume-proof" in sys.argv:
         run_resume_proof()
+    elif "--incremental" in sys.argv:
+        run_incremental_proof()
     else:
         print(json.dumps(run_benchmarks()))

@@ -298,12 +298,23 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(),
         return pairs
     else:
         from ..functions.relational import lookup_join
+        from ..stages.sketch_stage import list_u64_to_binary
 
+        npart = max(cfg.num_partitions // 2, 8)
+        # ONE slim verification table (id + binary shingles [+regs]),
+        # materialized ONCE: both join sides read from it, so the decode->
+        # sketch chain runs exactly once for verification instead of once
+        # per side (measured: the chain re-execution, not bytes, dominated
+        # the 500k cluster profile).  O(corpus x ~0.7 KB) — the same class
+        # the checkpointed pipeline PERSISTS per partition; at 10^12 rows
+        # this table lives in the sketch checkpoint, not the object store.
+        payload = _slim_verification_table(
+            ds, mods, id_col, payload_cols, list_cols).materialize()
+        list_cols = ()   # shingles already binary in the slim table
         pay_a = payload.map_batches(_rename_payload("_a", id_col, list_cols),
                                     batch_format="pyarrow")
         pay_b = payload.map_batches(_rename_payload("_b", id_col, list_cols),
                                     batch_format="pyarrow")
-        npart = max(cfg.num_partitions // 2, 8)
         # deduped pairs are consumed by two co-partition joins and their
         # schema feeds lookup_join — one materialize, no re-execution
         pairs = pairs.materialize()
@@ -312,10 +323,16 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(),
             [(id_col, pa.string())]
             + [(c, pa.binary()) for c in payload_cols if c != id_col])
 
+        shingle_cols = tuple(m.shingle_col for m in mods)
+
         def _pay_schema(suffix: str) -> pa.Schema:
+            # shingle columns travel as binary blobs on this path whether
+            # converted by _rename_payload (list_cols) or already binary in
+            # the slim verification table (prefilter branch)
             fields = []
             for c in payload_cols:
-                typ = pa.binary() if c in list_cols else base.field(c).type
+                typ = pa.binary() if c in shingle_cols \
+                    else base.field(c).type
                 name = c if c == id_col else f"{c}{suffix}"
                 fields.append((name, typ))
             return pa.schema(fields)
@@ -339,6 +356,37 @@ def candidate_pairs(ds, cfg: DedupConfig = DedupConfig(),
 
 
 _WORKER_CACHE: dict = {}
+
+
+def _slim_verification_table(ds, mods, id_col: str, payload_cols,
+                             list_cols):
+    """Project the sketched dataset down to the hash-attach verification
+    columns — id + shingle sets as binary blobs (+regs when the ML gate
+    is on) — in ONE map over the chain.  ~0.7 KB/row; the single
+    materialization every hash-path join side reads from.
+
+    A truncated-signature candidate PREFILTER before the payload joins
+    was prototyped here and measured OUT (r5): on this corpus 90% of the
+    LSH candidates sit at caption-Jaccard 0.05-0.25 — a mid-similarity
+    mass that narrow 4-row bands inevitably over-generate when the accept
+    threshold is as low as 0.5 (LSH S-curve physics) — and separating
+    0.2 from 0.5 at 6-sigma confidence needs ~200 one-byte MinHash slots
+    per side, which costs MORE exchange bytes than the 80-byte exact
+    caption payload itself.  The cascade that would pay at 10^12 rows is
+    exact-cheap-modality-first (captions), gating the expensive modality
+    payload — noted for a future round."""
+    from ..stages.sketch_stage import list_u64_to_binary
+
+    def slim(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        for c in payload_cols:
+            if c == id_col:
+                continue
+            cols[c] = list_u64_to_binary(t[c]) if c in list_cols else t[c]
+        return pa.table(cols)
+
+    need = [id_col] + [c for c in payload_cols if c != id_col]
+    return ds.select_columns(need).map_batches(slim, batch_format="pyarrow")
 
 
 def _attach_payload(batch: pa.Table, lookup_ref, id_col: str) -> pa.Table:
