@@ -865,7 +865,9 @@ def run_incremental_proof() -> None:
     global BENCH_IMAGES
     old = BENCH_IMAGES
     BENCH_IMAGES = n
-    img_path = f"/tmp/setsketch_bench/images_v2_n{n}_sz{IMG_SIZE}.parquet"
+    prof_tag = "" if BENCH_PROFILE == "mixed" else f"_{BENCH_PROFILE}"
+    img_path = (f"/tmp/setsketch_bench/images_v2_n{n}"
+                f"_sz{IMG_SIZE}{prof_tag}.parquet")
     os.makedirs(os.path.dirname(img_path), exist_ok=True)
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
